@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Knn.flatSearch(Graft.init(spark), "/root/testdata/sf0.001", "cosine")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Vector core
+    "v1_knn_cosine_flat" -> ((s, d) => Knn.flatSearch(s, d, "cosine")),
+    "v2_knn_l2_flat" -> ((s, d) => Knn.flatSearch(s, d, "l2")),
+    "v3_knn_dot_flat" -> ((s, d) => Knn.flatSearch(s, d, "dot")),
+    "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
+    "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
+    // Relational core
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
+    "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
+    "q4_window" -> ((s, d) => Relational.q4Window(s, d)),
+    "q5_semi_anti" -> ((s, d) => Relational.q5SemiAnti(s, d)),
+    "q6_conditional_agg" -> ((s, d) => Relational.q6ConditionalAgg(s, d)),
+    "q7_distinct" -> ((s, d) => Relational.q7Distinct(s, d)),
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same output schema + order). */
+  def oracleSql: Map[String, String] = Map(
+    "v1_knn_cosine_flat" -> Knn.oracleFlat("cosine"),
+    "v2_knn_l2_flat" -> Knn.oracleFlat("l2"),
+    "v3_knn_dot_flat" -> Knn.oracleFlat("dot"),
+    "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
+    "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
+    "q1_agg" -> Relational.q1Oracle,
+    "q2_join_broadcast" -> Relational.q2Oracle,
+    "q3_top_revenue" -> Relational.q3Oracle,
+    "q4_window" -> Relational.q4Oracle,
+    "q5_semi_anti" -> Relational.q5Oracle,
+    "q6_conditional_agg" -> Relational.q6Oracle,
+    "q7_distinct" -> Relational.q7Oracle,
+  )
 }

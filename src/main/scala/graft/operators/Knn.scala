@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.sources.Tables
+
+/** Flat (exact) kNN — the Spark re-expression of the reference's FlatIndex
+  * linear scan (reference: app/core/indexes/flat.py:42-70).
+  *
+  * Plan shape (scale-first):
+  *   scan(embeddings)  ──BroadcastNestedLoopJoin── broadcast(queries)
+  *     → codegen'd score Expression (graft.functions.VectorExpressions)
+  *     → partial TopK aggregate per partition (k rows/group survive)
+  *     → final TopK merge (shuffle moves O(Q·k) rows, not O(n·Q))
+  *
+  * The Q query vectors are a broadcast dimension; the n-row embedding table
+  * is never shuffled. At 100 TB this is one scan + a k-row-per-group
+  * reduction — the same shape a 1000-executor cluster wants.
+  */
+object Knn {
+
+  /** metric ∈ {cosine, l2, dot, manhattan}; returns (qid, rank, vec_id, score). */
+  def flatSearch(spark: SparkSession, dir: String, metric: String,
+                 k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topkPerQuery(scoreAll(emb, queries, metric), metric, k)
+  }
+
+  /** kNN join: every vector in `data` (id < limit) gets its top-k neighbors
+    * from the full table, excluding itself. */
+  def knnJoin(spark: SparkSession, dir: String, metric: String = "cosine",
+              k: Int = 5, limit: Int = 200): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < limit)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = scoreAll(emb, queries, metric).filter(col("vec_id") =!= col("qid"))
+    topkPerQuery(scored, metric, k)
+  }
+
+  /** Cross-score `data` rows against broadcast `queries`. */
+  private[operators] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame = {
+    val scoreCol = metric match {
+      case "cosine" => Graft.cosine(col("embedding"), col("qvec"))
+      case "l2" => Graft.l2(col("embedding"), col("qvec"))
+      case "dot" => Graft.dot(col("embedding"), col("qvec"))
+      case "manhattan" => Graft.manhattan(col("embedding"), col("qvec"))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    data.crossJoin(broadcast(queries)).withColumn("score", scoreCol)
+  }
+
+  /** smallestFirst for distance metrics, largest for similarities. */
+  private[operators] def smallestFirst(metric: String): Boolean = metric match {
+    case "l2" | "manhattan" => true
+    case _ => false
+  }
+
+  /** Reduce scored rows (qid, vec_id, score) to ranked top-k per query. */
+  private[operators] def topkPerQuery(scored: DataFrame, metric: String, k: Int,
+                                      idCol: String = "vec_id", outId: String = "vec_id"): DataFrame = {
+    scored
+      .groupBy(col("qid"))
+      .agg(Graft.topk(col("score"), col(idCol), lit(k), lit(smallestFirst(metric))).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as(outId),
+        round(col("r.score"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Oracle SQL (DuckDB) mirroring [[flatSearch]] / [[knnJoin]]. */
+  def oracleFlat(metric: String, k: Int = 10, nQueries: Int = 8,
+                 excludeSelf: Boolean = false): String = {
+    val (scoreExpr, ord) = metric match {
+      case "cosine" => ("list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)", "DESC")
+      case "l2" => ("list_distance(e.embedding::DOUBLE[], q.qvec)", "ASC")
+      case "dot" => ("list_inner_product(e.embedding::DOUBLE[], q.qvec)", "DESC")
+      case "manhattan" =>
+        ("list_sum([abs(e.embedding[i]::DOUBLE - q.qvec[i]) for i in generate_series(1, len(q.qvec))])::DOUBLE", "ASC")
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val selfFilter = if (excludeSelf) "WHERE e.vec_id <> q.qid" else ""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT q.qid, e.vec_id, $scoreExpr AS score FROM embeddings e CROSS JOIN q $selfFilter),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score $ord, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational / OLAP core: the query surface a user of any analytics engine
+  * expects (scan→filter→agg, star joins, top-N, windows, semi/anti joins).
+  *
+  * Scale notes: every filter here is a pushable parquet predicate; dimension
+  * tables (nation/region/customer at test SF) are broadcast so the fact scan
+  * never shuffles for the join; aggregations are partial (map-side combine)
+  * by construction.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: revenue by nation for a market segment (broadcast dims). */
+  def q2JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q2Oracle: String =
+    """SELECT r_name, n_name,
+      |       round(sum(o_totalprice), 2) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-N revenue orders (group + sort + limit). */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    li.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(20)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey AS orderkey, o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, orderkey
+      |LIMIT 20""".stripMargin
+
+  /** Window functions: per-order line ranking + running quantity. */
+  def q4Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") < 300)
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    li.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
+        rank().over(w).as("rnk"),
+        round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("linenumber"))
+  }
+
+  val q4Oracle: String =
+    """SELECT l_orderkey, l_linenumber::BIGINT AS linenumber,
+      |       rank() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rnk,
+      |       round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem WHERE l_orderkey < 300
+      |ORDER BY l_orderkey, linenumber""".stripMargin
+
+  /** Semi + anti join: customers with orders vs without. */
+  def q5SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("bucket"))
+    val withoutOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("bucket"))
+    withOrders.unionAll(withoutOrders)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+      .orderBy(col("bucket"))
+  }
+
+  val q5Oracle: String =
+    """WITH u AS (
+      |  SELECT c_custkey, 'has_orders' AS bucket FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS bucket FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |SELECT bucket, count(*) AS n, min(c_custkey) AS min_key
+      |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Conditional (CASE-pivot) aggregation by order priority. */
+  def q6ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        round(sum(when(col("o_totalprice") > 100000, col("o_totalprice")).otherwise(0.0)), 2).as("big_revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q6Oracle: String =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+      |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+      |       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0.0 END), 2) AS big_revenue
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact distinct counts per group (the approx variant lives in Bench —
+    * approx_count_distinct is engine-specific, not oracle-comparable). */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q7Oracle: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}
