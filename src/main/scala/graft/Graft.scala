@@ -24,6 +24,10 @@ object Graft {
       reg.createOrReplaceTempFunction("graft_norm", es => VecNorm(es(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_topk",
         es => TopKAgg(es(0), es(1), es(2), es(3)), "built-in")
+      reg.createOrReplaceTempFunction("graft_vecsum", es => VecSumAgg(es(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash_keys",
+        es => SimhashKeys(es(0),
+          litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed")), "built-in")
     }
     spark
   }
@@ -36,4 +40,23 @@ object Graft {
   def norm(a: Column): Column = call_function("graft_norm", a)
   def topk(score: Column, id: Column, k: Column, smallestFirst: Column): Column =
     call_function("graft_topk", score, id, k, smallestFirst)
+  def vecsum(v: Column): Column = call_function("graft_vecsum", v)
+  def simhashKeys(v: Column, nTables: Int, nBits: Int, seed: Long): Column =
+    call_function("graft_simhash_keys", v,
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(seed))
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+    }
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"$name must be a long literal, got $other")
+    }
 }

@@ -19,6 +19,13 @@ object SparkEntry {
     "v3_knn_dot_flat" -> ((s, d) => Knn.flatSearch(s, d, "dot")),
     "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
+    "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
+    "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
+    "v7_ivf_search" -> ((s, d) => Ivf.search(s, d)),
+    "v8_ivf_kmeans" -> ((s, d) => Ivf.kmeans(s, d)),
+    "v9_simhash_keys" -> ((s, d) => Lsh.buildKeys(s, d)),
+    "v10_lsh_search" -> ((s, d) => Lsh.search(s, d)),
+    "v11_sim_join_threshold" -> ((s, d) => Lsh.simJoin(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
@@ -36,6 +43,13 @@ object SparkEntry {
     "v3_knn_dot_flat" -> Knn.oracleFlat("dot"),
     "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
+    "v5_vector_norms" -> Vectors.normsOracle,
+    "v6_ivf_assign" -> Ivf.assignOracle,
+    "v7_ivf_search" -> Ivf.searchOracle(),
+    // v8_ivf_kmeans: iterative training — rows-only check (no oracle)
+    "v9_simhash_keys" -> Lsh.buildKeysOracle(),
+    "v10_lsh_search" -> Lsh.searchOracle(),
+    "v11_sim_join_threshold" -> Lsh.simJoinOracle(),
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,
     "q3_top_revenue" -> Relational.q3Oracle,

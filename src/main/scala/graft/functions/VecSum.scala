@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `graft_vecsum(vec)` — element-wise sum of `array<float|double>` rows,
+  * in double. The bulk-index-build primitive: centroid updates for k-means
+  * (reference: app/core/indexes/ivf.py:236-241 does `np.add.at` — here it's
+  * a partial aggregate, so each partition ships one k×d-free double[] and
+  * the shuffle moves O(groups × dim) values regardless of row count).
+  */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def prettyName: String = "graft_vecsum"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vecsum expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = if (buffer.length >= n) buffer else java.util.Arrays.copyOf(buffer, n)
+    var i = 0
+    while (i < n) {
+      buf(i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    val (big, small) = if (buffer.length >= other.length) (buffer, other) else (other, buffer)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.length * 8)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.{LcgPlanes, SimhashKeys}
+import graft.sources.Tables
+
+/** SimHash LSH — Spark re-expression of the reference's multi-table
+  * random-hyperplane index (reference: app/core/indexes/lsh_simhash.py).
+  *
+  * The hash tables become rows `(vec_id, table_id, key)`; a bucket is a
+  * group, and both search and similarity-join are **equi-joins on
+  * (table_id, key)** — broadcast at test scale, sort-merge on a cluster,
+  * never an all-pairs product. Keys come from the codegen'd
+  * [[graft.functions.SimhashKeys]] expression; the LCG plane construction
+  * is reproduced verbatim in the generated oracle SQL (exact integer math,
+  * see [[LcgPlanes]]).
+  */
+object Lsh {
+
+  /** (vec_id, table_id, key) rows for every vector. */
+  def keyRows(emb: DataFrame, nTables: Int, nBits: Int, seed: Long,
+              idCol: String = "vec_id"): DataFrame = {
+    val keyed = emb.withColumn("keys",
+      Graft.simhashKeys(col("embedding"), nTables, nBits, seed))
+    keyed.select(col(idCol), posexplode(col("keys")).as(Seq("table_id", "key")))
+      .select(col(idCol), col("table_id").cast("long").as("table_id"), col("key"))
+  }
+
+  /** v9: the index build — SimHash keys per (vector, table). */
+  def buildKeys(spark: SparkSession, dir: String,
+                nTables: Int = 4, nBits: Int = 16, seed: Long = 9000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    keyRows(emb, nTables, nBits, seed).orderBy("vec_id", "table_id")
+  }
+
+  /** v10: bucket-union candidates for each query, exact cosine re-rank
+    * (reference: app/core/indexes/lsh_simhash.py:105-131). */
+  def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val dataKeys = keyRows(emb, nTables, nBits, seed)
+    val queryKeys = keyRows(
+      queries.select(col("qid"), col("qvec").as("embedding")),
+      nTables, nBits, seed, idCol = "qid")
+
+    val candidates = dataKeys.join(broadcast(queryKeys), Seq("table_id", "key"))
+      .select(col("qid"), col("vec_id")).distinct()
+
+    val scored = candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  /** v11: all-pairs cosine ≥ τ via shared LSH buckets — the approximate
+    * similarity-join / embedding near-dup primitive. */
+  def simJoin(spark: SparkSession, dir: String, tau: Double = 0.3,
+              nTables: Int = 4, nBits: Int = 8, seed: Long = 2000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val keys = keyRows(emb, nTables, nBits, seed)
+
+    val pairs = keys.as("a")
+      .join(keys.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("score", Graft.cosine(col("va"), col("vb")))
+      .filter(col("score") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB expression computing the SimHash key of table `t` over a
+    * DOUBLE[] column `v` — same LCG planes, same summation order. */
+  private def keySqlExpr(v: String, t: Int, nBits: Int, dim: Int, seed: Long): String = {
+    val bits = (0 until nBits).map { j =>
+      val off = seed + (t.toLong * nBits + j) * dim
+      val w = LcgPlanes.sqlWeight(off)
+      s"(CASE WHEN list_sum([$w * $v[i+1] for i in generate_series(0, ${dim - 1})]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")::BIGINT")
+  }
+
+  /** CTE body: keys(id, table_id, key) for a source select. */
+  private def keysSql(src: String, idExpr: String, nTables: Int, nBits: Int,
+                      dim: Int, seed: Long): String =
+    (0 until nTables).map { t =>
+      s"SELECT $idExpr AS id, ${t}::BIGINT AS table_id, ${keySqlExpr("v", t, nBits, dim, seed)} AS key FROM $src"
+    }.mkString("\nUNION ALL\n")
+
+  def buildKeysOracle(nTables: Int = 4, nBits: Int = 16, seed: Long = 9000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |k AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)})
+       |SELECT id AS vec_id, table_id, key FROM k ORDER BY vec_id, table_id""".stripMargin
+
+  def searchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4, nBits: Int = 10,
+                   seed: Long = 1000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dk AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(e.v, q.qv) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  def simJoinOracle(tau: Double = 0.3, nTables: Int = 4, nBits: Int = 8,
+                    seed: Long = 2000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |k AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM k a JOIN k b ON a.table_id = b.table_id AND a.key = b.key AND a.id < b.id),
+       |scored AS (SELECT p.id_a, p.id_b, list_cosine_similarity(ea.v, eb.v) AS score
+       |           FROM pairs p JOIN e ea ON p.id_a = ea.vec_id JOIN e eb ON p.id_b = eb.vec_id)
+       |SELECT id_a, id_b, round(score, 4) AS score FROM scored WHERE score >= $tau ORDER BY id_a, id_b""".stripMargin
+}
