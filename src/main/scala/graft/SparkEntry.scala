@@ -26,6 +26,19 @@ object SparkEntry {
     "v9_simhash_keys" -> ((s, d) => Lsh.buildKeys(s, d)),
     "v10_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "v11_sim_join_threshold" -> ((s, d) => Lsh.simJoin(s, d)),
+    // Dedup suite
+    "d1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "d2_dedup_minhash" -> ((s, d) => Dedup.minhash(s, d)),
+    "d3_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "d4_dedup_simhash_text" -> ((s, d) => Dedup.simhashText(s, d)),
+    "d5_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // Text analysis
+    "t1_lang_id" -> ((s, d) => Text.langId(s, d)),
+    "t2_quality_score" -> ((s, d) => Text.quality(s, d)),
+    "t3_token_count" -> ((s, d) => Text.tokenCount(s, d)),
+    "t4_fingerprint" -> ((s, d) => Text.fingerprint(s, d)),
+    "t5_top_ngrams" -> ((s, d) => Text.topNgrams(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
@@ -50,6 +63,17 @@ object SparkEntry {
     "v9_simhash_keys" -> Lsh.buildKeysOracle(),
     "v10_lsh_search" -> Lsh.searchOracle(),
     "v11_sim_join_threshold" -> Lsh.simJoinOracle(),
+    "d1_dedup_exact" -> Dedup.exactOracle,
+    "d2_dedup_minhash" -> Dedup.minhashOracle,
+    "d3_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
+    "d4_dedup_simhash_text" -> Dedup.simhashTextOracle(),
+    "d5_dedup_embedding" -> Dedup.embeddingNearDupOracle(),
+    "d6_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
+    "t1_lang_id" -> Text.langIdOracle,
+    "t2_quality_score" -> Text.qualityOracle,
+    "t3_token_count" -> Text.tokenCountOracle,
+    "t4_fingerprint" -> Text.fingerprintOracle,
+    "t5_top_ngrams" -> Text.topNgramsOracle(),
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,
     "q3_top_revenue" -> Relational.q3Oracle,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.LcgPlanes
+import graft.sources.Tables
+
+/** Deduplication suite for large-scale text pipelines: exact, MinHash(+LSH
+  * banding), text-SimHash, n-gram Jaccard, embedding near-dup.
+  *
+  * Every hash is **exact-integer portable** so the DuckDB oracle reproduces
+  * results bit-for-bit:
+  *   h60(s)   = int(md5(s)[0:15 hex])                (60-bit, positive)
+  *   mix_j(h) = (A_j·(h mod P) + B_j) mod P,  P = 2^31−1, A_j,B_j from the
+  *              [[LcgPlanes]] LCG — products stay < 2^62, no overflow in
+  *              either engine.
+  *
+  * Scale shape: shingles are *exploded once* into (doc_id, shingle-hash)
+  * rows and reduced with partial aggregates (16 `min`s for MinHash, 32
+  * conditional sums for SimHash) — one scan + one doc-keyed shuffle of
+  * pre-aggregated rows. Candidate generation is always an equi-join on a
+  * band/bucket key, never an all-pairs product; the exact measure
+  * (Jaccard / hamming / cosine) runs only on candidates.
+  */
+object Dedup {
+  val P = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val BandSize = 4 // → 4 bands over 16 minhashes
+
+  /** (A_j, B_j) mix coefficients, derived from the shared LCG (seed 7000). */
+  def coeffs(n: Int = NumHashes, seed: Long = 7000): IndexedSeq[(Long, Long)] =
+    (0 until n).map { j =>
+      val a = 1L + (LcgPlanes.A * (seed + 2 * j) + LcgPlanes.C) % LcgPlanes.M % (P - 1)
+      val b = (LcgPlanes.A * (seed + 2 * j + 1) + LcgPlanes.C) % LcgPlanes.M % P
+      (a, b)
+    }
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Portable 60-bit hash of a string column. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    val shingles = array_distinct(expr(
+      "transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat(element_at(split(text, ' '), i), ' ', " +
+        "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"))
+    docs.select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), (h60(col("s")) % P).as("h"))
+  }
+
+  /** d1: exact-dup accounting per source via text hash. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+      .orderBy("source")
+
+  val exactOracle: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** d2: 16 MinHash signature values per document over 3-word shingles. */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(Tables.documents(spark, dir))
+    val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  // shared SQL CTE: per-doc distinct shingle hashes
+  private val shingleSqlCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                    for i in generate_series(1, len(w) - 2)])) AS s
+      |       FROM w),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh)""".stripMargin
+
+  private def minhashSqlSelect: String = {
+    val cols = coeffs().zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS m$j"
+    }.mkString(", ")
+    s"SELECT doc_id, $cols FROM h GROUP BY doc_id"
+  }
+
+  val minhashOracle: String =
+    s"""WITH $shingleSqlCte
+       |$minhashSqlSelect ORDER BY doc_id""".stripMargin
+
+  /** d3: banded-LSH candidate pairs + exact shingle Jaccard ≥ τ. */
+  def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhash(spark, dir)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(":", parts: _*)).as("band_key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_key"))
+
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+
+    val shingles = docs.select(col("doc_id"), array_distinct(expr(
+      "transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat(element_at(split(text, ' '), i), ' ', " +
+        "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))")).as("sh"))
+
+    pairs
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashLshOracle(tau: Double = 0.5): String = {
+    val bandArms = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => s"m${b * BandSize + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(':', $parts)) AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleSqlCte,
+       |sig AS ($minhashSqlSelect),
+       |bands AS ($bandArms),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |shl AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                      for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
+       |j AS (SELECT p.doc_a, p.doc_b,
+       |             len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+       |      FROM pairs p JOIN shl sa ON p.doc_a = sa.doc_id JOIN shl sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** d4: 32-bit text SimHash over shingle hashes; near-dup pairs with
+    * hamming ≤ 6 found via 8-bit band join (never all-pairs). */
+  def simhashText(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val sh = shingleHashes(Tables.documents(spark, dir))
+    val bitSums = (0 until 32).map { k =>
+      sum(when((shiftright(col("h"), k).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L)).as(s"b$k")
+    }
+    val withBits = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 32).map { k =>
+      when(col(s"b$k") >= 0L, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = withBits.select(col("doc_id"), simhash.as("sim"))
+
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band_idx"), shiftright(col("sim"), b * 8).bitwiseAND(lit(255L)).as("band_val"))
+    }
+    val bands = sigs.select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("sim"), col("bd.band_idx"), col("bd.band_val"))
+
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashTextOracle(maxHamming: Int = 6): String = {
+    val bitSumCols = (0 until 32).map { k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k"
+    }.mkString(", ")
+    val simExpr = (0 until 32).map(k => s"(CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    val bandArms = (0 until 4).map { b =>
+      s"SELECT doc_id, sim, $b AS band_idx, (sim >> ${b * 8}) & 255 AS band_val FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleSqlCte,
+       |bits AS (SELECT doc_id, $bitSumCols FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($simExpr)::BIGINT AS sim FROM bits),
+       |bands AS ($bandArms),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+       |          FROM bands a JOIN bands b
+       |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** d5: embedding-cosine near-dup pairs (LSH-bucketed, τ on exact cosine),
+    * joined back to document metadata. */
+  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    Lsh.simJoin(spark, dir, tau)
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("score"),
+        (col("src_a") === col("src_b")).as("same_source"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingNearDupOracle(tau: Double = 0.3): String = {
+    val inner = Lsh.simJoinOracle(tau)
+    s"""WITH pairs AS ($inner)
+       |SELECT p.id_a, p.id_b, p.score, (da.source = db.source) AS same_source
+       |FROM pairs p JOIN documents da ON p.id_a = da.doc_id JOIN documents db ON p.id_b = db.doc_id
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  /** d6: exact 3-gram Jaccard over a bounded id range (all-pairs is the
+    * *exact* baseline; at scale d3's banding replaces it). */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, limit: Int = 100): DataFrame = {
+    val shingles = Tables.documents(spark, dir).filter(col("doc_id") < limit)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', " +
+          "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))")).as("sh"))
+    shingles.as("a").crossJoin(shingles.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardOracle(tau: Double = 0.2, limit: Int = 100): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $limit),
+       |shl AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                      for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |      FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
+}

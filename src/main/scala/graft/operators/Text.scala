@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis for pipeline curation: language ID, quality scoring,
+  * token counting, order-aware fingerprinting, global n-gram stats.
+  *
+  * All single-scan, shuffle-free per-document transforms (t1, t2, t3, t4)
+  * or one partial-aggregated groupBy (t5) — shapes that hold unchanged at
+  * 100 TB. Hashes use the same portable h60 as [[Dedup]].
+  */
+object Text {
+
+  val StopWords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** t1: predicted language = arg-max stopword overlap (ties → lang asc). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val scoreCols = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(lit(lang).as("lang"),
+        size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long").as("score"))
+    }
+    val scored = docs.select(col("doc_id"), explode(array(scoreCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.lang"), col("s.score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val arms = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, len(list_intersect(toks, [$list]))::BIGINT AS score FROM t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |s AS ($arms),
+       |r AS (SELECT doc_id, lang, score,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM s)
+       |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** t2: quality metrics + a weighted score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(split(col("text"), " ")),
+          array(StopWords.values.flatten.toSeq.distinct.sorted.map(lit): _*))).cast("long"))
+      // raw (unrounded) ratios feed the quality formula — rounding
+      // intermediates would park sums exactly on round-half boundaries,
+      // where Spark and DuckDB round() disagree
+      .withColumn("u_raw", col("n_uniq").cast("double") / col("n_tok").cast("double"))
+      .withColumn("c_raw", length(col("text")).cast("double") / col("n_tok").cast("double"))
+      .withColumn("s_raw", col("stop_hits").cast("double") / col("n_uniq").cast("double"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_uniq"),
+        col("u_raw").as("uniq_ratio"),
+        col("c_raw").as("chars_per_tok"),
+        col("s_raw").as("stop_ratio"),
+        (lit(0.5) * col("u_raw") + lit(0.3) * least(col("c_raw") / 10.0, lit(1.0))
+          + lit(0.2) * col("s_raw")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityOracle: String = {
+    val allStops = StopWords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |         len(list_intersect(list_distinct(string_split(text, ' ')), [$allStops]))::BIGINT AS stop_hits
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_tok, n_uniq,
+       |         n_uniq::DOUBLE / n_tok::DOUBLE AS u_raw,
+       |         length(text)::DOUBLE / n_tok::DOUBLE AS c_raw,
+       |         stop_hits::DOUBLE / n_uniq::DOUBLE AS s_raw
+       |  FROM t)
+       |SELECT doc_id, n_tok, n_uniq,
+       |       u_raw AS uniq_ratio,
+       |       c_raw AS chars_per_tok,
+       |       s_raw AS stop_ratio,
+       |       0.5 * u_raw + 0.3 * least(c_raw / 10.0, 1.0) + 0.2 * s_raw AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** t3: whitespace + BPE-ish regex token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).cast("long").as("re_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_tok", col("n_chars").cast("double") / col("ws_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |       len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS re_tokens,
+      |       n_chars,
+      |       n_chars::DOUBLE / len(string_split(text, ' '))::DOUBLE AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t4: order-aware polynomial fingerprint
+    * f = Σ_i (h60(tok_i) mod P) · ((A·i + B) mod P) mod P  (i is 1-based;
+    * position mix is linear so the arithmetic stays exact in int64). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val P = Dedup.P
+    val (a, b) = (1103515245L % P, 12345L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        s"""aggregate(
+           |  transform(split(text, ' '),
+           |    (t, i) -> (CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % ${P}L)
+           |              * (($a * (CAST(i AS BIGINT) + 1L) + $b) % ${P}L) % ${P}L),
+           |  0L, (acc, x) -> acc + x) % ${P}L""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintOracle: String = {
+    val P = Dedup.P
+    val (a, b) = (1103515245L % P, 12345L)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |       list_sum([ (CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) % $P)
+       |                  * (($a * i + $b) % $P) % $P
+       |                  for i in generate_series(1, len(w)) ])::BIGINT % $P AS fingerprint
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  /** t5: global top-20 bigrams (count desc, bigram asc — fully ordered). */
+  def topNgrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  def topNgramsOracle(topN: Int = 20): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS bigram FROM w)
+       |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+       |ORDER BY cnt DESC, bigram LIMIT $topN""".stripMargin
+}
