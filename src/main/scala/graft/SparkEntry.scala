@@ -39,6 +39,17 @@ object SparkEntry {
     "t3_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "t4_fingerprint" -> ((s, d) => Text.fingerprint(s, d)),
     "t5_top_ngrams" -> ((s, d) => Text.topNgrams(s, d)),
+    // Events / temporal
+    "e1_tumbling_window" -> ((s, d) => Events.tumblingWindow(s, d)),
+    "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "e3_topk_per_group" -> ((s, d) => Events.topkPerUser(s, d)),
+    // CRUD / service semantics
+    "c1_upsert_latest_wins" -> ((s, d) => Crud.upsertLatestWins(s, d)),
+    "c2_delete_cascade" -> ((s, d) => Crud.deleteCascade(s, d)),
+    "c3_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
+    "c4_library_stats" -> ((s, d) => Crud.libraryStats(s, d)),
+    // Multimodal (stubbed decode, real plumbing; rows-only check)
+    "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
@@ -74,6 +85,14 @@ object SparkEntry {
     "t3_token_count" -> Text.tokenCountOracle,
     "t4_fingerprint" -> Text.fingerprintOracle,
     "t5_top_ngrams" -> Text.topNgramsOracle(),
+    "e1_tumbling_window" -> Events.tumblingWindowOracle,
+    "e2_sessionize" -> Events.sessionizeOracle,
+    "e3_topk_per_group" -> Events.topkPerUserOracle(),
+    "c1_upsert_latest_wins" -> Crud.upsertLatestWinsOracle,
+    "c2_delete_cascade" -> Crud.deleteCascadeOracle,
+    "c3_point_lookup" -> Crud.pointLookupOracle(),
+    "c4_library_stats" -> Crud.libraryStatsOracle,
+    // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,
     "q3_top_revenue" -> Relational.q3Oracle,

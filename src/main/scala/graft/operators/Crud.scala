@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's CRUD/service semantics re-expressed as deterministic
+  * batch operators (reference: app/core/vector_db.py):
+  *
+  *  - update_chunk latest-write-wins (vector_db.py:220-236) → changelog
+  *    merge via window row_number over (key, time desc)
+  *  - delete_document cascade (vector_db.py:171-183)        → anti-join
+  *  - get_chunk point lookup (vector_db.py:211)             → pushed-down
+  *    IN filter (parquet row-group pruning at scale)
+  *  - library stats (operations route)                      → grouped agg
+  */
+object Crud {
+
+  /** c1: latest event per (user_id, event_type) — upsert semantics over a
+    * changelog, ordering by (epoch-ms, event_id) for engine parity. */
+  def upsertLatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val upsertLatestWinsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ms FROM events),
+      |r AS (SELECT user_id, event_type, event_id, value,
+      |             row_number() OVER (PARTITION BY user_id, event_type
+      |                                ORDER BY ms DESC, event_id DESC) AS rn
+      |      FROM e)
+      |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** c2: delete documents (lang = 'de') and cascade to their embeddings;
+    * report surviving chunks per label. */
+  def deleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    val deleted = Tables.documents(spark, dir).filter(col("lang") === "de")
+      .select(col("doc_id"))
+    Tables.embeddings(spark, dir)
+      .join(deleted, col("vec_id") === col("doc_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_surviving"), min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .orderBy("label")
+  }
+
+  val deleteCascadeOracle: String =
+    """SELECT label, count(*) AS n_surviving, min(vec_id) AS min_id, max(vec_id) AS max_id
+      |FROM embeddings
+      |WHERE vec_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'de')
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** c3: point lookup by id — the filter reaches the parquet scan as a
+    * pushed predicate (row-group pruning at 100 TB). */
+  def pointLookup(spark: SparkSession, dir: String, ids: Seq[Long] = Seq(5L, 42L, 123L, 456L)): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  def pointLookupOracle(ids: Seq[Long] = Seq(5L, 42L, 123L, 456L)): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (${ids.mkString(", ")}) ORDER BY doc_id""".stripMargin
+
+  /** c4: per-source library stats (doc counts, char totals, chunk counts —
+    * the reference's /stats surface over the documents⊃chunks hierarchy). */
+  def libraryStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    docs
+      .join(emb, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(col("vec_id")).as("n_chunks"))
+      .orderBy("source")
+  }
+
+  val libraryStatsOracle: String =
+    """SELECT d.source,
+      |       count(*) AS n_docs,
+      |       sum(d.n_chars)::BIGINT AS total_chars,
+      |       sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars,
+      |       count(DISTINCT d.lang) AS n_langs,
+      |       count(e.vec_id) AS n_chunks
+      |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup, text, events, CRUD, multimodal operator invariants. */
+class PipelineSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("d3 minhash-LSH finds the planted near-dup pairs (jaccard ≥ 0.5)") {
+    val rows = run("d3_dedup_minhash_lsh").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("d4 text simhash pairs respect the hamming bound") {
+    assert(run("d4_dedup_simhash_text").filter($"hamming" > 6).count() === 0)
+  }
+
+  test("d6 exact ngram jaccard ⊇ d3's candidates within its id range") {
+    val d6 = run("d6_ngram_jaccard").filter($"jaccard" >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val d3 = run("d3_dedup_minhash_lsh")
+      .filter($"doc_a" < 100 && $"doc_b" < 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(d3.subsetOf(d6), s"minhash found pairs exact missed: ${d3 -- d6}")
+  }
+
+  test("t4 fingerprint is order-aware (permuted text hashes differently)") {
+    val fp = Seq("a b c", "c b a").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    // reuse the same expression the operator builds, via SQL on a temp view
+    fp.createOrReplaceTempView("fp_docs")
+    val vals = spark.sql(
+      """SELECT aggregate(
+        |  transform(split(text, ' '),
+        |    (t, i) -> (CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647L)
+        |              * ((1103515245L * (CAST(i AS BIGINT) + 1L) + 12345L) % 2147483647L) % 2147483647L),
+        |  0L, (acc, x) -> acc + x) % 2147483647L AS f FROM fp_docs""".stripMargin)
+      .as[Long].collect()
+    assert(vals(0) !== vals(1))
+  }
+
+  test("e2 sessionization: session_idx starts at 1 and is monotone per user") {
+    val rows = run("e2_sessionize").collect()
+    assert(rows.map(_.getAs[Long]("session_idx")).min === 1L)
+  }
+
+  test("c1 upsert keeps exactly one row per (user, event_type)") {
+    val dups = run("c1_upsert_latest_wins")
+      .groupBy("user_id", "event_type").count().filter($"count" > 1).count()
+    assert(dups === 0)
+  }
+
+  test("c3 point lookup pushes the IN filter to the parquet scan") {
+    val plan = run("c3_point_lookup").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"), s"no pushed filter in:\n$plan")
+  }
+
+  test("m1 binary pipeline: byte counts match n_chars for ASCII payloads") {
+    val bad = run("m1_binary_meta").as("m")
+      .join(spark.read.parquet(s"$sf/documents.parquet").as("d"), $"m.doc_id" === $"d.doc_id")
+      .filter($"m.n_bytes" =!= $"d.n_chars")
+    // texts are ASCII → utf-8 byte count == char count
+    assert(bad.count() === 0)
+  }
+
+  test("m1 fake_feature is deterministic across runs") {
+    val a = run("m1_binary_meta").select("doc_id", "fake_feature").collect().toSeq
+    val b = run("m1_binary_meta").select("doc_id", "fake_feature").collect().toSeq
+    assert(a === b)
+  }
+}

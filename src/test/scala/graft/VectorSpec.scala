@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Vector expressions + kNN semantics (reference behavior:
+  * app/core/similarity_metrics.py, app/core/indexes/flat.py). */
+class VectorSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def scalar(exprStr: String): Any =
+    spark.sql(s"SELECT $exprStr").collect()(0).get(0)
+
+  test("cosine/l2/dot/manhattan match hand-computed values") {
+    val a = "array(1.0D, 2.0D, 2.0D)"
+    val b = "array(2.0D, 1.0D, 2.0D)"
+    assert(math.abs(scalar(s"graft_dot($a, $b)").asInstanceOf[Double] - 8.0) < 1e-12)
+    assert(math.abs(scalar(s"graft_cosine($a, $b)").asInstanceOf[Double] - 8.0 / 9.0) < 1e-12)
+    assert(math.abs(scalar(s"graft_l2($a, $b)").asInstanceOf[Double] - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(scalar(s"graft_manhattan($a, $b)").asInstanceOf[Double] - 2.0) < 1e-12)
+    assert(math.abs(scalar(s"graft_norm($a)").asInstanceOf[Double] - 3.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0 (reference similarity_metrics.py:29-30)") {
+    assert(scalar("graft_cosine(array(0.0D, 0.0D), array(1.0D, 1.0D))") === 0.0)
+  }
+
+  test("v1 flat cosine kNN: each query's rank-1 hit is itself with score 1.0") {
+    val top1 = run("v1_knn_cosine_flat").filter($"rank" === 1).collect()
+    assert(top1.length === 8)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("score") - 1.0) < 1e-9)
+    }
+  }
+
+  test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
+    val l2 = run("v2_knn_l2_flat").collect()
+    l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sorted.sameElements(scores))
+    }
+    val cos = run("v1_knn_cosine_flat").collect()
+    cos.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sorted.reverse.sameElements(scores))
+    }
+  }
+
+  test("graft_topk keeps k best with deterministic tie-break") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0), (4L, 9.0)).toDF("id", "s")
+    val top = df.agg(expr("graft_topk(s, id, 3, false)").as("t"))
+      .selectExpr("inline(t)").as[(Double, Long)].collect()
+    assert(top.toSeq === Seq((9.0, 4L), (5.0, 1L), (5.0, 2L)))
+    val bottom = df.agg(expr("graft_topk(s, id, 3, true)").as("t"))
+      .selectExpr("inline(t)").as[(Double, Long)].collect()
+    assert(bottom.toSeq === Seq((1.0, 3L), (5.0, 1L), (5.0, 2L)))
+  }
+
+  test("v12 knn join excludes self") {
+    assert(run("v12_knn_join").filter($"qid" === $"vec_id").count() === 0)
+  }
+
+  test("v6 IVF assignment covers every vector exactly once") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(run("v6_ivf_assign").count() === n)
+    assert(run("v6_ivf_assign").select("vec_id").distinct().count() === n)
+  }
+
+  test("v8 kmeans produces 16 non-empty clusters") {
+    val rows = run("v8_ivf_kmeans").collect()
+    assert(rows.length === 16)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+
+  test("v9 simhash keys are within [0, 2^16)") {
+    val Row(mn: Long, mx: Long) =
+      run("v9_simhash_keys").agg(min("key"), max("key")).collect()(0)
+    assert(mn >= 0L && mx < 65536L)
+  }
+}
