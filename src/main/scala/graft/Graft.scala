@@ -3,31 +3,48 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.call_function
 
 import graft.functions._
 
 /** Session bootstrap: registers the graft native functions so both the
   * DataFrame API (via [[call_function]]) and `spark.sql` can use them.
-  * Idempotent per session.
+  * Idempotent per session. [[GraftExtensions]] offers the same surface via
+  * `spark.sql.extensions` for sessions the library doesn't construct.
   */
 object Graft {
   private val initialized = ConcurrentHashMap.newKeySet[Int]()
 
+  /** (name, builder) for every graft function — single source of truth for
+    * both the runtime registry and the SparkSessionExtensions path. */
+  val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => VecDot(es(0), es(1))),
+    "graft_cosine" -> (es => VecCosine(es(0), es(1))),
+    "graft_l2" -> (es => VecL2(es(0), es(1))),
+    "graft_manhattan" -> (es => VecManhattan(es(0), es(1))),
+    "graft_norm" -> (es => VecNorm(es(0))),
+    "graft_topk" -> (es => TopKAgg(es(0), es(1), es(2), es(3))),
+    "graft_vecsum" -> (es => VecSumAgg(es(0))),
+    "graft_simhash_keys" -> (es => SimhashKeys(es(0),
+      litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed"))))
+
   def init(spark: SparkSession): SparkSession = {
     if (initialized.add(System.identityHashCode(spark.sessionState))) {
+      // InferFiltersFromGenerate turns explode(expensive_expr) into a scan
+      // filter that re-evaluates the expression 2 extra times per row (seen
+      // on graft_simhash_keys: 3× the tables×bits×dim loop). Our generators
+      // never produce empty arrays, so the inferred guard is pure overhead.
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // TypedImperativeAggregates (graft_topk / graft_vecsum) fall back to
+      // sort-based aggregation after 128 distinct keys per partition by
+      // default — far too low for per-user/per-query grouping at scale.
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("graft_dot", es => VecDot(es(0), es(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_cosine", es => VecCosine(es(0), es(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_l2", es => VecL2(es(0), es(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_manhattan", es => VecManhattan(es(0), es(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_norm", es => VecNorm(es(0)), "built-in")
-      reg.createOrReplaceTempFunction("graft_topk",
-        es => TopKAgg(es(0), es(1), es(2), es(3)), "built-in")
-      reg.createOrReplaceTempFunction("graft_vecsum", es => VecSumAgg(es(0)), "built-in")
-      reg.createOrReplaceTempFunction("graft_simhash_keys",
-        es => SimhashKeys(es(0),
-          litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed")), "built-in")
+      functionBuilders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
     spark
   }
@@ -47,13 +64,13 @@ object Graft {
       org.apache.spark.sql.functions.lit(nBits),
       org.apache.spark.sql.functions.lit(seed))
 
-  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+  private def litInt(e: Expression, name: String): Int =
     e.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
     }
-  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Long =
+  private def litLong(e: Expression, name: String): Long =
     e.eval(null) match {
       case i: Int => i.toLong
       case l: Long => l

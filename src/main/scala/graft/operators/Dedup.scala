@@ -41,15 +41,21 @@ object Dedup {
   /** Portable 60-bit hash of a string column. */
   def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Distinct 3-word shingles per doc. `split` is projected ONCE into `w`
+    * before the lambda indexes it — inlining it would re-tokenize the whole
+    * text for every element_at reference (~300 regex splits per doc, the
+    * dominant cost of the naive formulation at sf0.1). */
+  private[operators] def withShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("sh"))
+
   /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    val shingles = array_distinct(expr(
-      "transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> concat(element_at(split(text, ' '), i), ' ', " +
-        "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"))
-    docs.select(col("doc_id"), explode(shingles).as("s"))
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), (h60(col("s")) % P).as("h"))
-  }
 
   /** d1: exact-dup accounting per source via text hash. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -112,10 +118,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
 
-    val shingles = docs.select(col("doc_id"), array_distinct(expr(
-      "transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> concat(element_at(split(text, ' '), i), ' ', " +
-        "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))")).as("sh"))
+    val shingles = withShingles(docs)
 
     pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
@@ -220,11 +223,7 @@ object Dedup {
   /** d6: exact 3-gram Jaccard over a bounded id range (all-pairs is the
     * *exact* baseline; at scale d3's banding replaces it). */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, limit: Int = 100): DataFrame = {
-    val shingles = Tables.documents(spark, dir).filter(col("doc_id") < limit)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', " +
-          "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))")).as("sh"))
+    val shingles = withShingles(Tables.documents(spark, dir).filter(col("doc_id") < limit))
     shingles.as("a").crossJoin(shingles.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

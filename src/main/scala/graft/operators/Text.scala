@@ -148,9 +148,10 @@ object Text {
   /** t5: global top-20 bigrams (count desc, bigram asc — fully ordered). */
   def topNgrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("w")) // tokenize once, then index
       .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))")).as("bigram"))
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(topN)

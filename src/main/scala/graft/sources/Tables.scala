@@ -16,6 +16,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
+    graft.Graft.init(spark) // every query flows through here → tuned session
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
