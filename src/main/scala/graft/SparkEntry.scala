@@ -19,6 +19,7 @@ object SparkEntry {
     "v3_knn_dot_flat" -> ((s, d) => Knn.flatSearch(s, d, "dot")),
     "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
+    "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
     "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
     "v7_ivf_search" -> ((s, d) => Ivf.search(s, d)),
@@ -67,6 +68,7 @@ object SparkEntry {
     "v3_knn_dot_flat" -> Knn.oracleFlat("dot"),
     "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
+    "v13_search_text" -> SearchText.searchTextOracle(),
     "v5_vector_norms" -> Vectors.normsOracle,
     "v6_ivf_assign" -> Ivf.assignOracle,
     "v7_ivf_search" -> Ivf.searchOracle(),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.LcgPlanes
+import graft.sources.Tables
+
+/** Text-query search — the reference's `/search_text` endpoint (embed the
+  * query text, then kNN; reference: app/api/routes/operations.py,
+  * README "Text-based Search").
+  *
+  * The reference calls the Cohere embed API; that external call is STUBBED
+  * with a deterministic LCG embedder (same [[LcgPlanes]] arithmetic, exact
+  * in both engines) so the *pipeline* — embed → broadcast → score → TopK —
+  * is real and oracle-checkable end-to-end. Swapping in a real embedder is
+  * one expression change.
+  */
+object SearchText {
+  val Dim = 64
+  val P: Long = Dedup.P
+
+  /** Deterministic stub embedding of a text column: e_i = lcg(h60(text) mod
+    * P + i) — exact-integer arithmetic, dim 64, double elements. */
+  def stubEmbed(text: Column): Column = {
+    val h = Dedup.h60(text) % P
+    // transform over the index sequence; h is an attribute-level expression
+    // evaluated once per row (sequence is cheap)
+    transform(sequence(lit(0), lit(Dim - 1)),
+      i => (((lit(LcgPlanes.A) * (h + i.cast("long")) + LcgPlanes.C) % LcgPlanes.M)
+        .cast("double") / lit(LcgPlanes.M.toDouble)) - 0.5)
+  }
+
+  /** v13: embed the texts of query docs (doc_id < nQueries), search the
+    * embeddings table by cosine. */
+  def searchText(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = Tables.documents(spark, dir).filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), stubEmbed(col("text")).as("qvec"))
+    val scored = Knn.scoreAll(emb, queries, "cosine")
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def searchTextOracle(k: Int = 10, nQueries: Int = 4): String = {
+    val (a, c, m) = (LcgPlanes.A, LcgPlanes.C, LcgPlanes.M)
+    s"""WITH q AS (
+       |  SELECT doc_id AS qid,
+       |         [ (($a * ((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % $P) + i) + $c) % $m)::DOUBLE / $m.0 - 0.5
+       |           for i in generate_series(0, ${Dim - 1}) ] AS qvec
+       |  FROM documents WHERE doc_id < $nQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+/** Source/sink layouts: partition pruning, bucket-join co-location,
+  * CSV/JSON round-trips. */
+class SinksSpec extends GraftSuite {
+
+  test("partitioned write → read prunes partitions on filter") {
+    val out = "target/test-sinks/docs_by_lang"
+    Sinks.writePartitioned(Tables.documents(spark, sf), out, "lang")
+    val df = spark.read.parquet(out).filter(col("lang") === "de")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(500))
+    assert(df.count() > 0)
+  }
+
+  test("co-bucketed tables join with zero shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      for (t <- Seq("orders_b", "li_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"target/spark-warehouse/$t")
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 8)
+      Sinks.writeBucketed(
+        Tables.lineitem(spark, sf).groupBy("l_orderkey").agg(sum("l_quantity").as("qty")),
+        "li_b", "l_orderkey", 8)
+      val joined = spark.table("orders_b")
+        .join(spark.table("li_b"), col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("CSV and JSON round-trip preserves row counts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
+    Sinks.writeCsv(docs, "target/test-sinks/docs_csv")
+    Sinks.writeJson(docs, "target/test-sinks/docs_json")
+    assert(Sinks.readCsv(spark, "target/test-sinks/docs_csv").count() === docs.count())
+    assert(Sinks.readJson(spark, "target/test-sinks/docs_json").count() === docs.count())
+  }
+}
