@@ -59,6 +59,7 @@ object SparkEntry {
     "q5_semi_anti" -> ((s, d) => Relational.q5SemiAnti(s, d)),
     "q6_conditional_agg" -> ((s, d) => Relational.q6ConditionalAgg(s, d)),
     "q7_distinct" -> ((s, d) => Relational.q7Distinct(s, d)),
+    "q8_rollup" -> ((s, d) => Relational.q8Rollup(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same output schema + order). */
@@ -102,5 +103,6 @@ object SparkEntry {
     "q5_semi_anti" -> Relational.q5Oracle,
     "q6_conditional_agg" -> Relational.q6Oracle,
     "q7_distinct" -> Relational.q7Oracle,
+    "q8_rollup" -> Relational.q8Oracle,
   )
 }

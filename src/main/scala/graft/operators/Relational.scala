@@ -167,6 +167,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q8: ROLLUP hierarchy totals (region → nation → grand total). */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q8Oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   val q7Oracle: String =
     """SELECT l_returnflag,
       |       count(DISTINCT l_partkey) AS n_parts,
