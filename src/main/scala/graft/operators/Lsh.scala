@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.functions.{LcgPlanes, SimhashKeys}
+import graft.functions.LcgPlanes
 import graft.sources.Tables
 
 /** SimHash LSH — Spark re-expression of the reference's multi-table
