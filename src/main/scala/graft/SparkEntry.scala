@@ -60,6 +60,7 @@ object SparkEntry {
     "q6_conditional_agg" -> ((s, d) => Relational.q6ConditionalAgg(s, d)),
     "q7_distinct" -> ((s, d) => Relational.q7Distinct(s, d)),
     "q8_rollup" -> ((s, d) => Relational.q8Rollup(s, d)),
+    "q9_percentiles" -> ((s, d) => Relational.q9Percentiles(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same output schema + order). */
@@ -104,5 +105,6 @@ object SparkEntry {
     "q6_conditional_agg" -> Relational.q6Oracle,
     "q7_distinct" -> Relational.q7Oracle,
     "q8_rollup" -> Relational.q8Oracle,
+    "q9_percentiles" -> Relational.q9Oracle,
   )
 }

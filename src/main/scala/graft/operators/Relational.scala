@@ -191,6 +191,30 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** q9: exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * rounded at 4dp since selection order within the sort is engine-local). */
+  def q9Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        round(min(col("l_extendedprice")), 4).as("p0"),
+        round(max(col("l_extendedprice")), 4).as("p100"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q9Oracle: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |       round(min(l_extendedprice), 4) AS p0,
+      |       round(max(l_extendedprice), 4) AS p100
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q7Oracle: String =
     """SELECT l_returnflag,
       |       count(DISTINCT l_partkey) AS n_parts,

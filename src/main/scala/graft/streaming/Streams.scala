@@ -17,16 +17,9 @@ object Streams {
     * table is staged into one (exactly how a landing zone looks in prod). */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema // ts arrives as BIGINT ns
-    val watched = java.nio.file.Paths.get("target", "stream-src",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    java.nio.file.Files.createDirectories(watched)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      watched.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.readStream
       .schema(schema)
-      .parquet(watched.toString)
+      .parquet(stageDir(dir))
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_us", "2 hours")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
@@ -36,14 +29,72 @@ object Streams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Event row for stateful processing (ms = epoch millis, exact). */
+  case class SessionEvent(event_id: Long, user_id: Long, ms: Long)
+
+  /** Per-user session summary emitted by the stateful operator. */
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state path for when windowed aggregation can't express the
+    * semantics (gap-based sessions). State per user = (last event ms,
+    * session count), carried across micro-batches; 30-min gap starts a new
+    * session (same rule as the batch operator
+    * [[graft.operators.Events.sessionize]]).
+    */
+  def sessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = graft.operators.Events.SessionGapMs
+
+    val schema = Tables.events(spark, dir).schema
+    val watched = stageDir(dir)
+    val events = spark.readStream.schema(schema).parquet(watched)
+      .selectExpr("event_id", "user_id", "ts div 1000000 AS ms")
+      .as[SessionEvent]
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), UserSessions](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Long, Long)]) =>
+          val (lastMs0, sessions0) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var lastMs = lastMs0
+          var sessions = sessions0
+          var n = 0L
+          // batch-internal order must match the batch operator's window sort
+          it.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (lastMs == Long.MinValue || e.ms - lastMs > gapMs) sessions += 1
+            lastMs = e.ms
+            n += 1
+          }
+          state.update((lastMs, sessions))
+          Iterator(UserSessions(uid, sessions, n))
+      }
+      .toDF()
+  }
+
+  private def stageDir(dir: String): String = {
+    val watched = java.nio.file.Paths.get("target", "stream-src",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(watched)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      watched.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    watched.toString
+  }
+
   /** Run the streaming query to completion against the static dir (memory
     * sink) and return the materialized result — used by specs to prove
     * stream/batch equivalence. */
-  def runToMemory(spark: SparkSession, dir: String, name: String = "graft_stream_out"): DataFrame = {
-    // complete mode: with a static file source the watermark never advances
-    // past the single micro-batch, so append would emit nothing
-    val q = tumblingCounts(spark, dir).writeStream
-      .outputMode("complete")
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: String): DataFrame = {
+    // aggregations use "complete": with a static file source the watermark
+    // never advances past the single micro-batch, so append emits nothing;
+    // flatMapGroupsWithState(Append) queries use "append"
+    val q = streamed.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
