@@ -51,6 +51,7 @@ object SparkEntry {
     "c4_library_stats" -> ((s, d) => Crud.libraryStats(s, d)),
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),

@@ -30,6 +30,41 @@ object Multimodal {
     acc % 256L
   }
 
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long, frame_feature: Long)
+
+  /** m2: frame sampling over opaque binary payloads — the video-pipeline
+    * batch shape: each payload yields `nFrames` fixed-stride windows, each
+    * "decoded" (STUB) to a feature row. One input row → N typed output
+    * rows, all inside a single mapPartitions pass (no shuffle; the
+    * explosion happens task-local exactly like a real frame extractor).
+    */
+  def frameSample(spark: SparkSession, dir: String, nFrames: Int = 4,
+                  frameLen: Int = 16): DataFrame = {
+    import spark.implicits._
+    val binaries: Dataset[BinaryDoc] = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+      .as[BinaryDoc]
+
+    binaries.mapPartitions { it =>
+      it.flatMap { b =>
+        val stride = math.max(1, b.payload.length / nFrames)
+        (0 until nFrames).iterator.flatMap { f =>
+          val off = f * stride
+          if (off >= b.payload.length) None
+          else {
+            val end = math.min(off + frameLen, b.payload.length)
+            // STUB decode: a real pipeline would decode the frame bytes
+            // (e.g. JPEG frame → tensor); deterministic fake feature here
+            var acc = 0L
+            var i = off
+            while (i < end) { acc = acc * 31 + (b.payload(i) & 0xff); i += 1 }
+            Some(Frame(b.doc_id, f.toLong, off.toLong, acc & 0x7fffffffL))
+          }
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** m1: binary ingestion + per-partition decode → typed metadata. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

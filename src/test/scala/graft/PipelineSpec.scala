@@ -64,6 +64,14 @@ class PipelineSpec extends GraftSuite {
     assert(bad.count() === 0)
   }
 
+  test("m2 frame sampling yields nFrames typed rows per doc, deterministic") {
+    val frames = run("m2_frame_sample")
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter($"count" =!= 4).count() === 0) // every doc ≥16 bytes → 4 frames
+    val again = run("m2_frame_sample").collect().toSeq
+    assert(frames.collect().toSeq === again)
+  }
+
   test("m1 fake_feature is deterministic across runs") {
     val a = run("m1_binary_meta").select("doc_id", "fake_feature").collect().toSeq
     val b = run("m1_binary_meta").select("doc_id", "fake_feature").collect().toSeq
