@@ -35,4 +35,10 @@ object Sinks {
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -40,11 +40,13 @@ class SinksSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
-  test("CSV and JSON round-trip preserves row counts") {
+  test("CSV, JSON and ORC round-trips preserve row counts") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
     Sinks.writeCsv(docs, "target/test-sinks/docs_csv")
     Sinks.writeJson(docs, "target/test-sinks/docs_json")
+    Sinks.writeOrc(docs, "target/test-sinks/docs_orc")
     assert(Sinks.readCsv(spark, "target/test-sinks/docs_csv").count() === docs.count())
     assert(Sinks.readJson(spark, "target/test-sinks/docs_json").count() === docs.count())
+    assert(Sinks.readOrc(spark, "target/test-sinks/docs_orc").count() === docs.count())
   }
 }
