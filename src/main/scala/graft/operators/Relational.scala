@@ -195,12 +195,44 @@ object Relational {
     * DuckDB `quantile_cont` share the linear-interpolation definition;
     * rounded at 4dp since selection order within the sort is engine-local). */
   def q9Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    // Exact quantile_cont via sort + rank interpolation: one per-group sort
+    // shuffle, then only the two bracketing rows per quantile survive into
+    // the final agg. Spark's built-in `percentile` holds a counts-map of
+    // every distinct value per partial buffer (~600k doubles here, 26 s);
+    // this shape is the one that still works when a group has 10^9 rows.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val base = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("l_returnflag"))
+
+    // contribution of this row to quantile q (DuckDB quantile_cont rule:
+    // h = q·(n−1) zero-based, linear interpolation between floor/ceil rows)
+    def contrib(q: Double): org.apache.spark.sql.Column = {
+      val h = (col("n") - 1).cast("double") * q
+      val lo = floor(h)
+      val hi = ceil(h)
+      val frac = h - lo
+      val r = (col("rn") - 1).cast("double")
+      sum(when(r === lo && r === hi, col("l_extendedprice"))
+        .when(r === lo, col("l_extendedprice") * (lit(1.0) - frac))
+        .when(r === hi, col("l_extendedprice") * frac)
+        .otherwise(lit(0.0)))
+    }
+
+    ranked
+      .filter(
+        ((col("rn") - 1) >= floor((col("n") - 1) * 0.5) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.5)) ||
+        ((col("rn") - 1) >= floor((col("n") - 1) * 0.9) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.9)) ||
+        ((col("rn") - 1) >= floor((col("n") - 1) * 0.99) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.99)) ||
+        col("rn") === 1 || col("rn") === col("n"))
+      .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        round(contrib(0.5), 4).as("p50"),
+        round(contrib(0.9), 4).as("p90"),
+        round(contrib(0.99), 4).as("p99"),
         round(min(col("l_extendedprice")), 4).as("p0"),
         round(max(col("l_extendedprice")), 4).as("p100"))
       .orderBy(col("l_returnflag"))

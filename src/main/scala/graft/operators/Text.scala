@@ -124,13 +124,15 @@ object Text {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val P = Dedup.P
     val (a, b) = (1103515245L % P, 12345L)
+    // explode + partial-agg sum instead of a HOF fold: the per-token md5
+    // then runs codegen'd (HOF lambdas are interpreted), the modular sum is
+    // commutative-exact, and the shuffle carries one partial per doc
     Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(
-        s"""aggregate(
-           |  transform(split(text, ' '),
-           |    (t, i) -> (CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % ${P}L)
-           |              * (($a * (CAST(i AS BIGINT) + 1L) + $b) % ${P}L) % ${P}L),
-           |  0L, (acc, x) -> acc + x) % ${P}L""".stripMargin).as("fingerprint"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+      .select(col("doc_id"),
+        ((Dedup.h60(col("t")) % P) * ((lit(a) * (col("i") + 1L) + b) % P) % P).as("term"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % P).as("fingerprint"))
       .orderBy("doc_id")
   }
 
