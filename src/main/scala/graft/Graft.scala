@@ -26,6 +26,7 @@ object Graft {
     "graft_norm" -> (es => VecNorm(es(0))),
     "graft_topk" -> (es => TopKAgg(es(0), es(1), es(2), es(3))),
     "graft_vecsum" -> (es => VecSumAgg(es(0))),
+    "graft_simhash_agg" -> (es => SimhashBitsAgg(es(0))),
     "graft_simhash_keys" -> (es => SimhashKeys(es(0),
       litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed"))))
 

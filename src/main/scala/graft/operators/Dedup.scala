@@ -154,15 +154,12 @@ object Dedup {
   /** d4: 32-bit text SimHash over shingle hashes; near-dup pairs with
     * hamming ≤ 6 found via 8-bit band join (never all-pairs). */
   def simhashText(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    graft.Graft.init(spark)
     val sh = shingleHashes(Tables.documents(spark, dir))
-    val bitSums = (0 until 32).map { k =>
-      sum(when((shiftright(col("h"), k).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L)).as(s"b$k")
-    }
-    val withBits = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 32).map { k =>
-      when(col(s"b$k") >= 0L, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = withBits.select(col("doc_id"), simhash.as("sim"))
+    // one int[32]-buffer aggregate instead of 32 conditional sums
+    // (graft.functions.SimhashBitsAgg) — same bit rule as the 32-sum oracle
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.call_function("graft_simhash_agg", col("h")).as("sim"))
 
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band_idx"), shiftright(col("sim"), b * 8).bitwiseAND(lit(255L)).as("band_val"))
