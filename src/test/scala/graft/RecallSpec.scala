@@ -1,0 +1,32 @@
+package graft
+
+/** ANN quality: approximate indexes must actually retrieve neighbors —
+  * a silent candidate-generation bug (empty buckets, wrong probe ids)
+  * passes row-count checks but collapses recall. Floors pinned from
+  * measured behavior on the synthetic data (IVF 0.925, LSH 0.175 at
+  * sf0.001 — random unit vectors are LSH-hostile; the reference's
+  * SimHash index behaves the same on uniform data). */
+class RecallSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def hits(name: String): Set[(Long, Long)] =
+    run(name).select("qid", "vec_id").as[(Long, Long)].collect().toSet
+
+  test("IVF probe-search recall@10 vs exact kNN ≥ 0.8") {
+    val exact = hits("v1_knn_cosine_flat")
+    val ivf = hits("v7_ivf_search")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf recall $recall")
+  }
+
+  test("LSH search recall@10 ≥ 0.1 and always finds the query itself first") {
+    val exact = hits("v1_knn_cosine_flat")
+    val lsh = hits("v10_lsh_search")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.1, s"lsh recall $recall")
+    // the query shares every one of its own buckets → rank-1 is itself
+    val top1 = run("v10_lsh_search").filter($"rank" === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (q, v) => q == v })
+  }
+}
