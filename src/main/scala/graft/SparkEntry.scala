@@ -24,6 +24,7 @@ object SparkEntry {
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
     "v7_ivf_search" -> ((s, d) => Ivf.search(s, d)),
     "v8_ivf_kmeans" -> ((s, d) => Ivf.kmeans(s, d)),
+    "v14_ivf_trained_search" -> ((s, d) => Ivf.searchTrained(s, d)),
     "v9_simhash_keys" -> ((s, d) => Lsh.buildKeys(s, d)),
     "v10_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "v11_sim_join_threshold" -> ((s, d) => Lsh.simJoin(s, d)),

@@ -116,51 +116,90 @@ object Ivf {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      var centroids: Array[(Long, Array[Double])] =
-        emb.filter(col("vec_id") < K).orderBy("vec_id").collect().map { r =>
-          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
-        }
-
-      def centroidDf: DataFrame = {
-        val schema = StructType(Seq(
-          StructField("cid", LongType, nullable = false),
-          StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(centroids.toSeq.map { case (id, v) => Row(id, v.toSeq) }, 1),
-          schema)
-      }
-
-      // like assignTo, but carries the vector through (constant per group)
-      def assignWithVec(cdf: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cdf))
-          .withColumn("s", Graft.cosine(col("embedding"), col("cvec")))
-          .groupBy(col("vec_id"))
-          .agg(
-            Graft.topk(col("s"), col("cid"), lit(1), lit(false)).as("top"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("top").getItem(0).getField("id").as("cluster_id"),
-            col("embedding"))
-
-      for (_ <- 1 to iters) {
-        val sums = assignWithVec(centroidDf)
-          .groupBy(col("cluster_id"))
-          .agg(Graft.vecsum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
-          .collect()
-        val updated = sums.map { r =>
-          val cid = r.getLong(0)
-          val vsum = r.getSeq[Double](1).toArray
-          val norm = math.sqrt(vsum.map(x => x * x).sum)
-          (cid, if (norm > 0) vsum.map(_ / norm) else vsum)
-        }.toMap
-        // empty clusters keep their previous centroid (deterministic variant
-        // of the reference's random reseed, ivf.py:249-251)
-        centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
-      }
-
-      assignTo(emb, centroidDf)
+      assignTo(emb, trainCentroidDf(spark, emb, iters))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
         .orderBy("cluster_id")
+    } finally emb.unpersist()
+  }
+
+  /** Lloyd's training loop; returns the final (cid, cvec) centroid frame.
+    * Driver state is only the k×d matrix; each iteration = one broadcast
+    * assignment scan + one `graft_vecsum` partial aggregate. */
+  private def trainCentroidDf(spark: SparkSession, emb: DataFrame, iters: Int): DataFrame = {
+    var centroids: Array[(Long, Array[Double])] =
+      emb.filter(col("vec_id") < K).orderBy("vec_id").collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    def centroidDf: DataFrame = {
+      val schema = StructType(Seq(
+        StructField("cid", LongType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(centroids.toSeq.map { case (id, v) => Row(id, v.toSeq) }, 1),
+        schema)
+    }
+
+    // like assignTo, but carries the vector through (constant per group)
+    def assignWithVec(cdf: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cdf))
+        .withColumn("s", Graft.cosine(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(
+          Graft.topk(col("s"), col("cid"), lit(1), lit(false)).as("top"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cluster_id"),
+          col("embedding"))
+
+    for (_ <- 1 to iters) {
+      val sums = assignWithVec(centroidDf)
+        .groupBy(col("cluster_id"))
+        .agg(Graft.vecsum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
+        .collect()
+      val updated = sums.map { r =>
+        val cid = r.getLong(0)
+        val vsum = r.getSeq[Double](1).toArray
+        val norm = math.sqrt(vsum.map(x => x * x).sum)
+        (cid, if (norm > 0) vsum.map(_ / norm) else vsum)
+      }.toMap
+      // empty clusters keep their previous centroid (deterministic variant
+      // of the reference's random reseed, ivf.py:249-251)
+      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    centroidDf
+  }
+
+  /** v14: the reference's full usage flow — train the IVF index, then
+    * probe-and-rerank search with the *trained* centroids
+    * (reference: train_index → search, app/core/vector_db.py:294,249).
+    * Rows-only check (training is iterative, not SQL-expressible);
+    * quality gated by RecallSpec-style invariants in IvfTrainedSpec. */
+  def searchTrained(spark: SparkSession, dir: String, k: Int = 10,
+                    nQueries: Int = 8, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val centroids = trainCentroidDf(spark, emb, iters)
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+      val probes = queries.crossJoin(broadcast(centroids))
+        .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
+        .groupBy(col("qid"))
+        .agg(Graft.topk(col("s"), col("cid"), lit(Probes), lit(false)).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("cluster_id"))
+
+      val assigned = assignTo(emb, centroids).select(col("vec_id"), col("cluster_id"))
+
+      val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
+        .select(col("qid"), col("vec_id"))
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("qid"), col("vec_id"), col("score"))
+
+      Knn.topkPerQuery(scored, "cosine", k)
     } finally emb.unpersist()
   }
 }

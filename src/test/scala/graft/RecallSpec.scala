@@ -19,6 +19,17 @@ class RecallSpec extends GraftSuite {
     assert(recall >= 0.8, s"ivf recall $recall")
   }
 
+  test("v14 trained-IVF search: 10 rows/query, rank-1 is the query itself") {
+    val exact = hits("v1_knn_cosine_flat")
+    val trained = run("v14_ivf_trained_search")
+    val perQ = trained.groupBy("qid").count().select("count").as[Long].collect()
+    assert(perQ.length === 8 && perQ.forall(_ === 10L))
+    val top1 = trained.filter($"rank" === 1).select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.forall { case (q, v) => q == v }) // own cluster always probed
+    val recall = (exact & hits("v14_ivf_trained_search")).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-ivf recall $recall")
+  }
+
   test("LSH search recall@10 ≥ 0.1 and always finds the query itself first") {
     val exact = hits("v1_knn_cosine_flat")
     val lsh = hits("v10_lsh_search")
