@@ -41,6 +41,7 @@ object SparkEntry {
     "t3_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "t4_fingerprint" -> ((s, d) => Text.fingerprint(s, d)),
     "t5_top_ngrams" -> ((s, d) => Text.topNgrams(s, d)),
+    "t6_dataset_split" -> ((s, d) => Text.datasetSplit(s, d)),
     // Events / temporal
     "e1_tumbling_window" -> ((s, d) => Events.tumblingWindow(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "t3_token_count" -> Text.tokenCountOracle,
     "t4_fingerprint" -> Text.fingerprintOracle,
     "t5_top_ngrams" -> Text.topNgramsOracle(),
+    "t6_dataset_split" -> Text.datasetSplitOracle,
     "e1_tumbling_window" -> Events.tumblingWindowOracle,
     "e2_sessionize" -> Events.sessionizeOracle,
     "e3_topk_per_group" -> Events.topkPerUserOracle(),

@@ -147,6 +147,30 @@ object Text {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** t6: deterministic train/val/test split by content-stable hash —
+    * 80/10/10 on `h60("split:" + doc_id) mod 100`. Hash-based assignment
+    * is the scale-correct split: reproducible under any partitioning,
+    * stable across reruns and appends, no global sort or RNG state. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Dedup.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split", "lang")
+  }
+
+  val datasetSplitOracle: String =
+    """WITH b AS (
+      |  SELECT *, CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |s AS (SELECT lang, doc_id,
+      |             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |      FROM b)
+      |SELECT split, lang, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   /** t5: global top-20 bigrams (count desc, bigram asc — fully ordered). */
   def topNgrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     Tables.documents(spark, dir)
