@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Each query gets one untimed warmup run (codegen/JIT/parquet footers) and
-  * one timed run; the timed run materializes the full result through a
-  * `noop` sink so the measurement is end-to-end compute, not `count()`'s
-  * column-pruned shortcut. The host VM has multi-second scheduler noise —
-  * warmup keeps that out of the timings where possible.
+  * three timed runs, reporting the MINIMUM; each run materializes the full
+  * result through a `noop` sink so the measurement is end-to-end compute,
+  * not `count()`'s column-pruned shortcut. The host VM has multi-second
+  * scheduler noise (observed 5-10× on identical warm queries) — min-of-reps
+  * is the only stable estimator here; a single timed rep produced the
+  * round-1 phantom outliers (e1 70 s, t2 31 s for sub-second plans).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,9 +33,11 @@ object Bench {
     val results = names.map { name =>
       val sec = try {
         runOnce(name) // warmup: codegen + JIT + file listing
-        val t0 = System.nanoTime()
-        runOnce(name)
-        (System.nanoTime() - t0) / 1e9
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(name)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

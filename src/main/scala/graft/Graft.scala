@@ -1,8 +1,7 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.call_function
 
@@ -10,11 +9,13 @@ import graft.functions._
 
 /** Session bootstrap: registers the graft native functions so both the
   * DataFrame API (via [[call_function]]) and `spark.sql` can use them.
-  * Idempotent per session. [[GraftExtensions]] offers the same surface via
-  * `spark.sql.extensions` for sessions the library doesn't construct.
+  * Idempotent per session — keyed on the session's own function registry
+  * (is `graft_cosine` already there?), not an identity-hash set, so two
+  * live sessions can never collide and nothing outlives its session.
+  * [[GraftExtensions]] offers the same surface via `spark.sql.extensions`
+  * for sessions the library doesn't construct.
   */
 object Graft {
-  private val initialized = ConcurrentHashMap.newKeySet[Int]()
 
   /** (name, builder) for every graft function — single source of truth for
     * both the runtime registry and the SparkSessionExtensions path. */
@@ -24,6 +25,8 @@ object Graft {
     "graft_l2" -> (es => VecL2(es(0), es(1))),
     "graft_manhattan" -> (es => VecManhattan(es(0), es(1))),
     "graft_norm" -> (es => VecNorm(es(0))),
+    "graft_vec_normalize" -> (es => VecNormalize(es(0))),
+    "graft_nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "graft_topk" -> (es => TopKAgg(es(0), es(1), es(2), es(3))),
     "graft_vecsum" -> (es => VecSumAgg(es(0))),
     "graft_simhash_agg" -> (es => SimhashBitsAgg(es(0))),
@@ -31,18 +34,28 @@ object Graft {
       litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed"))))
 
   def init(spark: SparkSession): SparkSession = {
-    if (initialized.add(System.identityHashCode(spark.sessionState))) {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(functionBuilders.head._1))) {
       // InferFiltersFromGenerate turns explode(expensive_expr) into a scan
       // filter that re-evaluates the expression 2 extra times per row (seen
       // on graft_simhash_keys: 3× the tables×bits×dim loop). Our generators
       // never produce empty arrays, so the inferred guard is pure overhead.
-      spark.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Appended to (not clobbering) whatever the user already excluded.
+      val inferRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+      val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        .map(_.trim).filter(_.nonEmpty)
+      if (!excluded.exists(_.split(",").map(_.trim).contains(inferRule)))
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          excluded.map(_ + "," + inferRule).getOrElse(inferRule))
       // TypedImperativeAggregates (graft_topk / graft_vecsum) fall back to
       // sort-based aggregation after 128 distinct keys per partition by
       // default — far too low for per-user/per-query grouping at scale.
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      val reg = spark.sessionState.functionRegistry
+      // events.parquet carries nanosecond timestamps, which the Spark 4
+      // reader rejects as a timestamp type; read them as raw BIGINT ns.
+      // Session bootstrap is the right home for this (a read should not
+      // mutate session conf as a side effect).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       functionBuilders.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
@@ -56,6 +69,9 @@ object Graft {
   def l2(a: Column, b: Column): Column = call_function("graft_l2", a, b)
   def manhattan(a: Column, b: Column): Column = call_function("graft_manhattan", a, b)
   def norm(a: Column): Column = call_function("graft_norm", a)
+  def vecNormalize(a: Column): Column = call_function("graft_vec_normalize", a)
+  def nearestCentroid(v: Column, centroidMatrix: Column): Column =
+    call_function("graft_nearest_centroid", v, centroidMatrix)
   def topk(score: Column, id: Column, k: Column, smallestFirst: Column): Column =
     call_function("graft_topk", score, id, k, smallestFirst)
   def vecsum(v: Column): Column = call_function("graft_vecsum", v)

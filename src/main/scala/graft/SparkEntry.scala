@@ -28,6 +28,14 @@ object SparkEntry {
     "v9_simhash_keys" -> ((s, d) => Lsh.buildKeys(s, d)),
     "v10_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "v11_sim_join_threshold" -> ((s, d) => Lsh.simJoin(s, d)),
+    "v15_search_with_payload" -> ((s, d) => Library.searchWithPayload(s, d)),
+    // Multi-library (per-library index scope)
+    "l1_library_knn" -> ((s, d) => Library.libraryKnn(s, d)),
+    "l2_library_ivf_build" -> ((s, d) => Library.libraryIvfBuild(s, d)),
+    // Index persistence round-trips (build → write → reload → search)
+    "p1_lsh_persist_search" -> ((s, d) => Persist.lshPersistSearch(s, d)),
+    "p2_minhash_persist_pairs" -> ((s, d) => Persist.minhashPersistPairs(s, d)),
+    "p3_ivf_persist_search" -> ((s, d) => Persist.ivfPersistSearch(s, d)),
     // Dedup suite
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhash(s, d)),
@@ -81,6 +89,12 @@ object SparkEntry {
     "v9_simhash_keys" -> Lsh.buildKeysOracle(),
     "v10_lsh_search" -> Lsh.searchOracle(),
     "v11_sim_join_threshold" -> Lsh.simJoinOracle(),
+    "v15_search_with_payload" -> Library.searchWithPayloadOracle(),
+    "l1_library_knn" -> Library.libraryKnnOracle(),
+    "l2_library_ivf_build" -> Library.libraryIvfBuildOracle(),
+    "p1_lsh_persist_search" -> Persist.lshPersistSearchOracle(),
+    "p2_minhash_persist_pairs" -> Persist.minhashPersistPairsOracle(),
+    "p3_ivf_persist_search" -> Persist.ivfPersistSearchOracle(),
     "d1_dedup_exact" -> Dedup.exactOracle,
     "d2_dedup_minhash" -> Dedup.minhashOracle,
     "d3_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),

@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
 
 /** `graft_vecsum(vec)` — element-wise sum of `array<float|double>` rows,
   * in double. The bulk-index-build primitive: centroid updates for k-means
-  * (reference: app/core/indexes/ivf.py:236-241 does `np.add.at` — here it's
-  * a partial aggregate, so each partition ships one k×d-free double[] and
-  * the shuffle moves O(groups × dim) values regardless of row count).
+  * (reference: app/core/indexes/ivf.py:175 does `np.add.at` inside the
+  * `_kmeans` loop at ivf.py:153-193 — here it's a partial aggregate, so
+  * each partition ships one double[] per cluster and the shuffle moves
+  * O(groups × dim) values regardless of row count).
   */
 case class VecSumAgg(
     child: Expression,

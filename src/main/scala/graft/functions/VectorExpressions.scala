@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   *
   * All accumulation is in `double` regardless of input element type so the
   * DuckDB oracle (which computes on `DOUBLE[]`) agrees bit-for-bit to ~1e-15.
+  *
+  * Dimension mismatch THROWS (like the reference's FlatIndex dim check and
+  * DuckDB's list_cosine_similarity) — silently computing over the common
+  * prefix would let malformed data diverge from both.
   */
 abstract class VectorBinaryOp extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
@@ -27,6 +31,22 @@ abstract class VectorBinaryOp extends BinaryExpression with Serializable {
     case ArrayType(et, _) => et
     case other => other
   }
+
+  @inline protected final def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch ($n vs ${b.numElements()})")
+    n
+  }
+
+  /** Codegen snippet declaring `int $n` = checked common length. */
+  protected final def lenCheck(a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($b.numElements() != $n) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(e => e.dataType match {
@@ -56,7 +76,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorBinaryOp {
   override def prettyName: String = "graft_dot"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val (ta, tb) = (elemType(left), elemType(right))
     var acc = 0.0; var i = 0
     while (i < n) { acc += get(a, i, ta) * get(b, i, tb); i += 1 }
@@ -66,7 +86,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorBinaryOp {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCheck(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (${getter(a, i, elemType(left))}) * (${getter(b, i, elemType(right))});
@@ -83,7 +103,7 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryOp
   override def prettyName: String = "graft_cosine"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val (ta, tb) = (elemType(left), elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -98,7 +118,7 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryOp
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCheck(a, b, n)}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${getter(a, i, elemType(left))};
@@ -117,7 +137,7 @@ case class VecL2(left: Expression, right: Expression) extends VectorBinaryOp {
   override def prettyName: String = "graft_l2"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val (ta, tb) = (elemType(left), elemType(right))
     var acc = 0.0; var i = 0
     while (i < n) { val d = get(a, i, ta) - get(b, i, tb); acc += d * d; i += 1 }
@@ -128,7 +148,7 @@ case class VecL2(left: Expression, right: Expression) extends VectorBinaryOp {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCheck(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (${getter(a, i, elemType(left))}) - (${getter(b, i, elemType(right))});
@@ -145,7 +165,7 @@ case class VecManhattan(left: Expression, right: Expression) extends VectorBinar
   override def prettyName: String = "graft_manhattan"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val (ta, tb) = (elemType(left), elemType(right))
     var acc = 0.0; var i = 0
     while (i < n) { acc += math.abs(get(a, i, ta) - get(b, i, tb)); i += 1 }
@@ -155,7 +175,7 @@ case class VecManhattan(left: Expression, right: Expression) extends VectorBinar
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCheck(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += java.lang.Math.abs((${getter(a, i, elemType(left))}) - (${getter(b, i, elemType(right))}));

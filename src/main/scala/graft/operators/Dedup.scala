@@ -217,26 +217,47 @@ object Dedup {
        |ORDER BY p.id_a, p.id_b""".stripMargin
   }
 
-  /** d6: exact 3-gram Jaccard over a bounded id range (all-pairs is the
-    * *exact* baseline; at scale d3's banding replaces it). */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, limit: Int = 100): DataFrame = {
-    val shingles = withShingles(Tables.documents(spark, dir).filter(col("doc_id") < limit))
-    shingles.as("a").crossJoin(shingles.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+  /** d6: EXACT 3-gram Jaccard pairs via an inverted shingle index — an
+    * equi-join on the shingle hash produces (pair, common-shingle count),
+    * and |A∪B| = |A|+|B|−common closes the exact Jaccard without ever
+    * materializing an all-pairs product: pairs sharing zero shingles have
+    * J = 0 < τ and are never generated. (Round 1 used a crossJoin over a
+    * 100-doc window, which both missed all 25 planted near-dup pairs —
+    * their ids span 8..486, so the oracle compare was vacuously 0=0 — and
+    * was the one all-pairs shape in the suite.) The id bound keeps the
+    * hot-shingle candidate blowup out of the small-vocab test corpus; at
+    * scale d3's banding bounds candidates instead. */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, limit: Int = 500): DataFrame = {
+    val sh = shingleHashes(Tables.documents(spark, dir).filter(col("doc_id") < limit))
+      .distinct() // h60 collisions within a doc would double-count (both engines dedup)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
 
-  def ngramJaccardOracle(tau: Double = 0.2, limit: Int = 100): String =
+  def ngramJaccardOracle(tau: Double = 0.2, limit: Int = 500): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $limit),
-       |shl AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                                      for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
-       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |             len(list_intersect(a.sh, b.sh))::DOUBLE /
-       |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-       |      FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+       |sh AS (SELECT doc_id,
+       |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                    for i in generate_series(1, len(w) - 2)])) AS s
+       |       FROM w),
+       |h AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+       |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |       FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |j AS (SELECT cm.doc_a, cm.doc_b,
+       |             cm.common::DOUBLE / (sa.n_sh + sb.n_sh - cm.common)::DOUBLE AS jaccard
+       |      FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,19 +8,27 @@ import graft.Graft
 import graft.sources.Tables
 
 /** IVF (inverted-file) index — Spark re-expression of the reference's
-  * FAISS-style IVF (reference: app/core/indexes/ivf.py:8-262).
+  * FAISS-style IVF (reference: app/core/indexes/ivf.py:8-193).
   *
   * The inverted lists become a `cluster_id` column: "probing" a cluster is
   * an equi-join on that column, which at scale is a partition-pruned read
-  * (or a shuffle-free broadcast join of the probed ids at test scale).
-  * Training (Lloyd's) is the classic Spark k-means shape: broadcast the
-  * k×d centroid matrix, assign with one codegen'd pass, update centroids
-  * with a `graft_vecsum` partial aggregate — per iteration one scan + a
-  * shuffle of exactly k×d doubles per partition, never the data.
+  * (see [[Persist.ivfPersistSearch]] for the materialized form, or a
+  * broadcast join of the probed ids at test scale). Assignment is a
+  * MAP-ONLY codegen'd argmax over the broadcast k×d centroid matrix
+  * ([[graft.functions.NearestCentroid]]) — one fused loop per row, no join,
+  * no shuffle. Training (Lloyd's) is therefore shuffle-free per iteration:
+  * one assignment scan + one `graft_vecsum` partial aggregate that ships
+  * exactly k×d doubles per partition, never the data. (The round-1
+  * formulation paid a crossJoin+groupBy+TopK(1) O(n)-row shuffle per
+  * iteration for the same answer.)
   *
   * Determinism vs the reference: init = first k vectors by id (not RNG),
-  * empty clusters keep their previous centroid (not random reseed), so the
-  * same result is produced by any engine / partitioning.
+  * empty clusters keep their previous centroid (not random reseed,
+  * ivf.py:177-179), so the same result is produced by any engine /
+  * partitioning. Vectors are unit-normalized before centroid accumulation
+  * exactly like the reference (ivf.py:162 `Xn`) — without the `+1e-12`
+  * epsilon, since a zero vector passes through `graft_vec_normalize`
+  * unchanged and contributes its raw zeros either way.
   */
 object Ivf {
   val K = 16
@@ -30,24 +38,41 @@ object Ivf {
     Tables.embeddings(spark, dir).filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
+  /** Collect a small (cid, cvec) frame to the driver-side k×d matrix,
+    * sorted by cid — the canonical k-means driver state (k×d doubles). */
+  private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.orderBy("cid").collect().map { r =>
+      val vec = r.get(1) match {
+        case s: scala.collection.Seq[_] => s.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+      }
+      (r.getLong(0), vec)
+    }
+
+  /** Map-only nearest-centroid assignment: projects
+    * (vec_id, cluster_id, sim, embedding) with zero joins/shuffles. */
+  private[operators] def assignToMat(emb: DataFrame, mat: Array[(Long, Array[Double])]): DataFrame = {
+    val cvecs: Column = typedLit(mat.map(_._2.toSeq).toSeq)
+    val cids: Column = typedLit(mat.map(_._1).toSeq)
+    emb
+      .withColumn("nc", Graft.nearestCentroid(col("embedding"), cvecs))
+      .select(
+        col("vec_id"),
+        element_at(cids, col("nc.idx") + 1).as("cluster_id"),
+        col("nc.sim").as("sim"),
+        col("embedding"))
+  }
+
   /** v6: assign every vector to its nearest (cosine) fixed centroid. */
   def assign(spark: SparkSession, dir: String): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    assignTo(emb, centroidsFixed(spark, dir))
+    assignToMat(emb, collectCentroids(centroidsFixed(spark, dir)))
       .select(col("vec_id"), col("cluster_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
-
-  /** (vec_id, cluster_id, sim) — nearest centroid per vector via TopK(1). */
-  private def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("s", Graft.cosine(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(Graft.topk(col("s"), col("cid"), lit(1), lit(false)).as("top"))
-      .select(col("vec_id"),
-        col("top").getItem(0).getField("id").as("cluster_id"),
-        col("top").getItem(0).getField("score").as("sim"))
 
   val assignOracle: String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
@@ -57,24 +82,34 @@ object Ivf {
        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
        |SELECT vec_id, cid AS cluster_id, round(sim, 4) AS sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Top-`Probes` nearest centroids per query (tiny: Q×k rows). */
+  private[operators] def probesFor(queries: DataFrame, mat: Array[(Long, Array[Double])],
+                                   spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val cdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mat.toSeq.map { case (id, v) => Row(id, v.toSeq) }, 1),
+      schema)
+    queries.crossJoin(broadcast(cdf))
+      .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
+      .groupBy(col("qid"))
+      .agg(Graft.topk(col("s"), col("cid"), lit(Probes), lit(false)).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cluster_id"))
+  }
+
   /** v7: probe the `Probes` nearest centroids per query, re-rank candidates
     * by exact cosine (reference: app/core/indexes/ivf.py:96-129). */
   def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val centroids = centroidsFixed(spark, dir)
+    val mat = collectCentroids(centroidsFixed(spark, dir))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
-      .groupBy(col("qid"))
-      .agg(Graft.topk(col("s"), col("cid"), lit(Probes), lit(false)).as("top"))
-      .select(col("qid"), explode(col("top.id")).as("cluster_id"))
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
 
-    val assigned = assignTo(emb, centroids).select(col("vec_id"), col("cluster_id"))
-
-    val candidates = assigned.join(broadcast(probes), Seq("cluster_id"))
+    val candidates = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
       .select(col("qid"), col("vec_id"))
 
     val scored = candidates
@@ -107,55 +142,39 @@ object Ivf {
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** v8: distributed Lloyd's k-means (reference: app/core/indexes/
-    * ivf.py:214-262), 5 iterations, cosine objective. Driver state is only
-    * the k×d centroid matrix; each iteration = one assign scan (broadcast
-    * centroids) + one `graft_vecsum` partial aggregate. Rows-only oracle
-    * (iterative training is not ANSI-SQL-expressible).
+    * ivf.py:153-193), 5 iterations, cosine objective. Driver state is only
+    * the k×d centroid matrix; each iteration = one MAP-ONLY assignment scan
+    * (codegen'd argmax over the broadcast matrix) + one `graft_vecsum`
+    * partial aggregate over the unit-normalized vectors (ivf.py:162,175) —
+    * the only exchange per iteration carries k pre-aggregated double[64]s.
+    * Rows-only oracle (iterative training is not ANSI-SQL-expressible).
     */
   def kmeans(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      assignTo(emb, trainCentroidDf(spark, emb, iters))
+      assignToMat(emb, trainCentroids(spark, emb, iters))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
         .orderBy("cluster_id")
     } finally emb.unpersist()
   }
 
-  /** Lloyd's training loop; returns the final (cid, cvec) centroid frame.
-    * Driver state is only the k×d matrix; each iteration = one broadcast
-    * assignment scan + one `graft_vecsum` partial aggregate. */
-  private def trainCentroidDf(spark: SparkSession, emb: DataFrame, iters: Int): DataFrame = {
+  /** Lloyd's training loop; returns the final driver-side centroid matrix.
+    * Per iteration: one shuffle-free assignment projection + one k-group
+    * partial aggregate (sum of unit-normalized vectors + count), then the
+    * k sums are renormalized on the driver (reference ivf.py:173-182). */
+  private[operators] def trainCentroids(spark: SparkSession, emb: DataFrame,
+                                        iters: Int): Array[(Long, Array[Double])] = {
     var centroids: Array[(Long, Array[Double])] =
       emb.filter(col("vec_id") < K).orderBy("vec_id").collect().map { r =>
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
       }
 
-    def centroidDf: DataFrame = {
-      val schema = StructType(Seq(
-        StructField("cid", LongType, nullable = false),
-        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(centroids.toSeq.map { case (id, v) => Row(id, v.toSeq) }, 1),
-        schema)
-    }
-
-    // like assignTo, but carries the vector through (constant per group)
-    def assignWithVec(cdf: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cdf))
-        .withColumn("s", Graft.cosine(col("embedding"), col("cvec")))
-        .groupBy(col("vec_id"))
-        .agg(
-          Graft.topk(col("s"), col("cid"), lit(1), lit(false)).as("top"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cluster_id"),
-          col("embedding"))
-
     for (_ <- 1 to iters) {
-      val sums = assignWithVec(centroidDf)
+      val sums = assignToMat(emb, centroids)
         .groupBy(col("cluster_id"))
-        .agg(Graft.vecsum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
+        .agg(Graft.vecsum(Graft.vecNormalize(col("embedding"))).as("vsum"), count(lit(1)).as("n"))
         .collect()
       val updated = sums.map { r =>
         val cid = r.getLong(0)
@@ -164,35 +183,29 @@ object Ivf {
         (cid, if (norm > 0) vsum.map(_ / norm) else vsum)
       }.toMap
       // empty clusters keep their previous centroid (deterministic variant
-      // of the reference's random reseed, ivf.py:249-251)
+      // of the reference's random reseed, ivf.py:177-179)
       centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    centroidDf
+    centroids
   }
 
   /** v14: the reference's full usage flow — train the IVF index, then
     * probe-and-rerank search with the *trained* centroids
     * (reference: train_index → search, app/core/vector_db.py:294,249).
     * Rows-only check (training is iterative, not SQL-expressible);
-    * quality gated by RecallSpec-style invariants in IvfTrainedSpec. */
+    * quality gated by RecallSpec invariants. */
   def searchTrained(spark: SparkSession, dir: String, k: Int = 10,
                     nQueries: Int = 8, iters: Int = 5): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      val centroids = trainCentroidDf(spark, emb, iters)
+      val mat = trainCentroids(spark, emb, iters)
       val queries = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-      val probes = queries.crossJoin(broadcast(centroids))
-        .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
-        .groupBy(col("qid"))
-        .agg(Graft.topk(col("s"), col("cid"), lit(Probes), lit(false)).as("top"))
-        .select(col("qid"), explode(col("top.id")).as("cluster_id"))
+      val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
 
-      val assigned = assignTo(emb, centroids).select(col("vec_id"), col("cluster_id"))
-
-      val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
+      val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
         .select(col("qid"), col("vec_id"))
         .join(emb, Seq("vec_id"))
         .join(broadcast(queries), Seq("qid"))

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.sources.{Sinks, Tables}
+
+/** Index persistence / rebuild — the reference's "indexes survive restart"
+  * semantics (reference: app/core/vector_db.py:272-292 rebuilds every
+  * library's index from storage on startup; tests-mongo/test_persistence.py
+  * exercises flat/IVF/LSH round-trips).
+  *
+  * The Spark-native analog of "persist the index" is a MATERIALIZED TABLE
+  * whose physical layout *is* the index:
+  *
+  *   - LSH keys → a table bucketed by the bucket key, so probe/self-joins
+  *     co-locate without an Exchange;
+  *   - MinHash band keys → same, bucketed by band key (this also removes
+  *     round 1's reliance on AQE ReuseExchange for the band self-join —
+  *     the signatures are computed ONCE, on disk, instead of twice);
+  *   - IVF cluster assignments → a hive-partitioned table on `cluster_id`
+  *     (the inverted lists literally become directories; probing clusters
+  *     is partition pruning at the file-listing level).
+  *
+  * Each query here does the full round-trip — build, write, reload from
+  * storage, search against the reloaded artifact — and must hash-match the
+  * fresh-build oracle: persistence may not change a single result bit.
+  */
+object Persist {
+
+  /** Warehouse location for a graft index table (inside the repo). */
+  private def tablePath(spark: SparkSession, table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/" + table
+
+  /** Drop table + its files (works across sessions — the in-memory catalog
+    * forgets tables on restart but the parquet stays, so a plain overwrite
+    * saveAsTable would refuse the non-empty managed location). */
+  private def dropIndexTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new Path(tablePath(spark, table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Rewrite `df` as a bucketed+sorted catalog table and reload it. */
+  private def materializeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                                  buckets: Int, bucketCols: Seq[String]): DataFrame = {
+    dropIndexTable(spark, table)
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** p1: LSH persistence round-trip — build the SimHash key table, persist
+    * it bucketed by `key`, reload, and run the v10-style bucket-union +
+    * exact-cosine-rerank search against the RELOADED index
+    * (reference: tests-mongo/test_persistence.py:319 lsh_simhash restart).
+    * Oracle = the fresh-build search; the round-trip must be invisible. */
+  def lshPersistSearch(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+                       nTables: Int = 4, nBits: Int = 12, seed: Long = 5000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    val built = Lsh.keyRows(emb, nTables, nBits, seed)
+    val index = materializeBucketed(spark, built, "graft_idx_lsh", 8, Seq("key"))
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val queryKeys = Lsh.keyRows(
+      queries.select(col("qid"), col("qvec").as("embedding")),
+      nTables, nBits, seed, idCol = "qid")
+
+    val candidates = index.join(broadcast(queryKeys), Seq("table_id", "key"))
+      .select(col("qid"), col("vec_id")).distinct()
+
+    val scored = candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def lshPersistSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4,
+                             nBits: Int = 12, seed: Long = 5000): String =
+    Lsh.searchOracle(k, nQueries, nTables, nBits, seed)
+
+  /** p2: MinHash-signature persistence round-trip — compute the banded LSH
+    * key table ONCE, persist it bucketed by `band_key`, reload, self-join
+    * the materialized table for candidate pairs, exact-Jaccard rerank
+    * (reference: tests-mongo/test_persistence.py:182 index state survives
+    * restart). The self-join on the bucketed table needs NO Exchange
+    * (asserted in PersistSpec) — this replaces round 1's fragile
+    * AQE-ReuseExchange of the in-flight signature computation. */
+  def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+
+    val sig = Dedup.minhash(spark, dir)
+    val bandCols = (0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
+      val parts = (0 until Dedup.BandSize).map(i => col(s"m${b * Dedup.BandSize + i}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(":", parts: _*)).as("band_key"))
+    }
+    val built = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_key"))
+
+    val bands = materializeBucketed(spark, built, "graft_idx_minhash_bands", 8, Seq("band_key"))
+
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+
+    val shingles = Dedup.withShingles(docs)
+
+    pairs
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashPersistPairsOracle(tau: Double = 0.5): String = Dedup.minhashLshOracle(tau)
+
+  /** p3: IVF persistence round-trip — materialize the cluster assignments
+    * as a hive-partitioned table on `cluster_id` (the inverted lists become
+    * directories), reload, probe-and-rerank against the reloaded lists.
+    * Probing `Probes` clusters per query is PARTITION PRUNING on read — at
+    * 100 TB a search touches probed directories only, never the full scan
+    * (reference: tests-mongo/test_persistence.py:182 IVF restart;
+    * app/core/vector_db.py:272-292 rebuild-on-startup). */
+  def ivfPersistSearch(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+
+    // build: one map-only assignment pass, written as partitioned lists
+    // (embedding travels with the row — the reloaded index is self-contained,
+    // like the reference's persisted chunk store)
+    val path = tablePath(spark, "graft_idx_ivf_lists")
+    val built = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("embedding"), col("cluster_id"))
+    Sinks.writePartitioned(built, path, "cluster_id")
+
+    val lists = spark.read.parquet(path)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val probes = Ivf.probesFor(queries, mat, spark)
+
+    val scored = lists.join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def ivfPersistSearchOracle(k: Int = 10, nQueries: Int = 8): String =
+    Ivf.searchOracle(k, nQueries)
+}

@@ -50,13 +50,19 @@ object Text {
        |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
-  /** t2: quality metrics + a weighted score. */
+  /** t2: quality metrics + a weighted score. Tokenizes ONCE (`w`, then
+    * `uw = array_distinct(w)`) and reuses the attributes — the round-1
+    * formulation repeated `split(text,' ')` in four expressions, which
+    * whole-stage codegen does not always CSE away once array_intersect &
+    * friends enter the tree (same lesson as the d3/t4/t5 shingle rewrite). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))).cast("long"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn("uw", array_distinct(col("w")))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_uniq", size(col("uw")).cast("long"))
       .withColumn("stop_hits",
-        size(array_intersect(array_distinct(split(col("text"), " ")),
+        size(array_intersect(col("uw"),
           array(StopWords.values.flatten.toSeq.distinct.sorted.map(lit): _*))).cast("long"))
       // raw (unrounded) ratios feed the quality formula — rounding
       // intermediates would park sums exactly on round-half boundaries,

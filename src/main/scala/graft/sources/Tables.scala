@@ -28,13 +28,11 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** events.ts is nanosecond-precision parquet, which Spark's reader
-    * rejects; read it as raw BIGINT nanoseconds instead. All downstream
-    * event-time math is exact integer division (`div`), which also keeps
-    * Spark and the DuckDB oracle floor-consistent. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-  }
+    * rejects; [[graft.Graft.init]] (run by [[load]]) sets the session to
+    * read it as raw BIGINT nanoseconds. All downstream event-time math is
+    * exact integer division (`div`), which also keeps Spark and the DuckDB
+    * oracle floor-consistent. */
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
