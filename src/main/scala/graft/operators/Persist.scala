@@ -110,7 +110,10 @@ object Persist {
     val built = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_key"))
 
-    val bands = materializeBucketed(spark, built, "graft_idx_minhash_bands", 8, Seq("band_key"))
+    // bucketed on BOTH join keys — the self-join's required clustering is
+    // exactly the bucket spec, so the probe is Exchange-free
+    val bands = materializeBucketed(spark, built, "graft_idx_minhash_bands", 8,
+      Seq("band_key", "band_idx"))
 
     val pairs = bands.as("a")
       .join(bands.as("b"),

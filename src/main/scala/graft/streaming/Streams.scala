@@ -17,17 +17,23 @@ object Streams {
     * table is staged into one (exactly how a landing zone looks in prod). */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema // ts arrives as BIGINT ns
-    spark.readStream
+    tumblingAgg(spark.readStream
       .schema(schema)
       .parquet(stageDir(dir))
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** The watermarked tumbling-window aggregation over any (streaming)
+    * frame with a `ts_us` event-time column — shared by the file-source
+    * variant above and the multi-micro-batch MemoryStream spec. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts_us", "2 hours")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(
         floor(unix_millis(col("window.start")) / 3600000L).as("hour_bucket"),
         col("event_type"), col("n"), col("sum_value"))
-  }
 
   /** Event row for stateful processing (ms = epoch millis, exact). */
   case class SessionEvent(event_id: Long, user_id: Long, ms: Long)
@@ -44,14 +50,22 @@ object Streams {
     */
   def sessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = graft.operators.Events.SessionGapMs
-
     val schema = Tables.events(spark, dir).schema
     val watched = stageDir(dir)
-    val events = spark.readStream.schema(schema).parquet(watched)
-      .selectExpr("event_id", "user_id", "ts div 1000000 AS ms")
-      .as[SessionEvent]
+    sessionizeStatefulFrom(spark,
+      spark.readStream.schema(schema).parquet(watched)
+        .selectExpr("event_id", "user_id", "ts div 1000000 AS ms")
+        .as[SessionEvent])
+  }
+
+  /** The stateful transform alone, over any streaming Dataset — also driven
+    * from a MemoryStream in the multi-micro-batch spec, where state must
+    * carry across batches. */
+  def sessionizeStatefulFrom(spark: SparkSession,
+                             events: org.apache.spark.sql.Dataset[SessionEvent]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = graft.operators.Events.SessionGapMs
 
     events
       .groupByKey(_.user_id)

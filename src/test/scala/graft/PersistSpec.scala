@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ivf, Lsh, Persist}
+
+/** Index persistence round-trips (reference: tests-mongo/test_persistence.py
+  * — indexes survive restart bit-for-bit) + the physical-layout claims:
+  * the bucketed band table self-joins with no Exchange, and the partitioned
+  * IVF lists prune on probe. */
+class PersistSpec extends GraftSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+
+  test("p1: LSH search over the reloaded index == fresh-build search") {
+    val roundTrip = rows(Persist.lshPersistSearch(spark, sf))
+    val fresh = rows(Lsh.search(spark, sf, k = 10, nQueries = 8,
+      nTables = 4, nBits = 12, seed = 5000))
+    assert(roundTrip === fresh)
+    assert(roundTrip.nonEmpty)
+  }
+
+  test("p2: minhash pairs from the materialized band table == fresh d3") {
+    val roundTrip = rows(Persist.minhashPersistPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)))
+    val fresh = rows(Dedup.minhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)))
+    assert(roundTrip === fresh)
+  }
+
+  test("p3: IVF search over reloaded partitioned lists == fresh v7") {
+    val roundTrip = rows(Persist.ivfPersistSearch(spark, sf))
+    val fresh = rows(Ivf.search(spark, sf))
+    assert(roundTrip === fresh)
+    assert(roundTrip.nonEmpty)
+  }
+
+  test("persisted band table self-joins with NO Exchange (bucket co-location)") {
+    // p2 above has materialized graft_idx_minhash_bands (bucketed by band_key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bands = spark.table("graft_idx_minhash_bands")
+      val joined = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"band self-join on the bucketed index still shuffles:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("IVF lists read prunes partitions on cluster probe") {
+    // p3 above has written the cluster_id-partitioned lists
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
+    val probed = spark.read.parquet(path).filter(col("cluster_id").isin(1L, 3L, 5L))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster_id"),
+      s"probe does not prune cluster partitions:\n${scan.take(500)}")
+    assert(probed.select("cluster_id").distinct().count() === 3)
+  }
+
+  test("AQE splits a skewed join (hot LSH bucket shape)") {
+    import spark.implicits._
+    // one pathologically hot key (like one overloaded LSH bucket) + a long
+    // tail; AQE's skew-join should split the hot partition at runtime
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(300000)
+        .select(when($"id" % 20 =!= 0, lit("HOT"))
+          .otherwise(concat(lit("k"), $"id")).as("key"), $"id".as("lid"))
+      // one row per key (dim-style), so output == left row count and the
+      // only imbalance is the hot partition itself
+      val right = spark.range(15001)
+        .select(when($"id" === 0, lit("HOT"))
+          .otherwise(concat(lit("k"), $"id" * 20)).as("key"), $"id".as("rid"))
+      val joined = left.join(right, "key")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

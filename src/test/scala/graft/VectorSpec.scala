@@ -78,4 +78,34 @@ class VectorSpec extends GraftSuite {
       run("v9_simhash_keys").agg(min("key"), max("key")).collect()(0)
     assert(mn >= 0L && mx < 65536L)
   }
+
+  test("vector ops throw on dimension mismatch (reference FlatIndex dim check)") {
+    val e = intercept[Exception] {
+      scalar("graft_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D))")
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("graft_vec_normalize yields a unit vector; zero vector passes through") {
+    val n = scalar("graft_norm(graft_vec_normalize(array(3.0D, 4.0D)))").asInstanceOf[Double]
+    assert(math.abs(n - 1.0) < 1e-12)
+    val z = scalar("graft_vec_normalize(array(0.0D, 0.0D))")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("graft_nearest_centroid picks the argmax-cosine index, ties to lowest") {
+    // centroid 1 is exactly the query direction; centroid 0 orthogonal
+    val r = scalar(
+      "graft_nearest_centroid(array(2.0D, 0.0D), array(array(0.0D, 1.0D), array(1.0D, 0.0D)))")
+      .asInstanceOf[Row]
+    assert(r.getInt(0) === 1)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // exact tie between identical centroids → index 0
+    val t = scalar(
+      "graft_nearest_centroid(array(1.0D, 1.0D), array(array(1.0D, 1.0D), array(1.0D, 1.0D)))")
+      .asInstanceOf[Row]
+    assert(t.getInt(0) === 0)
+  }
 }
