@@ -29,11 +29,9 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val sec = try {
-        runOnce(name) // warmup: codegen + JIT + file listing
-        (1 to 3).map { _ =>
+    def timedMin(name: String, reps: Int): Double =
+      try {
+        (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           runOnce(name)
           (System.nanoTime() - t0) / 1e9
@@ -42,7 +40,28 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val firstPass = names.map { name =>
+      val sec = try { runOnce(name); timedMin(name, 3) } // 1 untimed warmup
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
       name -> sec
+    }
+
+    // A host-VM stall lasting a few seconds swallows all 3 reps of whatever
+    // query it lands on (observed: a 0.3 s query reported at 19 s). Second
+    // chance: anything >3× the median gets re-measured later, when the
+    // stall has passed; keep the min of both passes.
+    val valid = firstPass.map(_._2).filter(_ >= 0).sorted
+    val median = if (valid.isEmpty) 0.0 else valid(valid.length / 2)
+    val results = firstPass.map { case (name, sec) =>
+      if (sec > 3 * median && median > 0) {
+        val retry = timedMin(name, 3)
+        name -> (if (retry >= 0) math.min(sec, retry) else sec)
+      } else name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -19,6 +19,7 @@ object SparkEntry {
     "v3_knn_dot_flat" -> ((s, d) => Knn.flatSearch(s, d, "dot")),
     "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
+    "v16_filtered_knn" -> ((s, d) => Knn.filteredSearch(s, d)),
     "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
     "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
@@ -36,6 +37,7 @@ object SparkEntry {
     "p1_lsh_persist_search" -> ((s, d) => Persist.lshPersistSearch(s, d)),
     "p2_minhash_persist_pairs" -> ((s, d) => Persist.minhashPersistPairs(s, d)),
     "p3_ivf_persist_search" -> ((s, d) => Persist.ivfPersistSearch(s, d)),
+    "p4_lsh_incremental" -> ((s, d) => Persist.lshIncrementalSearch(s, d)),
     // Dedup suite
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhash(s, d)),
@@ -59,6 +61,7 @@ object SparkEntry {
     "c2_delete_cascade" -> ((s, d) => Crud.deleteCascade(s, d)),
     "c3_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
     "c4_library_stats" -> ((s, d) => Crud.libraryStats(s, d)),
+    "u1_upsert_then_search" -> ((s, d) => Crud.upsertThenSearch(s, d)),
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -81,6 +84,7 @@ object SparkEntry {
     "v3_knn_dot_flat" -> Knn.oracleFlat("dot"),
     "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
+    "v16_filtered_knn" -> Knn.filteredSearchOracle(),
     "v13_search_text" -> SearchText.searchTextOracle(),
     "v5_vector_norms" -> Vectors.normsOracle,
     "v6_ivf_assign" -> Ivf.assignOracle,
@@ -95,6 +99,7 @@ object SparkEntry {
     "p1_lsh_persist_search" -> Persist.lshPersistSearchOracle(),
     "p2_minhash_persist_pairs" -> Persist.minhashPersistPairsOracle(),
     "p3_ivf_persist_search" -> Persist.ivfPersistSearchOracle(),
+    "p4_lsh_incremental" -> Persist.lshIncrementalSearchOracle(),
     "d1_dedup_exact" -> Dedup.exactOracle,
     "d2_dedup_minhash" -> Dedup.minhashOracle,
     "d3_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
@@ -114,6 +119,7 @@ object SparkEntry {
     "c2_delete_cascade" -> Crud.deleteCascadeOracle,
     "c3_point_lookup" -> Crud.pointLookupOracle(),
     "c4_library_stats" -> Crud.libraryStatsOracle,
+    "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,

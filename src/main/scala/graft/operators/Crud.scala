@@ -88,6 +88,50 @@ object Crud {
       .orderBy("source")
   }
 
+  /** u1: update_chunk → index update → search (reference:
+    * app/core/vector_db.py:220-236 updates a chunk's embedding and pushes it
+    * into the live index; the next search sees the new vector). Batch
+    * re-expression: a changelog where ids [0, nUpdates) receive replacement
+    * embeddings (deterministically, the vectors of ids [100, 100+nUpdates)),
+    * merged latest-write-wins by version, then a flat cosine kNN over the
+    * MERGED corpus. Search results must reflect the updated vectors. */
+  def upsertThenSearch(spark: SparkSession, dir: String, nUpdates: Int = 10,
+                       k: Int = 10, nQueries: Int = 4): DataFrame = {
+    graft.Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    val base = emb.withColumn("version", lit(1L))
+    val updates = emb
+      .filter(col("vec_id") >= 100 && col("vec_id") < lit(100L + nUpdates))
+      .select((col("vec_id") - 100).as("vec_id"), col("embedding"), lit(2L).as("version"))
+
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("version").desc)
+    val merged = base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"))
+
+    val queries = merged.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = merged.crossJoin(broadcast(queries))
+      .withColumn("score", graft.Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def upsertThenSearchOracle(nUpdates: Int = 10, k: Int = 10, nQueries: Int = 4): String =
+    s"""WITH upd AS (SELECT vec_id - 100 AS vec_id, embedding FROM embeddings
+       |             WHERE vec_id >= 100 AND vec_id < ${100 + nUpdates}),
+       |merged AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id NOT IN (SELECT vec_id FROM upd)
+       |           UNION ALL SELECT vec_id, embedding FROM upd),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM merged WHERE vec_id < $nQueries),
+       |s AS (SELECT q.qid, m.vec_id, list_cosine_similarity(m.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM merged m CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   val libraryStatsOracle: String =
     """SELECT d.source,
       |       count(*) AS n_docs,

@@ -31,6 +31,33 @@ object Knn {
     topkPerQuery(scoreAll(emb, queries, metric), metric, k)
   }
 
+  /** v16: metadata-filtered kNN — the reference's `metadata_filters` search
+    * parameter (declared at app/core/models.py:48 and on every index
+    * `search` signature, e.g. flat.py:46; left TODO there — implemented for
+    * real here). The filter restricts CANDIDATES, not queries, and is
+    * applied before scoring so it reaches the parquet scan as a pushed
+    * predicate: at 100 TB a label-filtered search reads only the row groups
+    * whose stats overlap the filter, never the full corpus. */
+  def filteredSearch(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
+                     metric: String = "cosine", k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val all = Tables.embeddings(spark, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val candidates = all.filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding"))
+    topkPerQuery(scoreAll(candidates, queries, metric), metric, k)
+  }
+
+  def filteredSearchOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q WHERE e.label IN (${labels.mkString(", ")})),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** kNN join: every vector in `data` (id < limit) gets its top-k neighbors
     * from the full table, excluding itself. */
   def knnJoin(spark: SparkSession, dir: String, metric: String = "cosine",

@@ -173,4 +173,57 @@ object Persist {
 
   def ivfPersistSearchOracle(k: Int = 10, nQueries: Int = 8): String =
     Ivf.searchOracle(k, nQueries)
+
+  /** p4: incremental index maintenance — the reference's `add_chunk` path
+    * (app/core/indexes/lsh_simhash.py:72-80 adds one vector's keys to the
+    * live tables; vector_db.py:150-168 add_chunks → index add). The Spark
+    * analog: key the NEW vectors only and APPEND them to the persisted
+    * bucketed index table — never rebuild the old ones. Searching the
+    * appended table must equal a fresh full build bit-for-bit. At 100 TB
+    * this is the difference between touching the daily delta and re-keying
+    * the whole corpus. */
+  def lshIncrementalSearch(spark: SparkSession, dir: String, splitId: Long = 400,
+                           k: Int = 10, nQueries: Int = 8,
+                           nTables: Int = 4, nBits: Int = 12, seed: Long = 5000): DataFrame = {
+    Graft.init(spark)
+    val table = "graft_idx_lsh_inc"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    // initial build: base corpus only
+    val base = Lsh.keyRows(emb.filter(col("vec_id") < splitId), nTables, nBits, seed)
+    materializeBucketed(spark, base, table, 8, Seq("key"))
+
+    // incremental add: key ONLY the delta, append with the same bucket spec
+    val delta = Lsh.keyRows(emb.filter(col("vec_id") >= splitId), nTables, nBits, seed)
+    delta.write
+      .mode("append")
+      .bucketBy(8, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
+
+    val index = spark.table(table)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val queryKeys = Lsh.keyRows(
+      queries.select(col("qid"), col("qvec").as("embedding")),
+      nTables, nBits, seed, idCol = "qid")
+
+    val candidates = index.join(broadcast(queryKeys), Seq("table_id", "key"))
+      .select(col("qid"), col("vec_id")).distinct()
+
+    val scored = candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  /** Oracle = a fresh full build over the whole corpus: the incremental
+    * append must be indistinguishable from rebuilding. */
+  def lshIncrementalSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4,
+                                 nBits: Int = 12, seed: Long = 5000): String =
+    Lsh.searchOracle(k, nQueries, nTables, nBits, seed)
 }

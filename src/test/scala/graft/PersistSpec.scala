@@ -37,6 +37,27 @@ class PersistSpec extends GraftSuite {
     assert(roundTrip.nonEmpty)
   }
 
+  test("p4: incremental append to the LSH index == fresh full build (add_chunk path)") {
+    val incremental = rows(Persist.lshIncrementalSearch(spark, sf))
+    val fresh = rows(Lsh.search(spark, sf, k = 10, nQueries = 8,
+      nTables = 4, nBits = 12, seed = 5000))
+    assert(incremental === fresh)
+    assert(incremental.nonEmpty)
+    // and the index table really holds both halves
+    val ids = spark.table("graft_idx_lsh_inc").agg(min("vec_id"), max("vec_id")).collect()(0)
+    assert(ids.getLong(0) < 400L && ids.getLong(1) >= 400L)
+  }
+
+  test("v16 filtered kNN pushes the label filter to the parquet scan") {
+    val df = run("v16_filtered_knn")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"), s"label filter not pushed:\n${plan.take(800)}")
+    // and no unfiltered candidate leaks into the results
+    val labels = df.join(spark.read.parquet(s"$sf/embeddings.parquet"), Seq("vec_id"))
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(2, 5)))
+  }
+
   test("persisted band table self-joins with NO Exchange (bucket co-location)") {
     // p2 above has materialized graft_idx_minhash_bands (bucketed by band_key)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
