@@ -65,6 +65,8 @@ object SparkEntry {
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // Composite curation pipeline (dedup → quality gate → split → stats)
+    "f1_training_pipeline" -> ((s, d) => Pipeline.trainingPipeline(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
@@ -121,6 +123,7 @@ object SparkEntry {
     "c4_library_stats" -> Crud.libraryStatsOracle,
     "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
+    "f1_training_pipeline" -> Pipeline.trainingPipelineOracle(),
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,
     "q3_top_revenue" -> Relational.q3Oracle,

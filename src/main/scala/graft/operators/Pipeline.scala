@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** f1: the end-to-end training-data curation pipeline — the composition the
+  * library exists for, as ONE query: exact dedup (latest... lowest-id wins
+  * per text hash) → quality filter (t2's score ≥ τ) → deterministic
+  * hash-based train/val/test split (t6's rule) → per-(split, lang) corpus
+  * stats. Each stage is the already-gated operator's logic, composed —
+  * proving the operators chain without materialization between stages.
+  *
+  * Scale shape: the dedup window shuffles once on md5(text) (exact dedup's
+  * minimum), everything after is per-row until the final partial-agg
+  * groupBy. One pipeline = 2 shuffles at 100 TB, both on keys AQE can
+  * re-balance.
+  */
+object Pipeline {
+
+  def trainingPipeline(spark: SparkSession, dir: String, minQuality: Double = 0.4): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+
+    // 1. exact dedup: keep the lowest doc_id per exact text
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+
+    // 2. quality gate (t2's formula, single source in Text.qualityFrame)
+    val scored = Text.qualityFrame(deduped).filter(col("quality") >= minQuality)
+
+    // 3. t6's content-stable split
+    val bucket = Dedup.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val split = scored.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+
+    // 4. corpus stats per (split, lang)
+    split.groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_toks"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split", "lang")
+  }
+
+  def trainingPipelineOracle(minQuality: Double = 0.4): String = {
+    val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH dedup AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |t AS (
+       |  SELECT doc_id, lang, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |         len(list_intersect(list_distinct(string_split(text, ' ')), [$allStops]))::BIGINT AS stop_hits
+       |  FROM dedup),
+       |m AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         0.5 * (n_uniq::DOUBLE / n_tok::DOUBLE)
+       |           + 0.3 * least((length(text)::DOUBLE / n_tok::DOUBLE) / 10.0, 1.0)
+       |           + 0.2 * (stop_hits::DOUBLE / n_uniq::DOUBLE) AS quality
+       |  FROM t),
+       |f AS (SELECT * FROM m WHERE quality >= $minQuality),
+       |s AS (
+       |  SELECT *, CASE
+       |    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+       |    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM f)
+       |SELECT split, lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_toks,
+       |       round(avg(quality), 4) AS avg_quality,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+}

@@ -56,8 +56,24 @@ object Text {
     * whole-stage codegen does not always CSE away once array_intersect &
     * friends enter the tree (same lesson as the d3/t4/t5 shingle rewrite). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    qualityFrame(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_uniq"),
+        col("u_raw").as("uniq_ratio"),
+        col("c_raw").as("chars_per_tok"),
+        col("s_raw").as("stop_ratio"),
+        col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** The quality metrics over any documents frame, keeping the input
+    * columns — the single source of the formula, shared by t2 and the f1
+    * composite pipeline. Tokenizes ONCE and reuses the projected arrays. */
+  private[operators] def qualityFrame(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("w", split(col("text"), " "))
       .withColumn("uw", array_distinct(col("w")))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("n_uniq", size(col("uw")).cast("long"))
@@ -70,16 +86,10 @@ object Text {
       .withColumn("u_raw", col("n_uniq").cast("double") / col("n_tok").cast("double"))
       .withColumn("c_raw", length(col("text")).cast("double") / col("n_tok").cast("double"))
       .withColumn("s_raw", col("stop_hits").cast("double") / col("n_uniq").cast("double"))
-      .select(
-        col("doc_id"),
-        col("n_tok"),
-        col("n_uniq"),
-        col("u_raw").as("uniq_ratio"),
-        col("c_raw").as("chars_per_tok"),
-        col("s_raw").as("stop_ratio"),
-        (lit(0.5) * col("u_raw") + lit(0.3) * least(col("c_raw") / 10.0, lit(1.0))
-          + lit(0.2) * col("s_raw")).as("quality"))
-      .orderBy("doc_id")
+      .withColumn("quality",
+        lit(0.5) * col("u_raw") + lit(0.3) * least(col("c_raw") / 10.0, lit(1.0))
+          + lit(0.2) * col("s_raw"))
+      .drop("w", "uw")
   }
 
   val qualityOracle: String = {

@@ -88,6 +88,17 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming exact dedup — the in-flight half of the d1 operator: drop
+    * rows whose dedup key was already seen, with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark` keeps a key in state only until the
+    * watermark passes it — the scale-correct streaming dedup; an unbounded
+    * `dropDuplicates` would grow state forever on a 100 TB firehose).
+    * `events` needs an event-time column `ts_us` and a key column `h`. */
+  def dedupStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_us", delay)
+      .dropDuplicatesWithinWatermark("h")
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

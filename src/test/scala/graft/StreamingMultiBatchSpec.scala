@@ -59,6 +59,31 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops cross-batch duplicates (watermark-bounded state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key stream: (event-time ms, dedup key); batch 2 repeats half of
+    // batch 1's keys — the duplicates span the micro-batch boundary, so
+    // dropping them requires state to survive between batches
+    val keys = (0L until 200L).map(i => (i, s"k${i % 120}"))
+    val (b1, b2) = keys.splitAt(100)
+    val stream = MemoryStream[(Long, String)]
+    val deduped = Streams.dedupStream(
+      stream.toDF().toDF("ms", "h").withColumn("ts_us", timestamp_micros($"ms" * 1000)))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_dedup").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      val out = spark.table("graft_mb_dedup").select("h").as[String].collect()
+      assert(out.length === out.distinct.length, "a duplicate key was emitted twice")
+      assert(out.toSet === keys.map(_._2).toSet.filter(_ => true),
+        "some key never made it through")
+      assert(out.length === 120)
+    } finally q.stop()
+  }
+
   test("stateful sessionization carries state across micro-batches == batch e2") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (b1, b2) = orderedEvents()
