@@ -45,6 +45,7 @@ object SparkEntry {
     "d4_dedup_simhash_text" -> ((s, d) => Dedup.simhashText(s, d)),
     "d5_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d7_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // Text analysis
     "t1_lang_id" -> ((s, d) => Text.langId(s, d)),
     "t2_quality_score" -> ((s, d) => Text.quality(s, d)),
@@ -56,6 +57,7 @@ object SparkEntry {
     "e1_tumbling_window" -> ((s, d) => Events.tumblingWindow(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "e3_topk_per_group" -> ((s, d) => Events.topkPerUser(s, d)),
+    "e4_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     // CRUD / service semantics
     "c1_upsert_latest_wins" -> ((s, d) => Crud.upsertLatestWins(s, d)),
     "c2_delete_cascade" -> ((s, d) => Crud.deleteCascade(s, d)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "d4_dedup_simhash_text" -> Dedup.simhashTextOracle(),
     "d5_dedup_embedding" -> Dedup.embeddingNearDupOracle(),
     "d6_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
+    "d7_dup_clusters" -> Dedup.dupClustersOracle(),
     "t1_lang_id" -> Text.langIdOracle,
     "t2_quality_score" -> Text.qualityOracle,
     "t3_token_count" -> Text.tokenCountOracle,
@@ -117,6 +120,7 @@ object SparkEntry {
     "e1_tumbling_window" -> Events.tumblingWindowOracle,
     "e2_sessionize" -> Events.sessionizeOracle,
     "e3_topk_per_group" -> Events.topkPerUserOracle(),
+    "e4_asof_join" -> Events.asofJoinOracle,
     "c1_upsert_latest_wins" -> Crud.upsertLatestWinsOracle,
     "c2_delete_cascade" -> Crud.deleteCascadeOracle,
     "c3_point_lookup" -> Crud.pointLookupOracle(),

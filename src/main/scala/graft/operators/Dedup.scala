@@ -245,6 +245,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d7: duplicate-cluster assignment — connected components over the d3
+    * near-dup pair graph, i.e. the "keep one representative per duplicate
+    * group" step a curation pipeline runs after candidate generation.
+    *
+    * Spark shape: iterative min-label propagation as DataFrame jobs — each
+    * iteration is one equi-join on the vertex id + a partial-agg `min`, with
+    * `localCheckpoint` truncating the lineage so plan size stays O(1) in the
+    * iteration count. Band-generated dup groups are near-cliques, so the
+    * fixpoint lands in 2-3 iterations (cap [[maxIters]]); at 100 TB the same
+    * loop runs with reliable `checkpoint` + the large-star/small-star
+    * contraction (O(log d) rounds) — the per-iteration plan is identical.
+    * The convergence check is a `count` action, not a collect: driver state
+    * stays O(1).
+    */
+  def dupClusters(spark: SparkSession, dir: String, tau: Double = 0.5,
+                  maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("label", "nl")
+        .join(labels, Seq("id"))
+        .filter(col("nl") < col("label")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Transitive closure over the same pair graph via recursive CTE — exact
+    * same fixpoint the propagation loop reaches. */
+  def dupClustersOracle(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (${minhashLshOracle(tau)})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   def ngramJaccardOracle(tau: Double = 0.2, limit: Int = 500): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $limit),
        |sh AS (SELECT doc_id,

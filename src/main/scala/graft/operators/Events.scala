@@ -81,6 +81,47 @@ object Events {
       .orderBy("user_id", "rank")
   }
 
+  /** e4: as-of join — each purchase matched to the same user's most recent
+    * click at-or-before it (a click at the identical millisecond counts as
+    * prior). Implemented with the union+window trick: tag the two streams,
+    * one shuffle+sort on `user_id`, carry the last click forward — never a
+    * range-join, whose candidate product explodes on active users at scale.
+    * Ordering (ms, tag, event_id) with tag click=0 < purchase=1 makes the
+    * tie-break total and identical in both engines.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), expr("ts div 1000000").as("ms"),
+        when(col("event_type") === "click", 0L).otherwise(1L).as("tag"))
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("click_id", last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(prior))
+      .withColumn("click_ms", last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(prior))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("ms") - col("click_ms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinOracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |                  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (SELECT event_id, user_id, ms, tag,
+      |             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+      |               OVER (PARTITION BY user_id ORDER BY ms, tag, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+      |             last_value(CASE WHEN tag = 0 THEN ms END IGNORE NULLS)
+      |               OVER (PARTITION BY user_id ORDER BY ms, tag, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+      |      FROM e)
+      |SELECT event_id AS purchase_id, user_id, click_id, ms - click_ms AS gap_ms
+      |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin
+
   def topkPerUserOracle(k: Int = 3): String =
     s"""WITH r AS (SELECT user_id, event_id, value,
        |                  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank

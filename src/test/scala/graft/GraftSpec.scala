@@ -38,3 +38,31 @@ class ContractSpec extends GraftSuite {
     SparkEntry.oracleSql.values.foreach(sql => assert(sql.trim.nonEmpty))
   }
 }
+
+/** d7 connected components and e4 as-of join invariants. */
+class GraphTemporalSpec extends GraftSuite {
+  test("d7: every d3 pair lands in one cluster; cluster_id is the min member") {
+    val labels = run("d7_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty, "no dup clusters found — gate would be vacuous")
+    val pairs = operators.Dedup.minhashLsh(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid not labeled by its min member")
+    }
+  }
+
+  test("e4: as-of match is the latest click at-or-before each purchase") {
+    val out = run("e4_asof_join").collect()
+    assert(out.nonEmpty)
+    val matched = out.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty, "no purchase matched any click")
+    matched.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"purchase ${r.getLong(0)} matched a FUTURE click")
+    }
+  }
+}
