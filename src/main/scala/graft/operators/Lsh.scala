@@ -37,21 +37,17 @@ object Lsh {
     keyRows(emb, nTables, nBits, seed).orderBy("vec_id", "table_id")
   }
 
-  /** v10: bucket-union candidates for each query, exact cosine re-rank
-    * (reference: app/core/indexes/lsh_simhash.py:105-131). */
-  def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
-             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000): DataFrame = {
-    Graft.init(spark)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-
-    val dataKeys = keyRows(emb, nTables, nBits, seed)
+  /** Bucket-union + exact-cosine rerank of `queries(qid, qvec)` against any
+    * `(vec_id, table_id, key)` index frame — in-flight (v10), persisted
+    * (p1), or incrementally appended (p4, streaming ingest): the search is
+    * the same plan regardless of where the index came from. */
+  def searchIndex(index: DataFrame, emb: DataFrame, queries: DataFrame,
+                  nTables: Int, nBits: Int, seed: Long, k: Int): DataFrame = {
     val queryKeys = keyRows(
       queries.select(col("qid"), col("qvec").as("embedding")),
       nTables, nBits, seed, idCol = "qid")
 
-    val candidates = dataKeys.join(broadcast(queryKeys), Seq("table_id", "key"))
+    val candidates = index.join(broadcast(queryKeys), Seq("table_id", "key"))
       .select(col("qid"), col("vec_id")).distinct()
 
     val scored = candidates
@@ -61,6 +57,17 @@ object Lsh {
       .select(col("qid"), col("vec_id"), col("score"))
 
     Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  /** v10: bucket-union candidates for each query, exact cosine re-rank
+    * (reference: app/core/indexes/lsh_simhash.py:105-131). */
+  def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    searchIndex(keyRows(emb, nTables, nBits, seed), emb, queries, nTables, nBits, seed, k)
   }
 
   /** v11: all-pairs cosine ≥ τ via shared LSH buckets — the approximate

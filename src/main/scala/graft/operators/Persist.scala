@@ -37,7 +37,7 @@ object Persist {
   /** Drop table + its files (works across sessions — the in-memory catalog
     * forgets tables on restart but the parquet stays, so a plain overwrite
     * saveAsTable would refuse the non-empty managed location). */
-  private def dropIndexTable(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropIndexTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val p = new Path(tablePath(spark, table))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -71,20 +71,7 @@ object Persist {
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val queryKeys = Lsh.keyRows(
-      queries.select(col("qid"), col("qvec").as("embedding")),
-      nTables, nBits, seed, idCol = "qid")
-
-    val candidates = index.join(broadcast(queryKeys), Seq("table_id", "key"))
-      .select(col("qid"), col("vec_id")).distinct()
-
-    val scored = candidates
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(queries), Seq("qid"))
-      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-      .select(col("qid"), col("vec_id"), col("score"))
-
-    Knn.topkPerQuery(scored, "cosine", k)
+    Lsh.searchIndex(index, emb, queries, nTables, nBits, seed, k)
   }
 
   def lshPersistSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4,
@@ -205,20 +192,7 @@ object Persist {
     val index = spark.table(table)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val queryKeys = Lsh.keyRows(
-      queries.select(col("qid"), col("qvec").as("embedding")),
-      nTables, nBits, seed, idCol = "qid")
-
-    val candidates = index.join(broadcast(queryKeys), Seq("table_id", "key"))
-      .select(col("qid"), col("vec_id")).distinct()
-
-    val scored = candidates
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(queries), Seq("qid"))
-      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-      .select(col("qid"), col("vec_id"), col("score"))
-
-    Knn.topkPerQuery(scored, "cosine", k)
+    Lsh.searchIndex(index, emb, queries, nTables, nBits, seed, k)
   }
 
   /** Oracle = a fresh full build over the whole corpus: the incremental

@@ -99,6 +99,28 @@ object Streams {
       .withWatermark("ts_us", delay)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming index ingestion — the reference's `add_chunk` path
+    * (lsh_simhash.py:72-80) as a live stream: each micro-batch of new
+    * vectors `(vec_id, embedding)` is keyed (delta ONLY, like p4's
+    * incremental append) and appended to the persisted bucketed LSH index
+    * inside `foreachBatch`. The batch write is transactional per
+    * micro-batch, the bucket spec matches the base table, and searching
+    * the live table equals a fresh full build bit-for-bit
+    * (StreamingMultiBatchSpec). At 100 TB this is continuous index
+    * maintenance: ingest keys only the arriving delta. */
+  def lshIngestStream(embStream: DataFrame, table: String, nTables: Int,
+                      nBits: Int, seed: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.Lsh.keyRows(batch, nTables, nBits, seed)
+        .write.mode("append")
+        .bucketBy(8, "key").sortBy("key")
+        .format("parquet").saveAsTable(table)
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .start()
+  }
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

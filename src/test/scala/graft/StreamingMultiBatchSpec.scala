@@ -84,6 +84,33 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH ingestion: foreachBatch-appended index search == fresh build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_idx_lsh_stream"
+    operators.Persist.dropIndexTable(spark, table)
+    val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val all = embDf.as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = all.partition(_._1 < 250) // delta arrives in batch 2
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Streams.lshIngestStream(
+      stream.toDF().toDF("vec_id", "embedding"), table, 4, 12, 5000)
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = embDf.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = operators.Lsh.searchIndex(
+      spark.table(table), embDf, queries, 4, 12, 5000, 10).collect().toSeq
+    val want = operators.Lsh.searchIndex(
+      operators.Lsh.keyRows(embDf, 4, 12, 5000), embDf, queries, 4, 12, 5000, 10)
+      .collect().toSeq
+    assert(got.nonEmpty && got === want,
+      "stream-ingested index diverged from fresh build")
+  }
+
   test("stateful sessionization carries state across micro-batches == batch e2") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (b1, b2) = orderedEvents()
