@@ -53,6 +53,8 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, d) => Text.fingerprint(s, d)),
     "t5_top_ngrams" -> ((s, d) => Text.topNgrams(s, d)),
     "t6_dataset_split" -> ((s, d) => Text.datasetSplit(s, d)),
+    "t7_tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(s, d)),
+    "t8_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
     // Events / temporal
     "e1_tumbling_window" -> ((s, d) => Events.tumblingWindow(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -117,6 +119,8 @@ object SparkEntry {
     "t4_fingerprint" -> Text.fingerprintOracle,
     "t5_top_ngrams" -> Text.topNgramsOracle(),
     "t6_dataset_split" -> Text.datasetSplitOracle,
+    "t7_tfidf_top_terms" -> Text.tfidfTopTermsOracle(),
+    "t8_stratified_sample" -> Text.stratifiedSampleOracle(),
     "e1_tumbling_window" -> Events.tumblingWindowOracle,
     "e2_sessionize" -> Events.sessionizeOracle,
     "e3_topk_per_group" -> Events.topkPerUserOracle(),

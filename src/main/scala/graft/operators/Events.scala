@@ -99,8 +99,11 @@ object Events {
       .orderBy(col("ms"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     tagged
-      .withColumn("click_id", last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(prior))
-      .withColumn("click_ms", last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(prior))
+      // both carries in ONE select → a single Window node (chained
+      // withColumns left two same-spec Window passes in the plan)
+      .select(col("*"),
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(prior).as("click_id"),
+        last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(prior).as("click_ms"))
       .filter(col("tag") === 1)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("click_id"), (col("ms") - col("click_ms")).as("gap_ms"))

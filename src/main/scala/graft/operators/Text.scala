@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,4 +204,75 @@ object Text {
        |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS bigram FROM w)
        |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $topN""".stripMargin
+
+  /** t7: per-document top-k terms by TF-IDF (tf · ln(N/df)). One tokenize
+    * pass feeds both aggregates; the document-frequency table is keyed by
+    * term (a bounded vocabulary — orders of magnitude smaller than the
+    * corpus), so it broadcasts and the per-doc rank is the only shuffle on
+    * a corpus-sized frame. N arrives as a broadcast 1-row aggregate, never
+    * a driver-side count. Ranks on the raw double (exact ties break by
+    * term in both engines); only the OUTPUT is rounded. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsOracle(k: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE) AS tfidf
+       |      FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, tfidf,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       |      FROM s)
+       |SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** t8: deterministic per-language stratified sample — keep a document iff
+    * `h60("sample:" + doc_id) mod 1000 < rate(lang)` (permille rates;
+    * over-represented `en` down-sampled to rebalance the corpus). Hash-
+    * gated sampling is the scale-correct sampler: map-only (a pushed-down
+    * filter, zero shuffles before the output sort), exactly reproducible
+    * under any partitioning, and append-stable — re-running after new data
+    * arrives never flips a previous keep/drop decision, unlike `RAND()` or
+    * `TABLESAMPLE`. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map(
+                         "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): DataFrame = {
+    val bucket = Dedup.h60(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0): Column) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleOracle(rates: Map[String, Int] = Map(
+      "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): String = {
+    val arms = rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket FROM b
+       |WHERE bucket < CASE lang $arms ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
+  }
 }
