@@ -20,6 +20,7 @@ object SparkEntry {
     "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
     "v16_filtered_knn" -> ((s, d) => Knn.filteredSearch(s, d)),
+    "v17_sq8_search" -> ((s, d) => Knn.sq8Search(s, d)),
     "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
     "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
     "v16_filtered_knn" -> Knn.filteredSearchOracle(),
+    "v17_sq8_search" -> Knn.sq8SearchOracle(),
     "v13_search_text" -> SearchText.searchTextOracle(),
     "v5_vector_norms" -> Vectors.normsOracle,
     "v6_ivf_assign" -> Ivf.assignOracle,

@@ -58,6 +58,46 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v17: kNN over int8 scalar-quantized vectors — the 100 TB storage
+    * lever: float32 → symmetric per-vector int8 (`q_i = floor(x_i·s + ½)`,
+    * `s = 127/max|x|`) is a 4× footprint/scan-IO cut; the index artifact
+    * would persist `(q tinyint[], scale)` instead of the float array.
+    * Encode is a map-only projection (one pass, build-time); search
+    * dequantizes once into a projected column and scores with the
+    * codegen'd cosine — the hot loop stays in whole-stage codegen, only
+    * the build-side transform runs as a (catalyst-native) HOF. All
+    * arithmetic is double with explicit floor(x+0.5) rounding, so DuckDB
+    * reproduces the quantization grid bit-for-bit. */
+  def sq8Search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val deq = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("maxabs") > 0) // zero vectors carry no quantizable signal
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
+      .select(col("vec_id"), expr("transform(q, c -> CAST(c AS DOUBLE) / scale)").as("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topkPerQuery(scoreAll(deq, queries, "cosine"), "cosine", k)
+  }
+
+  def sq8SearchOracle(k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
+       |z AS (SELECT vec_id, [floor(x * (127.0 / maxabs) + 0.5) for x in v] AS q,
+       |             127.0 / maxabs AS scale
+       |      FROM m WHERE maxabs > 0),
+       |d AS (SELECT vec_id, [c / scale for c in q] AS dv FROM z),
+       |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT qs.qid, d.vec_id, list_cosine_similarity(d.dv, qs.qvec) AS score
+       |      FROM d CROSS JOIN qs),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** kNN join: every vector in `data` (id < limit) gets its top-k neighbors
     * from the full table, excluding itself. */
   def knnJoin(spark: SparkSession, dir: String, metric: String = "cosine",

@@ -34,6 +34,16 @@ class VectorSpec extends GraftSuite {
     }
   }
 
+  test("v17: int8 quantization keeps the self-hit at rank 1 with near-1.0 score") {
+    val top1 = run("v17_sq8_search").filter($"rank" === 1).collect()
+    assert(top1.length === 8)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"),
+        "quantization noise displaced the self-hit from rank 1")
+      assert(r.getAs[Double]("score") > 0.999)
+    }
+  }
+
   test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
     val l2 = run("v2_knn_l2_flat").collect()
     l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
