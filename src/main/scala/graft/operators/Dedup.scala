@@ -266,8 +266,12 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed labels with one propagation folded in (label₀ = min(id, min
+    // neighbor)) — band-generated components are near-cliques, so this
+    // usually IS the fixpoint and the loop exits after one no-change round
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -275,13 +279,16 @@ object Dedup {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr"))
+      // carry the improved-this-round flag in the SAME checkpointed frame:
+      // the convergence check is then a scan of already-materialized rows,
+      // not an extra join per iteration
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("nl"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("label", "nl")
-        .join(labels, Seq("id"))
-        .filter(col("nl") < col("label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("nl").as("label"))
       iter += 1
     }
     edges.unpersist()
