@@ -56,6 +56,7 @@ object SparkEntry {
     "t6_dataset_split" -> ((s, d) => Text.datasetSplit(s, d)),
     "t7_tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(s, d)),
     "t8_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
+    "t9_chunk_text" -> ((s, d) => Text.chunkText(s, d)),
     // Events / temporal
     "e1_tumbling_window" -> ((s, d) => Events.tumblingWindow(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // Composite curation pipeline (dedup → quality gate → split → stats)
     "f1_training_pipeline" -> ((s, d) => Pipeline.trainingPipeline(s, d)),
+    "f2_near_dedup_corpus" -> ((s, d) => Pipeline.nearDedupCorpus(s, d)),
     // Relational core
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_join_broadcast" -> ((s, d) => Relational.q2JoinBroadcast(s, d)),
@@ -123,6 +125,7 @@ object SparkEntry {
     "t6_dataset_split" -> Text.datasetSplitOracle,
     "t7_tfidf_top_terms" -> Text.tfidfTopTermsOracle(),
     "t8_stratified_sample" -> Text.stratifiedSampleOracle(),
+    "t9_chunk_text" -> Text.chunkTextOracle(),
     "e1_tumbling_window" -> Events.tumblingWindowOracle,
     "e2_sessionize" -> Events.sessionizeOracle,
     "e3_topk_per_group" -> Events.topkPerUserOracle(),
@@ -134,6 +137,7 @@ object SparkEntry {
     "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "f1_training_pipeline" -> Pipeline.trainingPipelineOracle(),
+    "f2_near_dedup_corpus" -> Pipeline.nearDedupCorpusOracle(),
     "q1_agg" -> Relational.q1Oracle,
     "q2_join_broadcast" -> Relational.q2Oracle,
     "q3_top_revenue" -> Relational.q3Oracle,

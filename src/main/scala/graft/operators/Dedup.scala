@@ -261,10 +261,22 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, dir: String, tau: Double = 0.5,
                   maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    val labels = connectedComponents(pairs, maxIters)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)` →
+    * `(id, label)` with label = min id in the component. Reusable by any
+    * pair source (d3 minhash bands, d4 simhash, d5 embedding cosine). */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed labels with one propagation folded in (label₀ = min(id, min
     // neighbor)) — band-generated components are near-cliques, so this
@@ -292,10 +304,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      .orderBy("cluster_id", "doc_id")
+    labels
   }
 
   /** Transitive closure over the same pair graph via recursive CTE — exact

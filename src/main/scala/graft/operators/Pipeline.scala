@@ -48,6 +48,36 @@ object Pipeline {
       .orderBy("split", "lang")
   }
 
+  /** f2: the near-dedup corpus — what MinHash dedup exists FOR: d7's
+    * cluster labels applied back to the corpus, keeping each cluster's
+    * representative (min doc_id) and every unclustered doc, with
+    * per-source keep/drop accounting. One left join of the corpus against
+    * the (tiny) non-representative set — at 100 TB the drop list is a
+    * broadcast, the corpus is never shuffled. */
+  def nearDedupCorpus(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+    val drops = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(true).as("dropped"))
+    Tables.documents(spark, dir)
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("source")
+  }
+
+  def nearDedupCorpusOracle(tau: Double = 0.5): String =
+    s"""WITH lab AS (SELECT doc_id, cluster_id FROM (${Dedup.dupClustersOracle(tau)})),
+       |drops AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |       sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |       sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+       |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")

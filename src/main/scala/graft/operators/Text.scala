@@ -263,6 +263,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** t9: fixed-window token chunking with overlap — the reference's
+    * Document ⊃ Chunk data model (models.py Chunk) as a batch operator:
+    * `window`-token windows every `stride` tokens (tail window may be
+    * short; a doc shorter than one window is one chunk). Map-only: one
+    * tokenize, one explode — no shuffle before the output sort. Emits the
+    * chunk's portable h60 fingerprint rather than the text itself (the
+    * downstream embed/index steps key on it; at 100 TB the chunk text
+    * stays columnar-compressed in place, only ids and hashes move). */
+  def chunkText(spark: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_tok <= $window THEN 1L ELSE ((n_tok - $window + ${stride - 1}) div $stride) + 1 END"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("cw", slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("chunk_tok"),
+        Dedup.h60(array_join(col("cw"), " ")).as("chunk_h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkTextOracle(window: Int = 64, stride: Int = 48): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' '))::BIGINT AS n_tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, w,
+       |             CASE WHEN n_tok <= $window THEN 1
+       |                  ELSE (n_tok - $window + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |      FROM w),
+       |x AS (SELECT doc_id, w,
+       |             unnest([i for i in generate_series(0, n_chunks - 1)]) AS chunk_idx
+       |      FROM c),
+       |s AS (SELECT doc_id, chunk_idx,
+       |             w[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)] AS cw
+       |      FROM x)
+       |SELECT doc_id, chunk_idx, len(cw)::BIGINT AS chunk_tok,
+       |       CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_h
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   def stratifiedSampleOracle(rates: Map[String, Int] = Map(
       "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): String = {
     val arms = rates.toSeq.sortBy(_._1)

@@ -56,6 +56,18 @@ class GraphTemporalSpec extends GraftSuite {
     }
   }
 
+  test("connectedComponents converges on chain components (diameter > 1)") {
+    import spark.implicits._
+    // a 5-node chain (needs several propagation rounds), a pair, a star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (21L, 20L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).map(labels) === Seq.fill(5)(1L))
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).map(labels).distinct === Seq(20L))
+  }
+
   test("e4: as-of match is the latest click at-or-before each purchase") {
     val out = run("e4_asof_join").collect()
     assert(out.nonEmpty)
