@@ -62,12 +62,14 @@ object SparkEntry {
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "e3_topk_per_group" -> ((s, d) => Events.topkPerUser(s, d)),
     "e4_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "e5_hopping_window" -> ((s, d) => Events.hoppingWindow(s, d)),
     // CRUD / service semantics
     "c1_upsert_latest_wins" -> ((s, d) => Crud.upsertLatestWins(s, d)),
     "c2_delete_cascade" -> ((s, d) => Crud.deleteCascade(s, d)),
     "c3_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
     "c4_library_stats" -> ((s, d) => Crud.libraryStats(s, d)),
     "u1_upsert_then_search" -> ((s, d) => Crud.upsertThenSearch(s, d)),
+    "c6_snapshot_asof" -> ((s, d) => Crud.snapshotAsOf(s, d)),
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -130,11 +132,13 @@ object SparkEntry {
     "e2_sessionize" -> Events.sessionizeOracle,
     "e3_topk_per_group" -> Events.topkPerUserOracle(),
     "e4_asof_join" -> Events.asofJoinOracle,
+    "e5_hopping_window" -> Events.hoppingWindowOracle(),
     "c1_upsert_latest_wins" -> Crud.upsertLatestWinsOracle,
     "c2_delete_cascade" -> Crud.deleteCascadeOracle,
     "c3_point_lookup" -> Crud.pointLookupOracle(),
     "c4_library_stats" -> Crud.libraryStatsOracle,
     "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
+    "c6_snapshot_asof" -> Crud.snapshotAsOfOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "f1_training_pipeline" -> Pipeline.trainingPipelineOracle(),
     "f2_near_dedup_corpus" -> Pipeline.nearDedupCorpusOracle(),

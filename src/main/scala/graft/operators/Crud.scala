@@ -41,6 +41,36 @@ object Crud {
       |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** c6: point-in-time snapshot — the state c1 would have produced had the
+    * changelog stopped at T (2024-01-16): latest event per (user, type)
+    * among events at-or-before the cutoff. The cutoff lands on the RAW ns
+    * timestamp column, so it reaches the parquet scan as a pushed
+    * predicate — at 100 TB a snapshot reads only row groups whose ts-min
+    * precedes T, i.e. time travel costs what the past costs, not the
+    * whole log. */
+  def snapshotAsOf(spark: SparkSession, dir: String, cutoffMs: Long = 1705363200000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .filter(col("ts") <= cutoffMs * 1000000L) // raw ns — pushed to scan
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def snapshotAsOfOracle(cutoffMs: Long = 1705363200000L): String =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ms
+       |           FROM events WHERE epoch_ms(ts) <= $cutoffMs),
+       |r AS (SELECT user_id, event_type, event_id, value,
+       |             row_number() OVER (PARTITION BY user_id, event_type
+       |                                ORDER BY ms DESC, event_id DESC) AS rn
+       |      FROM e)
+       |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** c2: delete documents (lang = 'de') and cascade to their embeddings;
     * report surviving chunks per label. */
   def deleteCascade(spark: SparkSession, dir: String): DataFrame = {

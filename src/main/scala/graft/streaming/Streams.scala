@@ -99,6 +99,21 @@ object Streams {
       .withWatermark("ts_us", delay)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Stream-stream interval join — each purchase joined to the same user's
+    * clicks in the preceding `windowSec` seconds, both streams watermarked
+    * so Spark derives a state horizon from the time bound and EVICTS
+    * clicks older than `watermark − window`: state is O(window × rate),
+    * not O(stream). The batch analog is the identical join on static
+    * frames (spec asserts set equality across micro-batch boundaries). */
+  def intervalJoinStream(purchases: DataFrame, clicks: DataFrame,
+                         windowSec: Long = 21600L, delay: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", delay)
+    val c = clicks.withWatermark("c_ts", delay)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $windowSec SECONDS AND p_ts"))
+      .select(col("p_id"), col("c_id"))
+  }
+
   /** Streaming index ingestion — the reference's `add_chunk` path
     * (lsh_simhash.py:72-80) as a live stream: each micro-batch of new
     * vectors `(vec_id, embedding)` is keyed (delta ONLY, like p4's

@@ -84,6 +84,42 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join across batch boundary == batch join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000000 AS ms")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._4)
+    val mid = ev(ev.length / 2)._4
+    def feed(kind: String) = ev.filter(_._3 == kind).map(e => (e._1, e._2, e._4))
+    val (p1, p2) = feed("purchase").partition(_._3 < mid)
+    val (c1, c2) = feed("click").partition(_._3 < mid)
+
+    val pStream = MemoryStream[(Long, Long, Long)]
+    val cStream = MemoryStream[(Long, Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame, pfx: String) = df
+      .toDF(s"${pfx}_id", s"${pfx}_user", "ms")
+      .withColumn(s"${pfx}_ts", timestamp_micros($"ms" * 1000)).drop("ms")
+    val joined = Streams.intervalJoinStream(
+      shape(pStream.toDF(), "p"), shape(cStream.toDF(), "c"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_ssjoin").start()
+    try {
+      pStream.addData(p1); cStream.addData(c1)
+      q.processAllAvailable()
+      pStream.addData(p2); cStream.addData(c2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_mb_ssjoin").as[(Long, Long)].collect().toSet
+
+    val e = Tables.events(spark, sf).selectExpr("event_id", "user_id", "event_type", "ts div 1000000 AS ms")
+    val want = e.filter($"event_type" === "purchase").select($"event_id".as("p_id"), $"user_id".as("u"), $"ms".as("pms"))
+      .join(e.filter($"event_type" === "click").select($"event_id".as("c_id"), $"user_id".as("cu"), $"ms".as("cms")),
+        $"u" === $"cu" && $"cms" >= $"pms" - 21600000L && $"cms" <= $"pms")
+      .select($"p_id", $"c_id").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "batch join found no pairs — vacuous")
+    assert(got === want, s"stream join diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("streaming LSH ingestion: foreachBatch-appended index search == fresh build") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_lsh_stream"
