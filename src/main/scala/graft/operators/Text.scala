@@ -216,6 +216,12 @@ object Text {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df is a second scan-and-aggregate branch on purpose: deriving it from
+    // tf looks shareable but column pruning rewrites that branch's
+    // aggregate, so the exchange never canonicalizes equal and AQE cannot
+    // reuse it (measured), while df-as-window-over-term concentrates every
+    // doc containing a stopword into one partition (skew at scale). In a
+    // production corpus df comes from a persisted vocabulary-stats table.
     val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val nDf = docs.agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
