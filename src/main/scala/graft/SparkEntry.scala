@@ -21,6 +21,7 @@ object SparkEntry {
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
     "v16_filtered_knn" -> ((s, d) => Knn.filteredSearch(s, d)),
     "v17_sq8_search" -> ((s, d) => Knn.sq8Search(s, d)),
+    "v18_pq_search" -> ((s, d) => Pq.search(s, d)),
     "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
     "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
     "v16_filtered_knn" -> Knn.filteredSearchOracle(),
     "v17_sq8_search" -> Knn.sq8SearchOracle(),
+    "v18_pq_search" -> Pq.searchOracle(),
     "v13_search_text" -> SearchText.searchTextOracle(),
     "v5_vector_norms" -> Vectors.normsOracle,
     "v6_ivf_assign" -> Ivf.assignOracle,

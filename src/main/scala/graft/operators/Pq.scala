@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.sources.Tables
+
+/** v18: Product Quantization (PQ) — the classic vector-compression sketch
+  * (Jégou et al., "Product quantization for nearest neighbor search",
+  * TPAMI 2011): split the 64-dim vector into M=8 subspaces of 8 dims,
+  * quantize each subvector to its nearest of K=16 per-subspace centroids,
+  * store M 4-bit codes (= 4 bytes/vector vs 256 — a 64× compression), and
+  * score queries against the RECONSTRUCTION (asymmetric distance: the
+  * query stays exact, only the corpus is coded).
+  *
+  * Codebooks are deterministic here (subvectors of the first K corpus
+  * vectors — the same fixed-seed convention as v6's IVF centroids; a
+  * trained variant would run v8's k-means per subspace).
+  *
+  * Everything is relational, so the plan scales like the rest of the
+  * engine: centroids are a 128-row broadcast; encode = explode(M) ×
+  * broadcast-join × struct-min argmin (partial agg, shuffle carries one
+  * row per (vector, subspace)); scoring = broadcast the Q×M query
+  * subvectors, partial-sum the M per-subspace dot products per
+  * (query, vector). No all-pairs product, no driver loop.
+  */
+object Pq {
+  val M = 8  // subspaces
+  val Sub = 8 // dims per subspace
+  val K = 16 // centroids per subspace
+
+  /** (c, m, cv): centroid c's subvector in subspace m — 128 rows. */
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("c"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("c"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("v"))
+      .select(col("c"), col("m"), slice(col("v"), col("m") * Sub + 1, lit(Sub)).as("cv"))
+
+  /** (id, m, sv): every vector split into its M subvectors. */
+  private def subvectors(emb: DataFrame, idCol: String, out: String): DataFrame =
+    emb.select(col(idCol), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col(idCol), explode(sequence(lit(0), lit(M - 1))).as("m"), col("v"))
+      .select(col(idCol), col("m"), slice(col("v"), col("m") * Sub + 1, lit(Sub)).as(out))
+
+  /** PQ codes: (vec_id, m, code) — argmin-L2 centroid per subspace,
+    * ties to the lowest centroid id via lexicographic struct-min. */
+  def encode(spark: SparkSession, emb: DataFrame): DataFrame = {
+    Graft.init(spark)
+    val cent = centroids(emb)
+    subvectors(emb, "vec_id", "sv")
+      .join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(Graft.l2(col("sv"), col("cv")).as("d"), col("c")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+  }
+
+  /** v18: encode the corpus, search by asymmetric dot — each query's exact
+    * subvectors scored against the coded corpus's reconstruction. */
+  def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cent = centroids(emb)
+    val codes = encode(spark, emb)
+
+    val qsub = subvectors(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding")), "qid", "qm")
+
+    val partials = codes
+      .join(broadcast(cent), codes("m") === cent("m") && codes("code") === cent("c"))
+      .select(col("vec_id"), codes("m").as("m"), col("cv"))
+      .join(broadcast(qsub), Seq("m"))
+      .select(col("qid"), col("vec_id"), Graft.dot(col("cv"), col("qm")).as("p"))
+
+    val scored = partials.groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("p")).as("score"))
+    Knn.topkPerQuery(scored, "dot", k)
+  }
+
+  def searchOracle(k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |em AS (SELECT vec_id, v, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM e),
+       |sub AS (SELECT vec_id, m, v[($Sub*m+1):($Sub*m+$Sub)] AS sv FROM em),
+       |cent AS (SELECT vec_id AS c, m, sv AS cv FROM sub WHERE vec_id < $K),
+       |dist AS (SELECT s.vec_id, s.m, c.c, list_distance(s.sv, c.cv) AS d
+       |         FROM sub s JOIN cent c USING (m)),
+       |code AS (SELECT vec_id, m, c AS code FROM (
+       |           SELECT vec_id, m, c,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |           FROM dist) WHERE rn = 1),
+       |recon AS (SELECT k.vec_id, k.m, c.cv FROM code k
+       |          JOIN cent c ON k.m = c.m AND k.code = c.c),
+       |qsub AS (SELECT vec_id AS qid, m, sv AS qm FROM sub WHERE vec_id < $nQueries),
+       |part AS (SELECT q.qid, r.vec_id, list_inner_product(r.cv, q.qm) AS p
+       |         FROM recon r JOIN qsub q USING (m)),
+       |sc AS (SELECT qid, vec_id, sum(p) AS score FROM part GROUP BY 1, 2),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM sc)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+}

@@ -30,6 +30,17 @@ class RecallSpec extends GraftSuite {
     assert(recall >= 0.5, s"trained-ivf recall $recall")
   }
 
+  test("PQ asymmetric search recall@10 ≥ 0.2, query's own code ranks first") {
+    val exact = hits("v3_knn_dot_flat")
+    val pq = hits("v18_pq_search")
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"pq recall $recall") // 16-centroid untrained codebooks on random unit vectors
+    val top1 = run("v18_pq_search").filter($"rank" === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (q, v) => q == v },
+      "a query outranked its own reconstruction")
+  }
+
   test("LSH search recall@10 ≥ 0.1 and always finds the query itself first") {
     val exact = hits("v1_knn_cosine_flat")
     val lsh = hits("v10_lsh_search")
