@@ -44,12 +44,15 @@ object Dedup {
   /** Distinct 3-word shingles per doc. `split` is projected ONCE into `w`
     * before the lambda indexes it — inlining it would re-tokenize the whole
     * text for every element_at reference (~300 regex splits per doc, the
-    * dominant cost of the naive formulation at sf0.1). */
-  private[operators] def withShingles(docs: DataFrame): DataFrame =
+    * dominant cost of the naive formulation at sf0.1). Docs shorter than
+    * one shingle yield an EMPTY list: Spark's `sequence(1, 0)` counts DOWN
+    * (→ [1,0] → null shingles) while DuckDB's generate_series is empty —
+    * the guard pins the DuckDB semantics on both sides. */
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("sh"))
+        "CASE WHEN size(w) < 3 THEN array() ELSE transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) END")).as("sh"))
 
   /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P. */
   private def shingleHashes(docs: DataFrame): DataFrame =

@@ -71,7 +71,7 @@ object Text {
   /** The quality metrics over any documents frame, keeping the input
     * columns — the single source of the formula, shared by t2 and the f1
     * composite pipeline. Tokenizes ONCE and reuses the projected arrays. */
-  private[operators] def qualityFrame(docs: DataFrame): DataFrame = {
+  private[graft] def qualityFrame(docs: DataFrame): DataFrame = {
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("uw", array_distinct(col("w")))
@@ -192,8 +192,8 @@ object Text {
     Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("w")) // tokenize once, then index
       .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bigram"))
+        "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(topN)

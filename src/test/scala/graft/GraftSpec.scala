@@ -39,6 +39,37 @@ class ContractSpec extends GraftSuite {
   }
 }
 
+/** Degenerate-document totality: the text/dedup kernels must stay
+  * well-defined (no nulls, no NaN, no bogus windows) on empty, one-token,
+  * and sub-shingle docs — inputs a 100 TB crawl WILL contain. Notably
+  * Spark's sequence(1, 0) counts DOWN, so an unguarded shingle window
+  * fabricates null shingles on <3-token docs where DuckDB yields none. */
+class DegenerateDocSpec extends GraftSuite {
+  import spark.implicits._
+  private val docs = Seq(
+    (1L, ""), (2L, "word"), (3L, "two words"), (4L, "the and of to in"))
+    .toDF("doc_id", "text")
+
+  test("shingles on sub-shingle docs are empty, never null") {
+    val sh = operators.Dedup.withShingles(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    assert(sh(4L).length === 3 && sh(4L).forall(_ != null))
+  }
+
+  test("quality formula is total: no null/NaN on degenerate docs") {
+    val q = operators.Text.qualityFrame(docs)
+      .select("doc_id", "n_tok", "quality").collect()
+    assert(q.length === 4)
+    q.foreach { r =>
+      assert(!r.isNullAt(2), s"doc ${r.getLong(0)} quality is null")
+      assert(!r.getDouble(2).isNaN, s"doc ${r.getLong(0)} quality is NaN")
+    }
+    // empty text tokenizes to [""]: 1 token, quality defined
+    assert(q.find(_.getLong(0) == 1L).get.getLong(1) === 1L)
+  }
+}
+
 /** d7 connected components and e4 as-of join invariants. */
 class GraphTemporalSpec extends GraftSuite {
   test("d7: every d3 pair lands in one cluster; cluster_id is the min member") {
