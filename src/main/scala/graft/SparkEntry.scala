@@ -71,6 +71,7 @@ object SparkEntry {
     "c4_library_stats" -> ((s, d) => Crud.libraryStats(s, d)),
     "u1_upsert_then_search" -> ((s, d) => Crud.upsertThenSearch(s, d)),
     "c6_snapshot_asof" -> ((s, d) => Crud.snapshotAsOf(s, d)),
+    "c7_list_page" -> ((s, d) => Crud.listPage(s, d)),
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "c4_library_stats" -> Crud.libraryStatsOracle,
     "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
     "c6_snapshot_asof" -> Crud.snapshotAsOfOracle(),
+    "c7_list_page" -> Crud.listPageOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "f1_training_pipeline" -> Pipeline.trainingPipelineOracle(),
     "f2_near_dedup_corpus" -> Pipeline.nearDedupCorpusOracle(),

@@ -101,6 +101,23 @@ object Crud {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id IN (${ids.mkString(", ")}) ORDER BY doc_id""".stripMargin
 
+  /** c7: keyset-paginated listing — the reference's list_documents /
+    * list_chunks surface (documents.py, chunks.py). The scale-correct page
+    * is CURSOR-based (`doc_id > after ORDER BY doc_id LIMIT n`): the
+    * predicate pushes to the scan and each page costs one pruned read,
+    * where OFFSET pagination re-scans and discards everything before the
+    * page — O(page²) total at 100 TB. */
+  def listPage(spark: SparkSession, dir: String, after: Long = 200L, pageSize: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") > after)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+      .limit(pageSize)
+
+  def listPageOracle(after: Long = 200L, pageSize: Int = 25): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id > $after ORDER BY doc_id LIMIT $pageSize""".stripMargin
+
   /** c4: per-source library stats (doc counts, char totals, chunk counts —
     * the reference's /stats surface over the documents⊃chunks hierarchy). */
   def libraryStats(spark: SparkSession, dir: String): DataFrame = {
