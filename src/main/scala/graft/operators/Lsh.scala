@@ -107,7 +107,7 @@ object Lsh {
   }
 
   /** CTE body: keys(id, table_id, key) for a source select. */
-  private def keysSql(src: String, idExpr: String, nTables: Int, nBits: Int,
+  private[operators] def keysSql(src: String, idExpr: String, nTables: Int, nBits: Int,
                       dim: Int, seed: Long): String =
     (0 until nTables).map { t =>
       s"SELECT $idExpr AS id, ${t}::BIGINT AS table_id, ${keySqlExpr("v", t, nBits, dim, seed)} AS key FROM $src"

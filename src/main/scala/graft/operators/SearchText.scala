@@ -41,12 +41,17 @@ object SearchText {
     Knn.topkPerQuery(scored, "cosine", k)
   }
 
-  def searchTextOracle(k: Int = 10, nQueries: Int = 4): String = {
+  /** The stub embedding as a DuckDB list comprehension over any text
+    * expression — single source for v13's and f3's oracles. */
+  private[operators] def stubEmbedSql(textExpr: String): String = {
     val (a, c, m) = (LcgPlanes.A, LcgPlanes.C, LcgPlanes.M)
+    s"[ (($a * ((CAST('0x' || substr(md5($textExpr), 1, 15) AS BIGINT) % $P) + i) + $c) % $m)::DOUBLE / $m.0 - 0.5" +
+      s" for i in generate_series(0, ${Dim - 1}) ]"
+  }
+
+  def searchTextOracle(k: Int = 10, nQueries: Int = 4): String = {
     s"""WITH q AS (
-       |  SELECT doc_id AS qid,
-       |         [ (($a * ((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % $P) + i) + $c) % $m)::DOUBLE / $m.0 - 0.5
-       |           for i in generate_series(0, ${Dim - 1}) ] AS qvec
+       |  SELECT doc_id AS qid, ${stubEmbedSql("text")} AS qvec
        |  FROM documents WHERE doc_id < $nQueries),
        |s AS (SELECT q.qid, e.vec_id,
        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score

@@ -278,7 +278,18 @@ object Text {
     * downstream embed/index steps key on it; at 100 TB the chunk text
     * stays columnar-compressed in place, only ids and hashes move). */
   def chunkText(spark: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame = {
-    Tables.documents(spark, dir)
+    chunkFrame(Tables.documents(spark, dir), window, stride)
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("chunk_tok"),
+        Dedup.h60(array_join(col("cw"), " ")).as("chunk_h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** (doc_id, chunk_idx, cw): the token windows of every document —
+    * shared by t9 and the f3 ingest pipeline. */
+  private[graft] def chunkFrame(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("n_chunks", expr(
@@ -286,12 +297,7 @@ object Text {
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
       .withColumn("cw", slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
-      .select(
-        col("doc_id"), col("chunk_idx"),
-        size(col("cw")).cast("long").as("chunk_tok"),
-        Dedup.h60(array_join(col("cw"), " ")).as("chunk_h"))
-      .orderBy("doc_id", "chunk_idx")
-  }
+      .select(col("doc_id"), col("chunk_idx"), col("cw"))
 
   def chunkTextOracle(window: Int = 64, stride: Int = 48): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
