@@ -34,28 +34,35 @@ object Graft {
       litInt(es(1), "nTables"), litInt(es(2), "nBits"), litLong(es(3), "seed"))))
 
   def init(spark: SparkSession): SparkSession = {
+    // Conf tuning runs UNCONDITIONALLY (each setting is idempotent): a
+    // session built with spark.sql.extensions=graft.GraftExtensions already
+    // has the functions injected, and gating the confs on function existence
+    // would silently skip them for exactly those sessions.
+    //
+    // InferFiltersFromGenerate turns explode(expensive_expr) into a scan
+    // filter that re-evaluates the expression 2 extra times per row (seen
+    // on graft_simhash_keys: 3× the tables×bits×dim loop). Our generators
+    // never produce empty arrays, so the inferred guard is pure overhead.
+    // Appended to (not clobbering) whatever the user already excluded.
+    val inferRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.trim).filter(_.nonEmpty)
+    if (!excluded.exists(_.split(",").map(_.trim).contains(inferRule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        excluded.map(_ + "," + inferRule).getOrElse(inferRule))
+    // TypedImperativeAggregates (graft_topk / graft_vecsum) fall back to
+    // sort-based aggregation after 128 distinct keys per partition by
+    // default — far too low for per-user/per-query grouping at scale.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    // events.parquet carries nanosecond timestamps, which the Spark 4
+    // reader rejects as a timestamp type; read them as raw BIGINT ns.
+    // Session bootstrap is the right home for this (a read should not
+    // mutate session conf as a side effect).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Function registration alone is keyed on the registry (idempotent per
+    // session, and extension-injected sessions already pass this check).
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(functionBuilders.head._1))) {
-      // InferFiltersFromGenerate turns explode(expensive_expr) into a scan
-      // filter that re-evaluates the expression 2 extra times per row (seen
-      // on graft_simhash_keys: 3× the tables×bits×dim loop). Our generators
-      // never produce empty arrays, so the inferred guard is pure overhead.
-      // Appended to (not clobbering) whatever the user already excluded.
-      val inferRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-      val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
-        .map(_.trim).filter(_.nonEmpty)
-      if (!excluded.exists(_.split(",").map(_.trim).contains(inferRule)))
-        spark.conf.set("spark.sql.optimizer.excludedRules",
-          excluded.map(_ + "," + inferRule).getOrElse(inferRule))
-      // TypedImperativeAggregates (graft_topk / graft_vecsum) fall back to
-      // sort-based aggregation after 128 distinct keys per partition by
-      // default — far too low for per-user/per-query grouping at scale.
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      // events.parquet carries nanosecond timestamps, which the Spark 4
-      // reader rejects as a timestamp type; read them as raw BIGINT ns.
-      // Session bootstrap is the right home for this (a read should not
-      // mutate session conf as a side effect).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       functionBuilders.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }

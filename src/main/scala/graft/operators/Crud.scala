@@ -47,12 +47,18 @@ object Crud {
     * timestamp column, so it reaches the parquet scan as a pushed
     * predicate — at 100 TB a snapshot reads only row groups whose ts-min
     * precedes T, i.e. time travel costs what the past costs, not the
-    * whole log. */
+    * whole log.
+    *
+    * Boundary semantics: the cutoff is MILLISECOND-INCLUSIVE — an event
+    * whose ms equals the cutoff is included regardless of its sub-ms ns
+    * component (`ts <= cutoff·10⁶ + 999999`). The oracle states the same
+    * bound at ns precision (`epoch_ns`), so the two sides agree exactly on
+    * the boundary instead of one truncating to ms and the other not. */
   def snapshotAsOf(spark: SparkSession, dir: String, cutoffMs: Long = 1705363200000L): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ms").desc, col("event_id").desc)
     Tables.events(spark, dir)
-      .filter(col("ts") <= cutoffMs * 1000000L) // raw ns — pushed to scan
+      .filter(col("ts") <= cutoffMs * 1000000L + 999999L) // raw ns — pushed to scan
       .withColumn("ms", expr("ts div 1000000"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -63,7 +69,7 @@ object Crud {
 
   def snapshotAsOfOracle(cutoffMs: Long = 1705363200000L): String =
     s"""WITH e AS (SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ms
-       |           FROM events WHERE epoch_ms(ts) <= $cutoffMs),
+       |           FROM events WHERE epoch_ns(ts) <= ${cutoffMs * 1000000L + 999999L}),
        |r AS (SELECT user_id, event_type, event_id, value,
        |             row_number() OVER (PARTITION BY user_id, event_type
        |                                ORDER BY ms DESC, event_id DESC) AS rn

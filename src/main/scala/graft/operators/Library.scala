@@ -64,7 +64,6 @@ object Library {
     val scored = emb.join(broadcast(queries), Seq("library"))
       .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored
       .groupBy(col("library"), col("qid"))
       .agg(Graft.topk(col("score"), col("vec_id"), lit(k), lit(false)).as("top"))

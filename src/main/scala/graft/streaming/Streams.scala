@@ -118,18 +118,32 @@ object Streams {
     * (lsh_simhash.py:72-80) as a live stream: each micro-batch of new
     * vectors `(vec_id, embedding)` is keyed (delta ONLY, like p4's
     * incremental append) and appended to the persisted bucketed LSH index
-    * inside `foreachBatch`. The batch write is transactional per
-    * micro-batch, the bucket spec matches the base table, and searching
-    * the live table equals a fresh full build bit-for-bit
-    * (StreamingMultiBatchSpec). At 100 TB this is continuous index
-    * maintenance: ingest keys only the arriving delta. */
+    * inside `foreachBatch`, guarded by a batchId commit log: a micro-batch
+    * REPLAYED after failure/restart finds its batchId already committed and
+    * is skipped, so the common replay path cannot double-append key rows.
+    * (The marker lands after the data append, so a crash exactly between
+    * the two appends can still leave one duplicated batch — searches are
+    * insensitive to that residue because [[graft.operators.Lsh.searchIndex]]
+    * dedups candidates before the rerank.) The bucket spec matches the base
+    * table, and searching the live table equals a fresh full build
+    * bit-for-bit (StreamingMultiBatchSpec). At 100 TB this is continuous
+    * index maintenance: ingest keys only the arriving delta. */
   def lshIngestStream(embStream: DataFrame, table: String, nTables: Int,
                       nBits: Int, seed: Long): org.apache.spark.sql.streaming.StreamingQuery = {
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-      graft.operators.Lsh.keyRows(batch, nTables, nBits, seed)
-        .write.mode("append")
-        .bucketBy(8, "key").sortBy("key")
-        .format("parquet").saveAsTable(table)
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val commits = table + "_commits"
+      val alreadyCommitted = s.catalog.tableExists(commits) &&
+        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+      if (!alreadyCommitted) {
+        graft.operators.Lsh.keyRows(batch, nTables, nBits, seed)
+          .write.mode("append")
+          .bucketBy(8, "key").sortBy("key")
+          .format("parquet").saveAsTable(table)
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(commits)
+      }
+    }
     embStream.writeStream
       .outputMode("append")
       .foreachBatch(writeBatch)

@@ -124,6 +124,7 @@ class StreamingMultiBatchSpec extends GraftSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_lsh_stream"
     operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_commits")
     val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val all = embDf.as[(Long, Array[Float])].collect().toSeq
     val (b1, b2) = all.partition(_._1 < 250) // delta arrives in batch 2
@@ -145,6 +146,20 @@ class StreamingMultiBatchSpec extends GraftSuite {
       .collect().toSeq
     assert(got.nonEmpty && got === want,
       "stream-ingested index diverged from fresh build")
+
+    // Replay idempotency: a fresh run of the same source restarts batchIds
+    // at 0 — the commit-log guard must recognize them as already committed
+    // and skip the append, leaving the index bit-identical.
+    val rowsBefore = spark.table(table).count()
+    val replay = MemoryStream[(Long, Array[Float])]
+    val q2 = Streams.lshIngestStream(
+      replay.toDF().toDF("vec_id", "embedding"), table, 4, 12, 5000)
+    try {
+      replay.addData(b1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table(table).count() === rowsBefore,
+      "replayed micro-batch double-appended despite the batchId commit log")
   }
 
   test("stateful sessionization carries state across micro-batches == batch e2") {
