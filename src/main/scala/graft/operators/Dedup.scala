@@ -252,20 +252,22 @@ object Dedup {
     * near-dup pair graph, i.e. the "keep one representative per duplicate
     * group" step a curation pipeline runs after candidate generation.
     *
-    * Spark shape: iterative min-label propagation as DataFrame jobs — each
-    * iteration is one equi-join on the vertex id + a partial-agg `min`, with
-    * `localCheckpoint` truncating the lineage so plan size stays O(1) in the
-    * iteration count. Band-generated dup groups are near-cliques, so the
-    * fixpoint lands in 2-3 iterations (cap [[maxIters]]); at 100 TB the same
-    * loop runs with reliable `checkpoint` + the large-star/small-star
-    * contraction (O(log d) rounds) — the per-iteration plan is identical.
-    * The convergence check is a `count` action, not a collect: driver state
-    * stays O(1).
+    * Spark shape: alternating large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * O(log d)-round MapReduce CC algorithm, vs O(diameter) for plain label
+    * propagation. Each round is two equi-join+partial-min passes over the
+    * EDGE list only (which after candidate filtering is a small fraction of
+    * the corpus), `localCheckpoint` truncates lineage so plan size stays
+    * O(1) in the round count, and the convergence check reads the
+    * already-materialized round output — no extra pass over data. Exits
+    * LOUDLY (IllegalStateException) if `maxRounds` is hit while still
+    * contracting, so a pathological graph can never silently ship wrong
+    * labels.
     */
   def dupClusters(spark: SparkSession, dir: String, tau: Double = 0.5,
-                  maxIters: Int = 20): DataFrame = {
+                  maxRounds: Int = 25): DataFrame = {
     val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs, maxIters)
+    val labels = connectedComponents(pairs, maxRounds)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
@@ -274,40 +276,81 @@ object Dedup {
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)` →
     * `(id, label)` with label = min id in the component. Reusable by any
-    * pair source (d3 minhash bands, d4 simhash, d5 embedding cosine). */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    * pair source (d3 minhash bands, d4 simhash, d5 embedding cosine).
+    *
+    * Large-star/small-star: edges are kept oriented big→small (`u > v`);
+    * large-star hangs every neighbor larger than `u` off `u`'s minimum
+    * neighbor, small-star re-points `u` and its smaller neighbors at that
+    * minimum. The alternation converges in O(log d) rounds to per-component
+    * stars whose centers are the component minima — at which point the edge
+    * list IS the label assignment. Every op is an equi-join + partial `min`
+    * on the edge list; nothing ever touches the corpus again.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // seed labels with one propagation folded in (label₀ = min(id, min
-    // neighbor)) — band-generated components are near-cliques, so this
-    // usually IS the fixpoint and the loop exits after one no-change round
-    var labels = edges.groupBy(col("dst").as("id"))
-      .agg(min(col("src")).as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+    // orient big→small; materialize ONCE (this runs the candidate pipeline).
+    // The edge list is orders of magnitude smaller than the corpus (it is
+    // the POST-candidate-filter pair set), so it gets the small-data layout:
+    // coalesced hard so each loop stage schedules O(1) tasks, not one per
+    // upstream shuffle partition. At 100 TB the same line reads
+    // `.repartition(numPartitionsFor(edgeCount))` — the loop body is
+    // partition-count-agnostic.
+    var edges = pairs.filter(a =!= b)
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .coalesce(1)
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr"))
-      // carry the improved-this-round flag in the SAME checkpointed frame:
-      // the convergence check is then a scan of already-materialized rows,
-      // not an extra join per iteration
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("nl"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("id"), col("nl").as("label"))
-      iter += 1
+
+    // large-star: for each node n, m(n) = min(n ∪ neighbors); every neighbor
+    // LARGER than n re-attaches to m(n). Output stays big→small and
+    // self-loop-free (v > n ≥ m, strictly). Duplicate output edges are left
+    // in place — small-star's `min` and the round-end distinct absorb them,
+    // saving a shuffle per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
     }
-    edges.unpersist()
-    labels
+
+    // small-star (input big→small): node n and all its smaller neighbors
+    // attach to m(n) = min neighbor. Self-loops (v == m) drop out.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Convergence test: the round output is star-shaped ⟺ no edge's target
+    // is itself a source (stars are fixpoints of both ops). The flag is
+    // computed INSIDE the checkpointed round plan, so detection costs one
+    // trivial agg over materialized rows — and a near-clique graph (the band
+    // dedup shape) finishes in a SINGLE heavy round, no verify round.
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges))
+      val srcs = next.select(col("u").as("v")).distinct()
+      val flagged = next.join(srcs.withColumn("chained", lit(true)), Seq("v"), "left")
+        .select(col("u"), col("v"), coalesce(col("chained"), lit(false)).as("chained"))
+        .localCheckpoint()
+      val s = flagged.agg(sum(when(col("chained"), 1L).otherwise(0L))).collect()(0)
+      converged = s.isNullAt(0) || s.getLong(0) == 0L // null sum ⇒ empty graph
+      edges = flagged.select(col("u"), col("v"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: still contracting after $maxRounds large-star/small-star rounds " +
+          "— graph needs a higher maxRounds")
+    // converged stars: every (u, root) edge labels u; roots label themselves
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
   }
 
   /** Transitive closure over the same pair graph via recursive CTE — exact

@@ -99,6 +99,27 @@ class GraphTemporalSpec extends GraftSuite {
     assert(Seq(20L, 21L, 22L).map(labels).distinct === Seq(20L))
   }
 
+  test("connectedComponents handles diameter-30 chains in O(log d) star rounds") {
+    import spark.implicits._
+    // a 31-node chain, descending ids so the min label must travel the full
+    // diameter — the old propagation loop silently shipped wrong labels past
+    // its iteration cap on exactly this shape; large-star/small-star must
+    // converge (well under the round cap) or throw, never ship quietly
+    val chain = (0 until 30).map(i => (100L - i, 99L - i)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(chain, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 31)
+    assert((70L to 100L).forall(labels(_) == 70L), s"chain split: ${labels.toSeq.sorted}")
+  }
+
+  test("connectedComponents non-convergence is loud, not silent") {
+    import spark.implicits._
+    val chain = (0 until 30).map(i => (100L - i, 99L - i)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      operators.Dedup.connectedComponents(chain, maxRounds = 1).collect()
+    }
+  }
+
   test("e4: as-of match is the latest click at-or-before each purchase") {
     val out = run("e4_asof_join").collect()
     assert(out.nonEmpty)
