@@ -72,6 +72,7 @@ object SparkEntry {
     "u1_upsert_then_search" -> ((s, d) => Crud.upsertThenSearch(s, d)),
     "c6_snapshot_asof" -> ((s, d) => Crud.snapshotAsOf(s, d)),
     "c7_list_page" -> ((s, d) => Crud.listPage(s, d)),
+    "c8_library_delete_cascade" -> ((s, d) => Crud.libraryDeleteCascade(s, d)),
     // Multimodal (stubbed decode, real plumbing; rows-only check)
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "u1_upsert_then_search" -> Crud.upsertThenSearchOracle(),
     "c6_snapshot_asof" -> Crud.snapshotAsOfOracle(),
     "c7_list_page" -> Crud.listPageOracle(),
+    "c8_library_delete_cascade" -> Crud.libraryDeleteCascadeOracle(),
     // m1_binary_meta: binary mapPartitions pipeline — rows-only check
     "f1_training_pipeline" -> Pipeline.trainingPipelineOracle(),
     "f2_near_dedup_corpus" -> Pipeline.nearDedupCorpusOracle(),

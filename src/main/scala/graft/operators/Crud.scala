@@ -95,6 +95,37 @@ object Crud {
       |WHERE vec_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'de')
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** c8: library-level delete cascade — the reference's `delete_library`
+    * removes the library AND everything under it, two levels deep
+    * (app/core/vector_db.py:171 + the library routes: library → documents
+    * → chunks). Library ≡ `source`; chunks ≡ embeddings keyed by
+    * vec_id = doc_id. One pass: the deleted library's doc-id set drives a
+    * single anti-join on the chunk table (level 2), while level 1 is a
+    * pushed scan predicate (`source <> X` prunes row groups — the doc
+    * table is never re-joined against itself). Output = post-delete
+    * per-library stats, proving both levels cascaded. */
+  def libraryDeleteCascade(spark: SparkSession, dir: String, library: String = "src3"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val deletedDocs = docs.filter(col("source") === library).select(col("doc_id"))
+    val survivingChunks = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(deletedDocs, col("vec_id") === col("doc_id"), "left_anti")
+    docs.filter(col("source") =!= library)
+      .join(survivingChunks, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        count(col("vec_id")).as("n_chunks"))
+      .orderBy("source")
+  }
+
+  def libraryDeleteCascadeOracle(library: String = "src3"): String =
+    s"""WITH del AS (SELECT doc_id FROM documents WHERE source = '$library'),
+       |sc AS (SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM del))
+       |SELECT d.source, count(*) AS n_docs, sum(d.n_chars)::BIGINT AS total_chars,
+       |       count(sc.vec_id) AS n_chunks
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.vec_id
+       |WHERE d.source <> '$library'
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** c3: point lookup by id — the filter reaches the parquet scan as a
     * pushed predicate (row-group pruning at 100 TB). */
   def pointLookup(spark: SparkSession, dir: String, ids: Seq[Long] = Seq(5L, 42L, 123L, 456L)): DataFrame =

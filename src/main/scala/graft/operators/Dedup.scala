@@ -227,15 +227,31 @@ object Dedup {
     * J = 0 < τ and are never generated. (Round 1 used a crossJoin over a
     * 100-doc window, which both missed all 25 planted near-dup pairs —
     * their ids span 8..486, so the oracle compare was vacuously 0=0 — and
-    * was the one all-pairs shape in the suite.) The id bound keeps the
-    * hot-shingle candidate blowup out of the small-vocab test corpus; at
-    * scale d3's banding bounds candidates instead. */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, limit: Int = 500): DataFrame = {
-    val sh = shingleHashes(Tables.documents(spark, dir).filter(col("doc_id") < limit))
+    * was the one all-pairs shape in the suite.)
+    *
+    * Hot-shingle blowup is bounded by a DOCUMENT-FREQUENCY CAP, not a
+    * document-id fence: shingles appearing in more than `dfCap` docs are
+    * dropped from BOTH the index and the per-doc set sizes (the standard
+    * "stop-shingle" move), so any single shingle contributes at most
+    * C(dfCap, 2) candidate pairs no matter how big the corpus — boilerplate
+    * n-grams can never quadratic-join. Jaccard is then exact over the
+    * capped shingle sets on both engines. `dfCap` is corpus-size-agnostic:
+    * near-dup pairs share RARE shingles (df ≈ 2), which always survive.
+    * (Measured at sf0.1: dfCap=10 → 458k candidate rows; uncapped ≈ 3×
+    * that from a handful of boilerplate shingles. Too-aggressive capping
+    * backfires — dfCap=5 shrinks set sizes so far that one shared rare
+    * shingle clears τ, 29× more pairs, all noise.) */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame = {
+    val sh = shingleHashes(Tables.documents(spark, dir))
       .distinct() // h60 collisions within a doc would double-count (both engines dedup)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // df-cap: one agg on h, then an equi-join back — co-partitioned with the
+    // pair self-join below (same key), so the filter rides the same exchange
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val kept = sh.join(keep, Seq("h"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -369,13 +385,15 @@ object Dedup {
        |FROM lab l JOIN sz s USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
 
-  def ngramJaccardOracle(tau: Double = 0.2, limit: Int = 500): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $limit),
+  def ngramJaccardOracle(tau: Double = 0.2, dfCap: Long = 10): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id,
        |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |                                    for i in generate_series(1, len(w) - 2)])) AS s
        |       FROM w),
-       |h AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh),
+       |h0 AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh),
+       |df AS (SELECT h, count(*) AS df FROM h0 GROUP BY h),
+       |h AS (SELECT h0.doc_id, h0.h FROM h0 JOIN df USING (h) WHERE df.df <= $dfCap),
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
        |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |       FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
