@@ -20,6 +20,7 @@ object SparkEntry {
     "v4_knn_manhattan_flat" -> ((s, d) => Knn.flatSearch(s, d, "manhattan")),
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
     "v16_filtered_knn" -> ((s, d) => Knn.filteredSearch(s, d)),
+    "v16b_filtered_ivf" -> ((s, d) => Persist.filteredIvfSearch(s, d)),
     "v17_sq8_search" -> ((s, d) => Knn.sq8Search(s, d)),
     "v18_pq_search" -> ((s, d) => Pq.search(s, d)),
     "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "v4_knn_manhattan_flat" -> Knn.oracleFlat("manhattan"),
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
     "v16_filtered_knn" -> Knn.filteredSearchOracle(),
+    "v16b_filtered_ivf" -> Persist.filteredIvfSearchOracle(),
     "v17_sq8_search" -> Knn.sq8SearchOracle(),
     "v18_pq_search" -> Pq.searchOracle(),
     "v13_search_text" -> SearchText.searchTextOracle(),

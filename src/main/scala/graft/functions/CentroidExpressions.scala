@@ -202,3 +202,155 @@ case class NearestCentroid(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** `graft_nearest_centroid_grouped(vec, group_key, map<long, matrix>)` —
+  * per-GROUP argmax-cosine: each row's `group_key` (e.g. its library id)
+  * selects which centroid matrix scores it, from a FOLDABLE map literal of
+  * k×d matrices. Returns `struct<idx: int, sim: double>` with `idx` the
+  * position INSIDE that group's matrix (ties → lowest index).
+  *
+  * This is the grouped IVF-assignment kernel (reference: one
+  * `app/core/indexes/ivf.py:39-48` `_assign` per library, looped library-
+  * by-library at app/core/vector_db.py:272-292): all libraries assign in
+  * ONE map-only scan — no join against a centroid table, no ×k row
+  * amplification, no pre-aggregation shuffle. Driver state is
+  * #groups × k × d doubles (libraries are few by definition; the corpus is
+  * what's big). The map is decoded once per task into sorted key/matrix
+  * arrays; per-row lookup is a binary search over #groups keys followed by
+  * the same fused k×d loop as [[NearestCentroid]].
+  */
+case class NearestCentroidGrouped(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with Serializable {
+
+  override def prettyName: String = "graft_nearest_centroid_grouped"
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  private def et: DataType = first.dataType match {
+    case ArrayType(t, _) => t
+    case other => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val mapOk = third.dataType match {
+      case MapType(LongType, ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    if (!vecOk) TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_grouped expects an array<float>/array<double> vector, got ${first.dataType.catalogString}")
+    else if (second.dataType != LongType) TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_grouped expects a bigint group key, got ${second.dataType.catalogString}")
+    else if (!mapOk || !third.foldable) TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_grouped expects a foldable map<bigint, array<array<double>>>, got ${third.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Group keys (sorted for binary search) + aligned matrices and norms,
+    * decoded once from the literal. */
+  @transient private lazy val (keys: Array[Long], mats: Array[Array[Array[Double]]],
+                               norms: Array[Array[Double]]) = {
+    val md = third.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val ks = md.keyArray().toLongArray()
+    val vs = Array.tabulate(md.numElements()) { i =>
+      val m = md.valueArray().getArray(i)
+      Array.tabulate(m.numElements())(j => m.getArray(j).toDoubleArray())
+    }
+    val order = ks.indices.sortBy(i => ks(i))
+    val sk = order.map(i => ks(i)).toArray
+    val sm = order.map(i => vs(i)).toArray
+    (sk, sm, sm.map(_.map(c => math.sqrt(c.map(x => x * x).sum))))
+  }
+
+  override def nullSafeEval(v: Any, key: Any, m: Any): Any = {
+    val g = java.util.Arrays.binarySearch(keys, key.asInstanceOf[Long])
+    if (g < 0)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid_grouped: no centroid matrix for group key $key")
+    val a = v.asInstanceOf[ArrayData]
+    val mat = mats(g); val nrm = norms(g)
+    val isFloat = et == FloatType
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      na += x * x; i += 1
+    }
+    val sqna = math.sqrt(na)
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < mat.length) {
+      val cv = mat(c)
+      if (cv.length != n)
+        throw new IllegalArgumentException(
+          s"graft_nearest_centroid_grouped: dimension mismatch ($n vs ${cv.length})")
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * cv(i); i += 1
+      }
+      val s = if (sqna == 0.0 || nrm(c) == 0.0) 0.0 else dot / (sqna * nrm(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    InternalRow(best, bestSim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, key, _) => {
+      val keysRef = ctx.addReferenceObj("gkeys", keys, "long[]")
+      val matsRef = ctx.addReferenceObj("gmats", mats, "double[][][]")
+      val normsRef = ctx.addReferenceObj("gnorms", norms, "double[][]")
+      val g = ctx.freshName("g"); val mat = ctx.freshName("mat"); val nrm = ctx.freshName("nrm")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val na = ctx.freshName("na"); val x = ctx.freshName("x"); val dot = ctx.freshName("dot")
+      val sqna = ctx.freshName("sqna"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestSim = ctx.freshName("bestSim")
+      val cv = ctx.freshName("cv")
+      val getterStr = et match {
+        case FloatType => s"(double) $a.getFloat($i)"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $g = java.util.Arrays.binarySearch($keysRef, $key);
+         |if ($g < 0) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_centroid_grouped: no centroid matrix for group key " + $key);
+         |}
+         |double[][] $mat = $matsRef[$g];
+         |double[] $nrm = $normsRef[$g];
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getterStr;
+         |  $na += $x * $x;
+         |}
+         |double $sqna = java.lang.Math.sqrt($na);
+         |int $best = 0; double $bestSim = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cv = $mat[$c];
+         |  if ($cv.length != $n) {
+         |    throw new IllegalArgumentException(
+         |      "graft_nearest_centroid_grouped: dimension mismatch (" + $n + " vs " + $cv.length + ")");
+         |  }
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ($getterStr) * $cv[$i];
+         |  }
+         |  double $s = ($sqna == 0.0 || $nrm[$c] == 0.0) ? 0.0 : $dot / ($sqna * $nrm[$c]);
+         |  if ($s > $bestSim) { $bestSim = $s; $best = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $best, $bestSim });
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}

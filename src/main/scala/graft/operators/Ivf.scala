@@ -52,17 +52,21 @@ object Ivf {
     }
 
   /** Map-only nearest-centroid assignment: projects
-    * (vec_id, cluster_id, sim, embedding) with zero joins/shuffles. */
-  private[operators] def assignToMat(emb: DataFrame, mat: Array[(Long, Array[Double])]): DataFrame = {
+    * (vec_id, cluster_id, sim, embedding [, keep...]) with zero
+    * joins/shuffles. `keep` carries metadata columns (e.g. `label`)
+    * through the assignment so they land in the persisted lists. */
+  private[operators] def assignToMat(emb: DataFrame, mat: Array[(Long, Array[Double])],
+                                     keep: Seq[String] = Nil): DataFrame = {
     val cvecs: Column = typedLit(mat.map(_._2.toSeq).toSeq)
     val cids: Column = typedLit(mat.map(_._1).toSeq)
     emb
       .withColumn("nc", Graft.nearestCentroid(col("embedding"), cvecs))
       .select(
-        col("vec_id"),
-        element_at(cids, col("nc.idx") + 1).as("cluster_id"),
-        col("nc.sim").as("sim"),
-        col("embedding"))
+        col("vec_id") +:
+          element_at(cids, col("nc.idx") + 1).as("cluster_id") +:
+          col("nc.sim").as("sim") +:
+          col("embedding") +:
+          keep.map(col): _*)
   }
 
   /** v6: assign every vector to its nearest (cosine) fixed centroid. */

@@ -86,26 +86,55 @@ object Library {
        |SELECT library, qid, rank, vec_id, round(score, 4) AS score
        |FROM r WHERE rank <= $k ORDER BY library, qid, rank""".stripMargin
 
-  /** l2: per-library IVF index BUILD — each library trains on its own
-    * centroid set (first `kPerLib` vectors of that library) and every
-    * vector is assigned within its library only. The grouped analog of v6:
-    * centroids join on `library` (equi-join), TopK(1) argmax per vector.
+  /** Driver-side per-library centroid state: library → (cids sorted
+    * ascending, k×d matrix in the same order), from the first `kPerLib`
+    * vectors of each library. #libraries × k × d doubles — the grouped
+    * analog of [[Ivf.collectCentroids]]'s canonical k-means driver state. */
+  private[operators] def collectLibraryCentroids(emb: DataFrame, kPerLib: Int)
+      : Map[Long, Array[(Long, Array[Double])]] = {
+    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
+    emb.withColumn("rn", row_number().over(byLib))
+      .filter(col("rn") <= kPerLib)
+      .select(col("library"), col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val vec = r.get(2) match {
+          case s: scala.collection.Seq[_] => s.map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray
+        }
+        (r.getLong(0), r.getLong(1), vec)
+      }
+      .groupBy(_._1)
+      .map { case (lib, rows) => lib -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+  }
+
+  /** l2: per-library IVF index BUILD — each library gets its own centroid
+    * set (first `kPerLib` vectors of that library) and every vector is
+    * assigned within its library only. Assignment is ONE map-only codegen'd
+    * pass ([[graft.functions.NearestCentroidGrouped]]): the row's library
+    * key selects its k×d matrix from the broadcast literal, argmax runs in
+    * the scan — no centroid join, no ×kPerLib row amplification, no
+    * pre-aggregation shuffle (the round-2/3 shape paid both for the same
+    * answer; at 100 TB that was an avoidable per-vector exchange). The only
+    * shuffle left carries ≤ #libraries × kPerLib pre-aggregated counts.
     * Output = per-library inverted-list sizes (the reference's per-library
     * `stats` after `rebuild_index`, app/core/vector_db.py:294+stats). */
   def libraryIvfBuild(spark: SparkSession, dir: String, kPerLib: Int = 4): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
-    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
-    val centroids = emb.withColumn("rn", row_number().over(byLib))
-      .filter(col("rn") <= kPerLib)
-      .select(col("library"), col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = collectLibraryCentroids(emb, kPerLib)
+    // two aligned literals: library → matrix (scorer) and library → cid list
+    // (idx-in-matrix → centroid id, resolved relationally after the scan)
+    val matByLib = typedLit(cents.map { case (lib, cs) => lib -> cs.map(_._2.toSeq).toSeq })
+    val cidByLib = typedLit(cents.map { case (lib, cs) => lib -> cs.map(_._1).toSeq })
 
-    emb.join(broadcast(centroids), Seq("library"))
-      .withColumn("s", Graft.cosine(col("embedding"), col("cvec")))
-      .groupBy(col("library"), col("vec_id"))
-      .agg(Graft.topk(col("s"), col("cid"), lit(1), lit(false)).as("top"))
-      .select(col("library"), col("top").getItem(0).getField("id").as("cluster_id"))
+    emb
+      .withColumn("nc", Graft.nearestCentroidGrouped(col("embedding"), col("library"), matByLib))
+      .select(col("library"),
+        element_at(element_at(cidByLib, col("library")), col("nc.idx") + 1).as("cluster_id"))
       .groupBy(col("library"), col("cluster_id"))
       .agg(count(lit(1)).as("list_size"))
       .orderBy("library", "cluster_id")

@@ -161,6 +161,75 @@ object Persist {
   def ivfPersistSearchOracle(k: Int = 10, nQueries: Int = 8): String =
     Ivf.searchOracle(k, nQueries)
 
+  /** v16b: metadata-filtered IVF search over the PERSISTED partitioned
+    * lists — the composition the reference declares on every index's search
+    * signature (`metadata_filters`, app/core/indexes/ivf.py:91) but the
+    * flat-only v16 couldn't show at scale: ONE scan that is pruned on BOTH
+    * axes. The probed cluster ids (a driver-side Q×Probes set) become a
+    * static `cluster_id IN (...)` → PARTITION pruning at file-listing time;
+    * the metadata filter (`label IN (...)`) pushes into the parquet reader
+    * → row-group pruning inside the surviving partitions. At 100 TB a
+    * filtered probe reads probed-directories ∩ label-matching-row-groups,
+    * never the corpus. Queries are NOT label-filtered (v16 semantics: the
+    * filter restricts candidates). */
+  def filteredIvfSearch(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
+                        k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+
+    // build: map-only assignment with `label` carried into the lists —
+    // the persisted index is metadata-complete, like the reference's chunk
+    // store (filters never need a join back to the corpus)
+    val path = tablePath(spark, "graft_idx_ivf_lists_labeled")
+    val built = Ivf.assignToMat(emb, mat, keep = Seq("label"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cluster_id"))
+    Sinks.writePartitioned(built, path, "cluster_id")
+    val lists = spark.read.parquet(path)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // probe pairs land on the driver (Q×Probes rows) so the cluster set is
+    // a STATIC IN-filter — partition pruning at planning time, not runtime
+    val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    val scored = lists
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .filter(col("label").isin(labels: _*))
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def filteredIvfSearchOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < ${Ivf.K}),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= ${Ivf.Probes}),
+       |assign_s AS (SELECT e.vec_id, e.label, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, label, cid AS cluster_id FROM (
+       |  SELECT vec_id, label, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid
+       |         WHERE a.label IN (${labels.mkString(", ")})),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** p4: incremental index maintenance — the reference's `add_chunk` path
     * (app/core/indexes/lsh_simhash.py:72-80 adds one vector's keys to the
     * live tables; vector_db.py:150-168 add_chunks → index add). The Spark

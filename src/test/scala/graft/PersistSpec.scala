@@ -58,6 +58,32 @@ class PersistSpec extends GraftSuite {
     assert(labels.subsetOf(Set(2, 5)))
   }
 
+  test("v16b filtered IVF: one scan with BOTH partition pruning and pushed label filter") {
+    run("v16b_filtered_ivf").collect() // builds graft_idx_ivf_lists_labeled
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists_labeled"
+    val probed = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(1L, 3L, 5L)).filter(col("label").isin(2, 5))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"probe does not prune cluster partitions:\n${plan.take(600)}")
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"label filter not pushed into the pruned scan:\n${plan.take(600)}")
+  }
+
+  test("l2 grouped IVF build is map-only up to the count agg (no join, no window, ≤2 exchanges)") {
+    val df = run("l2_library_ivf_build")
+    df.collect()
+    // AQE's toString repeats the plan ("Final Plan" + "Initial Plan") —
+    // assert on the executed final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"grouped assignment still joins centroids:\n${plan.take(800)}")
+    assert(!plan.contains("Window"), s"centroid window leaked into the assignment plan:\n${plan.take(800)}")
+    val exchanges = "Exchange".r.findAllMatchIn(plan).length
+    assert(exchanges <= 2, // one for the count agg, one rangepartitioning for the final sort
+      s"expected ≤2 exchanges (agg + sort), got $exchanges:\n${plan.take(800)}")
+  }
+
   test("persisted band table self-joins with NO Exchange (bucket co-location)") {
     // p2 above has materialized graft_idx_minhash_bands (bucketed by band_key)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
