@@ -28,6 +28,7 @@ object Graft {
     "graft_vec_normalize" -> (es => VecNormalize(es(0))),
     "graft_nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "graft_nearest_centroid_grouped" -> (es => NearestCentroidGrouped(es(0), es(1), es(2))),
+    "graft_nearest_centroid_grouped_l2" -> (es => NearestCentroidGrouped(es(0), es(1), es(2), l2 = true)),
     "graft_topk" -> (es => TopKAgg(es(0), es(1), es(2), es(3))),
     "graft_vecsum" -> (es => VecSumAgg(es(0))),
     "graft_simhash_agg" -> (es => SimhashBitsAgg(es(0))),
@@ -82,6 +83,8 @@ object Graft {
     call_function("graft_nearest_centroid", v, centroidMatrix)
   def nearestCentroidGrouped(v: Column, groupKey: Column, matrixByGroup: Column): Column =
     call_function("graft_nearest_centroid_grouped", v, groupKey, matrixByGroup)
+  def nearestCentroidGroupedL2(v: Column, groupKey: Column, matrixByGroup: Column): Column =
+    call_function("graft_nearest_centroid_grouped_l2", v, groupKey, matrixByGroup)
   def topk(score: Column, id: Column, k: Column, smallestFirst: Column): Column =
     call_function("graft_topk", score, id, k, smallestFirst)
   def vecsum(v: Column): Column = call_function("graft_vecsum", v)

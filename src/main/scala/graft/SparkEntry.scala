@@ -23,6 +23,7 @@ object SparkEntry {
     "v16b_filtered_ivf" -> ((s, d) => Persist.filteredIvfSearch(s, d)),
     "v17_sq8_search" -> ((s, d) => Knn.sq8Search(s, d)),
     "v18_pq_search" -> ((s, d) => Pq.search(s, d)),
+    "v18b_pq_trained_search" -> ((s, d) => Pq.searchTrained(s, d)),
     "v13_search_text" -> ((s, d) => SearchText.searchText(s, d)),
     "v5_vector_norms" -> ((s, d) => Vectors.norms(s, d)),
     "v6_ivf_assign" -> ((s, d) => Ivf.assign(s, d)),
@@ -36,6 +37,7 @@ object SparkEntry {
     // Multi-library (per-library index scope)
     "l1_library_knn" -> ((s, d) => Library.libraryKnn(s, d)),
     "l2_library_ivf_build" -> ((s, d) => Library.libraryIvfBuild(s, d)),
+    "l3_library_dispatch" -> ((s, d) => Library.libraryDispatchSearch(s, d)),
     // Index persistence round-trips (build → write → reload → search)
     "p1_lsh_persist_search" -> ((s, d) => Persist.lshPersistSearch(s, d)),
     "p2_minhash_persist_pairs" -> ((s, d) => Persist.minhashPersistPairs(s, d)),
@@ -114,6 +116,7 @@ object SparkEntry {
     "v15_search_with_payload" -> Library.searchWithPayloadOracle(),
     "l1_library_knn" -> Library.libraryKnnOracle(),
     "l2_library_ivf_build" -> Library.libraryIvfBuildOracle(),
+    "l3_library_dispatch" -> Library.libraryDispatchSearchOracle(),
     "p1_lsh_persist_search" -> Persist.lshPersistSearchOracle(),
     "p2_minhash_persist_pairs" -> Persist.minhashPersistPairsOracle(),
     "p3_ivf_persist_search" -> Persist.ivfPersistSearchOracle(),

@@ -204,10 +204,13 @@ case class NearestCentroid(left: Expression, right: Expression)
 }
 
 /** `graft_nearest_centroid_grouped(vec, group_key, map<long, matrix>)` —
-  * per-GROUP argmax-cosine: each row's `group_key` (e.g. its library id)
-  * selects which centroid matrix scores it, from a FOLDABLE map literal of
-  * k×d matrices. Returns `struct<idx: int, sim: double>` with `idx` the
-  * position INSIDE that group's matrix (ties → lowest index).
+  * per-GROUP argmax: each row's `group_key` (e.g. its library id, or a PQ
+  * subspace index) selects which centroid matrix scores it, from a
+  * FOLDABLE map literal of k×d matrices. Returns
+  * `struct<idx: int, sim: double>` with `idx` the position INSIDE that
+  * group's matrix (ties → lowest index). `l2 = false` scores by cosine;
+  * `l2 = true` by NEGATED squared L2 (so "bigger is better" and the argmax
+  * loop is shared — `sim` is then −‖v−c‖²).
   *
   * This is the grouped IVF-assignment kernel (reference: one
   * `app/core/indexes/ivf.py:39-48` `_assign` per library, looped library-
@@ -219,7 +222,8 @@ case class NearestCentroid(left: Expression, right: Expression)
   * arrays; per-row lookup is a binary search over #groups keys followed by
   * the same fused k×d loop as [[NearestCentroid]].
   */
-case class NearestCentroidGrouped(first: Expression, second: Expression, third: Expression)
+case class NearestCentroidGrouped(first: Expression, second: Expression, third: Expression,
+                                  l2: Boolean = false)
   extends TernaryExpression with Serializable {
 
   override def prettyName: String = "graft_nearest_centroid_grouped"
@@ -290,13 +294,24 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
       if (cv.length != n)
         throw new IllegalArgumentException(
           s"graft_nearest_centroid_grouped: dimension mismatch ($n vs ${cv.length})")
-      var dot = 0.0
-      i = 0
-      while (i < n) {
-        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        dot += x * cv(i); i += 1
+      var s = 0.0
+      if (l2) {
+        var acc = 0.0
+        i = 0
+        while (i < n) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          val d = x - cv(i); acc += d * d; i += 1
+        }
+        s = -acc
+      } else {
+        var dot = 0.0
+        i = 0
+        while (i < n) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          dot += x * cv(i); i += 1
+        }
+        s = if (sqna == 0.0 || nrm(c) == 0.0) 0.0 else dot / (sqna * nrm(c))
       }
-      val s = if (sqna == 0.0 || nrm(c) == 0.0) 0.0 else dot / (sqna * nrm(c))
       if (s > bestSim) { bestSim = s; best = c }
       c += 1
     }
@@ -318,6 +333,24 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
         case FloatType => s"(double) $a.getFloat($i)"
         case _ => s"$a.getDouble($i)"
       }
+      val scoreCode =
+        if (l2)
+          s"""
+             |  double $dot = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $x = ($getterStr) - $cv[$i];
+             |    $dot += $x * $x;
+             |  }
+             |  double $s = -$dot;
+           """.stripMargin
+        else
+          s"""
+             |  double $dot = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    $dot += ($getterStr) * $cv[$i];
+             |  }
+             |  double $s = ($sqna == 0.0 || $nrm[$c] == 0.0) ? 0.0 : $dot / ($sqna * $nrm[$c]);
+           """.stripMargin
       s"""
          |int $g = java.util.Arrays.binarySearch($keysRef, $key);
          |if ($g < 0) {
@@ -340,11 +373,7 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
          |    throw new IllegalArgumentException(
          |      "graft_nearest_centroid_grouped: dimension mismatch (" + $n + " vs " + $cv.length + ")");
          |  }
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ($getterStr) * $cv[$i];
-         |  }
-         |  double $s = ($sqna == 0.0 || $nrm[$c] == 0.0) ? 0.0 : $dot / ($sqna * $nrm[$c]);
+         |  $scoreCode
          |  if ($s > $bestSim) { $bestSim = $s; $best = $c; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

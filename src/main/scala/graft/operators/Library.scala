@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
 
 import graft.Graft
 import graft.sources.Tables
@@ -139,6 +140,171 @@ object Library {
       .agg(count(lit(1)).as("list_size"))
       .orderBy("library", "cluster_id")
   }
+
+  /** Ranked top-k per (library, query) from scored candidate rows. */
+  private def topkPerLibQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("library"), col("qid"))
+      .agg(Graft.topk(col("score"), col("vec_id"), lit(k), lit(false)).as("top"))
+      .select(col("library"), col("qid"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("library"), col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as("vec_id"), round(col("r.score"), 4).as("score"))
+
+  /** l3: per-library `index_type` DISPATCH — the reference stores an index
+    * type on every Library (`app/core/models.py:26-33 Library.index_type`)
+    * and routes each search through that library's own index via the
+    * factory (`app/core/indexing.py`). Here the routing is a deterministic
+    * config: libraries 0–3 are flat, 4–6 IVF, 7–9 LSH; every library's
+    * queries (its first `qPerLib` vectors) search THEIR OWN library through
+    * THEIR OWN index family, and the three arms union into one ranked
+    * result — heterogeneous routing in a single plan, where the reference
+    * loops libraries one at a time.
+    *
+    * Scale shape per arm: flat = broadcast(queries)-scoped scan + TopK
+    * partial agg; IVF = map-only grouped assignment
+    * ([[graft.functions.NearestCentroidGrouped]]) + broadcast probe join;
+    * LSH = equi-join on (library, table_id, key). No arm ever crosses a
+    * library boundary or an all-pairs product. */
+  def libraryDispatchSearch(spark: SparkSession, dir: String, k: Int = 5, qPerLib: Int = 2,
+                            kPerLib: Int = 4, ivfProbes: Int = 2,
+                            nTables: Int = 4, nBits: Int = 8, seed: Long = 3000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
+    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
+    val queries = emb.withColumn("rn", row_number().over(byLib))
+      .filter(col("rn") <= qPerLib)
+      .select(col("library"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // ---- flat arm (libraries 0–3): exact scan within the library scope
+    val flatEmb = emb.filter(col("library") <= 3)
+    val flatQ = queries.filter(col("library") <= 3)
+    val flatHits = topkPerLibQuery(
+      flatEmb.join(broadcast(flatQ), Seq("library"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("library"), col("qid"), col("vec_id"), col("score")), k)
+      .withColumn("index_type", lit("flat"))
+
+    // ---- IVF arm (libraries 4–6): grouped map-only assignment + probes
+    val ivfEmb = emb.filter(col("library") >= 4 && col("library") <= 6)
+    val cents = collectLibraryCentroids(ivfEmb, kPerLib)
+    val matByLib = typedLit(cents.map { case (lib, cs) => lib -> cs.map(_._2.toSeq).toSeq })
+    val cidByLib = typedLit(cents.map { case (lib, cs) => lib -> cs.map(_._1).toSeq })
+    val assigned = ivfEmb
+      .withColumn("nc", Graft.nearestCentroidGrouped(col("embedding"), col("library"), matByLib))
+      .select(col("library"), col("vec_id"), col("embedding"),
+        element_at(element_at(cidByLib, col("library")), col("nc.idx") + 1).as("cluster_id"))
+
+    val centSchema = StructType(Seq(
+      StructField("library", LongType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val centRows = cents.toSeq.flatMap { case (lib, cs) =>
+      cs.map { case (cid, v) => Row(lib, cid, v.toSeq) }
+    }
+    val centDf = spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1), centSchema)
+
+    val ivfQ = queries.filter(col("library") >= 4 && col("library") <= 6)
+    val probes = ivfQ.join(broadcast(centDf), Seq("library"))
+      .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
+      .groupBy(col("library"), col("qid"))
+      .agg(Graft.topk(col("s"), col("cid"), lit(ivfProbes), lit(false)).as("top"))
+      .select(col("library"), col("qid"), explode(col("top.id")).as("cluster_id"))
+
+    val ivfHits = topkPerLibQuery(
+      assigned.join(broadcast(probes), Seq("library", "cluster_id"))
+        .join(broadcast(ivfQ), Seq("library", "qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("library"), col("qid"), col("vec_id"), col("score")), k)
+      .withColumn("index_type", lit("ivf"))
+
+    // ---- LSH arm (libraries 7–9): bucket join scoped by library
+    val lshEmb = emb.filter(col("library") >= 7)
+    val lshQ = queries.filter(col("library") >= 7)
+    val dataKeys = lshEmb
+      .withColumn("keys", Graft.simhashKeys(col("embedding"), nTables, nBits, seed))
+      .select(col("library"), col("vec_id"), posexplode(col("keys")).as(Seq("table_id", "key")))
+    val queryKeys = lshQ
+      .withColumn("keys", Graft.simhashKeys(col("qvec"), nTables, nBits, seed))
+      .select(col("library"), col("qid"), posexplode(col("keys")).as(Seq("table_id", "key")))
+    val lshCand = dataKeys.join(broadcast(queryKeys), Seq("library", "table_id", "key"))
+      .select(col("library"), col("qid"), col("vec_id")).distinct()
+    val lshHits = topkPerLibQuery(
+      lshCand
+        .join(lshEmb.select(col("library"), col("vec_id"), col("embedding")), Seq("library", "vec_id"))
+        .join(broadcast(lshQ), Seq("library", "qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("library"), col("qid"), col("vec_id"), col("score")), k)
+      .withColumn("index_type", lit("lsh"))
+
+    flatHits.unionByName(ivfHits).unionByName(lshHits)
+      .select(col("library"), col("index_type"), col("qid"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("library", "qid", "rank")
+  }
+
+  def libraryDispatchSearchOracle(k: Int = 5, qPerLib: Int = 2, kPerLib: Int = 4,
+                                  ivfProbes: Int = 2, nTables: Int = 4, nBits: Int = 8,
+                                  seed: Long = 3000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label::BIGINT AS library FROM embeddings),
+       |q AS (SELECT library, vec_id AS qid, v AS qvec FROM (
+       |        SELECT library, vec_id, v,
+       |               row_number() OVER (PARTITION BY library ORDER BY vec_id) AS rn FROM e)
+       |      WHERE rn <= $qPerLib),
+       |flat_r AS (SELECT e.library, q.qid, e.vec_id,
+       |                  list_cosine_similarity(e.v, q.qvec) AS score,
+       |                  row_number() OVER (PARTITION BY q.library, q.qid
+       |                                     ORDER BY list_cosine_similarity(e.v, q.qvec) DESC, e.vec_id) AS rank
+       |           FROM e JOIN q ON e.library = q.library WHERE e.library <= 3),
+       |c AS (SELECT library, vec_id AS cid, v AS cvec FROM (
+       |        SELECT library, vec_id, v,
+       |               row_number() OVER (PARTITION BY library ORDER BY vec_id) AS rn FROM e
+       |        WHERE library BETWEEN 4 AND 6)
+       |      WHERE rn <= $kPerLib),
+       |probes AS (SELECT library, qid, cid AS cluster_id FROM (
+       |             SELECT q.library, q.qid, c.cid,
+       |                    row_number() OVER (PARTITION BY q.library, q.qid
+       |                                       ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cid) AS rn
+       |             FROM q JOIN c ON q.library = c.library)
+       |           WHERE rn <= $ivfProbes),
+       |assigned AS (SELECT library, vec_id, cid AS cluster_id FROM (
+       |               SELECT e.library, e.vec_id, c.cid,
+       |                      row_number() OVER (PARTITION BY e.vec_id
+       |                                         ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+       |               FROM e JOIN c ON e.library = c.library)
+       |             WHERE rn = 1),
+       |ivf_r AS (SELECT s.library, s.qid, s.vec_id, s.score,
+       |                 row_number() OVER (PARTITION BY s.library, s.qid
+       |                                    ORDER BY s.score DESC, s.vec_id) AS rank
+       |          FROM (SELECT a.library, p.qid, a.vec_id,
+       |                       list_cosine_similarity(e.v, q.qvec) AS score
+       |                FROM assigned a
+       |                JOIN probes p ON a.library = p.library AND a.cluster_id = p.cluster_id
+       |                JOIN e ON a.vec_id = e.vec_id
+       |                JOIN q ON p.library = q.library AND p.qid = q.qid) s),
+       |lsh_src AS (SELECT library, vec_id, v FROM e WHERE library >= 7),
+       |dk AS (${Lsh.keysSql("lsh_src", "vec_id", nTables, nBits, dim, seed, extra = Seq("library"))}),
+       |q_src AS (SELECT library, qid AS vec_id, qvec AS v FROM q WHERE library >= 7),
+       |qk AS (${Lsh.keysSql("q_src", "vec_id", nTables, nBits, dim, seed, extra = Seq("library"))}),
+       |lsh_cand AS (SELECT DISTINCT dk.library, qk.id AS qid, dk.id AS vec_id
+       |             FROM dk JOIN qk ON dk.library = qk.library
+       |                             AND dk.table_id = qk.table_id AND dk.key = qk.key),
+       |lsh_r AS (SELECT s.library, s.qid, s.vec_id, s.score,
+       |                 row_number() OVER (PARTITION BY s.library, s.qid
+       |                                    ORDER BY s.score DESC, s.vec_id) AS rank
+       |          FROM (SELECT cand.library, cand.qid, cand.vec_id,
+       |                       list_cosine_similarity(e.v, q.qvec) AS score
+       |                FROM lsh_cand cand
+       |                JOIN e ON cand.vec_id = e.vec_id
+       |                JOIN q ON cand.library = q.library AND cand.qid = q.qid) s),
+       |uni AS (
+       |  SELECT library, 'flat' AS index_type, qid, rank, vec_id, round(score, 4) AS score
+       |  FROM flat_r WHERE rank <= $k
+       |  UNION ALL
+       |  SELECT library, 'ivf', qid, rank, vec_id, round(score, 4) FROM ivf_r WHERE rank <= $k
+       |  UNION ALL
+       |  SELECT library, 'lsh', qid, rank, vec_id, round(score, 4) FROM lsh_r WHERE rank <= $k)
+       |SELECT library, index_type, qid, rank, vec_id, score
+       |FROM uni ORDER BY library, qid, rank""".stripMargin
 
   def libraryIvfBuildOracle(kPerLib: Int = 4): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label::BIGINT AS library FROM embeddings),

@@ -106,12 +106,15 @@ object Lsh {
     bits.mkString("(", " + ", ")::BIGINT")
   }
 
-  /** CTE body: keys(id, table_id, key) for a source select. */
+  /** CTE body: keys([extra...,] id, table_id, key) for a source select;
+    * `extra` columns (e.g. a library key) pass through for scoped joins. */
   private[operators] def keysSql(src: String, idExpr: String, nTables: Int, nBits: Int,
-                      dim: Int, seed: Long): String =
+                      dim: Int, seed: Long, extra: Seq[String] = Nil): String = {
+    val ex = extra.map(e => s"$e, ").mkString
     (0 until nTables).map { t =>
-      s"SELECT $idExpr AS id, ${t}::BIGINT AS table_id, ${keySqlExpr("v", t, nBits, dim, seed)} AS key FROM $src"
+      s"SELECT $ex$idExpr AS id, ${t}::BIGINT AS table_id, ${keySqlExpr("v", t, nBits, dim, seed)} AS key FROM $src"
     }.mkString("\nUNION ALL\n")
+  }
 
   def buildKeysOracle(nTables: Int = 4, nBits: Int = 16, seed: Long = 9000, dim: Int = 64): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -41,6 +41,19 @@ class RecallSpec extends GraftSuite {
       "a query outranked its own reconstruction")
   }
 
+  test("v18b trained+refined PQ recall@10 ≥ 0.5, self-hit ranks first") {
+    val exact = hits("v3_knn_dot_flat")
+    val pq = hits("v18b_pq_trained_search")
+    val recall = (exact & pq).size.toDouble / exact.size
+    // measured 0.84 at sf0.001 / 0.79 at sf0.01 (trained codebooks cut MSE
+    // 28%; the refine=64 exact re-rank closes the ADC ranking noise)
+    assert(recall >= 0.5, s"trained pq recall $recall")
+    val top1 = run("v18b_pq_trained_search").filter($"rank" === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (q, v) => q == v },
+      "a query outranked its own refined reconstruction")
+  }
+
   test("LSH search recall@10 ≥ 0.1 and always finds the query itself first") {
     val exact = hits("v1_knn_cosine_flat")
     val lsh = hits("v10_lsh_search")
