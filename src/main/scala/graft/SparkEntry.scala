@@ -21,6 +21,7 @@ object SparkEntry {
     "v12_knn_join" -> ((s, d) => Knn.knnJoin(s, d)),
     "v16_filtered_knn" -> ((s, d) => Knn.filteredSearch(s, d)),
     "v16b_filtered_ivf" -> ((s, d) => Persist.filteredIvfSearch(s, d)),
+    "v16c_filtered_lsh" -> ((s, d) => Lsh.filteredSearch(s, d)),
     "v17_sq8_search" -> ((s, d) => Knn.sq8Search(s, d)),
     "v18_pq_search" -> ((s, d) => Pq.search(s, d)),
     "v18b_pq_trained_search" -> ((s, d) => Pq.searchTrained(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "v12_knn_join" -> Knn.oracleFlat("cosine", k = 5, nQueries = 200, excludeSelf = true),
     "v16_filtered_knn" -> Knn.filteredSearchOracle(),
     "v16b_filtered_ivf" -> Persist.filteredIvfSearchOracle(),
+    "v16c_filtered_lsh" -> Lsh.filteredSearchOracle(),
     "v17_sq8_search" -> Knn.sq8SearchOracle(),
     "v18_pq_search" -> Pq.searchOracle(),
     "v13_search_text" -> SearchText.searchTextOracle(),

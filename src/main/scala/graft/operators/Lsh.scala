@@ -70,6 +70,43 @@ object Lsh {
     searchIndex(keyRows(emb, nTables, nBits, seed), emb, queries, nTables, nBits, seed, k)
   }
 
+  /** v16c: metadata-filtered LSH search — the reference's
+    * `metadata_filters` on the LSH path (app/core/indexes/
+    * lsh_simhash.py:104). The FULL index is probed (a persisted index is
+    * never rebuilt per filter); the label predicate lands on the SCORING
+    * join's corpus scan — a pushed parquet filter — so non-matching
+    * candidates are dropped before any distance math. Completes the
+    * filter×family matrix: v16 flat, v16b IVF, v16c LSH. */
+  def filteredSearch(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
+                     k: Int = 10, nQueries: Int = 8,
+                     nTables: Int = 4, nBits: Int = 10, seed: Long = 1000): DataFrame = {
+    Graft.init(spark)
+    val all = Tables.embeddings(spark, dir)
+    val emb = all.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val filtered = all.filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding"))
+    searchIndex(keyRows(emb, nTables, nBits, seed), filtered, queries, nTables, nBits, seed, k)
+  }
+
+  def filteredSearchOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10, nQueries: Int = 8,
+                           nTables: Int = 4, nBits: Int = 10, seed: Long = 1000,
+                           dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dk AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(e.v, q.qv) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid
+       |           JOIN embeddings raw ON cand.vec_id = raw.vec_id
+       |           WHERE raw.label IN (${labels.mkString(", ")})),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v11: all-pairs cosine ≥ τ via shared LSH buckets — the approximate
     * similarity-join / embedding near-dup primitive. */
   def simJoin(spark: SparkSession, dir: String, tau: Double = 0.3,
