@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.LcgPlanes
@@ -54,9 +55,16 @@ object Dedup {
         "CASE WHEN size(w) < 3 THEN array() ELSE transform(sequence(1, size(w) - 2), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) END")).as("sh"))
 
-  /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P. */
+  /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P.
+    *
+    * The doc_id repartition parallelizes the split+md5 work — the test
+    * corpus is ONE parquet file, so without it the entire shingle hashing
+    * of the corpus runs as a single task (measured: the whole d6 critical
+    * path). At 100 TB the input is thousands of files and the scan is
+    * already parallel; the repartition then just pre-clusters by doc_id,
+    * which the downstream per-doc aggregates want anyway. */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    withShingles(docs)
+    withShingles(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), (h60(col("s")) % P).as("h"))
 
@@ -242,13 +250,19 @@ object Dedup {
     * backfires — dfCap=5 shrinks set sizes so far that one shared rare
     * shingle clears τ, 29× more pairs, all noise.) */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame = {
+    // materialize the shingle index ONCE (localCheckpoint): the regex
+    // split + md5 per shingle is the dominant cost and would otherwise
+    // recompute in the df-cap branch, the sizes branch, and BOTH sides of
+    // the pair self-join. (At 100 TB this line is a persisted table — the
+    // p2 pattern; same plan downstream.)
     val sh = shingleHashes(Tables.documents(spark, dir))
       .distinct() // h60 collisions within a doc would double-count (both engines dedup)
-    // df-cap: one agg on h, then an equi-join back — co-partitioned with the
-    // pair self-join below (same key), so the filter rides the same exchange
-    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("h"))
-    val kept = sh.join(keep, Seq("h"))
+      .localCheckpoint()
+    // df-cap as a COUNT WINDOW over h: one shuffle that both filters hot
+    // shingles and leaves `kept` hash-partitioned by h — exactly the
+    // clustering the pair self-join below needs, so it adds no exchange
+    val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap).drop("df")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
