@@ -172,9 +172,13 @@ object Library {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
     val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
+    // materialize the (tiny) query set ONCE: all three arms reference it,
+    // and without the checkpoint each arm would re-run the corpus-wide
+    // row_number window just to re-derive ~2·#libraries rows
     val queries = emb.withColumn("rn", row_number().over(byLib))
       .filter(col("rn") <= qPerLib)
       .select(col("library"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
 
     // ---- flat arm (libraries 0–3): exact scan within the library scope
     val flatEmb = emb.filter(col("library") <= 3)
