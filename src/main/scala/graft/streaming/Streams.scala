@@ -88,6 +88,45 @@ object Streams {
       .toDF()
   }
 
+  /** Changelog event for the streaming upsert (CDC latest-wins). */
+  case class UpsertEvent(user_id: Long, event_type: String, event_id: Long,
+                         value: Double, ms: Long)
+
+  /** Current latest-wins state emission; `n_seen` counts events absorbed so
+    * far for this key — strictly increasing per emission, so a consumer (or
+    * spec) identifies each key's FINAL emission without batch metadata. */
+  case class LatestWins(user_id: Long, event_type: String, last_event_id: Long,
+                        last_value: Double, n_seen: Long)
+
+  /** Streaming upsert — the c1 changelog merge ([[graft.operators.Crud
+    * .upsertLatestWins]]) as continuous CDC: state per (user_id,
+    * event_type) holds the (ms, event_id)-max event, each micro-batch
+    * re-emits the group's current latest (Update-mode semantics). Late or
+    * out-of-order events can never regress the state — a replayed or
+    * delayed older event loses the (ms, event_id) comparison. State is one
+    * tuple per live key: O(keys), not O(stream). */
+  def upsertLatestStateful(spark: SparkSession,
+                           events: org.apache.spark.sql.Dataset[UpsertEvent]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[(Long, Long, Double, Long), LatestWins](GroupStateTimeout.NoTimeout) {
+        case ((uid, typ), it, state: GroupState[(Long, Long, Double, Long)]) =>
+          var (bMs, bId, bV, seen) = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0, 0L))
+          it.foreach { e =>
+            if (e.ms > bMs || (e.ms == bMs && e.event_id > bId)) {
+              bMs = e.ms; bId = e.event_id; bV = e.value
+            }
+            seen += 1
+          }
+          state.update((bMs, bId, bV, seen))
+          LatestWins(uid, typ, bId, bV, seen)
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup — the in-flight half of the d1 operator: drop
     * rows whose dedup key was already seen, with watermark-bounded state
     * (`dropDuplicatesWithinWatermark` keeps a key in state only until the

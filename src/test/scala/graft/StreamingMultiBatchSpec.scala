@@ -162,6 +162,43 @@ class StreamingMultiBatchSpec extends GraftSuite {
       "replayed micro-batch double-appended despite the batchId commit log")
   }
 
+  test("streaming CDC upsert: latest-wins state survives out-of-order micro-batches == batch c1") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // split by event_id PARITY, not time: batch 2 carries events both older
+    // and newer than batch 1's, so for many keys the winning event arrives
+    // in batch 1 and batch 2 tries to regress it — latest-wins must hold
+    // across the boundary (a time-ordered split would make state vacuous:
+    // batch 2 alone would contain every winner)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "value", "ts div 1000000 AS ms")
+      .as[Ev].collect().toSeq
+    val (b1, b2) = ev.partition(_.event_id % 2 == 0)
+    val stream = MemoryStream[Streams.UpsertEvent]
+    val streamed = Streams.upsertLatestStateful(spark, stream.toDS())
+    val q = streamed.writeStream.outputMode("update").format("memory")
+      .queryName("graft_mb_upsert").start()
+    try {
+      stream.addData(b1.map(e => Streams.UpsertEvent(e.user_id, e.event_type, e.event_id, e.value, e.ms)))
+      q.processAllAvailable()
+      stream.addData(b2.map(e => Streams.UpsertEvent(e.user_id, e.event_type, e.event_id, e.value, e.ms)))
+      q.processAllAvailable()
+
+      // each key's FINAL emission = the one with max n_seen (cumulative)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type").orderBy($"n_seen".desc)
+      val streamedFinal = spark.table("graft_mb_upsert")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select("user_id", "event_type", "last_event_id", "last_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = run("c1_upsert_latest_wins")
+        .select("user_id", "event_type", "last_event_id", "last_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "batch c1 empty — vacuous")
+      assert(streamedFinal === batch,
+        s"CDC state diverged from batch: missing=${(batch -- streamedFinal).take(3)} extra=${(streamedFinal -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization carries state across micro-batches == batch e2") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (b1, b2) = orderedEvents()
