@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+import graft.Graft
+import graft.sources.Tables
+
+/** v19: IVF-PQ (IVFADC, Jégou et al. TPAMI 2011 §IV) — THE canonical
+  * billion-scale ANN architecture, composed from this engine's existing
+  * pieces: the IVF coarse quantizer bounds the search to probed inverted
+  * lists (partition pruning at scale, see p3), PQ codes the RESIDUAL
+  * `x − centroid(x)` in M×4 bits (the 64× footprint cut, see v18), ADC
+  * scores candidates against the reconstruction `centroid + codebook[code]`
+  * without ever touching the raw vectors, and an exact re-rank of the ADC
+  * top-`refine` closes the quantization noise (FAISS IndexRefineFlat).
+  *
+  * At 100 TB the scan cost is: probed partitions only × 4 B/vector codes,
+  * plus a Q×refine point-lookup — neither term touches the full float
+  * corpus. Every step here is map-only or a broadcast equi-join; the one
+  * corpus-sized shuffle is the final per-query TopK partial aggregate.
+  *
+  * Deterministic conventions (so the WHOLE pipeline — assignment,
+  * residuals, codes, ADC, refine — is replayed exactly by the DuckDB
+  * oracle): coarse centroids = first `Ivf.K` vectors (v6), residual
+  * codebooks = residual subvectors of vectors `[K, 2K)` (nonzero by
+  * construction — the first K vectors' own residuals are identically 0),
+  * ties always to the lowest id. A trained variant would drop in v8's
+  * k-means + v18b's per-subspace training unchanged.
+  */
+object IvfPq {
+
+  /** Residual table (vec_id, cluster_id, r) — ONE map-only pass: assign,
+    * look the centroid up from the broadcast literal, subtract. */
+  private def residuals(emb: DataFrame, mat: Array[(Long, Array[Double])]): DataFrame = {
+    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq) // position = cid (contiguous 0..K-1)
+    Ivf.assignToMat(emb, mat)
+      .withColumn("cvec", element_at(cvecs, col("cluster_id").cast("int") + 1))
+      .withColumn("r",
+        expr("zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), cvec, (x, c) -> x - c)"))
+      .select(col("vec_id"), col("cluster_id"), col("r"))
+  }
+
+  /** Residual subvectors (vec_id, cluster_id, m, sv). */
+  private def residualSub(resid: DataFrame): DataFrame =
+    resid
+      .select(col("vec_id"), col("cluster_id"),
+        explode(sequence(lit(0), lit(Pq.M - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("cluster_id"), col("m"),
+        slice(col("r"), col("m") * Pq.Sub + 1, lit(Pq.Sub)).as("sv"))
+
+  def search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+             refine: Int = 32): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq)
+
+    val resid = residuals(emb, mat)
+    val rsub = residualSub(resid)
+
+    // residual codebooks: subvectors of vectors [K, 2K), collected to the
+    // driver (M × K × Sub doubles) → map-only grouped-argmin encode
+    val cbRows = rsub.filter(col("vec_id") >= Ivf.K && col("vec_id") < 2 * Ivf.K)
+      .select(col("vec_id"), col("m"), col("sv")).collect()
+      .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toArray))
+    val cb: Map[Long, Array[Array[Double]]] =
+      cbRows.groupBy(_._1).map { case (m, rows) => m -> rows.sortBy(_._2).map(_._3) }
+    val cbLit = typedLit(cb.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
+
+    val codes = rsub
+      .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), cbLit))
+      .select(col("vec_id"), col("cluster_id"), col("m"), col("nc.idx").as("code"))
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probes = Ivf.probesFor(queries, mat, spark)
+
+    // codebook + query subvectors as broadcast dims for ADC
+    val cbSchema = StructType(Seq(
+      StructField("m", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val cbDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.toSeq.flatMap { case (m, cs) =>
+        cs.zipWithIndex.map { case (v, i) => Row(m.toInt, i, v.toSeq) }
+      }, 1), cbSchema)
+    val qsub = queries
+      .select(col("qid"), expr("transform(qvec, x -> CAST(x AS DOUBLE))").as("qv"))
+      .select(col("qid"), explode(sequence(lit(0), lit(Pq.M - 1))).as("m"), col("qv"))
+      .select(col("qid"), col("m"), slice(col("qv"), col("m") * Pq.Sub + 1, lit(Pq.Sub)).as("qm"))
+
+    // ADC: candidates = codes of probed clusters; score = q·centroid +
+    // Σ_m q_m · codebook[m][code]
+    val parts = codes.join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(qsub), Seq("qid", "m"))
+      .select(col("qid"), col("vec_id"), col("cluster_id"), Graft.dot(col("cv"), col("qm")).as("p"))
+
+    val adc = parts.groupBy(col("qid"), col("vec_id"), col("cluster_id"))
+      .agg(sum(col("p")).as("rsum"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("base",
+        Graft.dot(expr("transform(qvec, x -> CAST(x AS DOUBLE))"),
+          element_at(cvecs, col("cluster_id").cast("int") + 1)))
+      .select(col("qid"), col("vec_id"), (col("base") + col("rsum")).as("score"))
+
+    // exact refine of the ADC top-`refine`
+    val cand = Knn.topkPerQuery(adc, "dot", refine).select(col("qid"), col("vec_id"))
+    val exact = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"), Graft.dot(col("embedding"), col("qvec")).as("score"))
+    Knn.topkPerQuery(exact, "dot", k)
+  }
+
+  def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32): String = {
+    val K = Ivf.K; val M = Pq.M; val S = Pq.Sub; val P = Ivf.Probes
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $K),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
+       |             FROM e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM assign_s) WHERE rn = 1),
+       |resid AS (SELECT e.vec_id, a.cluster_id,
+       |                 [e.v[i] - c.cvec[i] for i in generate_series(1, ${M * S})] AS r
+       |          FROM e JOIN assigned a USING (vec_id) JOIN c ON a.cluster_id = c.cid),
+       |rsub AS (SELECT vec_id, cluster_id, m, r[($S*m+1):($S*m+$S)] AS sv FROM (
+       |  SELECT vec_id, cluster_id, r, unnest([i for i in generate_series(0, ${M - 1})]) AS m
+       |  FROM resid)),
+       |cb AS (SELECT (vec_id - $K)::INT AS code, m, sv AS cv FROM rsub
+       |       WHERE vec_id >= $K AND vec_id < ${2 * K}),
+       |code_s AS (SELECT r.vec_id, r.cluster_id, r.m, cb.code, list_distance(r.sv, cb.cv) AS d
+       |           FROM rsub r JOIN cb USING (m)),
+       |codes AS (SELECT vec_id, cluster_id, m, code FROM (
+       |  SELECT vec_id, cluster_id, m, code,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |  FROM code_s) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |qsub AS (SELECT qid, m, qvec[($S*m+1):($S*m+$S)] AS qm FROM (
+       |  SELECT qid, qvec, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM q)),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid AS cluster_id FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+       |  FROM probe_s) WHERE rn <= $P),
+       |parts AS (SELECT p.qid, k.vec_id, k.cluster_id, list_inner_product(cb.cv, qs.qm) AS pp
+       |          FROM codes k
+       |          JOIN probes p ON k.cluster_id = p.cluster_id
+       |          JOIN cb ON k.m = cb.m AND k.code = cb.code
+       |          JOIN qsub qs ON p.qid = qs.qid AND k.m = qs.m),
+       |adc AS (SELECT pt.qid, pt.vec_id,
+       |               list_inner_product(q.qvec, c.cvec) + sum(pt.pp) AS score
+       |        FROM parts pt JOIN q ON pt.qid = q.qid JOIN c ON pt.cluster_id = c.cid
+       |        GROUP BY pt.qid, pt.vec_id, q.qvec, c.cvec),
+       |adcr AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= $refine),
+       |exact AS (SELECT a.qid, a.vec_id, list_inner_product(e.v, q.qvec) AS score
+       |          FROM adcr a JOIN e ON a.vec_id = e.vec_id JOIN q ON a.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM exact)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+}

@@ -71,6 +71,34 @@ class PersistSpec extends GraftSuite {
       s"label filter not pushed into the pruned scan:\n${plan.take(600)}")
   }
 
+  test("v16c filtered LSH: label filter pushed to the scoring scan; no unfiltered candidate leaks") {
+    val df = run("v16c_filtered_lsh")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"label filter not pushed:\n${plan.take(600)}")
+    val labels = df.join(spark.read.parquet(s"$sf/embeddings.parquet"), Seq("vec_id"))
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(labels.nonEmpty && labels.subsetOf(Set(2, 5)), s"leaked labels: $labels")
+  }
+
+  test("l3 dispatch: every hit stays in its query's library; routing matches the config") {
+    import spark.implicits._
+    val hits = run("l3_library_dispatch")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("hit_library"))
+    val crossed = hits.join(emb, Seq("vec_id"))
+      .filter(col("library") =!= col("hit_library")).count()
+    assert(crossed === 0, "a hit crossed its library boundary")
+    val routes = hits.select("library", "index_type").distinct()
+      .as[(Long, String)].collect().toSet
+    routes.foreach { case (lib, t) =>
+      val want = if (lib <= 3) "flat" else if (lib <= 6) "ivf" else "lsh"
+      assert(t === want, s"library $lib routed to $t, expected $want")
+    }
+    assert(routes.map(_._1) === (0L to 9L).toSet, "a library produced no results")
+  }
+
   test("l2 grouped IVF build is map-only up to the count agg (no join, no window, ≤2 exchanges)") {
     val df = run("l2_library_ivf_build")
     df.collect()
