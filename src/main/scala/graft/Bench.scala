@@ -72,6 +72,7 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    def d2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
     def d3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     def dFull(v: Double): String = String.format(Locale.ROOT, "%.6f", Double.box(v))
 
@@ -87,9 +88,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${dFull(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"queries":$detail}""")
 
-    // Contract line LAST, compact (3 dp) so the driver's stdout-tail window
-    // holds the entire line.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
+    // Contract line LAST, compact (2 dp per query — full precision is in
+    // BENCH_DETAIL.json) so the driver's ~2 KiB stdout-tail window holds
+    // the ENTIRE line even with sbt's trailing status output: 71 queries
+    // × ~26 B ≈ 1.8 KiB.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d2(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
