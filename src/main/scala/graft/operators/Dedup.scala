@@ -355,11 +355,16 @@ object Dedup {
         .distinct()
     }
 
-    // Convergence test: the round output is star-shaped ⟺ no edge's target
-    // is itself a source (stars are fixpoints of both ops). The flag is
-    // computed INSIDE the checkpointed round plan, so detection costs one
-    // trivial agg over materialized rows — and a near-clique graph (the band
-    // dedup shape) finishes in a SINGLE heavy round, no verify round.
+    // Convergence test: the round output is a disjoint union of stars ⟺
+    // (a) no edge's target is itself a source AND (b) every source has
+    // out-degree 1. BOTH are required: two stars sharing a leaf (e.g.
+    // {5→1, 5→2, 8→1, 9→2} from pairs {8-5, 8-1, 9-5, 9-2}) satisfy (a)
+    // alone while node 5 still points at two roots — declaring convergence
+    // there splits one component in two and double-labels the shared leaf.
+    // Stars proper are fixpoints of both ops, so (a)+(b) is exact. The
+    // flags are computed over the checkpointed round output, so detection
+    // costs one small agg over materialized edge rows — and a near-clique
+    // graph (the band dedup shape) still finishes in a SINGLE heavy round.
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -368,8 +373,12 @@ object Dedup {
       val flagged = next.join(srcs.withColumn("chained", lit(true)), Seq("v"), "left")
         .select(col("u"), col("v"), coalesce(col("chained"), lit(false)).as("chained"))
         .localCheckpoint()
-      val s = flagged.agg(sum(when(col("chained"), 1L).otherwise(0L))).collect()(0)
-      converged = s.isNullAt(0) || s.getLong(0) == 0L // null sum ⇒ empty graph
+      val s = flagged
+        .groupBy(col("u"))
+        .agg(sum(when(col("chained"), 1L).otherwise(0L)).as("ch"), count(lit(1)).as("deg"))
+        .agg(sum(col("ch")), max(col("deg"))).collect()(0)
+      converged = (s.isNullAt(0) || s.getLong(0) == 0L) && // no source-of-a-target chains
+        (s.isNullAt(1) || s.getLong(1) <= 1L) // every source points at ONE root
       edges = flagged.select(col("u"), col("v"))
       round += 1
     }

@@ -51,6 +51,23 @@ object Ivf {
       (r.getLong(0), vec)
     }
 
+  /** (key, code, cv) broadcast-dim form of a driver-side per-group codebook
+    * map — shared by the PQ/IVF-PQ reconstruction joins. `code` is the
+    * centroid's position inside its group's matrix. */
+  private[operators] def codebookDf(spark: SparkSession,
+                                    cb: Map[Long, Array[Array[Double]]],
+                                    keyCol: String = "m", codeCol: String = "code",
+                                    vecCol: String = "cv"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField(codeCol, IntegerType, nullable = false),
+      StructField(vecCol, ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.toSeq.flatMap { case (key, cs) =>
+        cs.zipWithIndex.map { case (v, i) => Row(key, i, v.toSeq) }
+      }, 1), schema)
+  }
+
   /** Map-only nearest-centroid assignment: projects
     * (vec_id, cluster_id, sim, embedding [, keep...]) with zero
     * joins/shuffles. `keep` carries metadata columns (e.g. `label`)

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 import graft.Graft
 import graft.sources.Tables
@@ -72,25 +71,19 @@ object IvfPq {
 
     val codes = rsub
       .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), cbLit))
-      .select(col("vec_id"), col("cluster_id"), col("m"), col("nc.idx").as("code"))
+      .select(col("vec_id"), col("cluster_id"), col("m").cast("long").as("m"), col("nc.idx").as("code"))
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probes = Ivf.probesFor(queries, mat, spark)
 
     // codebook + query subvectors as broadcast dims for ADC
-    val cbSchema = StructType(Seq(
-      StructField("m", IntegerType, nullable = false),
-      StructField("code", IntegerType, nullable = false),
-      StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val cbDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(cb.toSeq.flatMap { case (m, cs) =>
-        cs.zipWithIndex.map { case (v, i) => Row(m.toInt, i, v.toSeq) }
-      }, 1), cbSchema)
+    val cbDf = Ivf.codebookDf(spark, cb)
     val qsub = queries
       .select(col("qid"), expr("transform(qvec, x -> CAST(x AS DOUBLE))").as("qv"))
       .select(col("qid"), explode(sequence(lit(0), lit(Pq.M - 1))).as("m"), col("qv"))
-      .select(col("qid"), col("m"), slice(col("qv"), col("m") * Pq.Sub + 1, lit(Pq.Sub)).as("qm"))
+      .select(col("qid"), col("m").cast("long").as("m"),
+        slice(col("qv"), col("m") * Pq.Sub + 1, lit(Pq.Sub)).as("qm"))
 
     // ADC: candidates = codes of probed clusters; score = q·centroid +
     // Σ_m q_m · codebook[m][code]
@@ -108,12 +101,7 @@ object IvfPq {
       .select(col("qid"), col("vec_id"), (col("base") + col("rsum")).as("score"))
 
     // exact refine of the ADC top-`refine`
-    val cand = Knn.topkPerQuery(adc, "dot", refine).select(col("qid"), col("vec_id"))
-    val exact = cand
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("vec_id"), Graft.dot(col("embedding"), col("qvec")).as("score"))
-    Knn.topkPerQuery(exact, "dot", k)
+    Knn.exactRefine(adc, emb, queries, "dot", refine, k)
   }
 
   def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32): String = {

@@ -121,16 +121,32 @@ object Knn {
     topkPerQuery(scored, metric, k)
   }
 
+  /** Score column for `embedding` vs `qvec` under `metric`. */
+  private[operators] def metricCol(metric: String): org.apache.spark.sql.Column = metric match {
+    case "cosine" => Graft.cosine(col("embedding"), col("qvec"))
+    case "l2" => Graft.l2(col("embedding"), col("qvec"))
+    case "dot" => Graft.dot(col("embedding"), col("qvec"))
+    case "manhattan" => Graft.manhattan(col("embedding"), col("qvec"))
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
   /** Cross-score `data` rows against broadcast `queries`. */
-  private[operators] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame = {
-    val scoreCol = metric match {
-      case "cosine" => Graft.cosine(col("embedding"), col("qvec"))
-      case "l2" => Graft.l2(col("embedding"), col("qvec"))
-      case "dot" => Graft.dot(col("embedding"), col("qvec"))
-      case "manhattan" => Graft.manhattan(col("embedding"), col("qvec"))
-      case other => throw new IllegalArgumentException(s"unknown metric $other")
-    }
-    data.crossJoin(broadcast(queries)).withColumn("score", scoreCol)
+  private[operators] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame =
+    data.crossJoin(broadcast(queries)).withColumn("score", metricCol(metric))
+
+  /** Exact re-rank of an approximate scorer's output (the FAISS
+    * IndexRefineFlat shape, shared by v18b and v19): keep the approx top
+    * `refine` ids per query, re-score them against the RAW vectors, ship
+    * the exact top-k. Costs a Q×refine broadcast point-lookup — the
+    * compressed scan did the corpus pass. */
+  private[operators] def exactRefine(approx: DataFrame, emb: DataFrame, queries: DataFrame,
+                                     metric: String, refine: Int, k: Int): DataFrame = {
+    val cand = topkPerQuery(approx, metric, refine).select(col("qid"), col("vec_id"))
+    val exact = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"), metricCol(metric).as("score"))
+    topkPerQuery(exact, metric, k)
   }
 
   /** smallestFirst for distance metrics, largest for similarities. */

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 import graft.Graft
 import graft.sources.Tables
@@ -139,27 +138,25 @@ object Pq {
                     iters: Int = 5, refine: Int = 64): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val sub = subvectors(emb, "vec_id", "sv")
+    // subvector table materialized ONCE (localCheckpoint): the init
+    // collect, every training iteration, and the encode pass all reuse it
+    // — un-checkpointed, each of those ~7 jobs re-scanned and re-exploded
+    // the corpus from parquet
+    val sub = subvectors(emb, "vec_id", "sv").localCheckpoint()
     val mats = trainCodebooks(sub)
 
     val matLit = typedLit(mats.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
     // map-only encode: (vec_id, m, code), code = position in subspace codebook
     val codes = sub
       .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), matLit))
-      .select(col("vec_id"), col("m"), col("nc.idx").as("code"))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("nc.idx").as("code"))
 
     // trained codebook as a 128-row broadcast dim for reconstruction
-    val centSchema = StructType(Seq(
-      StructField("m", IntegerType, nullable = false),
-      StructField("code", IntegerType, nullable = false),
-      StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val centRows = mats.toSeq.flatMap { case (m, cs) =>
-      cs.zipWithIndex.map { case (v, i) => Row(m.toInt, i, v.toSeq) }
-    }
-    val cent = spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1), centSchema)
+    val cent = Ivf.codebookDf(spark, mats)
 
     val qsub = subvectors(emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding")), "qid", "qm")
+      .select(col("qid"), col("m").cast("long").as("m"), col("qm"))
 
     val partials = codes
       .join(broadcast(cent), Seq("m", "code"))
@@ -169,15 +166,9 @@ object Pq {
     val scored = partials.groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("p")).as("score"))
 
-    // exact refine: re-rank the PQ top-`refine` by uncompressed dot
-    val cand = Knn.topkPerQuery(scored, "dot", refine).select(col("qid"), col("vec_id"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val exact = cand
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("vec_id"), Graft.dot(col("embedding"), col("qvec")).as("score"))
-    Knn.topkPerQuery(exact, "dot", k)
+    Knn.exactRefine(scored, emb, queries, "dot", refine, k)
   }
 
   def searchOracle(k: Int = 10, nQueries: Int = 8): String =

@@ -112,6 +112,23 @@ class GraphTemporalSpec extends GraftSuite {
     assert((70L to 100L).forall(labels(_) == 70L), s"chain split: ${labels.toSeq.sorted}")
   }
 
+  test("connectedComponents does not declare convergence on stars sharing a leaf") {
+    import spark.implicits._
+    // regression: after one round, pairs {8-5, 8-1, 9-5, 9-2} contract to
+    // {5→1, 5→2, 8→1, 9→2} — no target is a source, but leaf 5 points at
+    // TWO roots. A convergence check of "no chains" alone exits here,
+    // splitting the single component {1,2,5,8,9} and labeling node 5 twice;
+    // star-shapedness also requires out-degree 1 per source.
+    val pairs = Seq((8L, 5L), (8L, 1L), (9L, 5L), (9L, 2L)).toDF("doc_a", "doc_b")
+    val rows = operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.map(_._1).distinct.length,
+      s"a node received two labels: ${rows.sorted.toSeq}")
+    val labels = rows.toMap
+    assert(Seq(1L, 2L, 5L, 8L, 9L).map(labels).distinct === Seq(1L),
+      s"component split: ${labels.toSeq.sorted}")
+  }
+
   test("connectedComponents non-convergence is loud, not silent") {
     import spark.implicits._
     val chain = (0 until 30).map(i => (100L - i, 99L - i)).toDF("doc_a", "doc_b")
