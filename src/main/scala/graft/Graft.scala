@@ -26,6 +26,7 @@ object Graft {
     "graft_manhattan" -> (es => VecManhattan(es(0), es(1))),
     "graft_norm" -> (es => VecNorm(es(0))),
     "graft_vec_normalize" -> (es => VecNormalize(es(0))),
+    "graft_sq8_encode" -> (es => Sq8Encode(es(0))),
     "graft_nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "graft_nearest_centroid_grouped" -> (es => NearestCentroidGrouped(es(0), es(1), es(2))),
     "graft_nearest_centroid_grouped_l2" -> (es => NearestCentroidGrouped(es(0), es(1), es(2), l2 = true)),
@@ -79,6 +80,7 @@ object Graft {
   def manhattan(a: Column, b: Column): Column = call_function("graft_manhattan", a, b)
   def norm(a: Column): Column = call_function("graft_norm", a)
   def vecNormalize(a: Column): Column = call_function("graft_vec_normalize", a)
+  def sq8Encode(a: Column): Column = call_function("graft_sq8_encode", a)
   def nearestCentroid(v: Column, centroidMatrix: Column): Column =
     call_function("graft_nearest_centroid", v, centroidMatrix)
   def nearestCentroidGrouped(v: Column, groupKey: Column, matrixByGroup: Column): Column =

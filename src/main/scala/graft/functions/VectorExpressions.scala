@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for dense-vector math over `array<float>` /
@@ -224,6 +224,88 @@ case class VecNorm(child: Expression) extends UnaryExpression with Serializable 
          |  $acc += $x * $x;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `graft_sq8_encode(vec)` — symmetric per-vector int8 scalar quantization:
+  * `q_i = floor(x_i · 127/max|x| + ½)` as `array<tinyint>` (the v17 index
+  * build kernel, one fused two-pass loop per row instead of the chained
+  * HOF formulation whose collapsed projection re-evaluated the max|x|
+  * subtree per element). A zero vector has no quantizable signal and
+  * yields NULL — the build filters those rows, matching the oracle's
+  * `WHERE maxabs > 0`. Double arithmetic with explicit floor(x+0.5), so
+  * any engine reproduces the grid bit-for-bit. */
+case class Sq8Encode(child: Expression) extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_sq8_encode"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def et: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_encode expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val isFloat = et == FloatType
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val ax = math.abs(x)
+      if (ax > maxabs) maxabs = ax
+      i += 1
+    }
+    if (maxabs == 0.0) null
+    else {
+      val s = 127.0 / maxabs
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(x * s + 0.5).toByte
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val maxabs = ctx.freshName("maxabs"); val x = ctx.freshName("x")
+      val s = ctx.freshName("s"); val out = ctx.freshName("out")
+      val getterStr = et match {
+        case FloatType => s"(double) $a.getFloat($i)"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |double $maxabs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs($getterStr);
+         |  if ($x > $maxabs) { $maxabs = $x; }
+         |}
+         |if ($maxabs == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 127.0 / $maxabs;
+         |  byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) java.lang.Math.floor(($getterStr) * $s + 0.5);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -71,18 +71,16 @@ object Knn {
   def sq8Search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // Encode ONCE and materialize as array<tinyint> — the build phase of the
-    // index, like p1-p3. (Kept in-flight, ProjectCollapse inlines the maxabs
-    // subtree into every later lambda and the encode re-evaluates per
-    // element — measured 6.9 s vs 0.4 s at sf0.1. At a real 100 TB build
-    // the encode loop would be a codegen'd Expression; the per-row HOF is
-    // fine for a one-time build pass.)
+    // Encode ONCE and materialize as array<tinyint> — the build phase of
+    // the index, like p1-p3. The encode is the codegen'd [[graft.functions
+    // .Sq8Encode]] kernel: one fused two-pass loop per row. (Round-2 used a
+    // chained-HOF formulation; ProjectCollapse inlined the maxabs subtree
+    // into every later lambda and re-evaluated it per ELEMENT — 6.9 s vs
+    // 0.4 s at sf0.1. A zero vector encodes to NULL = no quantizable
+    // signal; the filter drops those, matching the oracle's maxabs > 0.)
     val enc = emb
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
-      .filter(col("maxabs") > 0) // zero vectors carry no quantizable signal
-      .select(col("vec_id"), expr(
-        "transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5d) AS TINYINT))").as("qcode"))
+      .select(col("vec_id"), Graft.sq8Encode(col("embedding")).as("qcode"))
+      .filter(col("qcode").isNotNull)
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_sq8"
     enc.write.mode("overwrite").parquet(path)
 

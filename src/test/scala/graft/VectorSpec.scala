@@ -34,6 +34,16 @@ class VectorSpec extends GraftSuite {
     }
   }
 
+  test("graft_sq8_encode matches the floor-grid formula; zero vector encodes NULL") {
+    val out = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("id", "v")
+      .select($"id", Graft.sq8Encode($"v").as("q"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Byte](1))).toMap
+    // maxabs = 1.0, scale = 127: floor(63.5+.5)=64, floor(-127+.5)=-127, floor(31.75+.5)=32
+    assert(out(1L) === Seq[Byte](64, -127, 32))
+    assert(out(2L) === null, "zero vector must encode to NULL (no quantizable signal)")
+  }
+
   test("v17: int8 quantization keeps the self-hit at rank 1 with near-1.0 score") {
     val top1 = run("v17_sq8_search").filter($"rank" === 1).collect()
     assert(top1.length === 8)
