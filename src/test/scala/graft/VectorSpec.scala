@@ -128,4 +128,33 @@ class VectorSpec extends GraftSuite {
       .asInstanceOf[Row]
     assert(t.getInt(0) === 0)
   }
+
+  test("graft_nearest_centroid_grouped routes by key; L2 mode argmins; unknown key throws") {
+    // group 0: centroids {(0,1), (1,0)}; group 1: centroids {(1,1), (2,0)}
+    val mapSql = "map(0L, array(array(0.0D, 1.0D), array(1.0D, 0.0D)), " +
+      "1L, array(array(1.0D, 1.0D), array(2.0D, 0.0D)))"
+    val g0 = scalar(s"graft_nearest_centroid_grouped(array(2.0D, 0.0D), 0L, $mapSql)")
+      .asInstanceOf[Row]
+    assert(g0.getInt(0) === 1) // cosine argmax within group 0
+    val g1 = scalar(s"graft_nearest_centroid_grouped(array(2.0D, 0.0D), 1L, $mapSql)")
+      .asInstanceOf[Row]
+    assert(g1.getInt(0) === 1) // group 1's (2,0) is exactly the query direction
+    val l2 = scalar(s"graft_nearest_centroid_grouped_l2(array(2.0D, 0.0D), 1L, $mapSql)")
+      .asInstanceOf[Row]
+    assert(l2.getInt(0) === 1 && math.abs(l2.getDouble(1) - 0.0) < 1e-12) // −‖v−c‖² = 0
+    val l2other = scalar(s"graft_nearest_centroid_grouped_l2(array(1.0D, 1.0D), 1L, $mapSql)")
+      .asInstanceOf[Row]
+    assert(l2other.getInt(0) === 0) // exact match in slot 0 of group 1
+    intercept[Exception] {
+      scalar(s"graft_nearest_centroid_grouped(array(2.0D, 0.0D), 7L, $mapSql)")
+    }
+  }
+
+  test("every graft function registers through GraftExtensions (SQL-only surface complete)") {
+    val reg = spark.sessionState.functionRegistry
+    Graft.functionBuilders.foreach { case (name, _) =>
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not registered")
+    }
+  }
 }
