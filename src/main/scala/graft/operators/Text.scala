@@ -317,6 +317,34 @@ object Text {
        |       CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_h
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** t10: text normalization — the canonical pre-dedup/pre-tokenize clean
+    * pass of an ingestion pipeline: lowercase, collapse whitespace runs to
+    * one space, trim. Map-only (the normalization sits directly on the
+    * scan; zero shuffles before the output sort). Emits the normalized
+    * fingerprint + before/after lengths rather than the full text — at
+    * 100 TB the cleaned text is written alongside as a column, only ids
+    * and hashes move through the report. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        substring(col("norm"), 1, 40).as("prefix"),
+        Dedup.h60(col("norm")).as("norm_h"))
+      .orderBy("doc_id")
+
+  val normalizeTextOracle: String =
+    """WITH n AS (SELECT doc_id, text,
+      |                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |           FROM documents)
+      |SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+      |       length(norm)::BIGINT AS n_chars_norm,
+      |       substr(norm, 1, 40) AS prefix,
+      |       CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS norm_h
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def stratifiedSampleOracle(rates: Map[String, Int] = Map(
       "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): String = {
     val arms = rates.toSeq.sortBy(_._1)
