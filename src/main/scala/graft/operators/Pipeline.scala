@@ -78,6 +78,71 @@ object Pipeline {
        |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** f3: the reference's INGEST flow (add_document → chunk → embed →
+    * index → search, app/core/vector_db.py:118-168 + indexing.py) as one
+    * batch pipeline: documents are token-window chunked (t9's frame),
+    * every chunk is embedded (v13's deterministic stub — the Cohere call
+    * stubbed with exact-integer LCG math so the end-to-end pipeline is
+    * oracle-checkable), the chunk embeddings are LSH-keyed into an index,
+    * and text queries come back as ranked CHUNKS (the reference's search
+    * returns chunk objects). Chunk embeddings are localCheckpoint'd once —
+    * the index build and the exact rerank both read them, and at 100 TB
+    * that line is the persisted chunk-embedding table (p1's layout).
+    * Every step is map-only or an equi/broadcast join; chunk identity
+    * rides a single composite key (doc_id·10⁴ + chunk_idx). */
+  def ingestPipeline(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 4,
+                     window: Int = 64, stride: Int = 48,
+                     nTables: Int = 4, nBits: Int = 10, seed: Long = 7777): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+    val chunks = Text.chunkFrame(docs, window, stride)
+      .select((col("doc_id") * 10000L + col("chunk_idx")).as("vec_id"),
+        SearchText.stubEmbed(array_join(col("cw"), " ")).as("embedding"))
+      .localCheckpoint()
+
+    val index = Lsh.keyRows(chunks, nTables, nBits, seed)
+    val queries = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), SearchText.stubEmbed(col("text")).as("qvec"))
+
+    Lsh.searchIndex(index, chunks, queries, nTables, nBits, seed, k)
+      .select(col("qid"), col("rank"),
+        expr("vec_id div 10000").as("doc_id"),
+        expr("vec_id % 10000").as("chunk_idx"),
+        col("score"))
+      .orderBy("qid", "rank")
+  }
+
+  def ingestPipelineOracle(k: Int = 5, nQueries: Int = 4, window: Int = 64, stride: Int = 48,
+                           nTables: Int = 4, nBits: Int = 10, seed: Long = 7777,
+                           dim: Int = 64): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' '))::BIGINT AS n_tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, w,
+       |             CASE WHEN n_tok <= $window THEN 1
+       |                  ELSE (n_tok - $window + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |      FROM w),
+       |x AS (SELECT doc_id, w,
+       |             unnest([i for i in generate_series(0, n_chunks - 1)]) AS chunk_idx
+       |      FROM c),
+       |ch AS (SELECT doc_id * 10000 + chunk_idx AS vec_id,
+       |              ${SearchText.stubEmbedSql(
+                         s"array_to_string(w[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)], ' ')")} AS v
+       |       FROM x),
+       |q AS (SELECT doc_id AS qid, ${SearchText.stubEmbedSql("text")} AS qv
+       |      FROM documents WHERE doc_id < $nQueries),
+       |dk AS (${Lsh.keysSql("ch", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${Lsh.keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(ch.v, q.qv) AS score
+       |           FROM cand JOIN ch ON cand.vec_id = ch.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id // 10000 AS doc_id, vec_id % 10000 AS chunk_idx,
+       |       round(score, 4) AS score
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")
