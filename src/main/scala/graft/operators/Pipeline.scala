@@ -95,9 +95,15 @@ object Pipeline {
                      nTables: Int = 4, nBits: Int = 10, seed: Long = 7777): DataFrame = {
     graft.Graft.init(spark)
     val docs = Tables.documents(spark, dir)
-    val chunks = Text.chunkFrame(docs, window, stride)
+    // hash first, embed second, with a materialization between: without it
+    // CollapseProject inlines the md5 into the 64-element embed lambda and
+    // the chunk hash recomputes per ELEMENT (measured: the whole f3 cost)
+    val hashed = Text.chunkFrame(docs, window, stride)
       .select((col("doc_id") * 10000L + col("chunk_idx")).as("vec_id"),
-        SearchText.stubEmbed(array_join(col("cw"), " ")).as("embedding"))
+        (Dedup.h60(array_join(col("cw"), " ")) % SearchText.P).as("h"))
+      .localCheckpoint()
+    val chunks = hashed
+      .select(col("vec_id"), SearchText.stubEmbedFromHash(col("h")).as("embedding"))
       .localCheckpoint()
 
     val index = Lsh.keyRows(chunks, nTables, nBits, seed)

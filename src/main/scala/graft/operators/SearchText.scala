@@ -21,15 +21,22 @@ object SearchText {
   val P: Long = Dedup.P
 
   /** Deterministic stub embedding of a text column: e_i = lcg(h60(text) mod
-    * P + i) — exact-integer arithmetic, dim 64, double elements. */
-  def stubEmbed(text: Column): Column = {
-    val h = Dedup.h60(text) % P
-    // transform over the index sequence; h is an attribute-level expression
-    // evaluated once per row (sequence is cheap)
+    * P + i) — exact-integer arithmetic, dim 64, double elements.
+    *
+    * CAUTION (cost): CollapseProject inlines the md5 subtree into the
+    * transform lambda when `h` is referenced once, so the hash re-evaluates
+    * PER ELEMENT — 64 md5s/row. Fine for a handful of query rows; for a
+    * corpus-sized embed, materialize the hash first (localCheckpoint or a
+    * write) and call [[stubEmbedFromHash]] on the stored column — f3 does
+    * exactly this (3.0 s → md5-once at sf0.1). */
+  def stubEmbed(text: Column): Column = stubEmbedFromHash(Dedup.h60(text) % P)
+
+  /** The LCG expansion alone, over an already-computed `h60(text) % P`
+    * column — per-element cost is pure integer arithmetic. */
+  def stubEmbedFromHash(h: Column): Column =
     transform(sequence(lit(0), lit(Dim - 1)),
       i => (((lit(LcgPlanes.A) * (h + i.cast("long")) + LcgPlanes.C) % LcgPlanes.M)
         .cast("double") / lit(LcgPlanes.M.toDouble)) - 0.5)
-  }
 
   /** v13: embed the texts of query docs (doc_id < nQueries), search the
     * embeddings table by cosine. */
