@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to stdout instead of through sbt's logger —
+// the default LoggedOutput prefixes every line with "[info] ", which made
+// the driver's JSON parse of Bench's contract line fail (BENCH_r04
+// "parsed": null despite a complete line in the capture tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,11 +21,19 @@ import org.apache.spark.sql.SparkSession
   *     head-truncated and unparseable (this is what broke BENCH_r02/r03);
   *   - `BENCH_DETAIL.json` (cwd): full-precision PER-REP times for every
   *     query, both passes, so a VM stall is distinguishable from a real
-  *     regression after the fact.
+  *     regression after the fact — plus, when a second scale factor is
+  *     available, per-query `scale_sec`/`scale_ratio` against ~10× less
+  *     data and a `superlinear` flag list (ratio > 12 on a 10× data step
+  *     means the plan would not survive a 100× scale-up).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // second scale factor for the scaling check (≈10× less data than sf0.1):
+    // per-query time ratio sf0.1/sf0.01 ≈ 10 means linear in data, ≈1 means
+    // overhead-dominated; >> 10 flags a super-linear plan — the cheap local
+    // proxy for "would this survive a 100× scale-up".
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,17 +43,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def runOnce(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
     /** 1 untimed warmup + `reps` timed runs; empty on failure. */
-    def timedReps(name: String, reps: Int): Seq[Double] =
+    def timedReps(name: String, reps: Int, dir: String = sfDir): Seq[Double] =
       try {
-        runOnce(name)
+        runOnce(name, dir)
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          runOnce(name)
+          runOnce(name, dir)
           (System.nanoTime() - t0) / 1e9
         }
       } catch { case e: Throwable =>
@@ -73,8 +81,35 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     def d2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
+    // 2 dp with trailing zeros stripped ("0.50"→"0.5", "1.00"→"1") — the
+    // contract line must fit the driver's 2000-char stdout-tail window
+    // minus sbt's fixed "[success] ..." trailer, and query names dominate;
+    // this claws back ~1 B per query of headroom for suite growth.
+    def d2t(v: Double): String = {
+      val s = d2(v)
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty || t == "-") "0" else t
+      }
+    }
     def d3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     def dFull(v: Double): String = String.format(Locale.ROOT, "%.6f", Double.box(v))
+
+    // Scaling pass: same queries at the smaller sf (min of 2 reps — this
+    // pass wants the RATIO'S order of magnitude, not a tight estimate).
+    // A query whose time ratio far exceeds the 10× data ratio has a
+    // super-linear plan; overhead-dominated sub-second queries sit near 1.
+    val doScaling = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)) &&
+      scaleDir != sfDir
+    val scalePass: Map[String, Double] =
+      if (!doScaling) Map.empty
+      else names.flatMap(n => timedReps(n, 2, scaleDir).minOption.map(n -> _)).toMap
+    val superLinear = results.collect {
+      case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > 12.0) => n
+    }
+    superLinear.foreach(n => System.err.println(
+      s"[bench] SCALING FLAG: $n ratio ${d2(results.toMap.apply(n) / scalePass(n))} > 12 (data ratio ~10)"))
 
     // Full-precision per-rep detail — survives even though stdout is
     // tail-truncated by the driver's capture.
@@ -82,18 +117,28 @@ object Bench {
       val retry = retryPass.get(n)
         .map(r => s""","retry_reps":[${r.map(dFull).mkString(",")}]""").getOrElse("")
       val best = results.find(_._1 == n).get._2
-      s""""$n":{"reps":[${rs.map(dFull).mkString(",")}]$retry,"sec":${dFull(best)}}"""
+      val scale = scalePass.get(n).map(s =>
+        s""","scale_sec":${dFull(s)},"scale_ratio":${dFull(if (s > 0) best / s else -1.0)}""").getOrElse("")
+      s""""$n":{"reps":[${rs.map(dFull).mkString(",")}]$retry,"sec":${dFull(best)}$scale}"""
     }.mkString("{", ",", "}")
+    val superJson = superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${dFull(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"queries":$detail}""")
+      s"""{"metric":"total","value":${dFull(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,""" +
+        s""""scale_sf":${if (doScaling) "\"" + scaleDir + "\"" else "null"},"superlinear":$superJson,""" +
+        s""""queries":$detail}""")
 
     // Contract line LAST, compact (2 dp per query — full precision is in
-    // BENCH_DETAIL.json) so the driver's ~2 KiB stdout-tail window holds
-    // the ENTIRE line even with sbt's trailing status output: 71 queries
-    // × ~26 B ≈ 1.8 KiB.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BENCH_DETAIL.json) so the driver's stdout-tail window holds the
+    // ENTIRE line even with sbt's trailing status output. Guarded: if the
+    // growing query set pushes the line past the ~2 KiB capture budget,
+    // fail the bench run LOUDLY instead of silently breaking the parse.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d2t(v) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1900,
+      s"bench contract line is ${line.length} B — over the ~1.9 KiB driver-capture budget; " +
+        "shorten query names or drop per-query precision")
+    println(line)
     spark.stop()
   }
 }

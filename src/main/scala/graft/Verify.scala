@@ -8,8 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional 3rd arg: comma-separated query names — run only those
-    // (local iteration; the driver always runs the full set)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // (local iteration; the driver always runs the full set). Blank names
+    // are dropped ("".split(",") == Array("")) and an all-blank arg means
+    // "run all" — otherwise `Verify sf out ""` silently runs NOTHING and
+    // writes an empty oracle_sql.json.
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

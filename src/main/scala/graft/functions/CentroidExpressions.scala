@@ -280,13 +280,17 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
     val mat = mats(g); val nrm = norms(g)
     val isFloat = et == FloatType
     val n = a.numElements()
-    var na = 0.0
+    // query norm feeds only the cosine branch — skip the extra vector pass
+    // in L2 mode (this is the hot assignment kernel)
     var i = 0
-    while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      na += x * x; i += 1
+    val sqna = if (l2) 0.0 else {
+      var na = 0.0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        na += x * x; i += 1
+      }
+      math.sqrt(na)
     }
-    val sqna = math.sqrt(na)
     var best = 0; var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < mat.length) {
@@ -351,6 +355,17 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
              |  }
              |  double $s = ($sqna == 0.0 || $nrm[$c] == 0.0) ? 0.0 : $dot / ($sqna * $nrm[$c]);
            """.stripMargin
+      // query norm feeds only the cosine branch — don't emit the extra
+      // vector pass in L2 mode (mirrors nullSafeEval)
+      val normCode =
+        if (l2) ""
+        else
+          s"""double $na = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = $getterStr;
+             |  $na += $x * $x;
+             |}
+             |double $sqna = java.lang.Math.sqrt($na);""".stripMargin
       s"""
          |int $g = java.util.Arrays.binarySearch($keysRef, $key);
          |if ($g < 0) {
@@ -360,12 +375,7 @@ case class NearestCentroidGrouped(first: Expression, second: Expression, third: 
          |double[][] $mat = $matsRef[$g];
          |double[] $nrm = $normsRef[$g];
          |int $n = $a.numElements();
-         |double $na = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $getterStr;
-         |  $na += $x * $x;
-         |}
-         |double $sqna = java.lang.Math.sqrt($na);
+         |$normCode
          |int $best = 0; double $bestSim = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $mat.length; $c++) {
          |  double[] $cv = $mat[$c];

@@ -168,9 +168,14 @@ object Dedup {
     graft.Graft.init(spark)
     val sh = shingleHashes(Tables.documents(spark, dir))
     // one int[32]-buffer aggregate instead of 32 conditional sums
-    // (graft.functions.SimhashBitsAgg) — same bit rule as the 32-sum oracle
+    // (graft.functions.SimhashBitsAgg) — same bit rule as the 32-sum oracle.
+    // Materialize ONCE (the d6/p2 pattern): sigs is one 16-byte row per doc,
+    // but its lineage is the full shingle scan + simhash aggregate — the
+    // band self-join below would otherwise run that subtree on BOTH sides
+    // (measured 2.2× on d4 at sf0.1; at 100 TB this table is persisted).
     val sigs = sh.groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.functions.call_function("graft_simhash_agg", col("h")).as("sim"))
+      .localCheckpoint()
 
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band_idx"), shiftright(col("sim"), b * 8).bitwiseAND(lit(255L)).as("band_val"))
@@ -318,17 +323,22 @@ object Dedup {
     */
   private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
-    // orient big→small; materialize ONCE (this runs the candidate pipeline).
-    // The edge list is orders of magnitude smaller than the corpus (it is
-    // the POST-candidate-filter pair set), so it gets the small-data layout:
-    // coalesced hard so each loop stage schedules O(1) tasks, not one per
-    // upstream shuffle partition. At 100 TB the same line reads
-    // `.repartition(numPartitionsFor(edgeCount))` — the loop body is
-    // partition-count-agnostic.
+    // orient big→small; materialize ONCE (this runs the candidate pipeline),
+    // then lay the list out by its ACTUAL size: the edge list is the
+    // POST-candidate-filter pair set, orders of magnitude smaller than the
+    // corpus, and its count is free once materialized. ~500k edge rows per
+    // partition keeps each loop stage scheduling O(edges/500k) tasks —
+    // 1 at test scale, parallelism-capped at 100 TB. `coalesce` narrows
+    // the checkpointed partitions without a shuffle (and is a no-op if the
+    // materialized layout is already at or below the target).
     var edges = pairs.filter(a =!= b)
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
-      .coalesce(1)
       .localCheckpoint()
+    val rowsPerPartition = 500000L
+    val nParts = math.max(1L, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism.toLong,
+      (edges.count() + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    edges = edges.coalesce(nParts)
 
     // large-star: for each node n, m(n) = min(n ∪ neighbors); every neighbor
     // LARGER than n re-attaches to m(n). Output stays big→small and

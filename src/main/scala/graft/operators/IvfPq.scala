@@ -58,7 +58,11 @@ object IvfPq {
     val cvecs = typedLit(mat.map(_._2.toSeq).toSeq)
 
     val resid = residuals(emb, mat)
-    val rsub = residualSub(resid)
+    // materialize ONCE: the codebook collect job below and the final
+    // encode+ADC plan both read rsub — without this the assign + residual +
+    // explode subtree runs twice (same reason Pq.searchTrained checkpoints
+    // its subvector table).
+    val rsub = residualSub(resid).localCheckpoint()
 
     // residual codebooks: subvectors of vectors [K, 2K), collected to the
     // driver (M × K × Sub doubles) → map-only grouped-argmin encode

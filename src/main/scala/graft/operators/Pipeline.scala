@@ -20,6 +20,11 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** f3 composite chunk key: vec_id = doc_id << ChunkBits | chunk_idx.
+    * 20 bits ≈ 1M chunks/doc; overflow raises (see ingestPipeline). */
+  val ChunkBits = 20
+  val ChunkRadix: Long = 1L << ChunkBits
+
   def trainingPipeline(spark: SparkSession, dir: String, minQuality: Double = 0.4): DataFrame = {
     graft.Graft.init(spark)
     val docs = Tables.documents(spark, dir)
@@ -89,7 +94,10 @@ object Pipeline {
     * the index build and the exact rerank both read them, and at 100 TB
     * that line is the persisted chunk-embedding table (p1's layout).
     * Every step is map-only or an equi/broadcast join; chunk identity
-    * rides a single composite key (doc_id·10⁴ + chunk_idx). */
+    * rides a single composite key (doc_id << 20 | chunk_idx — 20 bits
+    * holds ~1M chunks/doc ≈ a 50M-token document at window 64/stride 48;
+    * an overflow raises instead of silently aliasing into the next doc's
+    * key space, which the oracle replay could never catch). */
   def ingestPipeline(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 4,
                      window: Int = 64, stride: Int = 48,
                      nTables: Int = 4, nBits: Int = 10, seed: Long = 7777): DataFrame = {
@@ -99,7 +107,10 @@ object Pipeline {
     // CollapseProject inlines the md5 into the 64-element embed lambda and
     // the chunk hash recomputes per ELEMENT (measured: the whole f3 cost)
     val hashed = Text.chunkFrame(docs, window, stride)
-      .select((col("doc_id") * 10000L + col("chunk_idx")).as("vec_id"),
+      .select(
+        when(col("chunk_idx") >= ChunkRadix,
+          raise_error(format_string("f3: chunk_idx %s overflows the 20-bit chunk radix", col("chunk_idx"))))
+          .otherwise(shiftleft(col("doc_id"), ChunkBits).bitwiseOR(col("chunk_idx"))).as("vec_id"),
         (Dedup.h60(array_join(col("cw"), " ")) % SearchText.P).as("h"))
       .localCheckpoint()
     val chunks = hashed
@@ -112,8 +123,8 @@ object Pipeline {
 
     Lsh.searchIndex(index, chunks, queries, nTables, nBits, seed, k)
       .select(col("qid"), col("rank"),
-        expr("vec_id div 10000").as("doc_id"),
-        expr("vec_id % 10000").as("chunk_idx"),
+        shiftright(col("vec_id"), ChunkBits).as("doc_id"),
+        col("vec_id").bitwiseAND(lit(ChunkRadix - 1)).as("chunk_idx"),
         col("score"))
       .orderBy("qid", "rank")
   }
@@ -131,7 +142,7 @@ object Pipeline {
        |x AS (SELECT doc_id, w,
        |             unnest([i for i in generate_series(0, n_chunks - 1)]) AS chunk_idx
        |      FROM c),
-       |ch AS (SELECT doc_id * 10000 + chunk_idx AS vec_id,
+       |ch AS (SELECT (doc_id << $ChunkBits) | chunk_idx AS vec_id,
        |              ${SearchText.stubEmbedSql(
                          s"array_to_string(w[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)], ' ')")} AS v
        |       FROM x),
@@ -145,7 +156,7 @@ object Pipeline {
        |           FROM cand JOIN ch ON cand.vec_id = ch.vec_id JOIN q ON cand.qid = q.qid),
        |r AS (SELECT qid, vec_id, score,
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
-       |SELECT qid, rank, vec_id // 10000 AS doc_id, vec_id % 10000 AS chunk_idx,
+       |SELECT qid, rank, vec_id >> $ChunkBits AS doc_id, vec_id & ${ChunkRadix - 1} AS chunk_idx,
        |       round(score, 4) AS score
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
