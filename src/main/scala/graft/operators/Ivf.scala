@@ -184,9 +184,23 @@ object Ivf {
   /** Lloyd's training loop; returns the final driver-side centroid matrix.
     * Per iteration: one shuffle-free assignment projection + one k-group
     * partial aggregate (sum of unit-normalized vectors + count), then the
-    * k sums are renormalized on the driver (reference ivf.py:173-182). */
-  private[operators] def trainCentroids(spark: SparkSession, emb: DataFrame,
-                                        iters: Int): Array[(Long, Array[Double])] = {
+    * k sums are renormalized on the driver (reference ivf.py:173-182).
+    *
+    * Empty clusters are RESEEDED from the corpus points worst served by the
+    * surviving centroids — the deterministic analog of the reference's
+    * random reseed (ivf.py:183-186 draws rng.choice rows of Xn; here: the
+    * E lowest-max-cosine points, ties to lowest vec_id, unit-normalized
+    * like Xn, each empty cell paired with one distinct point). Costs one
+    * extra assignment scan ONLY in an iteration that actually emptied a
+    * cluster (rare); the reseed pick is an orderBy+limit = distributed
+    * TopK, so driver state stays E×d. Without reseeding, a degenerate init
+    * (duplicate vectors among the first K) pins dead centroids forever and
+    * the trained index silently loses cluster granularity — GraftSpec
+    * exercises exactly that dataset. (PQ subspace codebook training keeps
+    * the keep-old rule: the reference has no PQ to be faithful to, and a
+    * reseed there would have to re-pick per (m, cell) pair.) */
+  private[graft] def trainCentroids(spark: SparkSession, emb: DataFrame,
+                                    iters: Int): Array[(Long, Array[Double])] = {
     var centroids: Array[(Long, Array[Double])] =
       emb.filter(col("vec_id") < K).orderBy("vec_id").collect().map { r =>
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -203,9 +217,31 @@ object Ivf {
         val norm = math.sqrt(vsum.map(x => x * x).sum)
         (cid, if (norm > 0) vsum.map(_ / norm) else vsum)
       }.toMap
-      // empty clusters keep their previous centroid (deterministic variant
-      // of the reference's random reseed, ivf.py:177-179)
-      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      val emptyCids = centroids.map(_._1).filterNot(updated.contains).sorted
+      val reseeded: Map[Long, Array[Double]] =
+        if (emptyCids.isEmpty) Map.empty
+        else {
+          val live = updated.toArray.sortBy(_._1)
+          val far = assignToMat(emb, live)
+            .select(col("sim"), col("vec_id"), col("embedding"))
+            .orderBy(col("sim").asc, col("vec_id").asc)
+            .limit(emptyCids.length)
+            .collect()
+            .map { r =>
+              val v = r.get(2) match {
+                case s: scala.collection.Seq[_] => s.map {
+                  case f: Float => f.toDouble
+                  case d: Double => d
+                }.toArray
+              }
+              val n = math.sqrt(v.map(x => x * x).sum)
+              if (n > 0) v.map(_ / n) else v
+            }
+          emptyCids.zip(far).toMap // zip truncates if corpus < #empties: rest keep old
+        }
+      centroids = centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, reseeded.getOrElse(cid, old)))
+      }
     }
     centroids
   }

@@ -230,6 +230,77 @@ object Persist {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v16d: FREE-FORM metadata filters — the reference's `Chunk.metadata` is
+    * an arbitrary string dict (app/core/models.py:48) and every index search
+    * signature takes `metadata_filters` over arbitrary keys (ivf.py:91,
+    * lsh_simhash.py:104-105); v16/v16b/v16c only ever filtered one TYPED
+    * `label` column. Here the persisted chunk store carries BOTH kinds of
+    * key and the search filters on both:
+    *
+    *   - a PROMOTED hot key (`lang`, stored as its own typed column): the
+    *     equality pushes into the parquet reader (visible as PushedFilters)
+    *     → row-group stats pruning — the 100 TB story for keys that are
+    *     filtered often;
+    *   - an arbitrary COLD key (`metadata['source']`): parquet can NOT push
+    *     a map-value predicate, so it runs as a post-scan filter — correct
+    *     for ANY key a user invents, cheap only because the pushed filter
+    *     already cut the scan.
+    *
+    * The split (lang pushed, map lookup not) is asserted in PersistSpec.
+    * "Promote what's hot, map for the rest" is how a production chunk store
+    * squares schema-on-write scan speed with schema-less metadata. */
+  def metadataFilteredSearch(spark: SparkSession, dir: String,
+                             lang: String = "en", source: String = "src7",
+                             k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val docs = Tables.documents(spark, dir)
+
+    // build: chunk store = vector + promoted typed column + free-form map
+    // (vec_id ↔ doc_id is the corpus' 1:1 chunk↔document alignment)
+    val path = tablePath(spark, "graft_idx_chunkstore")
+    emb
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"),
+        map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source"),
+          lit("n_chars"), col("n_chars").cast("string")).as("metadata"))
+      .write.mode("overwrite").parquet(path)
+    val store = spark.read.parquet(path)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val candidates = store
+      .filter(col("lang") === lang) // promoted key: pushed to parquet
+      .filter(element_at(col("metadata"), lit("source")) === source) // cold key: post-scan
+      .select(col("vec_id"), col("embedding"))
+    Knn.topkPerQuery(Knn.scoreAll(candidates, queries, "cosine"), "cosine", k)
+  }
+
+  /** Candidate-side scan of the chunk store with both filters, exposed for
+    * PersistSpec's pushdown assertion (same filters as the query path). */
+  private[graft] def chunkStoreScan(spark: SparkSession, lang: String = "en",
+                                    source: String = "src7"): DataFrame =
+    spark.read.parquet(tablePath(spark, "graft_idx_chunkstore"))
+      .filter(col("lang") === lang)
+      .filter(element_at(col("metadata"), lit("source")) === source)
+      .select(col("vec_id"), col("embedding"))
+
+  def metadataFilteredSearchOracle(lang: String = "en", source: String = "src7",
+                                   k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+       |         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |         WHERE d.lang = '$lang' AND d.source = '$source'),
+       |s AS (SELECT q.qid, cand.vec_id, list_cosine_similarity(cand.v, q.qvec) AS score
+       |      FROM cand CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** p4: incremental index maintenance — the reference's `add_chunk` path
     * (app/core/indexes/lsh_simhash.py:72-80 adds one vector's keys to the
     * live tables; vector_db.py:150-168 add_chunks → index add). The Spark

@@ -189,6 +189,62 @@ object Streams {
       .start()
   }
 
+  /** Streaming upsert → LIVE INDEX maintenance — u1's update_chunk→index→
+    * search semantics (reference: app/core/vector_db.py:220-236) as
+    * continuous CDC, composing [[upsertLatestStateful]]'s latest-wins rule
+    * with [[lshIngestStream]]'s idempotent append: each micro-batch of
+    * `(vec_id, embedding, version)` changes is reduced latest-wins WITHIN
+    * the batch, keyed (delta only), and appended to the persisted bucketed
+    * index WITH its version column. A replaced vector's stale key rows are
+    * never deleted (parquet appends are immutable) — they are suppressed at
+    * READ time by [[latestIndexState]]'s per-vector max-version filter.
+    * This is the merge-on-read table shape (Hudi MOR / Delta CDF): writes
+    * stay O(delta), the reader pays one window filter, and at 100 TB a
+    * periodic compaction job folds the filter into the files. Replay after
+    * restart is idempotent via the same batchId commit log as
+    * [[lshIngestStream]]. */
+  def upsertIngestStream(cdc: DataFrame, table: String, nTables: Int,
+                         nBits: Int, seed: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val commits = table + "_commits"
+      val alreadyCommitted = s.catalog.tableExists(commits) &&
+        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+      if (!alreadyCommitted) {
+        // latest-wins within the micro-batch (a batch can carry several
+        // versions of one key); cross-batch winners resolve at read time
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("version").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        graft.operators.Lsh.keyRows(latest.select(col("vec_id"), col("embedding")),
+            nTables, nBits, seed)
+          .join(latest.select(col("vec_id"), col("version")), Seq("vec_id"))
+          .write.mode("append")
+          .bucketBy(8, "key").sortBy("key")
+          .format("parquet").saveAsTable(table)
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(commits)
+      }
+    }
+    cdc.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .start()
+  }
+
+  /** Latest-wins view over a versioned `(vec_id, version, table_id, key)`
+    * index table: rows not carrying their vector's max version drop out —
+    * the read-side half of [[upsertIngestStream]]'s merge-on-read design.
+    * One window over the index table, partitioned by vec_id. */
+  def latestIndexState(index: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+    index
+      .withColumn("maxv", max(col("version")).over(w))
+      .filter(col("version") === col("maxv"))
+      .select(col("vec_id"), col("table_id"), col("key"))
+  }
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

@@ -70,6 +70,44 @@ class DegenerateDocSpec extends GraftSuite {
   }
 }
 
+/** v8 empty-cluster reseed parity (reference ivf.py:183-186): a degenerate
+  * init — duplicate vectors among the first K — empties K−1 clusters on
+  * iteration 1. The reference reseeds empties from corpus points; keep-old
+  * (the pre-round-5 rule) would pin 15 dead copies of the duplicated init
+  * vector forever and the trained index would silently collapse to one
+  * cluster. The reseed must also be deterministic (farthest-point, ties to
+  * lowest vec_id) — same input, same centroids, on any partitioning. */
+class KmeansReseedSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** 16 identical init vectors (the adversarial part) + 48 DISTINCT spread
+    * points over 8 directions, dim 8. */
+  private def adversarial: org.apache.spark.sql.DataFrame =
+    (0L until 64L).map { i =>
+      val v = Array.fill(8)(0.0f)
+      if (i < operators.Ivf.K) v(0) = 1.0f
+      else { v((i % 8).toInt) = 1.0f; v(7) += i.toFloat / 100f }
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+  test("v8b: empty clusters reseed from worst-served points, deterministically") {
+    val df = adversarial.cache()
+    try {
+      val m1 = operators.Ivf.trainCentroids(spark, df, iters = 3)
+      val m2 = operators.Ivf.trainCentroids(spark, df, iters = 3)
+      assert(m1.length === operators.Ivf.K)
+      assert(m1.map(_._2.toSeq).toSeq === m2.map(_._2.toSeq).toSeq, "reseed is not deterministic")
+      val distinct = m1.map(_._2.toSeq).distinct.length
+      assert(distinct >= 8, s"only $distinct distinct centroids — dead cells were not reseeded")
+      // every centroid is unit-norm (reseeds included — reference uses Xn)
+      m1.foreach { case (cid, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        assert(math.abs(n - 1.0) < 1e-9, s"centroid $cid has norm $n")
+      }
+    } finally df.unpersist()
+  }
+}
+
 /** d7 connected components and e4 as-of join invariants. */
 class GraphTemporalSpec extends GraftSuite {
   test("d7: every d3 pair lands in one cluster; cluster_id is the min member") {

@@ -82,6 +82,28 @@ class PersistSpec extends GraftSuite {
     assert(labels.nonEmpty && labels.subsetOf(Set(2, 5)), s"leaked labels: $labels")
   }
 
+  test("v16d metadata filters: promoted key pushes to parquet, map key filters post-scan") {
+    run("v16d_metadata_filter").collect() // builds graft_idx_chunkstore
+    val scan = Persist.chunkStoreScan(spark)
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    // the promoted typed column reaches the reader as a pushed predicate...
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"promoted lang filter not pushed:\n${plan.take(600)}")
+    // ...the map-value predicate can NOT (parquet has no map-key stats) —
+    // it must stay a post-scan Filter, never appear among PushedFilters
+    assert(!plan.contains("EqualTo(metadata"),
+      s"map-value filter unexpectedly pushed:\n${plan.take(600)}")
+    assert(plan.contains("metadata"), "post-scan map filter missing from the plan")
+    // and no candidate outside (lang, source) = (en, src7) leaks through
+    val hits = run("v16d_metadata_filter")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("vec_id"), col("lang"), col("source"))
+    val keys = hits.join(docs, Seq("vec_id"))
+      .select("lang", "source").distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys === Set(("en", "src7")), s"leaked metadata keys: $keys")
+  }
+
   test("l3 dispatch: every hit stays in its query's library; routing matches the config") {
     import spark.implicits._
     val hits = run("l3_library_dispatch")

@@ -162,6 +162,53 @@ class StreamingMultiBatchSpec extends GraftSuite {
       "replayed micro-batch double-appended despite the batchId commit log")
   }
 
+  test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_idx_upsert_stream"
+    operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_commits")
+    val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val all = embDf.as[(Long, Array[Float])].collect().toSeq
+
+    // u1's changelog: batch 1 = the base corpus at version 1; batch 2 =
+    // ids [0, 10) receive the vectors of ids [100, 110) at version 2
+    val byId = all.toMap
+    val b1 = all.map { case (id, v) => (id, v, 1L) }
+    val b2 = (0L until 10L).map(i => (i, byId(i + 100), 2L))
+    val stream = MemoryStream[(Long, Array[Float], Long)]
+    val q = Streams.upsertIngestStream(
+      stream.toDF().toDF("vec_id", "embedding", "version"), table, 4, 12, 5000)
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the merged corpus u1 searches (latest-wins per vec_id)
+    val merged = all.map { case (id, v) =>
+      (id, if (id < 10) byId(id + 100) else v)
+    }.toDF("vec_id", "embedding")
+    val queries = merged.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+    val live = Streams.latestIndexState(spark.table(table))
+    val got = operators.Lsh.searchIndex(live, merged, queries, 4, 12, 5000, 10)
+      .collect().toSeq
+    val want = operators.Lsh.searchIndex(
+      operators.Lsh.keyRows(merged, 4, 12, 5000), merged, queries, 4, 12, 5000, 10)
+      .collect().toSeq
+    assert(got.nonEmpty && got === want,
+      "CDC-maintained index search diverged from a fresh build over the merged corpus")
+
+    // merge-on-read really suppressed stale rows: the raw table keeps the
+    // replaced vectors' version-1 keys, the live view must not
+    val rawRows = spark.table(table).count()
+    val liveRows = live.count()
+    assert(rawRows === liveRows + 10 * 4,
+      s"expected ${10 * 4} stale key rows suppressed, raw=$rawRows live=$liveRows")
+  }
+
   test("streaming CDC upsert: latest-wins state survives out-of-order micro-batches == batch c1") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // split by event_id PARITY, not time: batch 2 carries events both older
