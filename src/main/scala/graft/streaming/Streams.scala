@@ -237,12 +237,32 @@ object Streams {
     * index table: rows not carrying their vector's max version drop out —
     * the read-side half of [[upsertIngestStream]]'s merge-on-read design.
     * One window over the index table, partitioned by vec_id. */
-  def latestIndexState(index: DataFrame): DataFrame = {
+  def latestIndexState(index: DataFrame): DataFrame =
+    latestIndexRows(index).select(col("vec_id"), col("table_id"), col("key"))
+
+  private def latestIndexRows(index: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
     index
       .withColumn("maxv", max(col("version")).over(w))
       .filter(col("version") === col("maxv"))
-      .select(col("vec_id"), col("table_id"), col("key"))
+      .drop("maxv")
+  }
+
+  /** Compaction for the merge-on-read index: materialize the latest-wins
+    * rows as a NEW generation table (same bucket spec) and return it —
+    * after the swap, readers search the compacted generation directly and
+    * stop paying [[latestIndexState]]'s window filter; the old generation
+    * is dropped once no reader references it. New-fileset-then-swap is the
+    * production compaction shape (rewriting a table in place would read
+    * and overwrite the same files). Cost: one scan + one window + one
+    * bucketed write over the index table — O(index), never the corpus. */
+  def compactIndex(spark: SparkSession, table: String, into: String): DataFrame = {
+    graft.operators.Persist.dropIndexTable(spark, into)
+    latestIndexRows(spark.table(table))
+      .write
+      .bucketBy(8, "key").sortBy("key")
+      .format("parquet").saveAsTable(into)
+    spark.table(into)
   }
 
   private def stageDir(dir: String): String = {

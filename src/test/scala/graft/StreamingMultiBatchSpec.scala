@@ -207,6 +207,14 @@ class StreamingMultiBatchSpec extends GraftSuite {
     val liveRows = live.count()
     assert(rawRows === liveRows + 10 * 4,
       s"expected ${10 * 4} stale key rows suppressed, raw=$rawRows live=$liveRows")
+
+    // compaction folds the latest-wins filter into a new generation table:
+    // same row set as the live view, search unchanged, no window at read
+    val compacted = Streams.compactIndex(spark, table, table + "_gen2")
+    assert(compacted.count() === liveRows, "compaction changed the live row set")
+    val gotCompacted = operators.Lsh.searchIndex(compacted, merged, queries, 4, 12, 5000, 10)
+      .collect().toSeq
+    assert(gotCompacted === want, "search over the compacted generation diverged")
   }
 
   test("streaming CDC upsert: latest-wins state survives out-of-order micro-batches == batch c1") {
