@@ -301,6 +301,89 @@ object Persist {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v16e: free-form metadata × partitioned IVF — v16d's promoted/cold-key
+    * split composed with v16b's partition-pruned probe. The persisted
+    * inverted lists carry the promoted `lang` column AND the free-form map,
+    * so ONE scan stacks THREE prunings:
+    *   1. PartitionFilters: the probed cluster ids (static IN from the
+    *      driver-side Q×Probes set) prune list DIRECTORIES at file-listing
+    *      time;
+    *   2. PushedFilters: the promoted `lang` equality prunes row groups
+    *      inside surviving partitions;
+    *   3. post-scan: the arbitrary map key (`metadata['source']`) filters
+    *      the rows the first two admitted — correct for any key, paying
+    *      only for what survived the pushed prunings.
+    * At 100 TB a metadata-filtered probe reads
+    * probed-dirs ∩ lang-matching-row-groups, then drops non-matching cold
+    * keys in the projection — never the corpus. */
+  def metadataFilteredIvfSearch(spark: SparkSession, dir: String,
+                                lang: String = "en", source: String = "src7",
+                                k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val docs = Tables.documents(spark, dir)
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+
+    // build: map-only assignment, metadata joined in (1:1 on vec_id=doc_id)
+    // — the persisted lists are metadata-complete like v16b's
+    val path = tablePath(spark, "graft_idx_ivf_lists_meta")
+    val built = Ivf.assignToMat(emb, mat)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"),
+        map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source"),
+          lit("n_chars"), col("n_chars").cast("string")).as("metadata"),
+        col("cluster_id"))
+    Sinks.writePartitioned(built, path, "cluster_id")
+    val lists = spark.read.parquet(path)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    val scored = lists
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+      .filter(col("lang") === lang) // pushed
+      .filter(element_at(col("metadata"), lit("source")) === source) // post-scan
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def metadataFilteredIvfSearchOracle(lang: String = "en", source: String = "src7",
+                                      k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < ${Ivf.K}),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= ${Ivf.Probes}),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a
+       |         JOIN probes p ON a.cluster_id = p.cid
+       |         JOIN documents d ON a.vec_id = d.doc_id
+       |         WHERE d.lang = '$lang' AND d.source = '$source'),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** p4: incremental index maintenance — the reference's `add_chunk` path
     * (app/core/indexes/lsh_simhash.py:72-80 adds one vector's keys to the
     * live tables; vector_db.py:150-168 add_chunks → index add). The Spark

@@ -104,6 +104,24 @@ class PersistSpec extends GraftSuite {
     assert(keys === Set(("en", "src7")), s"leaked metadata keys: $keys")
   }
 
+  test("v16e metadata×IVF: one scan stacks partition pruning + pushed promoted key + post-scan map key") {
+    run("v16e_metadata_ivf").collect() // builds graft_idx_ivf_lists_meta
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists_meta"
+    val probed = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(1L, 3L, 5L))
+      .filter(col("lang") === "en")
+      .filter(element_at(col("metadata"), lit("source")) === "src7")
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"probe does not prune cluster partitions:\n${plan.take(600)}")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"promoted lang filter not pushed into the pruned scan:\n${plan.take(600)}")
+    assert(!plan.contains("EqualTo(metadata"),
+      s"map-value filter unexpectedly pushed:\n${plan.take(600)}")
+    assert(plan.contains("metadata"), "post-scan map filter missing from the plan")
+  }
+
   test("l3 dispatch: every hit stays in its query's library; routing matches the config") {
     import spark.implicits._
     val hits = run("l3_library_dispatch")
