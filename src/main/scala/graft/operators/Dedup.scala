@@ -112,10 +112,28 @@ object Dedup {
     s"""WITH $shingleSqlCte
        |$minhashSqlSelect ORDER BY doc_id""".stripMargin
 
-  /** d3: banded-LSH candidate pairs + exact shingle Jaccard ≥ τ. */
+  /** d3: banded-LSH candidate pairs + exact shingle Jaccard ≥ τ.
+    *
+    * The tokenize+shingle pass — the dominant cost on a text corpus — runs
+    * ONCE: the materialized shingle table feeds the signature aggregate AND
+    * both sides of the candidate rerank (un-checkpointed, the same subtree
+    * executed 3×: signatures, sa, sb — the rerank joins shuffle on
+    * different keys, so AQE exchange reuse cannot dedupe them). At 100 TB
+    * this line is the persisted shingle table; d7/f2 inherit the saving
+    * through this candidate pipeline. */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = minhash(spark, dir)
+    val shingles = withShingles(
+      docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .localCheckpoint()
+
+    val sh = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), (h60(col("s")) % P).as("h"))
+    val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(":", parts: _*)).as("band_key"))
@@ -128,8 +146,6 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-
-    val shingles = withShingles(docs)
 
     pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))

@@ -108,7 +108,11 @@ object Persist {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
 
-    val shingles = Dedup.withShingles(docs)
+    // tokenize ONCE for both rerank sides (the d3 pattern — the two joins
+    // shuffle on different keys, so nothing dedupes the subtree otherwise)
+    val shingles = Dedup.withShingles(
+      docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .localCheckpoint()
 
     pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
