@@ -122,11 +122,20 @@ object Bench {
       s""""$n":{"reps":[${rs.map(dFull).mkString(",")}]$retry,"sec":${dFull(best)}$scale}"""
     }.mkString("{", ",", "}")
     val superJson = superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // These queries rebuild + write their index artifact INSIDE the timed
+    // region (build is part of their contract: the round-trip must be
+    // reproducible from nothing), so their numbers are build+search, not
+    // query latency — recorded so the artifact reader doesn't misread
+    // them as slow searches.
+    val includesBuild = Seq("v17_sq8_search", "v16b_filtered_ivf", "v16d_metadata_filter",
+      "v16e_metadata_ivf", "p1_lsh_persist_search", "p2_minhash_persist_pairs",
+      "p3_ivf_persist_search", "p4_lsh_incremental")
+      .filter(results.toMap.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${dFull(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,""" +
         s""""scale_sf":${if (doScaling) "\"" + scaleDir + "\"" else "null"},"superlinear":$superJson,""" +
-        s""""queries":$detail}""")
+        s""""includes_index_build":$includesBuild,"queries":$detail}""")
 
     // Contract line LAST, compact (2 dp per query — full precision is in
     // BENCH_DETAIL.json) so the driver's stdout-tail window holds the
@@ -144,7 +153,9 @@ object Bench {
       val s = String.format(Locale.ROOT, "%.1f", Double.box(v))
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    val budget = 1900
+    // driver window is 2000 chars; sbt's trailing "[success] ..." line
+    // consumes ~77 — 1920 leaves a few bytes of slack
+    val budget = 1920
     val line2 = contractLine(d2t)
     val line = if (line2.length < budget) line2 else {
       System.err.println(s"[bench] 2dp contract line ${line2.length} B > $budget — degrading to 1dp")
