@@ -145,9 +145,13 @@ object Bench {
     // still lives in BENCH_DETAIL.json) — only if even that overflows does
     // the run fail loudly. A hard require at 2 dp would trade a slightly
     // coarser artifact for NO artifact.
+    // sf as basename ("sf0.1") — the full dir is in BENCH_DETAIL.json and
+    // the driver records the sf itself; 16 fewer bytes of path buys one
+    // more query at 2 dp
+    val sfName = new java.io.File(sfDir).getName
     def contractLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     def d1t(v: Double): String = {
       val s = String.format(Locale.ROOT, "%.1f", Double.box(v))

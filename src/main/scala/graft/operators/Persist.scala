@@ -305,6 +305,51 @@ object Persist {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v14b: the reference's FULL production IVF flow in one query —
+    * train_index (v8's Lloyd's, with round-5's deterministic empty-cluster
+    * reseed) → persist the inverted lists partitioned by the TRAINED
+    * cluster ids (p3's directory layout) → reload → probe-pruned search
+    * with the trained centroids (reference: app/api train endpoint →
+    * vector_db.py:294 train_index, :272-292 rebuild-on-startup,
+    * tests-mongo/test_persistence.py IVF restart). v14 proved trained
+    * search in-flight, p3 proved persistence with fixed centroids; this
+    * composite proves the trained artifact SURVIVES storage: training is
+    * deterministic, so the persisted round-trip must equal the in-flight
+    * v14 bit-for-bit (spec-gated; rows-only for the driver — iterative
+    * training is not SQL-expressible). At 100 TB: train on a sample
+    * (driver state k×d), one map-only assignment pass writes the lists,
+    * every later search reads probed directories only. */
+  def trainedIvfPersistSearch(spark: SparkSession, dir: String, k: Int = 10,
+                              nQueries: Int = 8, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mat = Ivf.trainCentroids(spark, emb, iters)
+
+      val path = tablePath(spark, "graft_idx_ivf_trained")
+      val built = Ivf.assignToMat(emb, mat)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      Sinks.writePartitioned(built, path, "cluster_id")
+      val lists = spark.read.parquet(path)
+
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+      val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+      val scored = lists
+        .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+        .join(broadcast(probeDf), Seq("cluster_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("qid"), col("vec_id"), col("score"))
+
+      Knn.topkPerQuery(scored, "cosine", k)
+    } finally emb.unpersist()
+  }
+
   /** v16e: free-form metadata × partitioned IVF — v16d's promoted/cold-key
     * split composed with v16b's partition-pruned probe. The persisted
     * inverted lists carry the promoted `lang` column AND the free-form map,

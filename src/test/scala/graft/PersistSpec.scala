@@ -48,6 +48,21 @@ class PersistSpec extends GraftSuite {
     assert(ids.getLong(0) < 400L && ids.getLong(1) >= 400L)
   }
 
+  test("v14b: trained IVF survives persistence — round-trip == in-flight trained search") {
+    val roundTrip = rows(Persist.trainedIvfPersistSearch(spark, sf))
+    val fresh = rows(Ivf.searchTrained(spark, sf))
+    assert(roundTrip === fresh,
+      "persisted trained-IVF search diverged from the in-flight trained search")
+    assert(roundTrip.nonEmpty)
+    // and the trained lists really prune on probe
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_trained"
+    val probed = spark.read.parquet(path).filter(col("cluster_id").isin(1L, 3L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"trained lists do not partition-prune:\n${plan.take(600)}")
+  }
+
   test("v16 filtered kNN pushes the label filter to the parquet scan") {
     val df = run("v16_filtered_knn")
     val plan = df.queryExecution.executedPlan.toString
