@@ -39,12 +39,22 @@ object Multimodal {
     * explosion happens task-local exactly like a real frame extractor).
     */
   def frameSample(spark: SparkSession, dir: String, nFrames: Int = 4,
-                  frameLen: Int = 16): DataFrame = {
+                  frameLen: Int = 16): DataFrame =
+    framesOf(binaryDocs(spark, dir), nFrames, frameLen).toDF().orderBy("doc_id", "frame_idx")
+
+  private def binaryDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
     import spark.implicits._
-    val binaries: Dataset[BinaryDoc] = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
       .as[BinaryDoc]
+  }
 
+  /** The frame-extraction pass shared by m2 and m3: one input row → N
+    * typed frame rows, all inside a single mapPartitions pass (no shuffle;
+    * the explosion is task-local exactly like a real frame extractor). */
+  private def framesOf(binaries: Dataset[BinaryDoc], nFrames: Int,
+                       frameLen: Int): Dataset[Frame] = {
+    import binaries.sparkSession.implicits._
     binaries.mapPartitions { it =>
       it.flatMap { b =>
         val stride = math.max(1, b.payload.length / nFrames)
@@ -62,7 +72,41 @@ object Multimodal {
           }
         }
       }
-    }.toDF().orderBy("doc_id", "frame_idx")
+    }
+  }
+
+  /** m3: the multimodal pipeline END TO END — binary payload → frame
+    * features (STUB decode, m2's pass) → per-media feature VECTOR → LSH
+    * index → similar-media search. This is the video/image dedup-and-
+    * retrieval flow of a training-data pipeline with the codec stubbed:
+    * everything downstream of decode (the vectorization shuffle, the index
+    * build, the bucket-join search) is the real 100 TB plan.
+    *
+    * The per-media vector is the frame features in frame order (dim =
+    * nFrames), scaled to [0,1] — one groupBy(doc_id) shuffle whose rows
+    * are nFrames longs each; then the m3 index/search path IS v10's
+    * (keyRows + searchIndex), proving the multimodal columns compose with
+    * the vector stack unchanged. Rows-only (mapPartitions decode is not
+    * SQL-expressible); gated by PipelineSpec: deterministic, self-hit at
+    * rank 1 with score 1.0, hits within the corpus. */
+  def mediaSearch(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 4,
+                  nFrames: Int = 4, frameLen: Int = 16,
+                  nTables: Int = 4, nBits: Int = 8, seed: Long = 4000): DataFrame = {
+    graft.Graft.init(spark)
+    val frames = framesOf(binaryDocs(spark, dir), nFrames, frameLen).toDF()
+
+    // per-media dense vector: frame features in frame order, scaled to [0,1]
+    val vectors = frames
+      .groupBy(col("doc_id").as("vec_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_feature")))).as("fs"))
+      .select(col("vec_id"),
+        expr("transform(fs, x -> CAST(x.frame_feature AS DOUBLE) / 2147483647.0)").as("embedding"))
+      .localCheckpoint() // feeds the index build, the rerank corpus, and queries
+
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Lsh.searchIndex(Lsh.keyRows(vectors, nTables, nBits, seed), vectors, queries,
+      nTables, nBits, seed, k)
   }
 
   /** m1: binary ingestion + per-partition decode → typed metadata. */

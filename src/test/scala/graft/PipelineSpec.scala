@@ -77,4 +77,23 @@ class PipelineSpec extends GraftSuite {
     val b = run("m1_binary_meta").select("doc_id", "fake_feature").collect().toSeq
     assert(a === b)
   }
+
+  test("m3 media search: binary→vector→LSH composes; self-hit at rank 1; deterministic") {
+    val hits = run("m3_media_search").collect().toSeq
+    assert(hits.nonEmpty)
+    // every query's rank-1 hit is itself with cosine 1.0 (its own vector
+    // shares every bucket and maxes the rerank)
+    val rank1 = hits.filter(_.getLong(1) == 1L)
+    rank1.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2), s"query ${r.getLong(0)} rank-1 is not itself")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    }
+    assert(rank1.nonEmpty)
+    // hit ids stay inside the corpus id space
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(2)).toSet.subsetOf(docIds))
+    // deterministic end to end (stub decode + vectorize + index + search)
+    assert(run("m3_media_search").collect().toSeq === hits)
+  }
 }
