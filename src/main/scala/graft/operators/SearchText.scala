@@ -38,6 +38,24 @@ object SearchText {
       i => (((lit(LcgPlanes.A) * (h + i.cast("long")) + LcgPlanes.C) % LcgPlanes.M)
         .cast("double") / lit(LcgPlanes.M.toDouble)) - 0.5)
 
+  /** v20: the reference's embed endpoint (app/api/routes/embed.py
+    * embed_texts — a batch of texts in, vectors out) as a batch operator:
+    * map-only stub embedding over the scan, the documented deterministic
+    * stand-in for the model call. At 100 TB this is the embedding-backfill
+    * job shape — swap the stub for a batched model UDF and the plan is
+    * unchanged (scan → per-row vectorize → write; no shuffle). Unlike the
+    * other stub consumers this is ORACLE-GATED on the raw vectors: the LCG
+    * expansion is exact integer arithmetic followed by identical IEEE
+    * double ops on both engines, so the arrays hash-match bit-for-bit. */
+  def embedTexts(spark: SparkSession, dir: String, limit: Long = 100): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < limit)
+      .select(col("doc_id"), stubEmbed(col("text")).as("embedding"))
+      .orderBy("doc_id")
+
+  def embedTextsOracle(limit: Long = 100): String =
+    s"""SELECT doc_id, ${stubEmbedSql("text")} AS embedding
+       |FROM documents WHERE doc_id < $limit ORDER BY doc_id""".stripMargin
+
   /** v13: embed the texts of query docs (doc_id < nQueries), search the
     * embeddings table by cosine. */
   def searchText(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 4): DataFrame = {
