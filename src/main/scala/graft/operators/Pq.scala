@@ -92,9 +92,18 @@ object Pq {
     * the FAISS convention; the loop shape is unchanged.)
     *
     * Init = subvectors of the first K corpus vectors (v18's fixed
-    * codebooks); empty cells keep their previous centroid (deterministic,
-    * as in [[Ivf.trainCentroids]]). */
-  private[operators] def trainCodebooks(sub: DataFrame, iters: Int = 5): Map[Long, Array[Array[Double]]] = {
+    * codebooks); empty cells RESEED from the subspace's worst-served
+    * subvectors — the per-(m, cell) mirror of [[Ivf.trainCentroids]]'s
+    * deterministic farthest-point refill (most-negative grouped-L2 sim,
+    * ties to lowest vec_id, one distinct row per dead cell). The reseed
+    * pass runs ONLY in an iteration that emptied a cell; distances are
+    * measured against the keep-old-updated matrix (dead cells still hold
+    * their previous value — with a degenerate duplicate init those are
+    * clones of a live cell, so the pick matches the live-only rule).
+    * The per-m pick is a window row_number over the subvector table —
+    * at 100 TB training runs on a fixed-size sample (FAISS convention),
+    * so the sort is sample-sized, never corpus-sized. */
+  private[graft] def trainCodebooks(sub: DataFrame, iters: Int = 5): Map[Long, Array[Array[Double]]] = {
     var mats: Map[Long, Array[Array[Double]]] =
       sub.filter(col("vec_id") < K).collect()
         .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toArray))
@@ -110,13 +119,41 @@ object Pq {
         .collect()
         .map(r => ((r.getInt(0).toLong, r.getInt(1)), (r.getSeq[Double](2).toArray, r.getLong(3))))
         .toMap
-      mats = mats.map { case (m, cs) =>
+      val updated = mats.map { case (m, cs) =>
         m -> cs.zipWithIndex.map { case (old, i) =>
           sums.get((m, i)) match {
             case Some((vsum, n)) if n > 0 => vsum.map(_ / n)
             case _ => old
           }
         }
+      }
+      val empties: Map[Long, Seq[Int]] = mats.flatMap { case (m, cs) =>
+        val dead = cs.indices.filterNot(i => sums.get((m, i)).exists(_._2 > 0))
+        if (dead.isEmpty) None else Some(m -> (dead: Seq[Int]))
+      }
+      val reseeded: Map[(Long, Int), Array[Double]] =
+        if (empties.isEmpty) Map.empty
+        else {
+          val updLit = typedLit(updated.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
+          val maxE = empties.values.map(_.size).max
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("m")).orderBy(col("s").asc, col("vec_id").asc)
+          val picked = sub
+            .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), updLit))
+            .select(col("m").cast("long").as("m"), col("nc.sim").as("s"), col("vec_id"), col("sv"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= maxE)
+            .collect()
+            .map(r => ((r.getLong(0), r.getInt(4)), r.getSeq[Double](3).toArray))
+            .toMap
+          empties.toSeq.flatMap { case (m, dead) =>
+            dead.sorted.zipWithIndex.flatMap { case (cell, j) =>
+              picked.get((m, j + 1)).map(sv => (m, cell) -> sv)
+            }
+          }.toMap
+        }
+      mats = updated.map { case (m, cs) =>
+        m -> cs.zipWithIndex.map { case (c, i) => reseeded.getOrElse((m, i), c) }
       }
     }
     mats

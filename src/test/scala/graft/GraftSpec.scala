@@ -108,6 +108,35 @@ class KmeansReseedSpec extends GraftSuite {
   }
 }
 
+/** v18b codebook reseed: the per-subspace mirror of [[KmeansReseedSpec]] —
+  * a duplicate init empties K−1 cells of a subspace codebook; keep-old
+  * would pin them forever, the reseed must refill deterministically. */
+class PqReseedSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Single subspace m=0: 16 identical init subvectors + 48 distinct. */
+  private def adversarialSub: org.apache.spark.sql.DataFrame =
+    (0L until 64L).map { i =>
+      val v = Array.fill(8)(0.0)
+      if (i < operators.Pq.K) v(0) = 1.0
+      else { v((i % 8).toInt) = 1.0; v(7) += i.toDouble / 100.0 }
+      (i, 0, v.toSeq)
+    }.toDF("vec_id", "m", "sv")
+
+  test("v18b: empty codebook cells reseed per subspace, deterministically") {
+    val df = adversarialSub.cache()
+    try {
+      val c1 = operators.Pq.trainCodebooks(df, iters = 3)
+      val c2 = operators.Pq.trainCodebooks(df, iters = 3)
+      assert(c1(0L).length === operators.Pq.K)
+      assert(c1(0L).map(_.toSeq).toSeq === c2(0L).map(_.toSeq).toSeq,
+        "codebook reseed is not deterministic")
+      val distinct = c1(0L).map(_.toSeq).distinct.length
+      assert(distinct >= 8, s"only $distinct distinct codebook cells — dead cells not reseeded")
+    } finally df.unpersist()
+  }
+}
+
 /** d7 connected components and e4 as-of join invariants. */
 class GraphTemporalSpec extends GraftSuite {
   test("d7: every d3 pair lands in one cluster; cluster_id is the min member") {
