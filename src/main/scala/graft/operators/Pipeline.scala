@@ -25,6 +25,16 @@ object Pipeline {
   val ChunkBits = 20
   val ChunkRadix: Long = 1L << ChunkBits
 
+  /** The composite key with its loud overflow guard — a chunk_idx at or
+    * past the radix raises instead of silently aliasing into the next
+    * document's key space (the oracle replays the same packing, so a
+    * silent collision would be invisible to the hash gate). */
+  private[graft] def chunkKey(docId: org.apache.spark.sql.Column,
+                              chunkIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(chunkIdx >= ChunkRadix,
+      raise_error(format_string("f3: chunk_idx %s overflows the 20-bit chunk radix", chunkIdx)))
+      .otherwise(shiftleft(docId, ChunkBits).bitwiseOR(chunkIdx))
+
   def trainingPipeline(spark: SparkSession, dir: String, minQuality: Double = 0.4): DataFrame = {
     graft.Graft.init(spark)
     val docs = Tables.documents(spark, dir)
@@ -108,9 +118,7 @@ object Pipeline {
     // the chunk hash recomputes per ELEMENT (measured: the whole f3 cost)
     val hashed = Text.chunkFrame(docs, window, stride)
       .select(
-        when(col("chunk_idx") >= ChunkRadix,
-          raise_error(format_string("f3: chunk_idx %s overflows the 20-bit chunk radix", col("chunk_idx"))))
-          .otherwise(shiftleft(col("doc_id"), ChunkBits).bitwiseOR(col("chunk_idx"))).as("vec_id"),
+        chunkKey(col("doc_id"), col("chunk_idx")).as("vec_id"),
         (Dedup.h60(array_join(col("cw"), " ")) % SearchText.P).as("h"))
       .localCheckpoint()
     val chunks = hashed

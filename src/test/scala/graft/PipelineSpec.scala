@@ -78,6 +78,28 @@ class PipelineSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("f3 chunk key: packs losslessly below the radix, raises loudly at it") {
+    import org.apache.spark.sql.functions.col
+    val ok = Seq((7L, 0L), (7L, operators.Pipeline.ChunkRadix - 1), (8L, 0L))
+      .toDF("doc_id", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx"),
+        operators.Pipeline.chunkKey(col("doc_id"), col("chunk_idx")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // lossless round-trip, and doc 7's max chunk stays BELOW doc 8's first
+    ok.foreach { case (d, c, k) =>
+      assert(k >> operators.Pipeline.ChunkBits === d)
+      assert((k & (operators.Pipeline.ChunkRadix - 1)) === c)
+    }
+    assert(ok(1)._3 < ok(2)._3, "adjacent documents' key ranges overlap")
+    // at the radix: loud failure, never silent aliasing
+    val e = intercept[Exception] {
+      Seq((7L, operators.Pipeline.ChunkRadix)).toDF("doc_id", "chunk_idx")
+        .select(operators.Pipeline.chunkKey(col("doc_id"), col("chunk_idx")))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("m3 media search: binary→vector→LSH composes; self-hit at rank 1; deterministic") {
     val hits = run("m3_media_search").collect().toSeq
     assert(hits.nonEmpty)
