@@ -202,7 +202,11 @@ object Streams {
     * stay O(delta), the reader pays one window filter, and at 100 TB a
     * periodic compaction job folds the filter into the files. Replay after
     * restart is idempotent via the same batchId commit log as
-    * [[lshIngestStream]]. */
+    * [[lshIngestStream]]. Contract: `version` is unique per vec_id (the
+    * c1 changelog's (ms, event_id) collapses to one monotone long) — two
+    * DIFFERENT payloads sharing a key's max version would both survive
+    * the read filter, exactly as a batch latest-wins merge would also
+    * have no deterministic winner without a tiebreak column. */
   def upsertIngestStream(cdc: DataFrame, table: String, nTables: Int,
                          nBits: Int, seed: Long): org.apache.spark.sql.streaming.StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
