@@ -114,15 +114,18 @@ object Bench {
     def d3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     def dFull(v: Double): String = String.format(Locale.ROOT, "%.6f", Double.box(v))
 
-    // Scaling pass: same queries at the smaller sf (min of 2 reps — this
-    // pass wants the RATIO'S order of magnitude, not a tight estimate).
-    // A query whose time ratio far exceeds the 10× data ratio has a
-    // super-linear plan; overhead-dominated sub-second queries sit near 1.
+    // Scaling pass: same queries at the smaller sf, 1 warmup + 1 timed rep
+    // — this pass wants the RATIO'S order of magnitude, not a tight
+    // estimate, and it rides inside the driver's bench timeout budget. A
+    // VM stall here only INFLATES the small-sf time, which lowers the
+    // ratio — it can never false-flag a query as super-linear. A query
+    // whose time ratio far exceeds the 10× data ratio has a super-linear
+    // plan; overhead-dominated sub-second queries sit near 1.
     val doScaling = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)) &&
       scaleDir != sfDir
     val scalePass: Map[String, Double] =
       if (!doScaling) Map.empty
-      else names.flatMap(n => timedReps(n, 2, scaleDir).map(totalOf).minOption.map(n -> _)).toMap
+      else names.flatMap(n => timedReps(n, 1, scaleDir).map(totalOf).minOption.map(n -> _)).toMap
     val superLinear = results.collect {
       case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > 12.0) => n
     }
