@@ -43,18 +43,26 @@ object SearchText {
     * map-only stub embedding over the scan, the documented deterministic
     * stand-in for the model call. At 100 TB this is the embedding-backfill
     * job shape — swap the stub for a batched model UDF and the plan is
-    * unchanged (scan → per-row vectorize → write; no shuffle). Unlike the
-    * other stub consumers this is ORACLE-GATED on the raw vectors: the LCG
-    * expansion is exact integer arithmetic followed by identical IEEE
-    * double ops on both engines, so the arrays hash-match bit-for-bit. */
+    * unchanged (scan → per-row vectorize → write; no shuffle).
+    *
+    * Output is EXPLODED to scalar `(doc_id, i, val)` rows: the driver's
+    * oracle compare sorts rows with pandas, which cannot factorize
+    * array-typed cells (round-5 CORRECTNESS failure), so no oracle-gated
+    * query may return an array column. `val` is rounded to 4 dp like every
+    * other float in the suite; the underlying LCG expansion is exact
+    * integer arithmetic + identical IEEE double ops on both engines. */
   def embedTexts(spark: SparkSession, dir: String, limit: Long = 100): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") < limit)
-      .select(col("doc_id"), stubEmbed(col("text")).as("embedding"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(stubEmbed(col("text"))).as(Seq("i", "val")))
+      .select(col("doc_id"), col("i"), round(col("val"), 4).as("val"))
+      .orderBy("doc_id", "i")
 
   def embedTextsOracle(limit: Long = 100): String =
-    s"""SELECT doc_id, ${stubEmbedSql("text")} AS embedding
-       |FROM documents WHERE doc_id < $limit ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, i, round(v, 4) AS val FROM (
+       |  SELECT doc_id, unnest(${stubEmbedSql("text")}) AS v,
+       |         unnest(generate_series(0, ${Dim - 1})) AS i
+       |  FROM documents WHERE doc_id < $limit)
+       |ORDER BY doc_id, i""".stripMargin
 
   /** v13: embed the texts of query docs (doc_id < nQueries), search the
     * embeddings table by cosine. */
