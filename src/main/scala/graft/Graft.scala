@@ -90,6 +90,24 @@ object Graft {
   def topk(score: Column, id: Column, k: Column, smallestFirst: Column): Column =
     call_function("graft_topk", score, id, k, smallestFirst)
   def vecsum(v: Column): Column = call_function("graft_vecsum", v)
+
+  /** Snap every component of a double vector to the 2^-21 dyadic grid
+    * (round-half-up). Values on this grid are exact IEEE doubles whose sums
+    * stay exact for any corpus below ~2^31 rows, so a partial aggregate over
+    * quantized vectors is ORDER-INDEPENDENT: every shuffle-merge order — and
+    * every engine — produces bit-identical sums. The k-means trainers
+    * quantize their accumulation inputs with this so trained centroids are
+    * deterministic (replayable by the DuckDB oracle) instead of drifting
+    * with shuffle block fetch order. x*2^21 and /2^21 are exact (powers of
+    * two); the only rounding is the intended grid snap, a ≤2^-22 ≈ 1.2e-7
+    * perturbation per component — noise for ANN quality. */
+  def vecQuantize(v: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit, transform}
+    transform(v, x => floor(x * lit(QuantScale) + lit(0.5)) / lit(QuantScale))
+  }
+
+  /** Grid denominator for [[vecQuantize]] (2^21). */
+  val QuantScale: Double = 2097152.0
   def simhashKeys(v: Column, nTables: Int, nBits: Int, seed: Long): Column =
     call_function("graft_simhash_keys", v,
       org.apache.spark.sql.functions.lit(nTables),

@@ -207,9 +207,14 @@ object Ivf {
       }
 
     for (_ <- 1 to iters) {
+      // vecQuantize snaps the normalized vectors to the 2^-21 dyadic grid
+      // BEFORE the partial aggregate, making the per-cluster sum exact and
+      // therefore independent of shuffle-merge order: two training runs —
+      // or Spark and the DuckDB oracle — produce bit-identical centroids.
       val sums = assignToMat(emb, centroids)
         .groupBy(col("cluster_id"))
-        .agg(Graft.vecsum(Graft.vecNormalize(col("embedding"))).as("vsum"), count(lit(1)).as("n"))
+        .agg(Graft.vecsum(Graft.vecQuantize(Graft.vecNormalize(col("embedding")))).as("vsum"),
+          count(lit(1)).as("n"))
         .collect()
       val updated = sums.map { r =>
         val cid = r.getLong(0)
@@ -271,5 +276,81 @@ object Ivf {
 
       Knn.topkPerQuery(scored, "cosine", k)
     } finally emb.unpersist()
+  }
+
+  /** DuckDB replay of [[searchTrained]] (and [[Persist.trainedIvfPersistSearch]],
+    * whose output is identical by construction): the `iters` Lloyd's
+    * iterations are UNROLLED into one CTE chain per iteration — assignment
+    * (argmax cosine, ties to lowest cid), exact per-cluster sums of the
+    * quantized unit-normalized vectors, renormalization, and the
+    * deterministic empty-cluster reseed (worst-served points vs the live
+    * means, zipped to dead cids in id order) — followed by the same
+    * probe-and-rerank tail as [[searchOracle]] against the trained matrix.
+    *
+    * This is SQL-expressible ONLY because the trainer's accumulation is
+    * order-independent ([[Graft.vecQuantize]]): per-cluster sums of 2^-21
+    * dyadic grid values are exact, so Spark's shuffle-merge order and
+    * DuckDB's aggregation order produce bit-identical centroids. Each
+    * engine-specific float op is mirrored exactly: normalize multiplies by
+    * the reciprocal (`y * (1.0/nrm)`, matching `graft_vec_normalize`), the
+    * driver renormalize and the reseed divide (`y / nrm`, matching
+    * [[trainCentroids]]). */
+  def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5): String = {
+    val Q = Graft.QuantScale
+    val d = 64
+    val iterCtes = (1 to iters).map { t =>
+      val p = s"c${t - 1}"
+      // AS MATERIALIZED on every state CTE: each is referenced 2-4 times by
+      // the following iteration — inlined, the 5-deep chain re-expands
+      // multiplicatively and DuckDB never finishes.
+      s"""a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, p.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_cosine_similarity(e.v, p.cvec) DESC, p.cid) AS rn
+         |  FROM e CROSS JOIN $p p) WHERE rn = 1),
+         |x$t AS (SELECT a.cid,
+         |               unnest([floor((CASE WHEN n.nrm > 0 THEN y * (1.0 / n.nrm) ELSE y END) * $Q + 0.5) / $Q
+         |                       for y in n.v]) AS xq,
+         |               unnest([i for i in generate_series(1, $d)]) AS i
+         |        FROM a$t a JOIN en n USING (vec_id)),
+         |g$t AS (SELECT cid, list(s ORDER BY i) AS vsum FROM (
+         |          SELECT cid, i, sum(xq) AS s FROM x$t GROUP BY cid, i) GROUP BY cid),
+         |u$t AS MATERIALIZED (SELECT cid, CASE WHEN n2 > 0 THEN [y / n2 for y in vsum] ELSE vsum END AS cvec
+         |        FROM (SELECT cid, vsum, sqrt(list_inner_product(vsum, vsum)) AS n2 FROM g$t)),
+         |me$t AS (SELECT cid, row_number() OVER (ORDER BY cid) AS rn
+         |         FROM $p WHERE cid NOT IN (SELECT cid FROM u$t)),
+         |fs$t AS (SELECT n.vec_id, n.v, n.nrm, max(list_cosine_similarity(n.v, u.cvec)) AS ms
+         |         FROM en n CROSS JOIN u$t u GROUP BY n.vec_id, n.v, n.nrm),
+         |fv$t AS (SELECT row_number() OVER (ORDER BY ms ASC, vec_id ASC) AS rn,
+         |                CASE WHEN nrm > 0 THEN [y / nrm for y in v] ELSE v END AS cvec
+         |         FROM fs$t),
+         |c$t AS MATERIALIZED (SELECT p.cid, COALESCE(u.cvec, f.cvec, p.cvec) AS cvec
+         |        FROM $p p
+         |        LEFT JOIN u$t u USING (cid)
+         |        LEFT JOIN me$t me USING (cid)
+         |        LEFT JOIN fv$t f ON me.rn = f.rn),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $K),
+       |$iterCtes
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c$iters c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= $Probes),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
+       |             FROM e CROSS JOIN c$iters c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.v, q.qvec) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 }

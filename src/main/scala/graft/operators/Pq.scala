@@ -97,12 +97,16 @@ object Pq {
     * deterministic farthest-point refill (most-negative grouped-L2 sim,
     * ties to lowest vec_id, one distinct row per dead cell). The reseed
     * pass runs ONLY in an iteration that emptied a cell; distances are
-    * measured against the keep-old-updated matrix (dead cells still hold
-    * their previous value — with a degenerate duplicate init those are
-    * clones of a live cell, so the pick matches the live-only rule).
+    * measured against the LIVE cells only (n > 0 this iteration) —
+    * the same rule as Ivf's reseed, so a stale dead-cell value sitting
+    * near real data can never mask the points that should reseed it.
     * The per-m pick is a window row_number over the subvector table —
     * at 100 TB training runs on a fixed-size sample (FAISS convention),
-    * so the sort is sample-sized, never corpus-sized. */
+    * so the sort is sample-sized, never corpus-sized.
+    *
+    * Accumulation inputs are grid-quantized ([[Graft.vecQuantize]]) so the
+    * per-(m, cell) sums are exact and order-independent: training is
+    * bit-for-bit reproducible and replayable by [[searchTrainedOracle]]. */
   private[graft] def trainCodebooks(sub: DataFrame, iters: Int = 5): Map[Long, Array[Array[Double]]] = {
     var mats: Map[Long, Array[Array[Double]]] =
       sub.filter(col("vec_id") < K).collect()
@@ -115,7 +119,7 @@ object Pq {
       val sums = sub
         .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), matLit))
         .groupBy(col("m"), col("nc.idx").as("idx"))
-        .agg(Graft.vecsum(col("sv")).as("vsum"), count(lit(1)).as("n"))
+        .agg(Graft.vecsum(Graft.vecQuantize(col("sv"))).as("vsum"), count(lit(1)).as("n"))
         .collect()
         .map(r => ((r.getInt(0).toLong, r.getInt(1)), (r.getSeq[Double](2).toArray, r.getLong(3))))
         .toMap
@@ -134,12 +138,17 @@ object Pq {
       val reseeded: Map[(Long, Int), Array[Double]] =
         if (empties.isEmpty) Map.empty
         else {
-          val updLit = typedLit(updated.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
+          // live cells only (n > 0), mirroring Ivf.trainCentroids' rule
+          val liveLit = typedLit(updated.map { case (m, cs) =>
+            m -> cs.zipWithIndex.collect {
+              case (c, i) if sums.get((m, i)).exists(_._2 > 0) => c.toSeq
+            }.toSeq
+          })
           val maxE = empties.values.map(_.size).max
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("m")).orderBy(col("s").asc, col("vec_id").asc)
           val picked = sub
-            .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), updLit))
+            .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), liveLit))
             .select(col("m").cast("long").as("m"), col("nc.sim").as("s"), col("vec_id"), col("sv"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= maxE)
@@ -206,6 +215,80 @@ object Pq {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Knn.exactRefine(scored, emb, queries, "dot", refine, k)
+  }
+
+  /** DuckDB replay of [[searchTrained]]: the per-subspace Lloyd's
+    * iterations unrolled into one CTE chain per iteration (argmin-L2
+    * assignment with ties to the lowest cell, exact sums of the
+    * grid-quantized subvectors, mean update, live-only worst-served
+    * reseed), then encode + ADC + exact refine against the trained
+    * codebooks. Expressible for the same reason as
+    * [[Ivf.trainedSearchOracle]]: [[Graft.vecQuantize]] makes the
+    * accumulation order-independent, so both engines derive bit-identical
+    * codebooks. Distances mirror the L2 kernel exactly (sequential
+    * sum of squared componentwise differences — `list_inner_product(dd,
+    * dd)`, not `list_distance`, whose sqrt could merge distinct squared
+    * distances into an SQL tie the Scala side never saw). */
+  def searchTrainedOracle(k: Int = 10, nQueries: Int = 8,
+                          iters: Int = 5, refine: Int = 64): String = {
+    val Q = Graft.QuantScale
+    def dd(a: String, b: String) =
+      s"list_inner_product([$a[i] - $b[i] for i in generate_series(1, $Sub)]," +
+        s" [$a[i] - $b[i] for i in generate_series(1, $Sub)])"
+    val iterCtes = (1 to iters).map { t =>
+      val p = s"cb${t - 1}"
+      s"""pd$t AS (SELECT s.vec_id, s.m, c.cell, ${dd("s.sv", "c.cv")} AS d2
+         |         FROM sub s JOIN $p c USING (m)),
+         |pa$t AS MATERIALIZED (SELECT vec_id, m, cell FROM (
+         |  SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+         |  FROM pd$t) WHERE rn = 1),
+         |px$t AS (SELECT a.m, a.cell,
+         |                unnest([floor(y * $Q + 0.5) / $Q for y in s.sv]) AS xq,
+         |                unnest([i for i in generate_series(1, $Sub)]) AS i
+         |         FROM pa$t a JOIN sub s USING (vec_id, m)),
+         |pn$t AS (SELECT m, cell, count(*) AS n FROM pa$t GROUP BY m, cell),
+         |pg$t AS (SELECT m, cell, list(sq ORDER BY i) AS vsum FROM (
+         |           SELECT m, cell, i, sum(xq) AS sq FROM px$t GROUP BY m, cell, i) GROUP BY m, cell),
+         |pu$t AS MATERIALIZED (SELECT g.m, g.cell, [y / n.n for y in g.vsum] AS cv
+         |         FROM pg$t g JOIN pn$t n USING (m, cell)),
+         |pm$t AS (SELECT c.m, c.cell, row_number() OVER (PARTITION BY c.m ORDER BY c.cell) AS rn
+         |         FROM $p c WHERE NOT EXISTS (
+         |           SELECT 1 FROM pu$t u2 WHERE u2.m = c.m AND u2.cell = c.cell)),
+         |pf$t AS (SELECT s.vec_id, s.m, s.sv, min(${dd("s.sv", "u.cv")}) AS d2m
+         |         FROM sub s JOIN pu$t u USING (m) GROUP BY s.vec_id, s.m, s.sv),
+         |pw$t AS (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY d2m DESC, vec_id ASC) AS rn
+         |         FROM pf$t),
+         |cb$t AS MATERIALIZED (SELECT p.m, p.cell, COALESCE(u.cv, w.sv, p.cv) AS cv
+         |        FROM $p p
+         |        LEFT JOIN pu$t u USING (m, cell)
+         |        LEFT JOIN pm$t me USING (m, cell)
+         |        LEFT JOIN pw$t w ON me.m = w.m AND me.rn = w.rn),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |em AS (SELECT vec_id, v, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM e),
+       |sub AS MATERIALIZED (SELECT vec_id, m, v[($Sub*m+1):($Sub*m+$Sub)] AS sv FROM em),
+       |cb0 AS (SELECT m, vec_id::INT AS cell, sv AS cv FROM sub WHERE vec_id < $K),
+       |$iterCtes
+       |fd AS (SELECT s.vec_id, s.m, c.cell, ${dd("s.sv", "c.cv")} AS d2
+       |       FROM sub s JOIN cb$iters c USING (m)),
+       |codes AS (SELECT vec_id, m, cell FROM (
+       |  SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+       |  FROM fd) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS qid, m, sv AS qm FROM sub WHERE vec_id < $nQueries),
+       |part AS (SELECT q.qid, k.vec_id, list_inner_product(c.cv, q.qm) AS p
+       |         FROM codes k JOIN cb$iters c ON k.m = c.m AND k.cell = c.cell
+       |         JOIN qsub q ON k.m = q.m),
+       |sc AS (SELECT qid, vec_id, sum(p) AS score FROM part GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= $refine),
+       |qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |ex AS (SELECT c.qid, c.vec_id, list_inner_product(e.v, q.qvec) AS score
+       |       FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN qv q ON c.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM ex)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   def searchOracle(k: Int = 10, nQueries: Int = 8): String =
