@@ -86,9 +86,11 @@ object Multimodal {
     * nFrames), scaled to [0,1] — one groupBy(doc_id) shuffle whose rows
     * are nFrames longs each; then the m3 index/search path IS v10's
     * (keyRows + searchIndex), proving the multimodal columns compose with
-    * the vector stack unchanged. Rows-only (mapPartitions decode is not
-    * SQL-expressible); gated by PipelineSpec: deterministic, self-hit at
-    * rank 1 with score 1.0, hits within the corpus. */
+    * the vector stack unchanged. ORACLE-GATED ([[mediaSearchOracle]]): the
+    * stub decode is deterministic integer math, so the whole post-decode
+    * pipeline is replayed in DuckDB; also spec-gated by PipelineSpec
+    * (deterministic, self-hit at rank 1 with score 1.0, hits within the
+    * corpus). */
   def mediaSearch(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 4,
                   nFrames: Int = 4, frameLen: Int = 16,
                   nTables: Int = 4, nBits: Int = 8, seed: Long = 4000): DataFrame = {
@@ -108,6 +110,42 @@ object Multimodal {
     Lsh.searchIndex(Lsh.keyRows(vectors, nTables, nBits, seed), vectors, queries,
       nTables, nBits, seed, k)
   }
+
+  /** DuckDB replay of [[mediaSearch]]'s post-decode pipeline. The frame
+    * hash folds `acc = acc*31 + byte` with Long WRAPAROUND — DuckDB raises
+    * on BIGINT overflow, so the fold runs in HUGEINT mod 2^64
+    * (`list_reduce`), whose low 31 bits equal the Scala `acc &
+    * 0x7fffffffL` of the wrapped two's-complement value. Byte access is
+    * `unicode(substr(text, i, 1))`, valid because the gate corpora are
+    * pure ASCII (UTF-8 byte == codepoint — asserted against all three SF
+    * dirs); a non-ASCII corpus would need a BLOB-indexed byte fetch. The
+    * LSH tail reuses [[Lsh.keysSql]] at dim = nFrames. */
+  def mediaSearchOracle(k: Int = 5, nQueries: Int = 4,
+                        nFrames: Int = 4, frameLen: Int = 16,
+                        nTables: Int = 4, nBits: Int = 8, seed: Long = 4000): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |fr AS (SELECT doc_id, f AS frame_idx, f * greatest(1, len // $nFrames) AS off, len, text
+       |       FROM d, (SELECT unnest(generate_series(0, ${nFrames - 1})) AS f)
+       |       WHERE f * greatest(1, len // $nFrames) < len),
+       |ff AS (SELECT doc_id, frame_idx,
+       |              CAST(list_reduce(list_prepend(0::HUGEINT,
+       |                     [unicode(substr(text, i, 1))::HUGEINT
+       |                      for i in generate_series(off + 1, least(off + $frameLen, len))]),
+       |                   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)
+       |                   % 2147483648 AS BIGINT) AS feat
+       |       FROM fr),
+       |vecs AS (SELECT doc_id AS vec_id, list(feat / 2147483647.0 ORDER BY frame_idx) AS v
+       |         FROM ff GROUP BY doc_id),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < $nQueries),
+       |dk AS (${Lsh.keysSql("vecs", "vec_id", nTables, nBits, nFrames, seed)}),
+       |qk AS (${Lsh.keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, nFrames, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(vecs.v, q.qv) AS score
+       |           FROM cand JOIN vecs ON cand.vec_id = vecs.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** m1: binary ingestion + per-partition decode → typed metadata. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
