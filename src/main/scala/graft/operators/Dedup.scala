@@ -55,18 +55,42 @@ object Dedup {
         "CASE WHEN size(w) < 3 THEN array() ELSE transform(sequence(1, size(w) - 2), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) END")).as("sh"))
 
-  /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P.
+  /** Session-scoped tokenize-once memo: (shingles(doc_id, sh),
+    * shingleHash(doc_id, h)) per (session, dir), each localCheckpointed on
+    * first use. The regex tokenization + per-shingle md5 is the dominant
+    * corpus pass of the whole dedup family (d2/d3/d4/d6, f2 via d3/d7) —
+    * before this memo each query re-derived it per run even though every
+    * one of them consumes the identical table. At 100 TB this pair IS the
+    * persisted shingle table all dedup jobs read (the p2 pattern); the memo
+    * is its single-JVM analog. Entries are keyed on session identity, so a
+    * new session (whose checkpoints would be dead) builds fresh ones; the
+    * handful of retained frames per (session, dir) is driver-side metadata
+    * only (the blocks live on executors and die with the session).
     *
     * The doc_id repartition parallelizes the split+md5 work — the test
-    * corpus is ONE parquet file, so without it the entire shingle hashing
-    * of the corpus runs as a single task (measured: the whole d6 critical
-    * path). At 100 TB the input is thousands of files and the scan is
-    * already parallel; the repartition then just pre-clusters by doc_id,
-    * which the downstream per-doc aggregates want anyway. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    withShingles(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), (h60(col("s")) % P).as("h"))
+    * corpus is ONE parquet file, so without it the whole corpus pass runs
+    * as a single task. At 100 TB the input is thousands of files and the
+    * scan is already parallel; the repartition then just pre-clusters by
+    * doc_id, which the downstream per-doc aggregates want anyway. */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[graft] def corpusShingles(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    corpusCache.computeIfAbsent((spark, dir), { _ =>
+      val shingles = withShingles(
+        Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+        .localCheckpoint()
+      val hashes = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), (h60(col("s")) % P).as("h"))
+        .localCheckpoint()
+      (shingles, hashes)
+    })
+
+  /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P;
+    * served from the session memo. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    corpusShingles(spark, dir)._2
 
   /** d1: exact-dup accounting per source via text hash. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -85,7 +109,7 @@ object Dedup {
 
   /** d2: 16 MinHash signature values per document over 3-word shingles. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(Tables.documents(spark, dir))
+    val sh = shingleHashes(spark, dir)
     val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
     }
@@ -115,20 +139,15 @@ object Dedup {
   /** d3: banded-LSH candidate pairs + exact shingle Jaccard ≥ τ.
     *
     * The tokenize+shingle pass — the dominant cost on a text corpus — runs
-    * ONCE: the materialized shingle table feeds the signature aggregate AND
-    * both sides of the candidate rerank (un-checkpointed, the same subtree
-    * executed 3×: signatures, sa, sb — the rerank joins shuffle on
-    * different keys, so AQE exchange reuse cannot dedupe them). At 100 TB
+    * ONCE PER SESSION ([[corpusShingles]]): the memoized pair feeds the
+    * signature aggregate AND both sides of the candidate rerank
+    * (un-checkpointed, the same subtree executed 3×: signatures, sa, sb —
+    * the rerank joins shuffle on different keys, so AQE exchange reuse
+    * cannot dedupe them) — and d2/d4/d6/f2 in the same session. At 100 TB
     * this line is the persisted shingle table; d7/f2 inherit the saving
     * through this candidate pipeline. */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val shingles = withShingles(
-      docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-      .localCheckpoint()
-
-    val sh = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), (h60(col("s")) % P).as("h"))
+    val (shingles, sh) = corpusShingles(spark, dir)
     val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
     }
@@ -182,7 +201,7 @@ object Dedup {
     * hamming ≤ 6 found via 8-bit band join (never all-pairs). */
   def simhashText(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     graft.Graft.init(spark)
-    val sh = shingleHashes(Tables.documents(spark, dir))
+    val sh = shingleHashes(spark, dir)
     // one int[32]-buffer aggregate instead of 32 conditional sums
     // (graft.functions.SimhashBitsAgg) — same bit rule as the 32-sum oracle.
     // Materialize ONCE (the d6/p2 pattern): sigs is one 16-byte row per doc,
@@ -271,13 +290,12 @@ object Dedup {
     * backfires — dfCap=5 shrinks set sizes so far that one shared rare
     * shingle clears τ, 29× more pairs, all noise.) */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame = {
-    // materialize the shingle index ONCE (localCheckpoint): the regex
-    // split + md5 per shingle is the dominant cost and would otherwise
-    // recompute in the df-cap branch, the sizes branch, and BOTH sides of
-    // the pair self-join. (At 100 TB this line is a persisted table — the
-    // p2 pattern; same plan downstream.)
-    val sh = shingleHashes(Tables.documents(spark, dir))
-      .distinct() // h60 collisions within a doc would double-count (both engines dedup)
+    // the corpus pass comes from the session memo; the distinct (h60
+    // collisions within a doc would double-count — both engines dedup) is
+    // re-materialized because three consumers read it: the df-cap branch,
+    // the sizes branch, and both sides of the pair self-join
+    val sh = shingleHashes(spark, dir)
+      .distinct()
       .localCheckpoint()
     // df-cap as a COUNT WINDOW over h: one shuffle that both filters hot
     // shingles and leaves `kept` hash-partitioned by h — exactly the
@@ -387,25 +405,31 @@ object Dedup {
     // {5→1, 5→2, 8→1, 9→2} from pairs {8-5, 8-1, 9-5, 9-2}) satisfy (a)
     // alone while node 5 still points at two roots — declaring convergence
     // there splits one component in two and double-labels the shared leaf.
-    // Stars proper are fixpoints of both ops, so (a)+(b) is exact. The
-    // flags are computed over the checkpointed round output, so detection
-    // costs one small agg over materialized edge rows — and a near-clique
-    // graph (the band dedup shape) still finishes in a SINGLE heavy round.
+    // Stars proper are fixpoints of both ops, so (a)+(b) is exact.
+    //
+    // Per node n over the round output: outs(n) = out-degree, ins(n) =
+    // in-degree. (a) ⟺ no n has outs>0 AND ins>0; (b) ⟺ max outs ≤ 1.
+    // Both come from ONE explode→groupBy pass over the already-
+    // materialized (tiny, post-contraction) edge list — the round-5 shape
+    // instead ran a distinct + left-join INSIDE the heavy contraction job
+    // to tag each edge, then a second grouped agg to reduce the tags; the
+    // checkpointed job is now pure contraction and the check costs one
+    // small two-stage job. A near-clique graph (the band dedup shape)
+    // still finishes in a SINGLE heavy round.
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges))
-      val srcs = next.select(col("u").as("v")).distinct()
-      val flagged = next.join(srcs.withColumn("chained", lit(true)), Seq("v"), "left")
-        .select(col("u"), col("v"), coalesce(col("chained"), lit(false)).as("chained"))
-        .localCheckpoint()
-      val s = flagged
-        .groupBy(col("u"))
-        .agg(sum(when(col("chained"), 1L).otherwise(0L)).as("ch"), count(lit(1)).as("deg"))
-        .agg(sum(col("ch")), max(col("deg"))).collect()(0)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val s = next.select(explode(array(
+          struct(col("u").as("n"), lit(1L).as("o"), lit(0L).as("i")),
+          struct(col("v").as("n"), lit(0L).as("o"), lit(1L).as("i")))).as("x"))
+        .groupBy(col("x.n"))
+        .agg(sum(col("x.o")).as("outs"), sum(col("x.i")).as("ins"))
+        .agg(max(when(col("outs") > 0 && col("ins") > 0, 1L).otherwise(0L)),
+          max(col("outs"))).collect()(0)
       converged = (s.isNullAt(0) || s.getLong(0) == 0L) && // no source-of-a-target chains
         (s.isNullAt(1) || s.getLong(1) <= 1L) // every source points at ONE root
-      edges = flagged.select(col("u"), col("v"))
+      edges = next
       round += 1
     }
     if (!converged)
