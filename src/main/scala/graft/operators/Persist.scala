@@ -87,8 +87,6 @@ object Persist {
     * AQE-ReuseExchange of the in-flight signature computation. */
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
-    val docs = Tables.documents(spark, dir)
-
     val sig = Dedup.minhash(spark, dir)
     val bandCols = (0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
       val parts = (0 until Dedup.BandSize).map(i => col(s"m${b * Dedup.BandSize + i}"))
@@ -108,11 +106,10 @@ object Persist {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
 
-    // tokenize ONCE for both rerank sides (the d3 pattern — the two joins
-    // shuffle on different keys, so nothing dedupes the subtree otherwise)
-    val shingles = Dedup.withShingles(
-      docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-      .localCheckpoint()
+    // both rerank sides read the session's memoized shingle table (the d3
+    // pattern — the two joins shuffle on different keys, so nothing
+    // dedupes the subtree otherwise)
+    val shingles = Dedup.corpusShingles(spark, dir)._1
 
     pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
@@ -253,32 +250,88 @@ object Persist {
     * The split (lang pushed, map lookup not) is asserted in PersistSpec.
     * "Promote what's hot, map for the rest" is how a production chunk store
     * squares schema-on-write scan speed with schema-less metadata. */
+  /** HOT-KEY PROMOTION: pick which free-form metadata keys deserve their
+    * own typed (pushdown-able) column, from (a) an observed FILTER WORKLOAD
+    * — the metadata keys recent searches filtered on, most-filtered first —
+    * and (b) a bounded data sample asserting the key is actually present in
+    * ≥ `minPresence` of rows (a typed column of mostly-nulls has no
+    * row-group stats worth pushing into). Round-5 hand-picked `lang`; this
+    * derives the same decision from evidence, and scales to any schema: the
+    * sample is `sampleN` rows regardless of corpus size, driver state is
+    * one count per distinct sampled key. Ties break on key name so the
+    * promotion set is deterministic for a given workload. */
+  private[graft] def promoteHotKeys(meta: DataFrame, workload: Seq[String],
+                                    mapCol: String = "metadata", sampleN: Int = 1000,
+                                    minPresence: Double = 0.9, maxPromoted: Int = 2): Seq[String] = {
+    val freq = workload.groupBy(identity).map { case (k, ks) => k -> ks.size }
+    val sampled = meta.select(col(mapCol)).limit(sampleN).localCheckpoint()
+    val n = sampled.count().toDouble
+    val presence = sampled.select(explode(map_keys(col(mapCol))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    freq.toSeq
+      .filter { case (k, _) => n == 0 || presence.getOrElse(k, 0L) >= minPresence * n }
+      .sortBy { case (k, f) => (-f, k) }
+      .take(maxPromoted).map(_._1)
+  }
+
+  /** Chunk store writer: `promoted` map keys become typed columns (parquet
+    * row-group stats → PushedFilters) alongside the intact free-form map. */
+  private[graft] def writeChunkStore(spark: SparkSession, base: DataFrame, name: String,
+                                     promoted: Seq[String],
+                                     partitionCol: Option[String] = None): DataFrame = {
+    val cols = col("vec_id") +: col("embedding") +:
+      (promoted.map(k => element_at(col("metadata"), lit(k)).as(k)) ++
+        (col("metadata") +: partitionCol.map(col).toSeq))
+    val path = tablePath(spark, name)
+    partitionCol match {
+      case Some(p) => Sinks.writePartitioned(base.select(cols: _*), path, p)
+      case None => base.select(cols: _*).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Apply (key → value) equality filters: promoted keys hit the typed
+    * column (pushed to the reader), anything else the map (post-scan) —
+    * correct for ANY key, fast for the promoted ones. */
+  private[graft] def metadataFilter(store: DataFrame, promoted: Seq[String],
+                                    filters: Seq[(String, String)]): DataFrame =
+    filters.foldLeft(store) { case (df, (key, v)) =>
+      if (promoted.contains(key)) df.filter(col(key) === v)
+      else df.filter(element_at(col("metadata"), lit(key)) === v)
+    }
+
+  /** The store-build input shared by v16d (flat) and the spec: vector +
+    * free-form metadata map (vec_id ↔ doc_id is the corpus' 1:1
+    * chunk↔document alignment). */
+  private[graft] def chunkStoreBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source"),
+          lit("n_chars"), col("n_chars").cast("string")).as("metadata"))
+
+  /** The v16d/v16e filter workload: `lang` is filtered by (almost) every
+    * search, `source` occasionally — so promotion derives `lang` with the
+    * default maxPromoted budget spent on evidence, not a hand-pick. */
+  private val ObservedFilterWorkload: Seq[String] = Seq("lang", "lang", "lang", "source")
+
   def metadataFilteredSearch(spark: SparkSession, dir: String,
                              lang: String = "en", source: String = "src7",
                              k: Int = 10, nQueries: Int = 8): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val docs = Tables.documents(spark, dir)
-
-    // build: chunk store = vector + promoted typed column + free-form map
-    // (vec_id ↔ doc_id is the corpus' 1:1 chunk↔document alignment)
-    val path = tablePath(spark, "graft_idx_chunkstore")
-    emb
-      .join(docs.select(col("doc_id").as("vec_id"), col("lang"), col("source"), col("n_chars")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("lang"),
-        map(
-          lit("lang"), col("lang"),
-          lit("source"), col("source"),
-          lit("n_chars"), col("n_chars").cast("string")).as("metadata"))
-      .write.mode("overwrite").parquet(path)
-    val store = spark.read.parquet(path)
+    val base = chunkStoreBase(spark, dir)
+    val promoted = promoteHotKeys(base, ObservedFilterWorkload, maxPromoted = 1)
+    val store = writeChunkStore(spark, base, "graft_idx_chunkstore", promoted)
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val candidates = store
-      .filter(col("lang") === lang) // promoted key: pushed to parquet
-      .filter(element_at(col("metadata"), lit("source")) === source) // cold key: post-scan
+    val candidates = metadataFilter(store, promoted, Seq("lang" -> lang, "source" -> source))
       .select(col("vec_id"), col("embedding"))
     Knn.topkPerQuery(Knn.scoreAll(candidates, queries, "cosine"), "cosine", k)
   }
@@ -287,9 +340,8 @@ object Persist {
     * PersistSpec's pushdown assertion (same filters as the query path). */
   private[graft] def chunkStoreScan(spark: SparkSession, lang: String = "en",
                                     source: String = "src7"): DataFrame =
-    spark.read.parquet(tablePath(spark, "graft_idx_chunkstore"))
-      .filter(col("lang") === lang)
-      .filter(element_at(col("metadata"), lit("source")) === source)
+    metadataFilter(spark.read.parquet(tablePath(spark, "graft_idx_chunkstore")),
+      Seq("lang"), Seq("lang" -> lang, "source" -> source))
       .select(col("vec_id"), col("embedding"))
 
   def metadataFilteredSearchOracle(lang: String = "en", source: String = "src7",
@@ -375,20 +427,21 @@ object Persist {
       emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
 
     // build: map-only assignment, metadata joined in (1:1 on vec_id=doc_id)
-    // — the persisted lists are metadata-complete like v16b's
-    val path = tablePath(spark, "graft_idx_ivf_lists_meta")
+    // — the persisted lists are metadata-complete like v16b's; the promoted
+    // column set comes from the observed-workload helper, not a hand-pick
     val built = Ivf.assignToMat(emb, mat)
       .select(col("vec_id"), col("embedding"), col("cluster_id"))
       .join(docs.select(col("doc_id").as("vec_id"), col("lang"), col("source"), col("n_chars")),
         Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("lang"),
+      .select(col("vec_id"), col("embedding"),
         map(
           lit("lang"), col("lang"),
           lit("source"), col("source"),
           lit("n_chars"), col("n_chars").cast("string")).as("metadata"),
         col("cluster_id"))
-    Sinks.writePartitioned(built, path, "cluster_id")
-    val lists = spark.read.parquet(path)
+    val promoted = promoteHotKeys(built, ObservedFilterWorkload, maxPromoted = 1)
+    val lists = writeChunkStore(spark, built, "graft_idx_ivf_lists_meta", promoted,
+      partitionCol = Some("cluster_id"))
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -397,10 +450,9 @@ object Persist {
     val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
     val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
 
-    val scored = lists
-      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
-      .filter(col("lang") === lang) // pushed
-      .filter(element_at(col("metadata"), lit("source")) === source) // post-scan
+    val scored = metadataFilter(
+      lists.filter(col("cluster_id").isin(probedClusters: _*)), // partition pruning
+      promoted, Seq("lang" -> lang, "source" -> source)) // pushed + post-scan
       .join(broadcast(probeDf), Seq("cluster_id"))
       .join(broadcast(queries), Seq("qid"))
       .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))

@@ -119,6 +119,26 @@ class PersistSpec extends GraftSuite {
     assert(keys === Set(("en", "src7")), s"leaked metadata keys: $keys")
   }
 
+  test("hot-key promotion: workload-derived keys; a second promoted key pushes, cold key stays post-scan") {
+    val base = Persist.chunkStoreBase(spark, sf)
+    // n_chars filtered as often as lang in this workload → both promote;
+    // source observed once → stays a map lookup
+    val promoted = Persist.promoteHotKeys(base,
+      Seq("lang", "lang", "n_chars", "n_chars", "source"), maxPromoted = 2)
+    assert(promoted === Seq("lang", "n_chars"), s"unexpected promotion set: $promoted")
+    // a key never seen in the data sample must NOT promote, however hot
+    assert(Persist.promoteHotKeys(base, Seq("ghost_key", "ghost_key", "lang")) === Seq("lang"))
+    val store = Persist.writeChunkStore(spark, base, "graft_test_chunkstore2", promoted)
+    val scan = Persist.metadataFilter(store, promoted,
+      Seq("lang" -> "en", "n_chars" -> "120", "source" -> "src3"))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(lang,en)") && plan.contains("EqualTo(n_chars,120)"),
+      s"promoted filters not pushed:\n${plan.take(800)}")
+    assert(!plan.contains("EqualTo(metadata"),
+      s"map-value filter unexpectedly pushed:\n${plan.take(800)}")
+  }
+
   test("v16e metadata×IVF: one scan stacks partition pruning + pushed promoted key + post-scan map key") {
     run("v16e_metadata_ivf").collect() // builds graft_idx_ivf_lists_meta
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists_meta"
