@@ -202,7 +202,11 @@ object Streams {
     * stay O(delta), the reader pays one window filter, and at 100 TB a
     * periodic compaction job folds the filter into the files. Replay after
     * restart is idempotent via the same batchId commit log as
-    * [[lshIngestStream]]. Contract: `version` is unique per vec_id (the
+    * [[lshIngestStream]] — with the same caveat: the data append and the
+    * commit-log append are not atomic, so a crash exactly between them
+    * replays one batch (at-least-once). Duplicate rows are harmless to
+    * search (candidate dedup) and are folded out by [[compactIndex]]'s
+    * distinct. Contract: `version` is unique per vec_id (the
     * c1 changelog's (ms, event_id) collapses to one monotone long) — two
     * DIFFERENT payloads sharing a key's max version would both survive
     * the read filter, exactly as a batch latest-wins merge would also
@@ -259,10 +263,19 @@ object Streams {
     * is dropped once no reader references it. New-fileset-then-swap is the
     * production compaction shape (rewriting a table in place would read
     * and overwrite the same files). Cost: one scan + one window + one
-    * bucketed write over the index table — O(index), never the corpus. */
+    * bucketed write over the index table — O(index), never the corpus.
+    *
+    * The distinct folds AT-LEAST-ONCE residue out of the new generation:
+    * the ingest writes index rows and the commit-log row non-atomically,
+    * so a crash exactly between the two appends re-appends that batch on
+    * replay, leaving duplicate (vec_id, version, table_id, key) rows that
+    * survive the max-version filter. Searches were already insensitive
+    * (candidate dedup), but compaction is the place row-count invariants
+    * get restored — exactly-once lands at the first compaction. */
   def compactIndex(spark: SparkSession, table: String, into: String): DataFrame = {
     graft.operators.Persist.dropIndexTable(spark, into)
     latestIndexRows(spark.table(table))
+      .distinct()
       .write
       .bucketBy(8, "key").sortBy("key")
       .format("parquet").saveAsTable(into)

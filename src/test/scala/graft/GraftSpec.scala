@@ -76,7 +76,14 @@ class DegenerateDocSpec extends GraftSuite {
   * (the pre-round-5 rule) would pin 15 dead copies of the duplicated init
   * vector forever and the trained index would silently collapse to one
   * cluster. The reseed must also be deterministic (farthest-point, ties to
-  * lowest vec_id) — same input, same centroids, on any partitioning. */
+  * lowest vec_id) — same input, same centroids, on any partitioning.
+  *
+  * The EXACT array equality below is sound, not best-effort: the trainers
+  * quantize accumulation inputs to a dyadic grid (Graft.vecQuantize), so
+  * the per-cluster sums are exact doubles whatever order Spark merges
+  * partials in — two runs cannot differ by shuffle-fetch order even in
+  * principle. (Before round 6 this equality held only because the partial
+  * merge order happened to repeat.) */
 class KmeansReseedSpec extends GraftSuite {
   import spark.implicits._
 
