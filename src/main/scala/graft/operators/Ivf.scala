@@ -168,8 +168,8 @@ object Ivf {
     * (codegen'd argmax over the broadcast matrix) + one `graft_vecsum`
     * partial aggregate over the unit-normalized vectors (ivf.py:162,175) —
     * the only exchange per iteration carries k pre-aggregated double[64]s.
-    * Rows-only oracle (iterative training is not ANSI-SQL-expressible).
-    */
+    * Oracle-gated by [[kmeansOracle]]: grid-quantized accumulation makes
+    * the iterations exactly replayable as unrolled SQL CTEs. */
   def kmeans(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
@@ -295,7 +295,37 @@ object Ivf {
     * the reciprocal (`y * (1.0/nrm)`, matching `graft_vec_normalize`), the
     * driver renormalize and the reseed divide (`y / nrm`, matching
     * [[trainCentroids]]). */
-  def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5): String = {
+  def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5): String =
+    s"""${trainCtes(iters)}
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c$iters c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= $Probes),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.v, q.qvec) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB replay of [[kmeans]] (v8): the same training CTEs, reduced to
+    * the per-cluster (count, avg sim) training trace. The avg is the one
+    * aggregation-order-dependent float in the output — rounded to 4 dp on
+    * both engines like every other gated mean. */
+  def kmeansOracle(iters: Int = 5): String =
+    s"""${trainCtes(iters)}
+       |g AS (SELECT cluster_id, count(*) AS n, round(avg(sim), 4) AS avg_sim
+       |      FROM assigned GROUP BY cluster_id)
+       |SELECT cluster_id, n, avg_sim FROM g ORDER BY cluster_id""".stripMargin
+
+  /** The shared training replay: `WITH` chain ending in the trained matrix
+    * `c<iters>(cid, cvec)` and the full-corpus `assigned(vec_id,
+    * cluster_id, sim)` against it (trailing comma — callers append their
+    * tail CTEs). */
+  private def trainCtes(iters: Int): String = {
     val Q = Graft.QuantScale
     val d = 64
     val iterCtes = (1 to iters).map { t =>
@@ -334,23 +364,10 @@ object Ivf {
        |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $K),
        |$iterCtes
-       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
-       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
-       |            FROM q CROSS JOIN c$iters c),
-       |probes AS (SELECT qid, cid FROM (
-       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
-       |  WHERE rn <= $Probes),
        |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
        |             FROM e CROSS JOIN c$iters c),
-       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
-       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
-       |  WHERE rn = 1),
-       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
-       |scored AS (SELECT cand.qid, cand.vec_id,
-       |                  list_cosine_similarity(e.v, q.qvec) AS score
-       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
-       |r AS (SELECT qid, vec_id, score,
-       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
-       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+       |assigned AS MATERIALIZED (SELECT vec_id, cid AS cluster_id, sim FROM (
+       |  SELECT vec_id, cid, sim, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM assign_s) WHERE rn = 1),""".stripMargin
   }
 }
