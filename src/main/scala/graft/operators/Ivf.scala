@@ -324,8 +324,9 @@ object Ivf {
   /** The shared training replay: `WITH` chain ending in the trained matrix
     * `c<iters>(cid, cvec)` and the full-corpus `assigned(vec_id,
     * cluster_id, sim)` against it (trailing comma — callers append their
-    * tail CTEs). */
-  private def trainCtes(iters: Int): String = {
+    * tail CTEs). Shared with [[IvfPq.searchTrainedOracle]], which appends
+    * residual + PQ-training CTEs after it. */
+  private[operators] def trainCtes(iters: Int): String = {
     val Q = Graft.QuantScale
     val d = 64
     val iterCtes = (1 to iters).map { t =>

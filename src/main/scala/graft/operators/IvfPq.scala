@@ -55,7 +55,6 @@ object IvfPq {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val mat = Ivf.collectCentroids(
       emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq)
 
     val resid = residuals(emb, mat)
     // materialize ONCE: the codebook collect job below and the final
@@ -71,6 +70,42 @@ object IvfPq {
       .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toArray))
     val cb: Map[Long, Array[Array[Double]]] =
       cbRows.groupBy(_._1).map { case (m, rows) => m -> rows.sortBy(_._2).map(_._3) }
+    adcSearch(spark, emb, mat, cb, rsub, k, nQueries, refine)
+  }
+
+  /** v19b: IVFADC with a TRAINED coarse quantizer (v8's order-independent
+    * k-means, [[Ivf.trainCentroids]]) AND TRAINED residual codebooks
+    * (v18b's per-subspace Lloyd's, [[Pq.trainCodebooks]], run on the
+    * residual subvectors) — the production FAISS `IVFx,PQy` shape
+    * end-to-end. Identical ADC + exact-refine tail as [[search]]; only
+    * where the two quantizers come from changes. Hash-gated: both
+    * trainers accumulate grid-quantized values ([[Graft.vecQuantize]]),
+    * so [[searchTrainedOracle]] replays coarse training, residuals,
+    * codebook training, encode, ADC and refine bit-for-bit in DuckDB. */
+  def searchTrained(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+                    iters: Int = 5, refine: Int = 32): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mat = Ivf.trainCentroids(spark, emb, iters)
+      // checkpoint for the same reason as [[search]], plus the codebook
+      // trainer's 5 iterations each re-read the residual subvector table
+      val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
+      val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
+      adcSearch(spark, emb, mat, cb, rsub, k, nQueries, refine)
+    } finally emb.unpersist()
+  }
+
+  /** The IVFADC tail shared by the fixed-quantizer ([[search]]) and
+    * trained ([[searchTrained]]) paths: map-only grouped-argmin encode,
+    * probe pruning, broadcast-dim ADC, exact refine. `mat` must have
+    * contiguous cids 0..K-1 (both [[Ivf.collectCentroids]] on the first-K
+    * convention and [[Ivf.trainCentroids]] guarantee this). */
+  private def adcSearch(spark: SparkSession, emb: DataFrame,
+                        mat: Array[(Long, Array[Double])],
+                        cb: Map[Long, Array[Array[Double]]], rsub: DataFrame,
+                        k: Int, nQueries: Int, refine: Int): DataFrame = {
+    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq) // position = cid
     val cbLit = typedLit(cb.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
 
     val codes = rsub
@@ -157,5 +192,63 @@ object IvfPq {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
        |      FROM exact)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[searchTrained]], composed from the two existing
+    * training replays: [[Ivf.trainCtes]] (coarse k-means → `c<iters>` +
+    * full-corpus `assigned`) feeds the residual CTEs, which feed
+    * [[Pq.trainCtes]] (per-subspace Lloyd's on any `src(vec_id, m, sv)` →
+    * `cb<iters>`), then the same encode → ADC → exact-refine tail as
+    * [[searchOracle]] against BOTH trained quantizers. Expressible because
+    * every upstream float is bit-identical across engines: the trained
+    * coarse matrix (v14's gate), the residual subtraction (same IEEE
+    * double ops on the same inputs), and the trained codebooks (v18b's
+    * gate, via the grid-quantized order-independent sums). Encode argmin
+    * uses [[Pq.ddSql]] — the sequential Σ(a−b)² matching
+    * `graft_nearest_centroid_grouped_l2` — with ties to the lowest cell. */
+  def searchTrainedOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5,
+                          refine: Int = 32): String = {
+    val M = Pq.M; val S = Pq.Sub; val P = Ivf.Probes
+    s"""${Ivf.trainCtes(iters)}
+       |resid AS (SELECT e.vec_id, a.cluster_id,
+       |                 [e.v[i] - c.cvec[i] for i in generate_series(1, ${M * S})] AS r
+       |          FROM e JOIN assigned a USING (vec_id) JOIN c$iters c ON a.cluster_id = c.cid),
+       |rsub AS MATERIALIZED (SELECT vec_id, cluster_id, m, r[($S*m+1):($S*m+$S)] AS sv FROM (
+       |  SELECT vec_id, cluster_id, r, unnest([i for i in generate_series(0, ${M - 1})]) AS m
+       |  FROM resid)),
+       |${Pq.trainCtes("rsub", iters)}
+       |code_s AS (SELECT r.vec_id, r.cluster_id, r.m, t.cell AS code,
+       |                  ${Pq.ddSql("r.sv", "t.cv")} AS d
+       |           FROM rsub r JOIN cb$iters t USING (m)),
+       |codes AS (SELECT vec_id, cluster_id, m, code FROM (
+       |  SELECT vec_id, cluster_id, m, code,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |  FROM code_s) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |qsub AS (SELECT qid, m, qvec[($S*m+1):($S*m+$S)] AS qm FROM (
+       |  SELECT qid, qvec, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM q)),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c$iters c),
+       |probes AS (SELECT qid, cid AS cluster_id FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+       |  FROM probe_s) WHERE rn <= $P),
+       |parts AS (SELECT p.qid, kk.vec_id, kk.cluster_id, list_inner_product(t.cv, qs.qm) AS pp
+       |          FROM codes kk
+       |          JOIN probes p ON kk.cluster_id = p.cluster_id
+       |          JOIN cb$iters t ON kk.m = t.m AND kk.code = t.cell
+       |          JOIN qsub qs ON p.qid = qs.qid AND kk.m = qs.m),
+       |adc AS (SELECT pt.qid, pt.vec_id,
+       |               list_inner_product(q.qvec, c.cvec) + sum(pt.pp) AS score
+       |        FROM parts pt JOIN q ON pt.qid = q.qid JOIN c$iters c ON pt.cluster_id = c.cid
+       |        GROUP BY pt.qid, pt.vec_id, q.qvec, c.cvec),
+       |adcr AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= $refine),
+       |exact AS (SELECT a.qid, a.vec_id, list_inner_product(e.v, q.qvec) AS score
+       |          FROM adcr a JOIN e ON a.vec_id = e.vec_id JOIN q ON a.qid = q.qid),
+       |rr AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |       FROM exact)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM rr WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 }

@@ -231,45 +231,11 @@ object Pq {
     * distances into an SQL tie the Scala side never saw). */
   def searchTrainedOracle(k: Int = 10, nQueries: Int = 8,
                           iters: Int = 5, refine: Int = 64): String = {
-    val Q = Graft.QuantScale
-    def dd(a: String, b: String) =
-      s"list_inner_product([$a[i] - $b[i] for i in generate_series(1, $Sub)]," +
-        s" [$a[i] - $b[i] for i in generate_series(1, $Sub)])"
-    val iterCtes = (1 to iters).map { t =>
-      val p = s"cb${t - 1}"
-      s"""pd$t AS (SELECT s.vec_id, s.m, c.cell, ${dd("s.sv", "c.cv")} AS d2
-         |         FROM sub s JOIN $p c USING (m)),
-         |pa$t AS MATERIALIZED (SELECT vec_id, m, cell FROM (
-         |  SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
-         |  FROM pd$t) WHERE rn = 1),
-         |px$t AS (SELECT a.m, a.cell,
-         |                unnest([floor(y * $Q + 0.5) / $Q for y in s.sv]) AS xq,
-         |                unnest([i for i in generate_series(1, $Sub)]) AS i
-         |         FROM pa$t a JOIN sub s USING (vec_id, m)),
-         |pn$t AS (SELECT m, cell, count(*) AS n FROM pa$t GROUP BY m, cell),
-         |pg$t AS (SELECT m, cell, list(sq ORDER BY i) AS vsum FROM (
-         |           SELECT m, cell, i, sum(xq) AS sq FROM px$t GROUP BY m, cell, i) GROUP BY m, cell),
-         |pu$t AS MATERIALIZED (SELECT g.m, g.cell, [y / n.n for y in g.vsum] AS cv
-         |         FROM pg$t g JOIN pn$t n USING (m, cell)),
-         |pm$t AS (SELECT c.m, c.cell, row_number() OVER (PARTITION BY c.m ORDER BY c.cell) AS rn
-         |         FROM $p c WHERE NOT EXISTS (
-         |           SELECT 1 FROM pu$t u2 WHERE u2.m = c.m AND u2.cell = c.cell)),
-         |pf$t AS (SELECT s.vec_id, s.m, s.sv, min(${dd("s.sv", "u.cv")}) AS d2m
-         |         FROM sub s JOIN pu$t u USING (m) GROUP BY s.vec_id, s.m, s.sv),
-         |pw$t AS (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY d2m DESC, vec_id ASC) AS rn
-         |         FROM pf$t),
-         |cb$t AS MATERIALIZED (SELECT p.m, p.cell, COALESCE(u.cv, w.sv, p.cv) AS cv
-         |        FROM $p p
-         |        LEFT JOIN pu$t u USING (m, cell)
-         |        LEFT JOIN pm$t me USING (m, cell)
-         |        LEFT JOIN pw$t w ON me.m = w.m AND me.rn = w.rn),""".stripMargin
-    }.mkString("\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |em AS (SELECT vec_id, v, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM e),
        |sub AS MATERIALIZED (SELECT vec_id, m, v[($Sub*m+1):($Sub*m+$Sub)] AS sv FROM em),
-       |cb0 AS (SELECT m, vec_id::INT AS cell, sv AS cv FROM sub WHERE vec_id < $K),
-       |$iterCtes
-       |fd AS (SELECT s.vec_id, s.m, c.cell, ${dd("s.sv", "c.cv")} AS d2
+       |${trainCtes("sub", iters)}
+       |fd AS (SELECT s.vec_id, s.m, c.cell, ${ddSql("s.sv", "c.cv")} AS d2
        |       FROM sub s JOIN cb$iters c USING (m)),
        |codes AS (SELECT vec_id, m, cell FROM (
        |  SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
@@ -289,6 +255,54 @@ object Pq {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
        |      FROM ex)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Sequential Σ(a−b)² — `list_inner_product` of the explicit difference
+    * list, NOT `list_distance`, whose sqrt could merge distinct squared
+    * distances into an SQL tie the Scala argmin never saw. */
+  private[operators] def ddSql(a: String, b: String): String =
+    s"list_inner_product([$a[i] - $b[i] for i in generate_series(1, $Sub)]," +
+      s" [$a[i] - $b[i] for i in generate_series(1, $Sub)])"
+
+  /** The per-subspace training replay over any `src(vec_id, m, sv)` CTE:
+    * `iters` unrolled iterations ending in the trained codebook
+    * `cb<iters>(m, cell, cv)` (trailing comma — callers append their tail).
+    * Shared by [[searchTrainedOracle]] and [[IvfPq.searchTrainedOracle]]
+    * (which feeds RESIDUAL subvectors in). */
+  private[operators] def trainCtes(src: String, iters: Int): String = {
+    val Q = Graft.QuantScale
+    def dd(a: String, b: String) = ddSql(a, b)
+    val iterCtes = (1 to iters).map { t =>
+      val p = s"cb${t - 1}"
+      s"""pd$t AS (SELECT s.vec_id, s.m, c.cell, ${dd("s.sv", "c.cv")} AS d2
+         |         FROM $src s JOIN $p c USING (m)),
+         |pa$t AS MATERIALIZED (SELECT vec_id, m, cell FROM (
+         |  SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+         |  FROM pd$t) WHERE rn = 1),
+         |px$t AS (SELECT a.m, a.cell,
+         |                unnest([floor(y * $Q + 0.5) / $Q for y in s.sv]) AS xq,
+         |                unnest([i for i in generate_series(1, $Sub)]) AS i
+         |         FROM pa$t a JOIN $src s USING (vec_id, m)),
+         |pn$t AS (SELECT m, cell, count(*) AS n FROM pa$t GROUP BY m, cell),
+         |pg$t AS (SELECT m, cell, list(sq ORDER BY i) AS vsum FROM (
+         |           SELECT m, cell, i, sum(xq) AS sq FROM px$t GROUP BY m, cell, i) GROUP BY m, cell),
+         |pu$t AS MATERIALIZED (SELECT g.m, g.cell, [y / n.n for y in g.vsum] AS cv
+         |         FROM pg$t g JOIN pn$t n USING (m, cell)),
+         |pm$t AS (SELECT c.m, c.cell, row_number() OVER (PARTITION BY c.m ORDER BY c.cell) AS rn
+         |         FROM $p c WHERE NOT EXISTS (
+         |           SELECT 1 FROM pu$t u2 WHERE u2.m = c.m AND u2.cell = c.cell)),
+         |pf$t AS (SELECT s.vec_id, s.m, s.sv, min(${dd("s.sv", "u.cv")}) AS d2m
+         |         FROM $src s JOIN pu$t u USING (m) GROUP BY s.vec_id, s.m, s.sv),
+         |pw$t AS (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY d2m DESC, vec_id ASC) AS rn
+         |         FROM pf$t),
+         |cb$t AS MATERIALIZED (SELECT p.m, p.cell, COALESCE(u.cv, w.sv, p.cv) AS cv
+         |        FROM $p p
+         |        LEFT JOIN pu$t u USING (m, cell)
+         |        LEFT JOIN pm$t me USING (m, cell)
+         |        LEFT JOIN pw$t w ON me.m = w.m AND me.rn = w.rn),""".stripMargin
+    }.mkString("\n")
+    s"""cb0 AS (SELECT m, vec_id::INT AS cell, sv AS cv FROM $src WHERE vec_id < $K),
+       |$iterCtes""".stripMargin
   }
 
   def searchOracle(k: Int = 10, nQueries: Int = 8): String =
