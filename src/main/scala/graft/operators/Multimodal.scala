@@ -83,7 +83,11 @@ object Multimodal {
     * build, the bucket-join search) is the real 100 TB plan.
     *
     * The per-media vector is the frame features in frame order (dim =
-    * nFrames), scaled to [0,1] — one groupBy(doc_id) shuffle whose rows
+    * nFrames), divided by Int.MaxValue purely to leave double range —
+    * components are NOT bounded to [0,1]: the feature is a wrapping Long
+    * hash, so after the divide a component can be anywhere in ±~4.3e9.
+    * Cosine/LSH only need determinism, not boundedness; nothing may
+    * assume unit-range components. One groupBy(doc_id) shuffle whose rows
     * are nFrames longs each; then the m3 index/search path IS v10's
     * (keyRows + searchIndex), proving the multimodal columns compose with
     * the vector stack unchanged. ORACLE-GATED ([[mediaSearchOracle]]): the
@@ -97,7 +101,9 @@ object Multimodal {
     graft.Graft.init(spark)
     val frames = framesOf(binaryDocs(spark, dir), nFrames, frameLen).toDF()
 
-    // per-media dense vector: frame features in frame order, scaled to [0,1]
+    // per-media dense vector: frame features in frame order, shrunk by
+    // 1/Int.MaxValue (range-keeping only — components are unbounded, the
+    // wrapping Long hash spans far beyond ±Int.MaxValue)
     val vectors = frames
       .groupBy(col("doc_id").as("vec_id"))
       .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_feature")))).as("fs"))
