@@ -105,16 +105,34 @@ object IvfPq {
                         mat: Array[(Long, Array[Double])],
                         cb: Map[Long, Array[Array[Double]]], rsub: DataFrame,
                         k: Int, nQueries: Int, refine: Int): DataFrame = {
-    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq) // position = cid
-    val cbLit = typedLit(cb.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
-
-    val codes = rsub
-      .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), cbLit))
-      .select(col("vec_id"), col("cluster_id"), col("m").cast("long").as("m"), col("nc.idx").as("code"))
-
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val probes = Ivf.probesFor(queries, mat, spark)
+    adcFromCodes(spark, emb, mat, cb, encodeCodes(rsub, cb),
+      Ivf.probesFor(queries, mat, spark), k, nQueries, refine)
+  }
+
+  /** Map-only grouped-argmin encode: (vec_id, cluster_id, m, code). */
+  private def encodeCodes(rsub: DataFrame,
+                          cb: Map[Long, Array[Array[Double]]]): DataFrame = {
+    val cbLit = typedLit(cb.map { case (m, cs) => m -> cs.map(_.toSeq).toSeq })
+    rsub
+      .withColumn("nc", Graft.nearestCentroidGroupedL2(col("sv"), col("m").cast("long"), cbLit))
+      .select(col("vec_id"), col("cluster_id"), col("m").cast("long").as("m"), col("nc.idx").as("code"))
+  }
+
+  /** ADC + exact refine over an already-encoded code table and a
+    * (qid, cluster_id) probe set — the serving tail shared by the
+    * in-flight paths and the persisted-artifact path
+    * ([[trainedPersistSearch]], which feeds partition-pruned reloaded
+    * codes in). `mat` must have contiguous cids 0..K-1. */
+  private[operators] def adcFromCodes(spark: SparkSession, emb: DataFrame,
+                                      mat: Array[(Long, Array[Double])],
+                                      cb: Map[Long, Array[Array[Double]]],
+                                      codes: DataFrame, probes: DataFrame,
+                                      k: Int, nQueries: Int, refine: Int): DataFrame = {
+    val cvecs = typedLit(mat.map(_._2.toSeq).toSeq) // position = cid
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
     // codebook + query subvectors as broadcast dims for ADC
     val cbDf = Ivf.codebookDf(spark, cb)
@@ -141,6 +159,80 @@ object IvfPq {
 
     // exact refine of the ADC top-`refine`
     Knn.exactRefine(adc, emb, queries, "dot", refine, k)
+  }
+
+  /** v19c: the trained IVFADC index as a PERSISTED ARTIFACT — what a
+    * 100 TB deployment actually ships. Train both quantizers (v19b), then
+    * write the three on-disk pieces FAISS serializes into an index file,
+    * as tables sized for their roles:
+    *   - codes: ONE row per vector `(vec_id, codes[M])`, hive-partitioned
+    *     by the trained coarse cell — at scale this is M bytes/vector
+    *     laid out so a probe reads ONLY the probed directories;
+    *   - centroids (K rows) and codebooks (M×K rows): driver-sized dims.
+    * Then RELOAD all three from parquet and serve: probes come from the
+    * reloaded centroids, the code scan is partition-pruned to the probed
+    * cells before the per-subspace explode (prune-then-explode, so the
+    * unpacking work is bounded by the probe set, not the corpus), ADC +
+    * exact refine as v19b. Doubles round-trip parquet bit-exactly, so the
+    * served artifact must equal the in-flight v19b result bit-for-bit —
+    * the driver hash-gates it against [[searchTrainedOracle]], and
+    * PersistSpec asserts ≡-v19b plus the PartitionFilters prune.
+    * (Reference analog: save/load of the trained index,
+    * app/core/vector_db.py:272-292 rebuild-on-startup.) */
+  def trainedPersistSearch(spark: SparkSession, dir: String, k: Int = 10,
+                           nQueries: Int = 8, iters: Int = 5,
+                           refine: Int = 32): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      // ---- build: train, encode, persist the artifact ----
+      val mat = Ivf.trainCentroids(spark, emb, iters)
+      val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
+      val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
+
+      val codesWide = encodeCodes(rsub, cb)
+        .groupBy(col("vec_id"), col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+        .select(col("vec_id"), col("cluster_id"),
+          expr("transform(mc, x -> x.code)").as("codes"))
+      val codesPath = Persist.tablePath(spark, "graft_idx_ivfpq_codes")
+      graft.sources.Sinks.writePartitioned(codesWide, codesPath, "cluster_id")
+
+      import spark.implicits._
+      val centPath = Persist.tablePath(spark, "graft_idx_ivfpq_centroids")
+      mat.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+        .write.mode("overwrite").parquet(centPath)
+      val cbPath = Persist.tablePath(spark, "graft_idx_ivfpq_codebooks")
+      cb.toSeq.flatMap { case (m, cells) =>
+        cells.zipWithIndex.map { case (cv, cell) => (m, cell, cv.toSeq) }
+      }.toDF("m", "cell", "cv")
+        .write.mode("overwrite").parquet(cbPath)
+
+      // ---- serve: reload every piece from storage ----
+      val mat2: Array[(Long, Array[Double])] =
+        spark.read.parquet(centPath).orderBy("cid").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cb2: Map[Long, Array[Array[Double]]] =
+        spark.read.parquet(cbPath).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+          .groupBy(_._1).map { case (m, rows) => m -> rows.sortBy(_._2).map(_._3) }
+
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probePairs = Ivf.probesFor(queries, mat2, spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val probedCells = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+      val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+      val codes = spark.read.parquet(codesPath)
+        .filter(col("cluster_id").isin(probedCells: _*)) // partition pruning
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("cluster_id"), col("pos").cast("long").as("m"),
+          col("col").as("code"))
+
+      adcFromCodes(spark, emb, mat2, cb2, codes, probeDf, k, nQueries, refine)
+    } finally emb.unpersist()
   }
 
   def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32): String = {

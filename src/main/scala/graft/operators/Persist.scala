@@ -31,7 +31,7 @@ import graft.sources.{Sinks, Tables}
 object Persist {
 
   /** Warehouse location for a graft index table (inside the repo). */
-  private def tablePath(spark: SparkSession, table: String): String =
+  private[operators] def tablePath(spark: SparkSession, table: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + "/" + table
 
   /** Drop table + its files (works across sessions — the in-memory catalog

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ivf, Lsh, Persist}
+import graft.operators.{Dedup, Ivf, IvfPq, Lsh, Persist}
 
 /** Index persistence round-trips (reference: tests-mongo/test_persistence.py
   * — indexes survive restart bit-for-bit) + the physical-layout claims:
@@ -61,6 +61,24 @@ class PersistSpec extends GraftSuite {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
       s"trained lists do not partition-prune:\n${plan.take(600)}")
+  }
+
+  test("v19c: trained IVFADC survives persistence — round-trip == in-flight v19b") {
+    val roundTrip = rows(IvfPq.trainedPersistSearch(spark, sf))
+    val fresh = rows(IvfPq.searchTrained(spark, sf))
+    assert(roundTrip === fresh,
+      "served persisted IVFADC diverged from the in-flight trained search")
+    assert(roundTrip.nonEmpty)
+    // the code table is one packed row per vector and prunes on probe
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivfpq_codes"
+    val codes = spark.read.parquet(path)
+    assert(codes.count() === codes.select("vec_id").distinct().count(),
+      "codes table is not one row per vector")
+    val probed = codes.filter(col("cluster_id").isin(1L, 3L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"IVFADC code table does not partition-prune:\n${plan.take(600)}")
   }
 
   test("v16 filtered kNN pushes the label filter to the parquet scan") {
