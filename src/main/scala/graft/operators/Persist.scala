@@ -376,7 +376,10 @@ object Persist {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
-      val mat = Ivf.trainCentroids(spark, emb, iters)
+      // trained matrix from the session registry (train once, serve many —
+      // the single-JVM analog of the persisted trained index this query
+      // then writes; v14 fills it or reuses it identically)
+      val mat = Ivf.trainedCentroidsFor(spark, dir, iters)
 
       val path = tablePath(spark, "graft_idx_ivf_trained")
       val built = Ivf.assignToMat(emb, mat)
