@@ -202,11 +202,14 @@ object Relational {
     // this shape is the one that still works when a group has 10^9 rows.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    // the group size rides the SAME partitionBy exchange as the rank
+    // (unordered frame = whole partition) — one scan, one shuffle, no
+    // separate counts agg + join pass over the fact table
+    val wAll = Window.partitionBy(col("l_returnflag"))
     val base = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
-    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     val ranked = base
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), Seq("l_returnflag"))
+      .withColumn("n", count(lit(1)).over(wAll))
 
     // contribution of this row to quantile q (DuckDB quantile_cont rule:
     // h = q·(n−1) zero-based, linear interpolation between floor/ceil rows)
