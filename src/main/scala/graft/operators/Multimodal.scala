@@ -126,20 +126,53 @@ object Multimodal {
     * pure ASCII (UTF-8 byte == codepoint — asserted against all three SF
     * dirs); a non-ASCII corpus would need a BLOB-indexed byte fetch. The
     * LSH tail reuses [[Lsh.keysSql]] at dim = nFrames. */
-  def mediaSearchOracle(k: Int = 5, nQueries: Int = 4,
-                        nFrames: Int = 4, frameLen: Int = 16,
-                        nTables: Int = 4, nBits: Int = 8, seed: Long = 4000): String =
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+  /** The frame-extraction replay shared by the m2 and m3 oracles: `d`
+    * (ASCII text + length), `fr` (fixed-stride frame windows), `ff`
+    * (the wrapping-Long polynomial feature per frame, via HUGEINT
+    * mod 2^64 — see [[mediaSearchOracle]]'s scaladoc for why). */
+  private def frameCtes(nFrames: Int, frameLen: Int): String =
+    s"""d AS (SELECT doc_id, text, length(text) AS len FROM documents),
        |fr AS (SELECT doc_id, f AS frame_idx, f * greatest(1, len // $nFrames) AS off, len, text
        |       FROM d, (SELECT unnest(generate_series(0, ${nFrames - 1})) AS f)
        |       WHERE f * greatest(1, len // $nFrames) < len),
-       |ff AS (SELECT doc_id, frame_idx,
+       |ff AS (SELECT doc_id, frame_idx, off,
        |              CAST(list_reduce(list_prepend(0::HUGEINT,
        |                     [unicode(substr(text, i, 1))::HUGEINT
        |                      for i in generate_series(off + 1, least(off + $frameLen, len))]),
        |                   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)
        |                   % 2147483648 AS BIGINT) AS feat
-       |       FROM fr),
+       |       FROM fr)""".stripMargin
+
+  /** DuckDB replay of [[frameSample]] (m2): the shared frame CTEs,
+    * projected to the typed frame rows. Expressible for the same reason
+    * as m3: the stub decode is deterministic integer math over an ASCII
+    * corpus (UTF-8 byte == codepoint). */
+  def frameSampleOracle(nFrames: Int = 4, frameLen: Int = 16): String =
+    s"""WITH ${frameCtes(nFrames, frameLen)}
+       |SELECT doc_id, frame_idx::BIGINT AS frame_idx, off::BIGINT AS "offset",
+       |       feat AS frame_feature
+       |FROM ff ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** DuckDB replay of [[binaryMeta]] (m1): byte length, first byte, and
+    * the byte-sum stub feature are exact integer functions of the ASCII
+    * text the payload encodes (byte value == codepoint), so the whole
+    * decode-metadata row replays in SQL. Empty payload: sum of the empty
+    * list is NULL → 0, first_byte −1, matching the Scala guards. */
+  def binaryMetaOracle(): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len, source FROM documents)
+       |SELECT doc_id,
+       |       len::BIGINT AS n_bytes,
+       |       (CASE WHEN len > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END)::BIGINT AS first_byte,
+       |       (COALESCE(list_aggregate([unicode(substr(text, i, 1))
+       |                                 for i in generate_series(1, len)], 'sum'), 0)
+       |        % 256)::BIGINT AS fake_feature,
+       |       source
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  def mediaSearchOracle(k: Int = 5, nQueries: Int = 4,
+                        nFrames: Int = 4, frameLen: Int = 16,
+                        nTables: Int = 4, nBits: Int = 8, seed: Long = 4000): String =
+    s"""WITH ${frameCtes(nFrames, frameLen)},
        |vecs AS (SELECT doc_id AS vec_id, list(feat / 2147483647.0 ORDER BY frame_idx) AS v
        |         FROM ff GROUP BY doc_id),
        |q AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < $nQueries),
