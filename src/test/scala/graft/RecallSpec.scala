@@ -65,6 +65,19 @@ class RecallSpec extends GraftSuite {
       "a query outranked its own IVF-PQ reconstruction")
   }
 
+  test("v19b trained IVF-PQ recall@10 ≥ 0.5 vs exact dot; self-hit ranks first") {
+    val exact = hits("v3_knn_dot_flat")
+    val ivfpq = hits("v19b_ivfpq_trained")
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    // trained coarse + trained residual codebooks must not retrieve WORSE
+    // than the fixed-convention v19 floor
+    assert(recall >= 0.5, s"trained ivfpq recall $recall")
+    val top1 = run("v19b_ivfpq_trained").filter($"rank" === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (q, v) => q == v },
+      "a query outranked its own trained-IVFADC reconstruction")
+  }
+
   test("LSH search recall@10 ≥ 0.1 and always finds the query itself first") {
     val exact = hits("v1_knn_cosine_flat")
     val lsh = hits("v10_lsh_search")
