@@ -72,7 +72,7 @@ object Ivf {
     * (vec_id, cluster_id, sim, embedding [, keep...]) with zero
     * joins/shuffles. `keep` carries metadata columns (e.g. `label`)
     * through the assignment so they land in the persisted lists. */
-  private[operators] def assignToMat(emb: DataFrame, mat: Array[(Long, Array[Double])],
+  private[graft] def assignToMat(emb: DataFrame, mat: Array[(Long, Array[Double])],
                                      keep: Seq[String] = Nil): DataFrame = {
     val cvecs: Column = typedLit(mat.map(_._2.toSeq).toSeq)
     val cids: Column = typedLit(mat.map(_._1).toSeq)
@@ -183,7 +183,7 @@ object Ivf {
   private val trainedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[(Long, Array[Double])]]()
 
-  private[operators] def trainedCentroidsFor(spark: SparkSession, dir: String,
+  private[graft] def trainedCentroidsFor(spark: SparkSession, dir: String,
                                              iters: Int): Array[(Long, Array[Double])] =
     trainedCache.computeIfAbsent((spark, dir, iters), { _ =>
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()

@@ -385,24 +385,37 @@ object Persist {
       val built = Ivf.assignToMat(emb, mat)
         .select(col("vec_id"), col("embedding"), col("cluster_id"))
       Sinks.writePartitioned(built, path, "cluster_id")
-      val lists = spark.read.parquet(path)
 
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val probePairs = Ivf.probesFor(queries, mat, spark).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
-      val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
-
-      val scored = lists
-        .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
-        .join(broadcast(probeDf), Seq("cluster_id"))
-        .join(broadcast(queries), Seq("qid"))
-        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-        .select(col("qid"), col("vec_id"), col("score"))
-
-      Knn.topkPerQuery(scored, "cosine", k)
+      probedListsSearch(spark, emb, path, mat, k, nQueries)
     } finally emb.unpersist()
+  }
+
+  /** Probe-pruned serving tail over hive-partitioned trained lists at
+    * `path`: the collected Q×Probes pairs prune the scan to the probed
+    * cluster DIRECTORIES, broadcast-join back to their queries, exact
+    * cosine rerank. Shared by v14b and the streaming IVF ingest path
+    * ([[graft.streaming.Streams.ivfIngestStream]]'s lists serve through
+    * this identical plan) — however the lists were produced (one batch
+    * build or continuous micro-batch appends), reads only ever touch
+    * probed directories. */
+  private[graft] def probedListsSearch(spark: SparkSession, emb: DataFrame, path: String,
+                                       mat: Array[(Long, Array[Double])],
+                                       k: Int = 10, nQueries: Int = 8): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    val scored = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
   }
 
   /** v16e: free-form metadata × partitioned IVF — v16d's promoted/cold-key

@@ -189,6 +189,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming vector ingest into a TRAINED partitioned IVF index —
+    * v14b's serving artifact maintained under continuous arrival
+    * (reference: add_vector on a trained index, vector_db.py:118-168 +
+    * ivf.py add path). The coarse quantizer comes from the session's
+    * trained-index registry ([[graft.operators.Ivf.trainedCentroidsFor]]):
+    * train once, then EVERY micro-batch is the same map-only
+    * broadcast-argmax assignment as the batch build — no retrain, no
+    * shuffle, each batch appends its rows under the matching
+    * `cluster_id=` directories. Idempotent on replay via the same
+    * batchId commit log (and caveat) as [[lshIngestStream]]. Searches
+    * serve through [[graft.operators.Persist.probedListsSearch]] —
+    * partition-pruned to probed cells, so a reader never scans what the
+    * stream is appending elsewhere, and appends never rewrite existing
+    * files. This is the segment-append pattern of every production ANN
+    * store (FAISS shards / Milvus segments): the quantizer is fixed,
+    * data flows in, directories accumulate. */
+  def ivfIngestStream(embStream: DataFrame, dir: String, table: String,
+                      iters: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val commits = table + "_commits"
+      val alreadyCommitted = s.catalog.tableExists(commits) &&
+        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+      if (!alreadyCommitted) {
+        val mat = graft.operators.Ivf.trainedCentroidsFor(s, dir, iters)
+        graft.operators.Ivf.assignToMat(batch, mat)
+          .select(col("vec_id"), col("embedding"), col("cluster_id"))
+          .write.mode("append").partitionBy("cluster_id")
+          .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table)
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(commits)
+      }
+    }
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .start()
+  }
+
   /** Streaming upsert → LIVE INDEX maintenance — u1's update_chunk→index→
     * search semantics (reference: app/core/vector_db.py:220-236) as
     * continuous CDC, composing [[upsertLatestStateful]]'s latest-wins rule

@@ -162,6 +162,53 @@ class StreamingMultiBatchSpec extends GraftSuite {
       "replayed micro-batch double-appended despite the batchId commit log")
   }
 
+  test("streaming IVF ingestion: trained-quantizer appends; pruned search == fresh trained build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_idx_ivf_stream"
+    operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_commits")
+    val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val all = embDf.as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = all.partition(_._1 < 250) // second segment arrives later
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Streams.ivfIngestStream(stream.toDF().toDF("vec_id", "embedding"), sf, table)
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // serve the STREAMED lists through the identical pruned plan and
+    // compare against the batch-built trained round-trip (same registry
+    // quantizer, same corpus -> must be bit-identical)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/" + table
+    val mat = operators.Ivf.trainedCentroidsFor(spark, sf, 5)
+    val got = operators.Persist.probedListsSearch(spark, embDf, path, mat).collect().toSet
+    val want = operators.Persist.trainedIvfPersistSearch(spark, sf).collect().toSet
+    assert(got.nonEmpty && got === want,
+      "stream-ingested IVF lists diverged from the fresh trained build")
+
+    // the streamed directories prune on probe exactly like batch-built ones
+    val probed = spark.read.parquet(path).filter($"cluster_id".isin(1L, 3L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"streamed IVF lists do not partition-prune:\n${plan.take(600)}")
+
+    // replay idempotency: a restarted source re-delivers batch 0 — the
+    // commit log must skip the append, leaving the lists bit-identical
+    val rowsBefore = spark.read.parquet(path).count()
+    val replay = MemoryStream[(Long, Array[Float])]
+    val q2 = Streams.ivfIngestStream(replay.toDF().toDF("vec_id", "embedding"), sf, table)
+    try {
+      replay.addData(b1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(path).count() === rowsBefore,
+      "replayed micro-batch double-appended despite the batchId commit log")
+  }
+
   test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_upsert_stream"
