@@ -193,51 +193,92 @@ object Relational {
 
   /** q9: exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition;
-    * rounded at 4dp since selection order within the sort is engine-local). */
+    * rounded at 4dp since selection order within the sort is engine-local).
+    *
+    * Shape: distributed ORDER-STATISTIC SELECTION, not a per-group window
+    * sort. A `Window.partitionBy(group)` rank puts each ENTIRE group in one
+    * task — fine for many small groups, a 33 TB single-task sort when 100 TB
+    * splits over 3 return flags. Instead: range-partition by (group, value)
+    * and sort WITHIN partitions (the parallel global sort, every task an
+    * equal slice), materialize once, then (1) count rows per (partition,
+    * group) — P×G longs to the driver, (2) turn the quantile definition
+    * h = q·(n−1) into per-group target POSITIONS, (3) a second scan emits
+    * only the ≤ G×8 bracketing rows, interpolated on the driver. Spark's
+    * built-in `percentile` is worse still — it holds a counts-map of every
+    * distinct value per partial buffer (~600k doubles here, 26 s measured).
+    * Two scans of the checkpointed sort, all P tasks busy, driver state
+    * O(P·G + G·quantiles) — the shape that survives any group size. */
   def q9Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    // Exact quantile_cont via sort + rank interpolation: one per-group sort
-    // shuffle, then only the two bracketing rows per quantile survive into
-    // the final agg. Spark's built-in `percentile` holds a counts-map of
-    // every distinct value per partial buffer (~600k doubles here, 26 s);
-    // this shape is the one that still works when a group has 10^9 rows.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    // the group size rides the SAME partitionBy exchange as the rank
-    // (unordered frame = whole partition) — one scan, one shuffle, no
-    // separate counts agg + join pass over the fact table
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val base = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
-    val ranked = base
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(parts, col("l_returnflag"), col("l_extendedprice"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
+      .localCheckpoint() // sort once; both passes below re-read it
+      .as[(String, Double)]
 
-    // contribution of this row to quantile q (DuckDB quantile_cont rule:
-    // h = q·(n−1) zero-based, linear interpolation between floor/ceil rows)
-    def contrib(q: Double): org.apache.spark.sql.Column = {
-      val h = (col("n") - 1).cast("double") * q
-      val lo = floor(h)
-      val hi = ceil(h)
-      val frac = h - lo
-      val r = (col("rn") - 1).cast("double")
-      sum(when(r === lo && r === hi, col("l_extendedprice"))
-        .when(r === lo, col("l_extendedprice") * (lit(1.0) - frac))
-        .when(r === hi, col("l_extendedprice") * frac)
-        .otherwise(lit(0.0)))
+    // pass 1: per-(partition, group) row counts (partitions are globally
+    // ordered, and within one partition a group's rows are contiguous)
+    val partCounts: Array[(Int, Seq[(String, Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (f, _) => m.update(f, m.getOrElse(f, 0L) + 1L) }
+        Iterator((pid, m.toSeq))
+      }.collect().sortBy(_._1)
+
+    val nByFlag: Map[String, Long] = partCounts.flatMap(_._2)
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    // start rank (within its group) of each partition's first group-row
+    val startRank: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.Map[String, Long]()
+      partCounts.flatMap { case (pid, fs) =>
+        fs.map { case (f, c) =>
+          val s = running.getOrElse(f, 0L); running(f) = s + c; (pid, f) -> s
+        }
+      }.toMap
+    }
+    // target 0-based positions per group: the bracketing rows of each
+    // quantile (h = q·(n−1), DuckDB quantile_cont) plus min and max
+    val quantiles = Seq(0.5, 0.9, 0.99)
+    val wantByFlag: Map[String, Set[Long]] = nByFlag.map { case (f, n) =>
+      val hs = quantiles.flatMap { q =>
+        val h = (n - 1).toDouble * q
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }
+      f -> (hs ++ Seq(0L, n - 1)).toSet
     }
 
-    ranked
-      .filter(
-        ((col("rn") - 1) >= floor((col("n") - 1) * 0.5) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.5)) ||
-        ((col("rn") - 1) >= floor((col("n") - 1) * 0.9) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.9)) ||
-        ((col("rn") - 1) >= floor((col("n") - 1) * 0.99) && (col("rn") - 1) <= ceil((col("n") - 1) * 0.99)) ||
-        col("rn") === 1 || col("rn") === col("n"))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(contrib(0.5), 4).as("p50"),
-        round(contrib(0.9), 4).as("p90"),
-        round(contrib(0.99), 4).as("p99"),
-        round(min(col("l_extendedprice")), 4).as("p0"),
-        round(max(col("l_extendedprice")), 4).as("p100"))
+    // pass 2: emit only the targeted rows (≤ G×8 across the whole corpus)
+    val wantB = spark.sparkContext.broadcast((startRank, wantByFlag))
+    val picked: Map[(String, Long), Double] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val (starts, want) = wantB.value
+        val seen = scala.collection.mutable.Map[String, Long]()
+        it.flatMap { case (f, v) =>
+          val pos = starts.getOrElse((pid, f), 0L) + seen.getOrElse(f, 0L)
+          seen.update(f, seen.getOrElse(f, 0L) + 1L)
+          if (want.getOrElse(f, Set.empty).contains(pos)) Some(((f, pos), v)) else None
+        }
+      }.collect().toMap
+
+    // driver: interpolate (lo·(1−frac) + hi·frac — the same two-term sum
+    // the previous windowed formulation aggregated, so bit-identical)
+    val rows = nByFlag.toSeq.sortBy(_._1).map { case (f, n) =>
+      def at(pos: Long): Double = picked((f, pos))
+      def quant(q: Double): Double = {
+        val h = (n - 1).toDouble * q
+        val lo = math.floor(h).toLong; val hi = math.ceil(h).toLong
+        if (lo == hi) at(lo)
+        else { val frac = h - lo; at(lo) * (1.0 - frac) + at(hi) * frac }
+      }
+      (f, quant(0.5), quant(0.9), quant(0.99), at(0L), at(n - 1))
+    }
+    rows.toDF("l_returnflag", "p50", "p90", "p99", "p0", "p100")
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"), round(col("p0"), 4).as("p0"),
+        round(col("p100"), 4).as("p100"))
       .orderBy(col("l_returnflag"))
   }
 
