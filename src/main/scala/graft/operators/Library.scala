@@ -53,13 +53,25 @@ object Library {
     * query THEIR OWN library only. Scoping = an equi-join on `library`
     * (bucketed/sort-merge at scale); rank is per (library, query). This is
     * the reference's `search(library_id, ...)` for all libraries in one plan. */
+  /** First `n` vec_ids of each library as (library, vec_id, embedding) —
+    * a partial-aggregate TopK (map-side combine ships ≤ n ids per task
+    * per library) plus a broadcast join-back for the vectors. NOT a
+    * `Window.partitionBy(library)` rank: with ~10 libraries that window
+    * sorts each library's entire scan in ONE task — the q9 lesson applied
+    * to the library axis. Deterministic: lowest vec_ids, no ties. */
+  private def firstPerLibrary(emb: DataFrame, n: Int): DataFrame = {
+    val ids = emb.groupBy(col("library"))
+      .agg(Graft.topk(col("vec_id").cast("double"), col("vec_id"), lit(n), lit(true)).as("top"))
+      .select(col("library"), explode(col("top.id")).as("vec_id"))
+    emb.join(broadcast(ids), Seq("library", "vec_id"))
+      .select(col("library"), col("vec_id"), col("embedding"))
+  }
+
   def libraryKnn(spark: SparkSession, dir: String, k: Int = 5, qPerLib: Int = 2): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
-    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
-    val queries = emb.withColumn("rn", row_number().over(byLib))
-      .filter(col("rn") <= qPerLib)
+    val queries = firstPerLibrary(emb, qPerLib)
       .select(col("library"), col("vec_id").as("qid"), col("embedding").as("qvec"))
 
     val scored = emb.join(broadcast(queries), Seq("library"))
@@ -93,10 +105,7 @@ object Library {
     * analog of [[Ivf.collectCentroids]]'s canonical k-means driver state. */
   private[operators] def collectLibraryCentroids(emb: DataFrame, kPerLib: Int)
       : Map[Long, Array[(Long, Array[Double])]] = {
-    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
-    emb.withColumn("rn", row_number().over(byLib))
-      .filter(col("rn") <= kPerLib)
-      .select(col("library"), col("vec_id"), col("embedding"))
+    firstPerLibrary(emb, kPerLib)
       .collect()
       .map { r =>
         val vec = r.get(2) match {
@@ -171,12 +180,10 @@ object Library {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
-    val byLib = Window.partitionBy(col("library")).orderBy(col("vec_id"))
     // materialize the (tiny) query set ONCE: all three arms reference it,
-    // and without the checkpoint each arm would re-run the corpus-wide
-    // row_number window just to re-derive ~2·#libraries rows
-    val queries = emb.withColumn("rn", row_number().over(byLib))
-      .filter(col("rn") <= qPerLib)
+    // and without the checkpoint each arm would re-run the corpus pass
+    // just to re-derive ~2·#libraries rows
+    val queries = firstPerLibrary(emb, qPerLib)
       .select(col("library"), col("vec_id").as("qid"), col("embedding").as("qvec"))
       .localCheckpoint()
 
