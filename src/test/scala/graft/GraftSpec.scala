@@ -220,4 +220,33 @@ class GraphTemporalSpec extends GraftSuite {
       assert(r.getLong(3) >= 0L, s"purchase ${r.getLong(0)} matched a FUTURE click")
     }
   }
+
+  /** q9's distributed order-statistic selection must agree with Spark's
+    * built-in exact `percentile` (same h = q·(n−1) interpolation rule) —
+    * an independent implementation cross-check on real data, catching any
+    * rank-offset error in the partition-count bookkeeping. Compared at
+    * 1e-4 (the two interpolate with differently-associated but
+    * mathematically equal expressions). */
+  test("q9 selection == Spark built-in exact percentile per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, min, max}
+    val got = run("q9_percentiles").collect()
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        min($"l_extendedprice").as("p0"),
+        max($"l_extendedprice").as("p100"))
+      .orderBy($"l_returnflag").collect()
+    assert(got.length === want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) === w.getString(0))
+      (1 to 5).foreach { i =>
+        assert(math.abs(g.getDouble(i) - w.getDouble(i)) <= 1e-4,
+          s"flag ${g.getString(0)} col $i: got ${g.getDouble(i)}, want ${w.getDouble(i)}")
+      }
+    }
+  }
 }
