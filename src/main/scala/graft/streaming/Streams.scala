@@ -321,6 +321,30 @@ object Streams {
     spark.table(into)
   }
 
+  /** Compaction for the streamed IVF lists: each micro-batch append under
+    * [[ivfIngestStream]] adds one file set per touched `cluster_id=`
+    * directory, so a long-running stream accumulates many small files —
+    * the small-files problem every streaming lakehouse table has.
+    * Rewrite the lists as a NEW generation (same hive partitioning, one
+    * coalesced file set per cluster directory, `repartition(cluster_id)`
+    * so each partition dir is written by the task that owns it), then
+    * serve from the new path and drop the old once unreferenced —
+    * new-fileset-then-swap, same shape as [[compactIndex]]. Content is
+    * IDENTICAL by construction (no merge semantics here — ingest rows are
+    * insert-only), so a pruned search over the compacted generation must
+    * equal one over the raw appends bit-for-bit; the spec asserts that
+    * plus the file-count reduction. Cost: one shuffle of the lists,
+    * O(index), never the corpus. */
+  def compactIvfLists(spark: SparkSession, table: String, into: String): DataFrame = {
+    graft.operators.Persist.dropIndexTable(spark, into)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.read.parquet(wh + "/" + table)
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(wh + "/" + into)
+    spark.read.parquet(wh + "/" + into)
+  }
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

@@ -207,6 +207,21 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q2.stop()
     assert(spark.read.parquet(path).count() === rowsBefore,
       "replayed micro-batch double-appended despite the batchId commit log")
+
+    // compaction: new generation has identical content (pruned search
+    // bit-equal) in fewer files per cluster directory
+    def parquetFiles(p: String): Long = {
+      val root = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    Streams.compactIvfLists(spark, table, table + "_gen2")
+    val path2 = spark.conf.get("spark.sql.warehouse.dir") + "/" + table + "_gen2"
+    val gotCompacted = operators.Persist.probedListsSearch(spark, embDf, path2, mat).collect().toSet
+    assert(gotCompacted === want, "compacted generation diverged from the raw appends")
+    assert(parquetFiles(path2) < parquetFiles(path),
+      s"compaction did not reduce file count (${parquetFiles(path2)} vs ${parquetFiles(path)})")
   }
 
   test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
