@@ -221,6 +221,46 @@ class GraphTemporalSpec extends GraftSuite {
     }
   }
 
+  /** Randomized cross-check of the large-star/small-star contraction
+    * against a driver-side union-find (union-by-min makes every root the
+    * component minimum — the same label the converged stars carry and the
+    * d7 recursive-CTE oracle computes). Random graphs plus the adversarial
+    * shapes the convergence predicate exists for: a long path (O(log d)
+    * rounds), two stars sharing a leaf (the (a)-alone false-convergence
+    * case), and bridged cliques. */
+  test("connectedComponents == union-find labels on random + adversarial graphs") {
+    import spark.implicits._
+    def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val randomGraphs = (1 to 4).map { _ =>
+      val n = 40 + rnd.nextInt(60)
+      (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    }
+    val path = (0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val sharedLeaf = Seq((8L, 5L), (8L, 1L), (9L, 5L), (9L, 2L))
+    val cliques = (for (a <- 10L to 14L; b <- 10L until a) yield (a, b)) ++
+      (for (a <- 20L to 24L; b <- 20L until a) yield (a, b)) :+ (14L, 20L)
+    (randomGraphs :+ path :+ sharedLeaf :+ cliques.toSeq).foreach { edges =>
+      val got = operators.Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val want = ufLabels(edges)
+      assert(got === want, s"CC labels diverged on ${edges.take(8)}…")
+    }
+  }
+
   /** q9's distributed order-statistic selection must agree with Spark's
     * built-in exact `percentile` (same h = q·(n−1) interpolation rule) —
     * an independent implementation cross-check on real data, catching any
