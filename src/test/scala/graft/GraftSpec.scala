@@ -221,6 +221,21 @@ class GraphTemporalSpec extends GraftSuite {
     }
   }
 
+  /** The m1/m2/m3 oracles replay byte-level stub decodes in DuckDB via
+    * `unicode(substr(text, i, 1))`, valid only while UTF-8 byte ==
+    * codepoint — i.e. the corpus is pure ASCII. Pin that assumption so a
+    * future testdata change fails HERE with a message, not as an opaque
+    * hash mismatch in the driver compare. */
+  test("document corpus is pure ASCII (byte-replay oracles assume it)") {
+    // UTF-8 byte length == char length ⟺ every codepoint < 128 (regex-free:
+    // SQL-literal backslash handling makes RLIKE '\x..' patterns fragile)
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = graft.sources.Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents contain non-ASCII text — m1/m2/m3 oracles need a BLOB-indexed byte fetch")
+  }
+
   /** Randomized cross-check of the large-star/small-star contraction
     * against a driver-side union-find (union-by-min makes every root the
     * component minimum — the same label the converged stars carry and the
