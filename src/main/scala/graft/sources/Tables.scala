@@ -35,4 +35,24 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Documents from JSON Lines — the reference's ingest wire format (its
+    * REST body is a JSON document payload). Schema is EXPLICIT: schema
+    * inference would buy a full extra pass over the input before the real
+    * scan, which at 100 TB doubles ingest IO; `mode=FAILFAST` makes a
+    * malformed line a loud error instead of a silent null row that would
+    * surface later as an oracle hash mismatch. Columns land in the same
+    * shape as [[documents]], so every downstream operator (chunk → embed →
+    * index → dedup) runs unchanged on JSON-ingested corpora. */
+  def documentsFromJson(spark: SparkSession, path: String): DataFrame = {
+    graft.Graft.init(spark)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+  }
 }

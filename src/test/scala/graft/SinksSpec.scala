@@ -40,6 +40,25 @@ class SinksSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("JSONL document ingest (explicit schema, FAILFAST) matches the parquet source") {
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").json("target/test-sinks/docs_ingest")
+    val fromJson = Tables.documentsFromJson(spark, "target/test-sinks/docs_ingest")
+    assert(fromJson.columns.toSeq === docs.columns.toSeq)
+    assert(fromJson.collect().map(_.toSeq).toSet === docs.collect().map(_.toSeq).toSet,
+      "JSON-ingested documents diverged from the parquet source")
+
+    // a malformed line is a LOUD failure, not a silent null row that would
+    // surface later as an opaque oracle hash mismatch
+    val bad = java.nio.file.Paths.get("target", "test-sinks", "docs_bad")
+    java.nio.file.Files.createDirectories(bad)
+    java.nio.file.Files.write(bad.resolve("part-0.json"),
+      "{\"doc_id\": \"not-a-number\", \"text\":".getBytes("UTF-8"))
+    intercept[Exception] {
+      Tables.documentsFromJson(spark, bad.toString).collect()
+    }
+  }
+
   test("CSV, JSON and ORC round-trips preserve row counts") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
     Sinks.writeCsv(docs, "target/test-sinks/docs_csv")
