@@ -156,6 +156,7 @@ object Bench {
     val includesBuild = Seq("v17_sq8_search", "v14b_ivf_trained_persist",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
       "v19c_ivfpq_persist",
+      "d8_dedup_incremental",
       "p1_lsh_persist_search", "p2_minhash_persist_pairs",
       "p3_ivf_persist_search", "p4_lsh_incremental")
       .filter(results.toMap.contains).map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -31,6 +31,7 @@ object Graft {
     "graft_nearest_centroid_grouped" -> (es => NearestCentroidGrouped(es(0), es(1), es(2))),
     "graft_nearest_centroid_grouped_l2" -> (es => NearestCentroidGrouped(es(0), es(1), es(2), l2 = true)),
     "graft_topk" -> (es => TopKAgg(es(0), es(1), es(2), es(3))),
+    "graft_kmv" -> (es => KmvAgg(es(0), es(1))),
     "graft_vecsum" -> (es => VecSumAgg(es(0))),
     "graft_simhash_agg" -> (es => SimhashBitsAgg(es(0))),
     "graft_simhash_keys" -> (es => SimhashKeys(es(0),

@@ -117,7 +117,7 @@ object Dedup {
   }
 
   // shared SQL CTE: per-doc distinct shingle hashes
-  private val shingleSqlCte: String =
+  private[graft] val shingleSqlCte: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -125,7 +125,7 @@ object Dedup {
       |       FROM w),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh)""".stripMargin
 
-  private def minhashSqlSelect: String = {
+  private[graft] def minhashSqlSelect: String = {
     val cols = coeffs().zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $P) AS m$j"
     }.mkString(", ")

@@ -345,6 +345,104 @@ object Text {
       |       CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS norm_h
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** t11: BM25 top-k retrieval (Robertson/Spärck Jones; the ranking the
+    * reference's text search approximates with embedding cosine). Fully
+    * relational: tf is a partial-agg groupBy over tokens FILTERED to the
+    * query terms (the filter rides the explode, so the shuffle carries
+    * only query-term hits, not the corpus token stream); df and N are
+    * broadcast scalars derived from that same tiny tf table; dl is one
+    * map-only scan (at 100 TB it comes from the persisted doc-stats table
+    * t3 maintains). Per-term scores pivot to columns and sum in FIXED
+    * lexicographic term order — the one float-summation in the query is a
+    * 3-term scalar add both engines execute in the same IEEE order, which
+    * is what keeps BM25 hash-gateable (same recipe as t7's tf-idf).
+    * avgdl is exact-integer sum(dl)/n, not a float `avg`. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("merge", "spark", "window"),
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val sorted = terms.sorted
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(sorted: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+
+    val idf = log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val sc = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("sc", sc)
+
+    val total = sorted.map(t => coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("doc_id")).agg(total.as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopKOracle(terms: Seq[String] = Seq("merge", "spark", "window"),
+                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    val sorted = terms.sorted
+    val inList = sorted.map(t => s"'$t'").mkString(", ")
+    val arms = sorted
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0)")
+      .mkString(" +\n             ")
+    s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+       |stats AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl, count(*)::BIGINT AS n FROM dl),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       |       WHERE term IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |             ln(1.0 + (stats.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5)) *
+       |             (tf.tf::DOUBLE * ${k1 + 1.0}) /
+       |             (tf.tf::DOUBLE + $k1 * (${1.0 - b} + $b * dl.dl::DOUBLE / stats.avgdl)) AS sc
+       |      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN df USING (term)),
+       |p AS (SELECT doc_id, $arms AS score FROM s GROUP BY doc_id)
+       |SELECT doc_id, round(score, 4) AS bm25 FROM p
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** t12: distinct-shingle cardinality via the K-minimum-values sketch
+    * ([[graft.functions.KmvAgg]]) — vocabulary sizing without a
+    * corpus-wide `count(DISTINCT)`. The aggregate ships at most k longs
+    * per partition (bounded sorted-set buffer with map-side partials), so
+    * the shuffle is O(partitions·k) where the exact distinct would move
+    * every unique shingle hash; estimate = (k-1)·|space|/kth_min. The
+    * estimator is pure integer state + ONE double division, so the sketch
+    * itself is hash-gated: DuckDB replays it as DISTINCT-ORDER-LIMIT
+    * (affordable at oracle scale, which is exactly the asymmetry that
+    * makes a sketch worth having at 100 TB). Accuracy vs exact is
+    * spec-gated (KmvSpec: |est−exact|/exact within 2/√k). */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    graft.Graft.init(spark)
+    val sh = Dedup.corpusShingles(spark, dir)._2
+    val mins = sh.agg(call_function("graft_kmv", col("h"), lit(k)).as("mins"))
+    mins.select(
+      size(col("mins")).cast("long").as("k"),
+      element_at(col("mins"), k).as("kth"),
+      when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(Dedup.P.toDouble) / element_at(col("mins"), k).cast("double"), 4))
+        .as("est_distinct"))
+  }
+
+  def kmvDistinctOracle(k: Int = 128): String =
+    s"""WITH ${Dedup.shingleSqlCte},
+       |mins AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT $k),
+       |st AS (SELECT max(h) AS kth, count(*) AS n FROM mins)
+       |SELECT n::BIGINT AS k, kth,
+       |       CASE WHEN n < $k THEN n::DOUBLE
+       |            ELSE round(${(k - 1).toDouble} * ${Dedup.P.toDouble} / kth::DOUBLE, 4) END AS est_distinct
+       |FROM st""".stripMargin
+
   def stratifiedSampleOracle(rates: Map[String, Int] = Map(
       "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): String = {
     val arms = rates.toSeq.sortBy(_._1)
