@@ -162,6 +162,54 @@ object Ivf {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v21: IVF range search — every candidate within radius (cosine ≥ τ)
+    * instead of top-k, the standard vector-store companion to v7 (result
+    * size is data-driven, not capped). Identical probe machinery and scan
+    * shape as [[search]]; only the tail differs: a scalar filter replaces
+    * the TopK partial aggregate, so the one shuffle v7 pays to rank
+    * disappears entirely — candidates stream from the probed lists through
+    * the codegen'd cosine straight into the output. Same approximation
+    * contract as v7: vectors outside the probed clusters are not seen. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.2,
+                  nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = collectCentroids(centroidsFixed(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    val candidates = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+
+    candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .filter(col("score") >= tau)
+      .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy("qid", "vec_id")
+  }
+
+  def rangeSearchOracle(tau: Double = 0.2, nQueries: Int = 8): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= $Probes),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid)
+       |SELECT qid, vec_id, round(score, 4) AS score FROM scored
+       |WHERE score >= $tau ORDER BY qid, vec_id""".stripMargin
+
   /** v8: distributed Lloyd's k-means (reference: app/core/indexes/
     * ivf.py:153-193), 5 iterations, cosine objective. Driver state is only
     * the k×d centroid matrix; each iteration = one MAP-ONLY assignment scan

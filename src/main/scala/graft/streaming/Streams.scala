@@ -345,6 +345,62 @@ object Streams {
     spark.read.parquet(wh + "/" + into)
   }
 
+  /** s10: streaming cardinality — a K-minimum-values sketch maintained
+    * across micro-batches ([[graft.functions.KmvAgg]]; the t12 estimator
+    * run continuously). Each batch reduces distributively to its own k
+    * smallest distinct hashes, and the driver merges that k-vector with
+    * the persisted state — state and per-batch transfer are both O(k)
+    * longs no matter how much data flows, which is the whole point of a
+    * sketch under streaming.
+    *
+    * No batchId commit log, deliberately: min-union is IDEMPOTENT, so an
+    * at-least-once replayed batch merges to the identical state — this
+    * sketch needs none of the machinery [[lshIngestStream]] carries for
+    * append-only tables (spec-asserted). Mergeability also makes the
+    * result EXACTLY the batch sketch: streamed state ≡ one-shot
+    * `graft_kmv` over everything fed, bit-for-bit, regardless of how
+    * arrival sliced the data. */
+  def kmvIngestStream(hashStream: DataFrame, table: String,
+                      k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    hashStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.Graft.init(s)
+        mergeKmvState(s, batch, table, k)
+      }
+      .start()
+  }
+
+  /** One sketch-merge step (exposed for the replay-idempotence spec):
+    * distributed per-batch k-mins, then an O(k) driver merge with state. */
+  private[graft] def mergeKmvState(s: SparkSession, batch: DataFrame,
+                                   table: String, k: Int): Unit = {
+    val batchMins = batch
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("mins"))
+      .collect().head.getSeq[Long](0)
+    val prev =
+      if (s.catalog.tableExists(table)) s.table(table).collect().map(_.getLong(0)).toSeq
+      else Seq.empty[Long]
+    val merged = (batchMins ++ prev).distinct.sorted.take(k)
+    import s.implicits._
+    merged.toDF("h").repartition(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** The t12-shaped estimate row off the streamed sketch state. */
+  def kmvEstimate(spark: SparkSession, table: String, k: Int): DataFrame = {
+    val mins = spark.table(table)
+    mins.agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(
+        col("n").as("k"),
+        col("kth"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(graft.operators.Dedup.P.toDouble) /
+            col("kth").cast("double"), 4))
+          .as("est_distinct"))
+  }
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

@@ -344,4 +344,40 @@ class StreamingMultiBatchSpec extends GraftSuite {
       assert(streamedFinal === batch)
     } finally q.stop()
   }
+
+  test("streaming KMV cardinality: merged micro-batch sketch == one-shot batch sketch, replay-idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_kmv_stream_state"
+    val k = 64
+    operators.Persist.dropIndexTable(spark, table)
+    // distinct-shingle hashes of the corpus, sliced into 3 arbitrary batches
+    val hashes = operators.Dedup.corpusShingles(spark, sf)._2
+      .select($"h").as[Long].collect().toSeq
+    val batches = Seq(
+      hashes.filter(_ % 3 == 0), hashes.filter(_ % 3 == 1), hashes.filter(_ % 3 == 2))
+    val stream = MemoryStream[Long]
+    val q = Streams.kmvIngestStream(stream.toDF().toDF("h"), table, k)
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.table(table).as[Long].collect().toSeq.sorted
+    val oneShot = hashes.toDF("h")
+      .agg(call_function("graft_kmv", $"h", lit(k)))
+      .collect().head.getSeq[Long](0)
+    assert(streamed === oneShot,
+      "streamed sketch state diverged from the one-shot batch sketch")
+
+    // min-union is idempotent: re-merging an already-seen batch must leave
+    // the state bit-identical (why this stream needs no batchId commit log)
+    Streams.mergeKmvState(spark, batches.head.toDF("h"), table, k)
+    assert(spark.table(table).as[Long].collect().toSeq.sorted === streamed,
+      "replayed batch changed the sketch state")
+
+    // the estimate row off the streamed state matches t12's shape and bound
+    val est = Streams.kmvEstimate(spark, table, k).collect().head
+    val exact = hashes.distinct.size.toDouble
+    val relErr = math.abs(est.getAs[Double]("est_distinct") - exact) / exact
+    assert(relErr < 2.0 / math.sqrt(k.toDouble), s"rel err $relErr")
+  }
 }

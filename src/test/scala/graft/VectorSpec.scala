@@ -150,6 +150,21 @@ class VectorSpec extends GraftSuite {
     }
   }
 
+  test("v21 range search ⊇ every v7 top-k hit at or above the radius, same scores") {
+    val tau = 0.2
+    val topk = operators.Ivf.search(spark, sf).collect()
+      .filter(_.getAs[Double]("score") >= tau)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      .toSet
+    val range = operators.Ivf.rangeSearch(spark, sf, tau).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      .toSet
+    assert(topk.nonEmpty && topk.subsetOf(range),
+      s"missing from range result: ${(topk -- range).take(5)}")
+    assert(range.forall(_._3 >= tau))
+    assert(range.size > topk.size, "range result should extend beyond the top-k cut")
+  }
+
   test("every graft function registers through GraftExtensions (SQL-only surface complete)") {
     val reg = spark.sessionState.functionRegistry
     Graft.functionBuilders.foreach { case (name, _) =>
