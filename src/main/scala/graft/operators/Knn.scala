@@ -132,6 +132,109 @@ object Knn {
   private[operators] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame =
     data.crossJoin(broadcast(queries)).withColumn("score", metricCol(metric))
 
+  /** v22: Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    * — diversified retrieval: greedily pick the candidate maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, the standard answer to
+    * near-duplicate hits crowding a result page (or a RAG context window).
+    *
+    * Split by cost: candidate generation is the DISTRIBUTED part (the v1
+    * top-C TopK partial agg over the corpus, then one C×C-per-query join
+    * for the candidate–candidate similarities); the greedy selection is
+    * inherently sequential in k, so it runs on the driver over the
+    * collected Q×C rels + Q×C² sims — BOUNDED state (≤ Q·C² doubles,
+    * independent of corpus size), the same class as the centroid
+    * collects. rel and sim are rounded to 4dp BEFORE selection so both
+    * engines run the greedy on bit-identical inputs (ties → lowest
+    * vec_id); the DuckDB oracle unrolls the k picks as CTEs, the v8
+    * Lloyd's-unroll recipe. */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 10, c: Int = 32,
+                lam: Double = 0.7, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val pen = 1.0 - lam
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // top-C candidates (rel already rounded 4dp by topkPerQuery);
+    // referenced three times below — materialize once
+    val cand = topkPerQuery(scoreAll(emb, queries, "cosine"), "cosine", c)
+      .select(col("qid"), col("vec_id"), col("score").as("rel"))
+      .localCheckpoint()
+    val ce = cand.join(emb, Seq("vec_id"))
+    val sims = ce.select(col("qid"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(ce.select(col("qid"), col("vec_id").as("b"), col("embedding").as("eb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(Graft.cosine(col("ea"), col("eb")), 4).as("s"))
+
+    val relByQ = cand.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+    val simByQ = sims.collect()
+      .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Double]("s")))
+      .toMap
+
+    val picks = relByQ.toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to math.min(k, cands.size)).map { rank =>
+        var bestVec = -1L
+        var bestMmr = Double.NegativeInfinity
+        cands.foreach { case (vec, rel) =>
+          if (!selected.contains(vec)) {
+            val mmr =
+              if (selected.isEmpty) lam * rel
+              else lam * rel - pen * selected.map(s => simByQ((qid, vec, s))).max
+            if (mmr > bestMmr) { bestMmr = mmr; bestVec = vec } // ties → first in vec-asc order
+          }
+        }
+        selected += bestVec
+        (qid, rank.toLong, bestVec, bestMmr)
+      }
+    }
+    import spark.implicits._
+    picks.toDF("qid", "rank", "vec_id", "mmr_raw")
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("mmr_raw"), 4).as("mmr"))
+      .orderBy("qid", "rank")
+  }
+
+  def mmrRerankOracle(k: Int = 10, c: Int = 32, lam: Double = 0.7, nQueries: Int = 8): String = {
+    val pen = 1.0 - lam
+    val iters = (2 to k).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT c.qid, c.vec_id, $lam * c.rel - $pen * max(s.s) AS mmr
+         |  FROM cand c
+         |  JOIN sims s ON s.qid = c.qid AND s.a = c.vec_id
+         |  JOIN acc${i - 1} p ON p.qid = s.qid AND p.vec_id = s.b
+         |  LEFT JOIN acc${i - 1} x ON x.qid = c.qid AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY c.qid, c.vec_id, c.rel),
+         |sel$i AS (SELECT qid, vec_id, mmr, ${i}::BIGINT AS rank FROM (
+         |  SELECT qid, vec_id, mmr,
+         |         row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn FROM m$i)
+         |  WHERE rn = 1),
+         |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |       FROM embeddings e CROSS JOIN q),
+       |cand AS MATERIALIZED (SELECT qid, vec_id, round(score, 4) AS rel FROM (
+       |  SELECT qid, vec_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM sc)
+       |  WHERE rn <= $c),
+       |sims AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+       |         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS s
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sel1 AS (SELECT qid, vec_id, $lam * rel AS mmr, 1::BIGINT AS rank FROM (
+       |  SELECT qid, vec_id, rel,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$iters
+       |SELECT qid, rank, vec_id, round(mmr, 4) AS mmr FROM acc$k ORDER BY qid, rank""".stripMargin
+  }
+
   /** Exact re-rank of an approximate scorer's output (the FAISS
     * IndexRefineFlat shape, shared by v18b and v19): keep the approx top
     * `refine` ids per query, re-score them against the RAW vectors, ship

@@ -362,6 +362,14 @@ object Text {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val sorted = terms.sorted
     val docs = Tables.documents(spark, dir)
+    // tf is referenced twice downstream (df AND the score join) with
+    // different partitionings, so nothing dedupes the subtree — without
+    // the checkpoint the corpus explode+filter runs twice (the d3/d4
+    // lesson). dl is also double-referenced (stats + join) but is a
+    // map-only size(split) projection: duplicating that scan is cheaper
+    // than a materialization job at any scale where the scan is columnar
+    // (at 100 TB both lines come from the persisted doc-stats/postings
+    // tables t3/t7 would maintain).
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     val stats = dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
@@ -369,6 +377,7 @@ object Text {
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(sorted: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
 
     val idf = log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -165,6 +165,41 @@ class VectorSpec extends GraftSuite {
     assert(range.size > topk.size, "range result should extend beyond the top-k cut")
   }
 
+  test("v22 MMR picks the top relevance hit first, then diversifies vs plain top-k") {
+    import org.apache.spark.sql.functions._
+    val mmr = operators.Knn.mmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    val topk = operators.Knn.flatSearch(spark, sf, "cosine").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    val mmrByQ = mmr.groupBy(_._1)
+    val topkByQ = topk.groupBy(_._1)
+    assert(mmrByQ.keySet === topkByQ.keySet)
+    // rank 1 is pure relevance — must agree with flat search's top hit
+    mmrByQ.foreach { case (q, rows) =>
+      assert(rows.minBy(_._2)._3 === topkByQ(q).minBy(_._2)._3, s"qid $q top pick differs")
+      assert(rows.map(_._3).distinct.length === rows.length, s"qid $q repeated a pick")
+    }
+    // diversification: mean pairwise cosine among picks must not exceed top-k's
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    val (divMmr, divTop) = mmrByQ.keySet.toSeq.sorted.map { q =>
+      (meanPairSim(mmrByQ(q).sortBy(_._2).map(_._3).toSeq),
+        meanPairSim(topkByQ(q).sortBy(_._2).map(_._3).toSeq))
+    }.unzip
+    assert(divMmr.sum < divTop.sum,
+      s"MMR did not diversify: mean pair-sim ${divMmr.sum / divMmr.size} vs top-k ${divTop.sum / divTop.size}")
+  }
+
   test("every graft function registers through GraftExtensions (SQL-only surface complete)") {
     val reg = spark.sessionState.functionRegistry
     Graft.functionBuilders.foreach { case (name, _) =>
