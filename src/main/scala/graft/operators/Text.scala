@@ -452,6 +452,97 @@ object Text {
        |            ELSE round(${(k - 1).toDouble} * ${Dedup.P.toDouble} / kth::DOUBLE, 4) END AS est_distinct
        |FROM st""".stripMargin
 
+  /** t13: count-min sketch term frequencies (Cormode & Muthukrishnan
+    * 2005) — the frequency companion to t12's cardinality sketch. The
+    * sketch state is d×w counters (here 4×256 longs) REGARDLESS of
+    * vocabulary size: one partial-agg groupBy folds the token stream into
+    * the registers, so the shuffle carries at most d·w cells per
+    * partition where an exact per-term count moves the whole vocabulary.
+    * Estimates overestimate only (est ≥ true, est ≤ true + εN w.h.p.) —
+    * spec-bounded in `SketchSpec`. Register sums are order-independent
+    * integer math off the shared md5 hash, so unlike Misra–Gries (whose
+    * summary depends on arrival order) the whole sketch is
+    * hash-gateable: the oracle rebuilds the identical registers. The
+    * probe terms include an absent one — its nonzero estimate IS the
+    * collision overcount the ε-bound prices in. */
+  def cmsTermCounts(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("data", "join", "scan", "the", "zzz_absent"),
+                    depth: Int = 4, width: Int = 256): DataFrame = {
+    val sorted = terms.sorted
+    def idxCol(r: Column, t: Column): Column =
+      Dedup.h60(concat(lit("cms"), r.cast("string"), lit(":"), t)) % width
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val arms = tok.select(explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), idxCol(lit(r), col("t")).as("idx"))): _*)).as("a"))
+      .select(col("a.r"), col("a.idx"))
+    val reg = arms.groupBy(col("r"), col("idx")).agg(count(lit(1)).as("c"))
+
+    import spark.implicits._
+    val probes = sorted.flatMap(t => (0 until depth).map(r => (t, r))).toDF("term", "r")
+      .withColumn("idx", idxCol(col("r"), col("term")))
+    val est = probes.join(reg, Seq("r", "idx"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    val exact = tok.filter(col("t").isin(sorted: _*))
+      .groupBy(col("t").as("term")).agg(count(lit(1)).as("true_count"))
+    est.join(exact.withColumnRenamed("t", "term"), Seq("term"), "left")
+      .select(col("term"), col("est_count"), coalesce(col("true_count"), lit(0L)).as("true_count"))
+      .orderBy("term")
+  }
+
+  def cmsTermCountsOracle(terms: Seq[String] = Seq("data", "join", "scan", "the", "zzz_absent"),
+                          depth: Int = 4, width: Int = 256): String = {
+    val termList = terms.sorted.map(t => s"('$t')").mkString(", ")
+    val rList = (0 until depth).map(r => s"($r)").mkString(", ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |arms AS (SELECT rr.r,
+       |                CAST('0x' || substr(md5('cms' || rr.r || ':' || tok.t), 1, 15) AS BIGINT) % $width AS idx
+       |         FROM tok CROSS JOIN (VALUES $rList) AS rr(r)),
+       |reg AS (SELECT r, idx, count(*) AS c FROM arms GROUP BY 1, 2),
+       |probes AS (SELECT qt.term, rr.r,
+       |                  CAST('0x' || substr(md5('cms' || rr.r || ':' || qt.term), 1, 15) AS BIGINT) % $width AS idx
+       |           FROM (VALUES $termList) AS qt(term) CROSS JOIN (VALUES $rList) AS rr(r)),
+       |est AS (SELECT p.term, min(coalesce(reg.c, 0))::BIGINT AS est_count
+       |        FROM probes p LEFT JOIN reg ON reg.r = p.r AND reg.idx = p.idx
+       |        GROUP BY p.term),
+       |ex AS (SELECT t AS term, count(*) AS true_count FROM tok
+       |       WHERE t IN (${terms.sorted.map(t => s"'$t'").mkString(", ")}) GROUP BY 1)
+       |SELECT est.term, est.est_count, coalesce(ex.true_count, 0)::BIGINT AS true_count
+       |FROM est LEFT JOIN ex ON est.term = ex.term ORDER BY est.term""".stripMargin
+  }
+
+  /** t14: weighted sampling without replacement (Efraimidis–Spirakis
+    * 2006) — sample documents ∝ weight (here `n_chars`: favor long
+    * documents) by ranking on `key = ln(u)/w` with the content-stable
+    * hash as the uniform variate `u ∈ (0, 1]`, and keeping the k largest
+    * keys. The t8 philosophy applied to weighted draws: map-only key
+    * computation, a TakeOrdered top-k (O(k) per partition, no shuffle of
+    * the corpus), exactly reproducible under any partitioning, and
+    * append-stable — new data never flips an old draw, it only competes
+    * for the k slots. `RAND()`-based weighted samplers have none of
+    * those properties. Keys are rounded to 10dp before the cut (they sit
+    * in the 1e-3..1e-6 band — 4dp would collapse them; 10dp clears the
+    * ln() last-ulp band), ties → doc_id. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val u = (Dedup.h60(concat(lit("wsample:"), col("doc_id").cast("string"))) + 1L)
+      .cast("double") / lit(1.152921504606846976e18) // 2^60, exact
+    val key = round(log(u) / col("n_chars").cast("double"), 10)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSampleOracle(k: Int = 50): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         round(ln((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)::DOUBLE
+       |                  / 1152921504606846976.0) / n_chars::DOUBLE, 10) AS skey
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, skey FROM b
+       |ORDER BY skey DESC, doc_id LIMIT $k""".stripMargin
+
   def stratifiedSampleOracle(rates: Map[String, Int] = Map(
       "en" -> 300, "de" -> 600, "es" -> 600, "fr" -> 600, "zh" -> 600)): String = {
     val arms = rates.toSeq.sortBy(_._1)

@@ -63,6 +63,59 @@ class SketchSpec extends GraftSuite {
     assert(out.map(_._1).toSeq === Seq(3L, 2L, 1L), s"unexpected order: ${out.toSeq}")
   }
 
+  test("t13: CMS estimates never undercount and stay within the collision bound") {
+    val out = Text.cmsTermCounts(spark, sf).collect()
+    assert(out.length === 5)
+    val n = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    out.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_count"), r.getAs[Long]("true_count"))
+      assert(est >= exact, s"${r.getString(0)}: CMS undercounted ($est < $exact)")
+      assert(est - exact <= 3 * n / 256, s"${r.getString(0)}: overcount ${est - exact} beyond bound")
+    }
+  }
+
+  test("t13: a width narrower than the vocabulary forces visible overcounts, never undercounts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a a b b c c d d")).toDF("doc_id", "text")
+    val dir = "target/test-sketch/cms"
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = Text.cmsTermCounts(spark, dir,
+      terms = Seq("a", "b", "c", "d", "e", "f", "g", "h"), depth = 2, width = 2).collect()
+    val overs = out.map(r => r.getAs[Long]("est_count") - r.getAs[Long]("true_count"))
+    assert(overs.forall(_ >= 0), "CMS undercounted")
+    assert(overs.exists(_ > 0), "8 terms in 2 cells must collide somewhere")
+  }
+
+  test("t14: weighted sample favors heavy weights, is deterministic, and is append-stable") {
+    import spark.implicits._
+    // 100 heavy docs (w=5000) vs 100 light (w=50): a 100:1 weight ratio
+    // must dominate the draw
+    val docs = (0L until 200L).map { i =>
+      (i, s"doc $i", if (i < 100) "en" else "de", "src", if (i < 100) 5000L else 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/test-sketch/wsample"
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val picks = Text.weightedSample(spark, dir, k = 40).collect()
+    val heavy = picks.count(_.getAs[Long]("n_chars") == 5000L)
+    assert(heavy >= 35, s"only $heavy/40 picks from the 100x-weight class")
+    // deterministic under a different partitioning of the same data
+    docs.repartition(7).write.mode("overwrite").parquet(dir + "2/documents.parquet")
+    val again = Text.weightedSample(spark, dir + "2", k = 40).collect()
+    assert(picks.map(_.getAs[Long]("doc_id")).toSeq === again.map(_.getAs[Long]("doc_id")).toSeq)
+    // append-stable: adding docs never flips an existing key, only competes —
+    // every pick of the grown corpus that existed before keeps its old key
+    val grown = docs.union(Seq((999L, "new", "fr", "src", 5000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    grown.write.mode("overwrite").parquet(dir + "3/documents.parquet")
+    val keysBefore = picks.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("skey")).toMap
+    Text.weightedSample(spark, dir + "3", k = 40).collect().foreach { r =>
+      keysBefore.get(r.getAs[Long]("doc_id")).foreach { old =>
+        assert(old === r.getAs[Double]("skey"), s"doc ${r.getAs[Long]("doc_id")} key changed")
+      }
+    }
+  }
+
   test("d8: incremental delta-vs-base pairs == batch d3 pairs restricted to cross pairs") {
     val mod = 10
     val batch = Dedup.minhashLsh(spark, sf).collect()
