@@ -216,6 +216,33 @@ object Crud {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** c9: SCD-type-2 materialization of the changelog — every version of a
+    * (user, event_type) key as a validity interval `[valid_from,
+    * valid_to)`, NULL valid_to marking the current row. c1 answers "what
+    * is the state now", c6 "what was it at T"; this is the table that
+    * answers EVERY as-of question with a range predicate — the standard
+    * lakehouse dimension-history shape. One window over the
+    * high-cardinality (user, event_type) key (lead() carries the
+    * successor's timestamp), so the cost is a single keyed shuffle+sort
+    * of the changelog and no state beyond the sort. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("valid_to", lead(col("ms"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        col("ms").as("valid_from"), col("valid_to"))
+      .orderBy("event_id")
+  }
+
+  val scd2IntervalsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ms FROM events)
+      |SELECT user_id, event_type, event_id, value,
+      |       ms AS valid_from,
+      |       lead(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS valid_to
+      |FROM e ORDER BY event_id""".stripMargin
+
   val libraryStatsOracle: String =
     """SELECT d.source,
       |       count(*) AS n_docs,

@@ -116,6 +116,54 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("c9: SCD2 intervals chain gaplessly and reconstruct the c6 snapshot at its cutoff") {
+    val rows = graft.operators.Crud.scd2Intervals(spark, sf).collect()
+    val byKey = rows.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    byKey.foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from"))
+      assert(sorted.count(_.isNullAt(sorted.head.fieldIndex("valid_to"))) === 1,
+        s"$key: exactly one open (current) interval expected")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from"),
+            s"$key: interval chain has a gap")
+        case _ =>
+      }
+    }
+    // the interval containing c6's cutoff must name c6's snapshot winner
+    val cutoff = 1705363200000L
+    val snap = graft.operators.Crud.snapshotAsOf(spark, sf, cutoff).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("last_event_id")).toMap
+    val fromScd2 = rows.filter { r =>
+      r.getAs[Long]("valid_from") <= cutoff &&
+        (r.isNullAt(r.fieldIndex("valid_to")) || r.getAs[Long]("valid_to") > cutoff)
+    }.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+      r.getAs[Long]("event_id")).toMap
+    assert(fromScd2 === snap, "SCD2 as-of lookup diverged from the c6 snapshot")
+  }
+
+  test("m4: LSH media near-dup pairs == exact all-pairs at the same threshold (full recall here)") {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val tau = 0.999
+    val got = graft.operators.Multimodal.mediaDedupPairs(spark, sf, tau).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact baseline over the same stub-decoded vectors (bounded test corpus)
+    val vecs = graft.operators.Multimodal.frameSample(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_feature")))).as("fs"))
+      .select(col("doc_id"),
+        expr("transform(fs, x -> CAST(x.frame_feature AS DOUBLE) / 2147483647.0)").as("v"))
+    val exact = vecs.as("a").crossJoin(bc(vecs.as("b")))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("s", graft.Graft.cosine(col("a.v"), col("b.v")))
+      .filter(col("s") >= tau)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"LSH surfaced a below-threshold pair: ${(got -- exact).take(3)}")
+    assert(got === exact, s"LSH missed ${exact.size - got.size} of ${exact.size} exact pairs at this scale")
+  }
+
   test("d8: incremental delta-vs-base pairs == batch d3 pairs restricted to cross pairs") {
     val mod = 10
     val batch = Dedup.minhashLsh(spark, sf).collect()
