@@ -143,25 +143,23 @@ class SketchSpec extends GraftSuite {
     assert(fromScd2 === snap, "SCD2 as-of lookup diverged from the c6 snapshot")
   }
 
-  test("m4: LSH media near-dup pairs == exact all-pairs at the same threshold (full recall here)") {
-    import org.apache.spark.sql.functions.{broadcast => bc}
-    val tau = 0.999
-    val got = graft.operators.Multimodal.mediaDedupPairs(spark, sf, tau).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    // exact baseline over the same stub-decoded vectors (bounded test corpus)
-    val vecs = graft.operators.Multimodal.frameSample(spark, sf)
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_feature")))).as("fs"))
-      .select(col("doc_id"),
-        expr("transform(fs, x -> CAST(x.frame_feature AS DOUBLE) / 2147483647.0)").as("v"))
-    val exact = vecs.as("a").crossJoin(bc(vecs.as("b")))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .withColumn("s", graft.Graft.cosine(col("a.v"), col("b.v")))
-      .filter(col("s") >= tau)
-      .select(col("a.doc_id"), col("b.doc_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.subsetOf(exact), s"LSH surfaced a below-threshold pair: ${(got -- exact).take(3)}")
-    assert(got === exact, s"LSH missed ${exact.size - got.size} of ${exact.size} exact pairs at this scale")
+  test("m4: fingerprint dedup groups == driver-computed exact groups, reps are minima") {
+    val got = graft.operators.Multimodal.mediaDedupGroups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_doc"), r.getAs[Long]("group_n")))
+    assert(got.nonEmpty, "corpus has exact-dup media; groups expected")
+    // exact baseline: group the same stub-decoded fingerprints in the driver
+    val prints = graft.operators.Multimodal.frameSample(spark, sf, nFrames = 8).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, fs) =>
+        d -> fs.sortBy(_.getAs[Long]("frame_idx")).map(_.getAs[Long]("frame_feature")).toSeq
+      }
+    val byFp = prints.groupBy(_._2).values.filter(_.size >= 2)
+    val want = byFp.flatMap { g =>
+      val ids = g.map(_._1).toSeq.sorted
+      ids.map(d => (d, ids.min, ids.size.toLong))
+    }.toSet
+    assert(got.toSet === want)
+    got.foreach { case (doc, rep, _) => assert(rep <= doc) }
   }
 
   test("d8: incremental delta-vs-base pairs == batch d3 pairs restricted to cross pairs") {
