@@ -82,6 +82,64 @@ object SearchText {
       s" for i in generate_series(0, ${Dim - 1}) ]"
   }
 
+  /** v24: hybrid search — reciprocal-rank fusion (Cormack et al. 2009) of
+    * the BM25 arm (t11) and the vector arm (v13's stub-embedded query →
+    * cosine) for ONE query text, the lexical+semantic pattern every
+    * production vector store now ships. Each arm is its existing
+    * distributed top-C plan (TopK partial agg / term-filtered BM25); the
+    * fusion is a full-outer join of two ≤C-row lists plus `1/(60+rank)`
+    * arithmetic on INTEGER ranks — exactly reproducible cross-engine, so
+    * the composite hash-gates even though it mixes float scores from two
+    * different scoring models (ranks, not scores, are fused — that IS the
+    * point of RRF). The rank windows run unpartitioned over the ≤C fused
+    * rows, AFTER each arm's distributed top-C cut. */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   queryText: String = "merge spark window",
+                   k: Int = 10, c: Int = 50, rrfK: Int = 60): DataFrame = {
+    graft.Graft.init(spark)
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryText.split(" ").toSeq
+    val bm = Text.bm25TopK(spark, dir, terms, c)
+      .withColumn("rank_bm25",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_bm25"))
+    val qdf = spark.range(1).select(stubEmbed(lit(queryText)).as("qvec"))
+    val vec = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("score", graft.Graft.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id")).limit(c)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_bm25").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_vec").cast("double")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_vec"), round(col("rrf"), 6).as("rrf"))
+  }
+
+  def hybridSearchOracle(queryText: String = "merge spark window",
+                         k: Int = 10, c: Int = 50, rrfK: Int = 60): String = {
+    val terms = queryText.split(" ").toSeq
+    s"""WITH bm AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+       |  FROM (${Text.bm25TopKOracle(terms, k = c)})),
+       |vq AS (SELECT ${stubEmbedSql(s"'$queryText'")} AS qvec),
+       |vs AS (SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], vq.qvec) AS score
+       |       FROM embeddings e CROSS JOIN vq),
+       |vr AS (SELECT vec_id AS doc_id, rank_vec FROM (
+       |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rank_vec FROM vs)
+       |  WHERE rank_vec <= $c),
+       |f AS (SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id, bm.rank_bm25, vr.rank_vec,
+       |             coalesce(1.0 / ($rrfK.0 + bm.rank_bm25::DOUBLE), 0.0) +
+       |             coalesce(1.0 / ($rrfK.0 + vr.rank_vec::DOUBLE), 0.0) AS rrf
+       |      FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id)
+       |SELECT doc_id, rank_bm25, rank_vec, round(rrf, 6) AS rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def searchTextOracle(k: Int = 10, nQueries: Int = 4): String = {
     s"""WITH q AS (
        |  SELECT doc_id AS qid, ${stubEmbedSql("text")} AS qvec

@@ -200,6 +200,25 @@ class VectorSpec extends GraftSuite {
       s"MMR did not diversify: mean pair-sim ${divMmr.sum / divMmr.size} vs top-k ${divTop.sum / divTop.size}")
   }
 
+  test("v24 hybrid RRF scores follow exactly from the arm ranks; both-arm docs can beat either top-1") {
+    val out = operators.SearchText.hybridSearch(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val rb = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rb.isDefined || rv.isDefined)
+      val expect = rb.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 5e-7,
+        s"doc ${r.getLong(0)}: rrf ${r.getAs[Double]("rrf")} != $expect from ranks $rb/$rv")
+    }
+    // fusion at work on this corpus: the winner is present in BOTH arms
+    // (two mid ranks beat any single top-1: 2/65 > 1/61)
+    val top = out.head
+    assert(!top.isNullAt(1) && !top.isNullAt(2),
+      s"expected a both-arm winner, got ranks (${top.get(1)}, ${top.get(2)})")
+  }
+
   test("every graft function registers through GraftExtensions (SQL-only surface complete)") {
     val reg = spark.sessionState.functionRegistry
     Graft.functionBuilders.foreach { case (name, _) =>
