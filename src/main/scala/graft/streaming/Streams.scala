@@ -127,6 +127,47 @@ object Streams {
       .toDF()
   }
 
+  /** s11: streaming conversion funnel — e6's view → click → purchase
+    * state machine under `mapGroupsWithState`: per-user state is THREE
+    * Option[Long] timestamps (the funnel stage boundaries), updated as
+    * events arrive in event-time order. Each transition fires once and
+    * only within the conversion window of the previous stage, so under
+    * in-order arrival the final state per user is EXACTLY batch e6's
+    * (spec-asserted across micro-batch splits). Out-of-order arrival
+    * would need watermark-delayed finalization (a late earlier `view`
+    * can re-open stage 1) — documented limitation, same contract as the
+    * reference CDC patterns here: state is O(live users) × 3 longs, the
+    * streaming-native funnel every product-analytics pipeline runs. */
+  case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
+  case class FunnelState(user_id: Long, funnel_stage: Long)
+  def funnelStateful(spark: SparkSession,
+                     events: org.apache.spark.sql.Dataset[FunnelEvent],
+                     windowMs: Long = 86400000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Option[Long], Option[Long], Option[Long]), FunnelState](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (tv, tc, tp) = state.getOption.getOrElse((None, None, None))
+          it.toSeq.sortBy(_.ms).foreach { e =>
+            e.event_type match {
+              case "view" if tv.isEmpty => tv = Some(e.ms)
+              case "click" if tc.isEmpty && tv.exists(t => e.ms > t && e.ms <= t + windowMs) =>
+                tc = Some(e.ms)
+              case "purchase" if tp.isEmpty && tc.exists(t => e.ms > t && e.ms <= t + windowMs) =>
+                tp = Some(e.ms)
+              case _ =>
+            }
+          }
+          state.update((tv, tc, tp))
+          FunnelState(uid,
+            if (tp.isDefined) 3L else if (tc.isDefined) 2L else if (tv.isDefined) 1L else 0L)
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup — the in-flight half of the d1 operator: drop
     * rows whose dedup key was already seen, with watermark-bounded state
     * (`dropDuplicatesWithinWatermark` keeps a key in state only until the

@@ -345,6 +345,35 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine: final per-user stages == batch e6 under in-order arrival") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select($"user_id", $"event_type", $"ms")
+      .as[Streams.FunnelEvent].collect().sortBy(_.ms)
+    // three time-ordered micro-batches (in-order arrival, the documented contract)
+    val cut1 = evs.length / 3
+    val cut2 = 2 * evs.length / 3
+    val stream = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStateful(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel_states")
+      .outputMode("update").start()
+    try {
+      Seq(evs.slice(0, cut1), evs.slice(cut1, cut2), evs.slice(cut2, evs.length)).foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+      }
+      // stages are monotone across batches → the final state is the max emitted
+      val streamed = spark.table("funnel_states")
+        .groupBy($"user_id").agg(max($"funnel_stage").as("funnel_stage"))
+        .groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long)].collect().toSet
+      val batch = operators.Events.funnelStages(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streaming funnel diverged: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV cardinality: merged micro-batch sketch == one-shot batch sketch, replay-idempotent") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_kmv_stream_state"
