@@ -34,6 +34,23 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("t12: KMV randomized property — distinct k-mins under random data, k, and partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (iter <- 1 to 25) {
+      val n = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(40)
+      val parts = 1 + rnd.nextInt(10)
+      // small value range → heavy duplication, the distinct path under stress
+      val vals = Seq.fill(n)(rnd.nextInt(120).toLong)
+      val expected = vals.distinct.sorted.take(k)
+      val got = vals.toDF("h").repartition(parts)
+        .agg(call_function("graft_kmv", col("h"), lit(k)))
+        .collect().head.getSeq[Long](0)
+      assert(got === expected, s"iter=$iter n=$n k=$k parts=$parts")
+    }
+  }
+
   test("t11: BM25 returns k descending-scored docs that each contain a query term") {
     val terms = Seq("merge", "spark", "window")
     val out = Text.bm25TopK(spark, sf, terms).collect()
