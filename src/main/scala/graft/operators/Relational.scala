@@ -297,4 +297,38 @@ object Relational {
       |       count(DISTINCT l_suppkey) AS n_supps,
       |       count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q10: correlated scalar subquery (the TPC-H Q17 shape) — small-lot
+    * revenue for one brand, where "small" is each part's OWN average
+    * quantity: `l_quantity < 0.2 · avg(quantity of that part)`. Declared
+    * as SQL with the correlated subquery so CATALYST does the
+    * decorrelation: the rewritten plan is a per-partkey aggregate joined
+    * back to the fact scan — never a per-row subquery execution, which is
+    * the difference between one extra aggregate pass and O(rows)
+    * re-scans at 100 TB. The per-part average divides EXACT integer sums
+    * (quantities are integral; cast to BIGINT), so the filter threshold
+    * is bit-identical in both engines; the price sum rounds at 2 dp (q1
+    * convention). */
+  def correlatedSmallLot(spark: SparkSession, dir: String,
+                         brand: String = "Brand#13"): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("g_part")
+    spark.sql(
+      s"""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+         |       count(*) AS n_small_lots
+         |FROM g_lineitem l JOIN g_part p ON l.l_partkey = p.p_partkey
+         |WHERE p.p_brand = '$brand'
+         |  AND l.l_quantity < (
+         |    SELECT 0.2 * (sum(CAST(l2.l_quantity AS BIGINT)) / count(*))
+         |    FROM g_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  def correlatedSmallLotOracle(brand: String = "Brand#13"): String =
+    s"""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       |       count(*) AS n_small_lots
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE p.p_brand = '$brand'
+       |  AND l.l_quantity < (
+       |    SELECT 0.2 * (sum(CAST(l2.l_quantity AS BIGINT)) / count(*))
+       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 }
