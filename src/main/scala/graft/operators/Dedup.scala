@@ -475,4 +475,54 @@ object Dedup {
        |             cm.common::DOUBLE / (sa.n_sh + sb.n_sh - cm.common)::DOUBLE AS jaccard
        |      FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d9: benchmark decontamination — the train/eval overlap check every
+    * serious training-data pipeline runs before a corpus ships (the
+    * n-gram-collision recipe of GPT-3 appendix C / Dolma §4: a training
+    * document is contaminated to the degree its n-grams appear verbatim in
+    * the held-out benchmark set). The benchmark here is the deterministic
+    * `doc_id % benchMod == 0` slice standing in for an external eval
+    * suite; every other document is scored.
+    *
+    * Scale shape: the benchmark n-gram set is SMALL (eval suites are
+    * thousands of documents, the corpus is billions), so it broadcasts —
+    * the corpus side is one scan whose per-doc DISTINCT n-grams come from
+    * `array_distinct` INSIDE the row (no shuffle to dedup), then a
+    * broadcast left join + one doc-keyed partial-agg count. Total: one
+    * corpus-sized shuffle of pre-aggregated (doc_id, counts) rows; the
+    * corpus n-grams themselves never shuffle. Contamination is an exact
+    * integer ratio (both engines divide the same two BIGINTs in IEEE
+    * double), so the query hash-gates. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                    benchMod: Long = 37L): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once (HOF-inline trap)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n))) END"))).as("gram"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0L)
+      .select(col("gram")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % benchMod =!= 0L)
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateOracle(n: Int = 5, benchMod: Long = 37L): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_distinct([array_to_string(w[i:i+${n - 1}], ' ')
+       |                                   for i in generate_series(1, len(w) - ${n - 1})])) AS gram
+       |      FROM w WHERE len(w) >= $n),
+       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |       round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4)
+       |         AS contamination
+       |FROM g LEFT JOIN b ON g.gram = b.gram
+       |WHERE g.doc_id % $benchMod <> 0
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 }

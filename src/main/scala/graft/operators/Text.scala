@@ -555,4 +555,66 @@ object Text {
        |WHERE bucket < CASE lang $arms ELSE 0 END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** t15: repetition-based quality rules (the Gopher §A1.1 family, adapted
+    * to a newline-free corpus): per document, the duplicate-token fraction
+    * (1 − distinct/total) and the fraction of token slots covered by the
+    * single most frequent bigram (2·count/total). Highly repetitive
+    * machine-generated or boilerplate text scores high on both; real
+    * pipelines drop documents past a threshold before training.
+    *
+    * Scale shape: ONE corpus scan, one tokenization. The per-doc token
+    * totals need no explode at all — `size(w)` and
+    * `size(array_distinct(w))` are in-row array ops — so they ride along
+    * the bigram explode as constant columns and survive the two partial
+    * aggregates via `first` (every row of a (doc_id, ·) group carries the
+    * same value). Shuffles are keyed on (doc_id, bigram) then doc_id,
+    * both high-cardinality; a two-branch groupBy+join formulation would
+    * scan and tokenize the corpus twice (executed-plan audit: the shared
+    * subtree is NOT reused across join sides). The `repetitive` verdict
+    * compares EXACT integers (cross-multiplied thresholds: top bigram
+    * covering > 20 % of token slots, or < 40 % distinct), so no float
+    * boundary can flip it; the reported fractions divide the same
+    * integers in IEEE double on both engines and round at 4 dp. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        explode(expr(
+          "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"),
+        first(col("n_tokens")).as("n_tokens"), first(col("n_distinct")).as("n_distinct"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"),
+        first(col("n_tokens")).as("n_tokens"), first(col("n_distinct")).as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_bigram_n"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("dup_token_frac"),
+        round((col("top_bigram_n") * 2L).cast("double") / col("n_tokens").cast("double"), 4)
+          .as("top_bigram_frac"),
+        (col("top_bigram_n") * 10L > col("n_tokens") ||
+          col("n_distinct") * 5L < col("n_tokens") * 2L).cast("long").as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+      |ts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      |       FROM tok GROUP BY doc_id),
+      |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS bigram
+      |       FROM w),
+      |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+      |tb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+      |SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, tb.top_bigram_n,
+      |       round(1.0 - ts.n_distinct::DOUBLE / ts.n_tokens::DOUBLE, 4) AS dup_token_frac,
+      |       round((tb.top_bigram_n * 2)::DOUBLE / ts.n_tokens::DOUBLE, 4) AS top_bigram_frac,
+      |       (CASE WHEN tb.top_bigram_n * 10 > ts.n_tokens
+      |                  OR ts.n_distinct * 5 < ts.n_tokens * 2 THEN 1 ELSE 0 END)::BIGINT AS repetitive
+      |FROM ts JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Text}
+import graft.sources.Tables
+
+/** d9 decontamination / t15 repetition rules / e7 cohort retention —
+  * semantics beyond the oracle hash gate, each cross-checked against an
+  * independent driver-side recompute over the collected test corpus. */
+class QualitySpec extends GraftSuite {
+
+  private def tokens(text: String): Array[String] = text.split(" ")
+
+  private def grams(text: String, n: Int): Set[String] =
+    tokens(text).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  test("d9: contamination matches a driver-side n-gram set intersection") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchGrams = docs.collect { case (id, t) if id % 37 == 0 => grams(t, 5) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val out = Dedup.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val g = grams(docs(id), 5)
+      assert(id % 37 != 0, s"benchmark doc $id leaked into the scored set")
+      assert(r.getAs[Long]("n_grams") === g.size.toLong, s"doc $id n_grams")
+      assert(r.getAs[Long]("n_hit") === g.count(benchGrams.contains).toLong, s"doc $id n_hit")
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // every scorable training doc is present — silence would hide leakage
+    val expected = docs.collect { case (id, t) if id % 37 != 0 && grams(t, 5).nonEmpty => id }
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected.toSet)
+  }
+
+  test("t15: token stats and top-bigram coverage match a driver recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Text.repetitionScore(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = tokens(docs(id))
+      val topBigram = w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        .toSeq.groupBy(identity).values.map(_.size).max
+      assert(r.getAs[Long]("n_tokens") === w.length.toLong, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_distinct") === w.distinct.length.toLong, s"doc $id n_distinct")
+      assert(r.getAs[Long]("top_bigram_n") === topBigram.toLong, s"doc $id top_bigram_n")
+      val flag = topBigram * 10 > w.length || w.distinct.length * 5 < w.length * 2
+      assert(r.getAs[Long]("repetitive") === (if (flag) 1L else 0L), s"doc $id flag")
+    }
+  }
+
+  test("e7: retention matrix invariants and a driver recompute") {
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cohortOf = userDays.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val expected = userDays.toSeq
+      .map { case (u, d) => (cohortOf(u), d - cohortOf(u)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = Events.cohortRetention(spark, sf).collect()
+    val got = out.map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+      r.getAs[Long]("n_users")).toMap
+    assert(got === expected)
+    // day-offset 0 holds the full cohort: every user is active on their first day
+    val cohortSizes = cohortOf.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    cohortSizes.foreach { case (d, n) =>
+      assert(got((d, 0L)) === n, s"cohort $d offset-0 cell")
+    }
+  }
+}
