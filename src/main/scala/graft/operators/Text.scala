@@ -617,4 +617,47 @@ object Text {
       |       (CASE WHEN tb.top_bigram_n * 10 > ts.n_tokens
       |                  OR ts.n_distinct * 5 < ts.n_tokens * 2 THEN 1 ELSE 0 END)::BIGINT AS repetitive
       |FROM ts JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** t16: sequence packing — the LLM-pretraining concat-and-chunk step:
+    * documents are laid out in doc_id order as one token stream and cut
+    * into fixed `chunkTokens`-token training chunks; each document is
+    * assigned to the chunk its START offset falls in. The offsets are a
+    * GLOBAL prefix sum, which a naive `Window.orderBy(doc_id)` computes
+    * in one task over the whole corpus — instead this is the classic
+    * two-level distributed prefix sum: per-doc token counts reduce into
+    * coarse doc_id buckets (corpus/`bucketDocs` rows), the exclusive
+    * running total over that TINY table is the only unpartitioned window
+    * (bounded: one row per bucket, tunable; a third level would make it
+    * O(corpus/G²)), and the in-bucket exclusive sum windows over the
+    * high-cardinality bucket key. Bucket offsets broadcast back. All
+    * integer math — hash-gates exactly. */
+  def sequencePack(spark: SparkSession, dir: String, chunkTokens: Long = 512L,
+                   bucketDocs: Long = 100L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"doc_id div $bucketDocs"))
+    val bucketOffsets = d.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    d.withColumn("ioff", coalesce(sum(col("n_tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("chunk_id", expr(s"(boff + ioff) div $chunkTokens"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("chunk_id")
+  }
+
+  def sequencePackOracle(chunkTokens: Long = 512L): String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       |o AS (SELECT doc_id, n_tok,
+       |             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |      FROM d)
+       |SELECT off // $chunkTokens AS chunk_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM o GROUP BY 1 ORDER BY chunk_id""".stripMargin
 }

@@ -55,6 +55,36 @@ class QualitySpec extends GraftSuite {
     }
   }
 
+  test("t16: chunk layout matches a driver-side sequential prefix sum") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), tokens(r.getString(1)).length.toLong)).sortBy(_._1)
+    // sequential reference: exclusive prefix sum in doc_id order, chunk by start offset
+    var off = 0L
+    val assigned = docs.map { case (id, n) => val c = off / 512L; off += n; (id, n, c) }
+    val expected = assigned.groupBy(_._3).map { case (c, ds) =>
+      c -> (ds.length.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }
+    val out = Text.sequencePack(spark, sf).collect()
+    val got = out.map(r => r.getAs[Long]("chunk_id") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(got === expected)
+    // chunks tile the corpus: contiguous doc ranges, token total conserved
+    val byChunk = out.sortBy(_.getAs[Long]("chunk_id"))
+    byChunk.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("first_doc") === a.getAs[Long]("last_doc") + 1L)
+      case _ =>
+    }
+    assert(byChunk.map(_.getAs[Long]("n_tokens")).sum === docs.map(_._2).sum)
+  }
+
+  test("t16: bucket granularity does not change the layout") {
+    val a = Text.sequencePack(spark, sf, bucketDocs = 100L).collect()
+    val b = Text.sequencePack(spark, sf, bucketDocs = 7L).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("e7: retention matrix invariants and a driver recompute") {
     val userDays = Tables.events(spark, sf)
       .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
