@@ -331,4 +331,81 @@ object Relational {
        |  AND l.l_quantity < (
        |    SELECT 0.2 * (sum(CAST(l2.l_quantity AS BIGINT)) / count(*))
        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** q11: HyperLogLog distinct `l_orderkey` per return flag (Flajolet et
+    * al. 2007) — the hash-gateable counterpart of q7's rows-only
+    * `approx_count_distinct`. Registers are `max` over an integer rank
+    * (first-set-bit position of the h60 suffix), so like KMV kth-mins and
+    * CMS counters — and unlike Misra–Gries — the whole sketch is
+    * order-independent integer state and replays bit-for-bit in DuckDB.
+    * The estimate stays deterministic because the harmonic-sum
+    * denominator Σ 2^-reg is accumulated as EXACT integers scaled by 2^53
+    * (each term a power of two, total < 2^61), leaving one double
+    * expression both engines evaluate with identical IEEE ops.
+    *
+    * Shape: map-only hash/rank, then one partial-agg groupBy on
+    * (flag, bucket) — map-side `max` caps the shuffle at
+    * O(partitions × groups × m) rows no matter the corpus size — then a
+    * groups-sized final agg. The 100 TB distinct-count shape: nothing
+    * anywhere holds per-value state (q7's exact distinct shuffles every
+    * distinct key; Spark's HLL sketch can't be oracle-replayed). */
+  def q11HllDistinct(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val m = 1 << p                 // registers per group
+    val two53 = 9007199254740992L  // 2^53: scale factor for the exact harmonic sum
+    val keyed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        Dedup.h60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
+      .select(col("l_returnflag"), expr(s"h % $m").as("bucket"), expr(s"h div $m").as("r"))
+      // rank of the highest set bit in the 52-bit suffix, 1-based from the
+      // left (53 when the suffix is all zeros); conv(r,10,2) and DuckDB's
+      // bin(r) both render without leading zeros, so length() agrees
+      .withColumn("rho", when(col("r") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
+    keyed.groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("reg"))
+      .groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - reg as int))")).as("present_sum"),
+        sum(col("reg") * (col("bucket") + lit(1L))).as("register_checksum"))
+      .select(col("l_returnflag"), col("register_checksum"),
+        (lit(m.toLong) - col("n_present")).as("n_zero_buckets"),
+        (col("present_sum") + (lit(m.toLong) - col("n_present")) * lit(two53)).as("intsum"))
+      .withColumn("est_raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit(m.toDouble * m) * lit(two53.toDouble) / col("intsum").cast("double"))
+      // standard small-range correction: linear counting off the zero buckets
+      .withColumn("est_distinct",
+        round(when(col("n_zero_buckets") > lit(0L) && col("est_raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_buckets").cast("double")))
+          .otherwise(col("est_raw")), 4))
+      .select(col("l_returnflag"), col("est_distinct"),
+        col("n_zero_buckets"), col("register_checksum"))
+      .orderBy("l_returnflag")
+  }
+
+  def q11Oracle(p: Int = 8): String = {
+    val m = 1 << p
+    s"""WITH k AS (SELECT l_returnflag,
+       |                  CAST('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |           FROM lineitem),
+       |r AS (SELECT l_returnflag, h % $m AS bucket,
+       |             CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END AS rho
+       |      FROM k),
+       |regs AS (SELECT l_returnflag, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |a AS (SELECT l_returnflag,
+       |             sum(reg * (bucket + 1))::BIGINT AS register_checksum,
+       |             ($m - count(*))::BIGINT AS n_zero_buckets,
+       |             (sum(1::BIGINT << (53 - reg)) + ($m - count(*)) * 9007199254740992)::BIGINT AS intsum
+       |      FROM regs GROUP BY 1),
+       |f AS (SELECT l_returnflag, register_checksum, n_zero_buckets,
+       |             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / $m.0::DOUBLE) *
+       |               ${m.toDouble * m}::DOUBLE * 9007199254740992.0::DOUBLE / intsum::DOUBLE AS est_raw
+       |      FROM a)
+       |SELECT l_returnflag,
+       |       round(CASE WHEN n_zero_buckets > 0 AND est_raw <= ${2.5 * m}::DOUBLE
+       |                  THEN $m.0::DOUBLE * ln($m.0::DOUBLE / n_zero_buckets::DOUBLE)
+       |                  ELSE est_raw END, 4) AS est_distinct,
+       |       n_zero_buckets, register_checksum
+       |FROM f ORDER BY l_returnflag""".stripMargin
+  }
 }

@@ -51,6 +51,36 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("q11: HLL estimate is within the 3-sigma bound of the exact distinct count") {
+    val m = 256.0
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.operators.Relational.q11HllDistinct(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet === exact.keySet)
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val est = r.getAs[Double]("est_distinct")
+      val relErr = math.abs(est - exact(flag).toDouble) / exact(flag).toDouble
+      assert(relErr < 3.0 * 1.04 / math.sqrt(m),
+        s"flag=$flag est=$est exact=${exact(flag)} relErr=$relErr")
+    }
+  }
+
+  test("q11: sketch state is invariant to input partitioning and duplication") {
+    import spark.implicits._
+    val base = graft.operators.Relational.q11HllDistinct(spark, sf).collect().map(_.toSeq).toSeq
+    // max-based registers: re-running over a differently-partitioned,
+    // duplicated input must produce the identical sketch
+    val li = graft.sources.Tables.lineitem(spark, sf).select("l_returnflag", "l_orderkey")
+    val dupDir = java.nio.file.Files.createTempDirectory("q11dup").toString
+    li.union(li).repartition(7).write.mode("overwrite")
+      .parquet(s"$dupDir/lineitem.parquet")
+    val again = graft.operators.Relational.q11HllDistinct(spark, dupDir).collect().map(_.toSeq).toSeq
+    assert(again === base)
+  }
+
   test("t11: BM25 returns k descending-scored docs that each contain a query term") {
     val terms = Seq("merge", "spark", "window")
     val out = Text.bm25TopK(spark, sf, terms).collect()
