@@ -511,6 +511,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d10: Bloom-filter decontamination — the same train/eval overlap check
+    * as [[decontaminate]] (d9), but with the benchmark n-gram set compressed
+    * into a FIXED-SIZE bitset instead of broadcast as strings. At 100 TB the
+    * d9 shape ships every distinct benchmark gram to every executor (eval
+    * suites reach GBs of distinct grams); the Bloom shape ships `mBits/8`
+    * bytes (8 KiB here) no matter how large the benchmark grows, and the
+    * corpus-side membership test is pure map-side codegen bit math — no join
+    * at all, just the final per-doc partial-agg count. That makes d10 the
+    * zero-shuffle screen a pipeline runs FIRST, with d9 as the exact rescreen
+    * on the survivors (Bloom has false positives, never false negatives).
+    *
+    * The bitset is built distributedly: k salted h60 probes per benchmark
+    * gram → `bit_or` partial agg per 64-bit word → the driver holds only the
+    * final mBits/64 longs (= 1024 here, the centroid-collect pattern). The
+    * probe literal embeds those words; `shiftrightunsigned(...) & 1` tests a
+    * bit per probe inside whole-stage codegen.
+    *
+    * Determinism: positions are md5-derived integers and the bitset is an OR
+    * (order-independent), so false positives are reproducible — the DuckDB
+    * oracle replays membership as `pos IN (distinct bench positions)`, which
+    * is bit-for-bit the same predicate as the bitset test. Hash-gates. */
+  def bloomDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                         benchMod: Long = 37L, mBits: Int = 1 << 16,
+                         k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
+    def grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once (HOF-inline trap)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n))) END"))).as("gram"))
+    def posCols: Seq[Column] = (0 until k).map { j =>
+      h60(concat(lit(s"bloom$j:"), col("gram"))) % mBits.toLong
+    }
+    // benchmark pass: k probe positions per gram -> distributed bit_or into
+    // mBits/64 words; driver state is the packed bitset only (8 KiB)
+    val words = new Array[Long](mBits / 64)
+    grams.filter(col("doc_id") % benchMod === 0L)
+      .select(explode(array(posCols: _*)).as("pos"))
+      .groupBy(expr("cast(pos div 64 as int)").as("widx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))").as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedLit(words.toSeq)
+    // corpus pass: map-only probe (k bit tests per gram), one per-doc agg;
+    // all k bits set <=> the product of the k 0/1 tests is 1
+    val hit = (0 until k).map { j =>
+      s"(shiftrightunsigned(element_at(bloom_words, cast(p$j div 64 as int) + 1), " +
+        s"cast(p$j % 64 as int)) & 1)"
+    }.mkString(" * ")
+    grams.filter(col("doc_id") % benchMod =!= 0L)
+      .withColumns(((0 until k).map(j => s"p$j" -> posCols(j)) :+ ("bloom_words" -> wordsLit)).toMap)
+      .withColumn("hit", expr(hit))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  def bloomDecontaminateOracle(n: Int = 5, benchMod: Long = 37L,
+                               mBits: Int = 1 << 16, k: Int = 4): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_distinct([array_to_string(w[i:i+${n - 1}], ' ')
+       |                                   for i in generate_series(1, len(w) - ${n - 1})])) AS gram
+       |      FROM w WHERE len(w) >= $n),
+       |gp AS (SELECT doc_id, gram, j,
+       |              CAST('0x' || substr(md5('bloom' || j || ':' || gram), 1, 15) AS BIGINT)
+       |                % $mBits AS pos
+       |       FROM g, generate_series(0, ${k - 1}) AS t(j)),
+       |bp AS (SELECT DISTINCT pos FROM gp WHERE doc_id % $benchMod = 0),
+       |ch AS (SELECT doc_id, gram,
+       |              CASE WHEN count(*) FILTER (WHERE bp.pos IS NOT NULL) = $k
+       |                   THEN 1 ELSE 0 END AS hit
+       |       FROM gp LEFT JOIN bp USING (pos)
+       |       WHERE doc_id % $benchMod <> 0
+       |       GROUP BY doc_id, gram)
+       |SELECT doc_id, count(*)::BIGINT AS n_grams, sum(hit)::BIGINT AS n_hit,
+       |       round(sum(hit)::DOUBLE / count(*)::DOUBLE, 4) AS contamination
+       |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def decontaminateOracle(n: Int = 5, benchMod: Long = 37L): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g AS (SELECT doc_id,

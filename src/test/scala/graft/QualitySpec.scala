@@ -37,6 +37,26 @@ class QualitySpec extends GraftSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSet === expected.toSet)
   }
 
+  test("d10: bloom screen never misses a d9 hit and matches its gram counts") {
+    val exact = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit")))
+      .toMap
+    val bloom = Dedup.bloomDecontaminate(spark, sf).collect()
+    assert(bloom.map(_.getAs[Long]("doc_id")).toSet === exact.keySet)
+    var fp = 0L; var total = 0L
+    bloom.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nGrams, nHitExact) = exact(id)
+      assert(r.getAs[Long]("n_grams") === nGrams, s"doc $id n_grams")
+      val nHitBloom = r.getAs[Long]("n_hit")
+      // Bloom membership: false positives possible, false negatives never
+      assert(nHitBloom >= nHitExact, s"doc $id bloom missed an exact hit")
+      fp += nHitBloom - nHitExact; total += nGrams
+    }
+    // 8 KiB filter on the test benchmark set: the FP mass must stay small
+    assert(fp.toDouble / total.toDouble < 0.05, s"fp=$fp of $total grams")
+  }
+
   test("t15: token stats and top-bigram coverage match a driver recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
