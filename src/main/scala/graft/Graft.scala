@@ -58,11 +58,19 @@ object Graft {
     // sort-based aggregation after 128 distinct keys per partition by
     // default — far too low for per-user/per-query grouping at scale.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-    // events.parquet carries nanosecond timestamps, which the Spark 4
-    // reader rejects as a timestamp type; read them as raw BIGINT ns.
+    // Generations of events.parquet that carry NANOSECOND timestamps are
+    // rejected by the Spark 4 reader as a timestamp type; read them as raw
+    // BIGINT ns (harmless when the column is µs TIMESTAMP — see
+    // Tables.normalizeEventTs, which canonicalizes either encoding).
     // Session bootstrap is the right home for this (a read should not
     // mutate session conf as a side effect).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Engine convention: event time is UTC wall-clock. Tz-NAIVE parquet
+    // timestamps (pandas-written events.ts generations read as
+    // TIMESTAMP_NTZ) convert to instants through the session timezone —
+    // pinning it makes that cast the identity, matching the DuckDB oracle's
+    // naive-is-UTC `epoch_ms`, independent of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Function registration alone is keyed on the registry (idempotent per
     // session, and extension-injected sessions already pass this check).
     val reg = spark.sessionState.functionRegistry

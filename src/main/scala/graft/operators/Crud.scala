@@ -50,15 +50,16 @@ object Crud {
     * whole log.
     *
     * Boundary semantics: the cutoff is MILLISECOND-INCLUSIVE — an event
-    * whose ms equals the cutoff is included regardless of its sub-ms ns
-    * component (`ts <= cutoff·10⁶ + 999999`). The oracle states the same
-    * bound at ns precision (`epoch_ns`), so the two sides agree exactly on
-    * the boundary instead of one truncating to ms and the other not. */
+    * whose ms equals the cutoff is included regardless of its sub-ms
+    * component ([[Tables.eventsUpToMs]] states the bound in the column's
+    * native physical type so it stays a PUSHED predicate). The oracle
+    * states the same bound at ns precision (`epoch_ns`), so the two sides
+    * agree exactly on the boundary instead of one truncating to ms and the
+    * other not. */
   def snapshotAsOf(spark: SparkSession, dir: String, cutoffMs: Long = 1705363200000L): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ms").desc, col("event_id").desc)
-    Tables.events(spark, dir)
-      .filter(col("ts") <= cutoffMs * 1000000L + 999999L) // raw ns — pushed to scan
+    Tables.eventsUpToMs(spark, dir, cutoffMs)
       .withColumn("ms", expr("ts div 1000000"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -45,20 +45,27 @@ object SearchText {
     * job shape — swap the stub for a batched model UDF and the plan is
     * unchanged (scan → per-row vectorize → write; no shuffle).
     *
-    * Output is EXPLODED to scalar `(doc_id, i, val)` rows: the driver's
+    * Output is EXPLODED to scalar `(doc_id, i, val_q4)` rows: the driver's
     * oracle compare sorts rows with pandas, which cannot factorize
     * array-typed cells (round-5 CORRECTNESS failure), so no oracle-gated
-    * query may return an array column. `val` is rounded to 4 dp like every
-    * other float in the suite; the underlying LCG expansion is exact
-    * integer arithmetic + identical IEEE double ops on both engines. */
+    * query may return an array column. The element value is emitted at
+    * FIXED-POINT 4-dp quantization (`floor(val·10⁴ + 0.5)` as BIGINT, i.e.
+    * val ≈ val_q4/10⁴) rather than `round(val, 4)`: each engine implements
+    * decimal `round` differently at representation edges (Spark via
+    * BigDecimal HALF_UP on the binary expansion, DuckDB via its C rounding
+    * path), and with thousands of LCG-uniform samples one lands on an edge
+    * (the round-6 hash mismatch). `floor(x·10⁴ + 0.5)` by contrast is the
+    * SAME IEEE multiply/add/floor sequence on bit-identical doubles in both
+    * engines — deterministic by construction, not by luck. */
   def embedTexts(spark: SparkSession, dir: String, limit: Long = 100): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") < limit)
       .select(col("doc_id"), posexplode(stubEmbed(col("text"))).as(Seq("i", "val")))
-      .select(col("doc_id"), col("i"), round(col("val"), 4).as("val"))
+      .select(col("doc_id"), col("i"),
+        floor(col("val") * 10000d + 0.5d).cast("long").as("val_q4"))
       .orderBy("doc_id", "i")
 
   def embedTextsOracle(limit: Long = 100): String =
-    s"""SELECT doc_id, i, round(v, 4) AS val FROM (
+    s"""SELECT doc_id, i, floor(v * 10000 + 0.5)::BIGINT AS val_q4 FROM (
        |  SELECT doc_id, unnest(${stubEmbedSql("text")}) AS v,
        |         unnest(generate_series(0, ${Dim - 1})) AS i
        |  FROM documents WHERE doc_id < $limit)

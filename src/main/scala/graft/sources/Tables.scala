@@ -27,12 +27,65 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is nanosecond-precision parquet, which Spark's reader
-    * rejects; [[graft.Graft.init]] (run by [[load]]) sets the session to
-    * read it as raw BIGINT nanoseconds. All downstream event-time math is
-    * exact integer division (`div`), which also keeps Spark and the DuckDB
-    * oracle floor-consistent. */
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events table with `ts` CANONICALIZED to BIGINT epoch-nanoseconds,
+    * whatever precision the parquet physically carries. The generator has
+    * shipped the column as both nanosecond INT64 (which Spark reads as raw
+    * BIGINT under `nanosAsLong`, set by [[graft.Graft.init]]) and as
+    * microsecond TIMESTAMP (which Spark reads natively) — every downstream
+    * operator does exact integer math (`ts div 1000000` → epoch-ms), so the
+    * one reader normalizes instead of eleven call sites branching on type.
+    * `unix_micros * 1000` is exact int64 arithmetic (no float, no overflow
+    * until year 2262), and keeps Spark and the DuckDB oracle (`epoch_ms`)
+    * floor-consistent for positive timestamps. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(eventsRaw(spark, dir))
+
+  /** The events table in its native schema — for callers that need the
+    * physical `ts` type (streaming readers must declare the FILE's schema;
+    * pushable time-travel predicates must compare in the stored type). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** Normalize an events frame's `ts` to BIGINT ns (see [[events]]). Works
+    * on batch and streaming frames alike. Tz-naive parquet timestamps
+    * (pandas-written, `isAdjustedToUTC=false` → Spark TIMESTAMP_NTZ) mean
+    * UTC wall-clock in this dataset; [[graft.Graft.init]] pins the session
+    * timezone to UTC so the NTZ→instant cast is the identity the DuckDB
+    * oracle also applies (`epoch_ms` on a naive TIMESTAMP). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df // already raw ns
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected BIGINT ns or TIMESTAMP)")
+    }
+  }
+
+  /** Events at-or-before a millisecond-inclusive cutoff, the time-travel
+    * scan: the predicate is applied in the column's NATIVE type so it
+    * reaches the parquet reader as a pushed filter (row groups whose
+    * ts-min exceeds the cutoff are never read — at 100 TB a snapshot costs
+    * what the past costs, not the whole log). Sub-ms remainders are
+    * included on the boundary in both physical encodings, matching the
+    * oracle's `epoch_ns(ts) <= cutoff·10⁶ + 999999`. Returns the
+    * normalized (BIGINT-ns) frame. */
+  def eventsUpToMs(spark: SparkSession, dir: String, cutoffMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = eventsRaw(spark, dir)
+    val cutoffUs = timestamp_micros(lit(cutoffMs * 1000L + 999L))
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => raw.filter(col("ts") <= cutoffMs * 1000000L + 999999L)
+      case TimestampType => raw.filter(col("ts") <= cutoffUs)
+      case TimestampNTZType => raw.filter(col("ts") <= cutoffUs.cast(TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected BIGINT ns or TIMESTAMP)")
+    }
+    normalizeEventTs(filtered)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

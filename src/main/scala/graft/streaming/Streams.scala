@@ -16,10 +16,12 @@ object Streams {
     * File stream sources watch a *directory*, so the single-file test
     * table is staged into one (exactly how a landing zone looks in prod). */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema // ts arrives as BIGINT ns
-    tumblingAgg(spark.readStream
+    // declare the FILE's schema (ts in its native physical type), then
+    // canonicalize to BIGINT ns exactly as the batch reader does
+    val schema = Tables.eventsRaw(spark, dir).schema
+    tumblingAgg(Tables.normalizeEventTs(spark.readStream
       .schema(schema)
-      .parquet(stageDir(dir))
+      .parquet(stageDir(dir)))
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000"))))
   }
 
@@ -50,10 +52,10 @@ object Streams {
     */
   def sessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsRaw(spark, dir).schema
     val watched = stageDir(dir)
     sessionizeStatefulFrom(spark,
-      spark.readStream.schema(schema).parquet(watched)
+      Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(watched))
         .selectExpr("event_id", "user_id", "ts div 1000000 AS ms")
         .as[SessionEvent])
   }
