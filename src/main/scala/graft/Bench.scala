@@ -126,11 +126,25 @@ object Bench {
     val scalePass: Map[String, Double] =
       if (!doScaling) Map.empty
       else names.flatMap(n => timedReps(n, 1, scaleDir).map(totalOf).minOption.map(n -> _)).toMap
-    val superLinear = results.collect {
+    // A flag must survive a CONFIRMATION re-measurement before it is
+    // raised: the large-sf side is a min over 3-6 reps, but a sustained
+    // host-VM contention stretch (observed: a 0.5 s map-only query
+    // pinned at 2.9 s through all 6 reps, then back to 0.5 s minutes
+    // later — the round-6 t1/t3/t5/t9 false flags) defeats min-of-reps.
+    // Re-measuring ONLY the suspects, minutes later in the run, costs a
+    // few seconds and kills the transient; a real super-linear plan
+    // (the thing this check exists to catch) reproduces on every pass.
+    val suspectRatio = results.collect {
       case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > 12.0) => n
     }
+    val confirmed: Map[String, Double] = suspectRatio.flatMap { n =>
+      val re = timedReps(n, 3).map(totalOf)
+      val best = (re :+ results.toMap.apply(n)).min
+      scalePass.get(n).collect { case s if s > 0 && best / s > 12.0 => n -> best / s }
+    }.toMap
+    val superLinear = confirmed.keys.toSeq.sorted
     superLinear.foreach(n => System.err.println(
-      s"[bench] SCALING FLAG: $n ratio ${d2(results.toMap.apply(n) / scalePass(n))} > 12 (data ratio ~10)"))
+      s"[bench] SCALING FLAG: $n ratio ${d2(confirmed(n))} > 12 confirmed on re-measure (data ratio ~10)"))
 
     // Full-precision per-rep detail — survives even though stdout is
     // tail-truncated by the driver's capture. `prep_sec`/`exec_sec` split
@@ -168,16 +182,16 @@ object Bench {
 
     // Contract line LAST, compact (2 dp per query — full precision is in
     // BENCH_DETAIL.json) so the driver's stdout-tail window holds the
-    // ENTIRE line even with sbt's trailing status output. Guarded with
-    // GRACEFUL DEGRADATION through four tiers: full names at 2 dp → full
-    // names at 1 dp → SHORT names (each query's unique leading token,
-    // "v14b_ivf_trained_persist" → "v14b" — the full-name mapping is
-    // recoverable from BENCH_DETAIL.json, whose keys share the tokens) at
-    // 2 dp → short names at 1 dp. The 80-query suite outgrew the full-name
-    // tiers in round 6; the short-name tiers hold ~150 queries of
-    // headroom. Only if every tier overflows does the run fail loudly —
-    // a hard require at 2 dp would trade a coarser artifact for NO
-    // artifact.
+    // ENTIRE line even with sbt's trailing status output. Keys are SHORT
+    // names BY DESIGN — each query's unique leading token
+    // ("v14b_ivf_trained_persist" → "v14b"; the full-name mapping is
+    // recoverable from BENCH_DETAIL.json, whose keys share the tokens):
+    // the 90+-query suite outgrew full names in round 6, and emitting a
+    // tier that is known not to fit just to "degrade" from it printed
+    // scary warnings on every healthy run. Short names hold ~150 queries
+    // of headroom; one fallback tier (1 dp) guards suite growth past
+    // that, and only if BOTH overflow does the run fail loudly — a hard
+    // require would trade a coarser artifact for NO artifact.
     // sf as basename ("sf0.1") — the full dir is in BENCH_DETAIL.json and
     // the driver records the sf itself; 16 fewer bytes of path buys one
     // more query at 2 dp
@@ -200,8 +214,6 @@ object Bench {
     // consumes ~77 — 1920 leaves a few bytes of slack
     val budget = 1920
     val tiers: Seq[(String, () => String)] = Seq(
-      "full names 2dp" -> (() => contractLine(d2t, identity)),
-      "full names 1dp" -> (() => contractLine(d1t, identity)),
       "short names 2dp" -> (() => contractLine(d2t, shortKeys)),
       "short names 1dp" -> (() => contractLine(d1t, shortKeys)))
     val line = tiers.view

@@ -22,19 +22,29 @@ object Text {
     "fr" -> Seq("le", "les", "des", "et", "une"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
-  /** t1: predicted language = arg-max stopword overlap (ties → lang asc). */
+  /** t1: predicted language = arg-max stopword overlap (ties → lang asc).
+    *
+    * MAP-ONLY argmax: the four language arms are scored per row and the
+    * winner picked by `sort_array` over 4 structs keyed `(-score, lang)` —
+    * struct ordering is lexicographic by field position, so element 0 is
+    * max-score with ties broken lang-ascending. The round-1..6 formulation
+    * exploded the arms and ranked them with a `row_number` window
+    * partitioned by doc_id — a full corpus shuffle (4N rows hashed, sorted,
+    * filtered back to N) to compare 4 values that were sitting in the same
+    * row. At 100 TB that shuffle was the whole cost; this plan touches the
+    * corpus once in the scan task and shuffles nothing. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val scoreCols = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(lit(lang).as("lang"),
-        size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long").as("score"))
+    val arms = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(array_intersect(col("toks"), array(words.map(lit): _*)))).cast("long").as("neg"),
+        lit(lang).as("lang"))
     }
-    val scored = docs.select(col("doc_id"), explode(array(scoreCols: _*)).as("s"))
-      .select(col("doc_id"), col("s.lang"), col("s.score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    docs
+      .withColumn("best", sort_array(array(arms: _*))(0))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        (-col("best.neg")).cast("long").as("score"))
       .orderBy("doc_id")
   }
 

@@ -17,9 +17,14 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_PROF_SINK=noop materializes through the noop writer —
+    // the exact measurement Bench takes (count() lets Catalyst prune the
+    // compute the writer would force, so the two can differ a lot).
+    val noop = sys.env.get("SPARK_GRAFT_PROF_SINK").contains("noop")
     for (name <- names; rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = if (noop) { df.write.format("noop").mode("overwrite").save(); -1L } else df.count()
       println(f"[prof] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
     }
     spark.stop()
