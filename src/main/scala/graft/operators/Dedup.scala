@@ -458,6 +458,73 @@ object Dedup {
        |FROM lab l JOIN sz s USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** d11: canonical-copy selection — the curation decision AFTER d7's
+    * clustering: each duplicate cluster keeps its highest-QUALITY member
+    * (t2's quality formula; ties → lowest doc_id), not the arbitrary
+    * min-id representative f2 retires to. This is what production dedup
+    * actually ships — of N crawls of the same page, keep the cleanest.
+    *
+    * Scale shape: d7's label table is edge-sized (only clustered docs);
+    * the quality side is a map-only projection of the corpus; the join is
+    * doc_id-keyed and the argmax is ONE partial-agg `max(struct)` per
+    * cluster (highest quality, ties lowest id — struct ordering is
+    * lexicographic by field), so the shuffle carries one row per cluster
+    * member, combined map-side to one row per cluster per task. No
+    * window, no second corpus pass. Quality doubles compare exactly in
+    * both engines (t2's gate proves the formula bit-identical), so the
+    * selection — and the emitted score — hash-gates. */
+  def keepBestCopy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(spark, dir, tau)
+    val quality = Text.qualityFrame(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg")).as("kept_doc_id"), col("best.quality").as("kept_quality"))
+      .orderBy("cluster_id")
+  }
+
+  def keepBestCopyOracle(tau: Double = 0.5): String =
+    s"""WITH lab AS (SELECT doc_id, cluster_id, cluster_size FROM (${dupClustersOracle(tau)})),
+       |q AS (SELECT doc_id, quality FROM (${Text.qualityOracle})),
+       |r AS (SELECT l.cluster_id, l.cluster_size, q.doc_id, q.quality,
+       |             row_number() OVER (PARTITION BY l.cluster_id
+       |                                ORDER BY q.quality DESC, q.doc_id) AS rn
+       |      FROM lab l JOIN q ON l.doc_id = q.doc_id)
+       |SELECT cluster_id, cluster_size, doc_id AS kept_doc_id, quality AS kept_quality
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** d12: train/eval split-LEAKAGE report — near-dup pairs (d3's banded
+    * candidates + exact Jaccard) that STRADDLE t6's split boundaries: an
+    * eval doc with a train-side near-duplicate is contamination from the
+    * moment the split ships, the within-corpus twin of d9/d10's
+    * external-benchmark check.
+    *
+    * Scale shape: t6's split is a PURE hash of doc_id, so both endpoints'
+    * labels are PROJECTED straight onto the edge list — the corpus is
+    * never joined, shuffled, or rescanned; d12 costs d3 plus a map-only
+    * pass over the (edge-sized) pair list. This is exactly why the split
+    * rule is a content-stable hash and not an RNG or a lookup table. */
+  def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    minhashLsh(spark, dir, tau)
+      .withColumn("split_a", Text.splitLabel(col("doc_a")))
+      .withColumn("split_b", Text.splitLabel(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def splitLeakageOracle(tau: Double = 0.5): String =
+    s"""WITH p AS (SELECT doc_a, doc_b, jaccard FROM (${minhashLshOracle(tau)})),
+       |s AS (SELECT doc_a, doc_b,
+       |             ${Text.splitLabelSql("doc_a")} AS split_a,
+       |             ${Text.splitLabelSql("doc_b")} AS split_b,
+       |             jaccard FROM p)
+       |SELECT doc_a, doc_b, split_a, split_b, jaccard FROM s
+       |WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin
+
   def ngramJaccardOracle(tau: Double = 0.2, dfCap: Long = 10): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id,

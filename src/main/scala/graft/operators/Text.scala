@@ -173,15 +173,29 @@ object Text {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** The t6 split-assignment rule for any doc-id column — 80/10/10 on
+    * `h60("split:" + id) mod 100`. A PURE function of the id (no join, no
+    * RNG state), which is what lets d12 project split labels straight onto
+    * an edge list. Single source shared by t6 and d12; [[splitLabelSql]]
+    * is its DuckDB twin. */
+  private[graft] def splitLabel(docId: Column): Column = {
+    val bucket = Dedup.h60(concat(lit("split:"), docId.cast("string"))) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  private[graft] def splitLabelSql(idExpr: String): String = {
+    val bucket =
+      s"CAST('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+  }
+
   /** t6: deterministic train/val/test split by content-stable hash —
     * 80/10/10 on `h60("split:" + doc_id) mod 100`. Hash-based assignment
     * is the scale-correct split: reproducible under any partitioning,
     * stable across reruns and appends, no global sort or RNG state. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Dedup.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitLabel(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("split", "lang")
@@ -354,6 +368,61 @@ object Text {
       |       substr(norm, 1, 40) AS prefix,
       |       CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS norm_h
       |FROM n ORDER BY doc_id""".stripMargin
+
+  /** The t17 scrub patterns, applied IN ORDER (email first — an address
+    * contains dotted-digit runs the later patterns would shred; then IPv4,
+    * whose dotted quads a phone pattern could partially eat; phone last).
+    * Regex subset chosen to mean the same thing in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded repetition, `\b` — no
+    * lookaround, no backreferences. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** t17: PII redaction — the scrub pass every shareable training corpus
+    * runs before anything else sees the text: emails, IPv4s and phone
+    * numbers replaced by typed placeholder tokens, with per-doc counts of
+    * what each stage removed. Map-only on the scan (zero shuffles before
+    * the output sort); each stage counts its matches on the text AS IT
+    * ENTERS that stage, so the counts sum to exactly the replacements made
+    * and the whole chain replays as CTEs in the oracle. Emits the redacted
+    * fingerprint + counts (t10's convention — ids and hashes move, not
+    * text). The synthetic corpus contains no PII, so here the oracle gate
+    * proves the two regex dialects agree that the rewrite is the identity;
+    * the redaction semantics themselves are spec-gated on PII-laden docs
+    * (`PiiSpec`). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val staged = PiiPatterns.foldLeft(
+      Tables.documents(spark, dir).withColumn("t", col("text"))) {
+      case (df, (name, pat, tok)) =>
+        df.withColumn(s"n_$name", size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long"))
+          .withColumn("t", regexp_replace(col("t"), pat, tok))
+    }
+    staged.select(
+      col("doc_id") +: PiiPatterns.map { case (n, _, _) => col(s"n_$n") } :+
+        length(col("t")).cast("long").as("n_chars_redacted") :+
+        Dedup.h60(col("t")).as("redacted_h"): _*)
+      .orderBy("doc_id")
+  }
+
+  val piiRedactOracle: String = {
+    // one CTE per stage: count on the incoming text, then rewrite it
+    val stages = PiiPatterns.zipWithIndex.map { case ((name, pat, tok), i) =>
+      val prev = if (i == 0) "documents" else s"s${i - 1}"
+      val prevCol = if (i == 0) "text" else "t"
+      val carried = PiiPatterns.take(i).map { case (n, _, _) => s"n_$n, " }.mkString
+      s"""s$i AS (SELECT doc_id, $carried
+         |  len(regexp_extract_all($prevCol, '$pat'))::BIGINT AS n_$name,
+         |  regexp_replace($prevCol, '$pat', '$tok', 'g') AS t FROM $prev)""".stripMargin
+    }
+    val last = s"s${PiiPatterns.size - 1}"
+    val ns = PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")
+    s"""WITH ${stages.mkString(",\n")}
+       |SELECT doc_id, $ns, length(t)::BIGINT AS n_chars_redacted,
+       |       CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS redacted_h
+       |FROM $last ORDER BY doc_id""".stripMargin
+  }
 
   /** t11: BM25 top-k retrieval (Robertson/Spärck Jones; the ranking the
     * reference's text search approximates with embedding cosine). Fully

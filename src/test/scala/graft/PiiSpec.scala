@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Text
+
+/** t17's redaction semantics on PII-LADEN documents — the synthetic corpus
+  * contains no PII, so the oracle gate there only proves the identity
+  * rewrite; the actual scrub behavior is asserted here. Also d11/d12
+  * invariants the oracle can't phrase (membership, maximality). */
+class PiiSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def redact(text: String): (String, Map[String, Long]) = {
+    var t = text
+    val counts = Text.PiiPatterns.map { case (name, pat, tok) =>
+      val n = pat.r.findAllIn(t).length.toLong
+      t = t.replaceAll(pat, tok)
+      name -> n
+    }.toMap
+    (t, counts)
+  }
+
+  private val docs = Seq(
+    (1L, "contact alice.smith+news@example.co.uk or bob@test.io today"),
+    (2L, "server 10.0.255.3 and 192.168.1.1 rebooted"),
+    (3L, "call 555-123-4567 or 555.987.6543 now"),
+    (4L, "mixed: a@b.com then 1.2.3.4 then 111-222-3333 done"),
+    (5L, "no pii here just words and 42 numbers"),
+    (6L, ""))
+
+  private def stage(): Seq[(Long, String, Long, Long, Long)] = {
+    val df = docs.toDF("doc_id", "text")
+    val staged = Text.PiiPatterns.foldLeft(df.withColumn("t", col("text"))) {
+      case (d, (name, pat, tok)) =>
+        d.withColumn(s"n_$name", size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long"))
+          .withColumn("t", regexp_replace(col("t"), pat, tok))
+    }
+    staged.select(col("doc_id"), col("t"), col("n_email"), col("n_ip"), col("n_phone"))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("t17 chain redacts emails, IPs, phones with exact counts (JVM recompute)") {
+    val got = stage()
+    for ((id, t, ne, ni, np) <- got) {
+      val (expT, expC) = redact(docs.find(_._1 == id).get._2)
+      assert(t === expT, s"doc $id text")
+      assert((ne, ni, np) === ((expC("email"), expC("ip"), expC("phone"))), s"doc $id counts")
+    }
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === "contact <EMAIL> or <EMAIL> today" && byId(1L)._3 === 2L)
+    assert(byId(2L)._2 === "server <IP> and <IP> rebooted" && byId(2L)._4 === 2L)
+    assert(byId(3L)._2 === "call <PHONE> or <PHONE> now" && byId(3L)._5 === 2L)
+    assert(byId(4L)._2 === "mixed: <EMAIL> then <IP> then <PHONE> done")
+    assert(byId(5L)._2 === docs.find(_._1 == 5L).get._2) // untouched
+    assert(byId(6L)._2 === "")
+  }
+
+  test("t17 stage order: an email's dotted-digit body is never shredded by ip/phone") {
+    val df = Seq((1L, "x 123.456.7890@digits.example.com y")).toDF("doc_id", "text")
+    val staged = Text.PiiPatterns.foldLeft(df.withColumn("t", col("text"))) {
+      case (d, (_, pat, tok)) => d.withColumn("t", regexp_replace(col("t"), pat, tok))
+    }
+    assert(staged.select("t").as[String].head() === "x <EMAIL> y")
+  }
+
+  test("t17 is idempotent: redacting redacted text changes nothing") {
+    val once = stage().map(r => r._1 -> r._2)
+    val again = {
+      val df = once.toDF("doc_id", "text")
+      val staged = Text.PiiPatterns.foldLeft(df.withColumn("t", col("text"))) {
+        case (d, (_, pat, tok)) => d.withColumn("t", regexp_replace(col("t"), pat, tok))
+      }
+      staged.select(col("doc_id"), col("t")).as[(Long, String)].collect().toMap
+    }
+    once.foreach { case (id, t) => assert(again(id) === t, s"doc $id not idempotent") }
+  }
+
+  test("d11 keeps a member of each cluster with the cluster-max quality") {
+    val kept = operators.Dedup.keepBestCopy(spark, sf)
+      .select("cluster_id", "kept_doc_id", "kept_quality")
+      .as[(Long, Long, Double)].collect()
+    val members = operators.Dedup.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = operators.Text.qualityFrame(
+      graft.sources.Tables.documents(spark, sf))
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(kept.nonEmpty)
+    for ((cid, keptId, q) <- kept) {
+      assert(members(cid).contains(keptId), s"cluster $cid kept a non-member")
+      val qs = members(cid).map(quality)
+      assert(q === qs.max, s"cluster $cid kept $q, max is ${qs.max}")
+      // ties resolve to the LOWEST doc_id among max-quality members
+      assert(keptId === members(cid).filter(d => quality(d) == qs.max).min)
+    }
+  }
+
+  test("d12 labels match t6's rule and only cross-split pairs survive") {
+    val rows = operators.Dedup.splitLeakage(spark, sf)
+      .select("doc_a", "doc_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect()
+    val label = spark.range(0, 2000)
+      .select(col("id"), Text.splitLabel(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (a, b, sa, sb) =>
+      assert(sa !== sb)
+      assert(label(a) === sa && label(b) === sb)
+    }
+    // and every cross-split near-dup pair is reported (none silently kept)
+    val all = operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expected = all.filter { case (a, b) => label(a) != label(b) }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === expected)
+  }
+}
