@@ -134,17 +134,23 @@ object Bench {
     // Re-measuring ONLY the suspects, minutes later in the run, costs a
     // few seconds and kills the transient; a real super-linear plan
     // (the thing this check exists to catch) reproduces on every pass.
+    // Threshold overridable (SPARK_GRAFT_SCALE_FLAG_RATIO, default 12 on
+    // the ~10× data step) so the flag→confirm path can be exercised on
+    // purpose at small scale.
+    val flagRatio = sys.env.get("SPARK_GRAFT_SCALE_FLAG_RATIO").map(_.toDouble).getOrElse(12.0)
     val suspectRatio = results.collect {
-      case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > 12.0) => n
+      case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > flagRatio) => n
     }
+    if (suspectRatio.nonEmpty)
+      System.err.println(s"[bench] scaling suspects (pre-confirmation): ${suspectRatio.sorted.mkString(", ")}")
     val confirmed: Map[String, Double] = suspectRatio.flatMap { n =>
       val re = timedReps(n, 3).map(totalOf)
       val best = (re :+ results.toMap.apply(n)).min
-      scalePass.get(n).collect { case s if s > 0 && best / s > 12.0 => n -> best / s }
+      scalePass.get(n).collect { case s if s > 0 && best / s > flagRatio => n -> best / s }
     }.toMap
     val superLinear = confirmed.keys.toSeq.sorted
     superLinear.foreach(n => System.err.println(
-      s"[bench] SCALING FLAG: $n ratio ${d2(confirmed(n))} > 12 confirmed on re-measure (data ratio ~10)"))
+      s"[bench] SCALING FLAG: $n ratio ${d2(confirmed(n))} > $flagRatio confirmed on re-measure (data ratio ~10)"))
 
     // Full-precision per-rep detail — survives even though stdout is
     // tail-truncated by the driver's capture. `prep_sec`/`exec_sec` split
