@@ -379,6 +379,39 @@ object Ivf {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v25: the recall@k evaluation harness — the measurement loop every
+    * production ANN deployment runs continuously: the trained-IVF
+    * approximate results (v14) joined against the exact flat ground truth
+    * (v1), per-query hit counts out. Approximation quality becomes a
+    * QUERY over two existing query plans; at 100 TB the ground-truth arm
+    * runs over a fixed query sample (here: the same Q=8 convention both
+    * arms already use) — the corpus-side cost is the two searches
+    * themselves, the join touches Q·k rows. `hits` is an exact integer
+    * and `recall` the same IEEE division of the same small ints in both
+    * engines, so the metric itself hash-gates (the reference eyeballs
+    * this comparison in its index tests; here it is a gated artifact). */
+  def recallEval(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    val approx = searchTrained(spark, dir, k, nQueries)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    Knn.flatSearch(spark, dir, "cosine", k, nQueries)
+      .select(col("qid"), col("vec_id"))
+      .join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("hits"), lit(k.toLong).as("k"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  def recallEvalOracle(k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH a AS (SELECT qid, vec_id FROM (${trainedSearchOracle(k, nQueries)})),
+       |x AS (SELECT qid, vec_id FROM (${Knn.oracleFlat("cosine", k, nQueries)})),
+       |h AS (SELECT x.qid, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM x LEFT JOIN a ON x.qid = a.qid AND x.vec_id = a.vec_id)
+       |SELECT qid, sum(hit)::BIGINT AS hits, $k::BIGINT AS k,
+       |       sum(hit)::DOUBLE / $k AS recall
+       |FROM h GROUP BY qid ORDER BY qid""".stripMargin
+
   /** DuckDB replay of [[kmeans]] (v8): the same training CTEs, reduced to
     * the per-cluster (count, avg sim) training trace. The avg is the one
     * aggregation-order-dependent float in the output — rounded to 4 dp on

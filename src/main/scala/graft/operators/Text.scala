@@ -424,6 +424,53 @@ object Text {
        |FROM $last ORDER BY doc_id""".stripMargin
   }
 
+  /** t18: mixture rebalancing — downsample every language to the SMALLEST
+    * language's size, the data-mixing step that turns a skewed crawl into
+    * a balanced multilingual training mixture (this corpus is ~42% `en`;
+    * the op cuts `en` ~3×, a real rebalance — `source` would be a no-op
+    * here, it is uniform by construction). The acceptance test is pure
+    * integer hashing: keep doc ⟺ `h60("mix:" + doc_id) mod n_lang <
+    * n_target` — expected keep rate n_target/n_lang per language with NO
+    * RNG state, reproducible under any partitioning and append-stable for
+    * languages whose count hasn't changed (t6/t8/t14's design rule:
+    * sampling decisions are pure functions of content). Two passes: a
+    * per-language count agg (bounded by #langs — broadcast back), then a
+    * map-only accept filter folded into one grouped report. At 100 TB the
+    * counts come from table stats; the corpus sees one scan. Counts are
+    * exact integers, so the report hash-gates; the kept-set SIZE is
+    * hash-binomial around n_target, not exactly n_target — documented
+    * behavior of threshold sampling, identical in both engines. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(min(col("n_docs")).as("n_target"))
+    val rated = counts.crossJoin(broadcast(target))
+    docs
+      .join(broadcast(rated), Seq("lang"))
+      .withColumn("keep",
+        Dedup.h60(concat(lit("mix:"), col("doc_id").cast("string"))) % col("n_docs")
+          < col("n_target"))
+      .groupBy(col("lang"), col("n_docs"), col("n_target"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("min_kept"),
+        max(when(col("keep"), col("doc_id"))).as("max_kept"))
+      .orderBy("lang")
+  }
+
+  val mixtureSampleOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT min(n_docs) AS n_target FROM c),
+      |k AS (SELECT d.lang, d.doc_id, c.n_docs, t.n_target,
+      |             (CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |                % c.n_docs) < t.n_target AS keep
+      |      FROM documents d JOIN c USING (lang) CROSS JOIN t)
+      |SELECT lang, n_docs, n_target,
+      |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |       min(CASE WHEN keep THEN doc_id END) AS min_kept,
+      |       max(CASE WHEN keep THEN doc_id END) AS max_kept
+      |FROM k GROUP BY lang, n_docs, n_target ORDER BY lang""".stripMargin
+
   /** t11: BM25 top-k retrieval (Robertson/Spärck Jones; the ranking the
     * reference's text search approximates with embedding cosine). Fully
     * relational: tf is a partial-agg groupBy over tokens FILTERED to the

@@ -96,6 +96,45 @@ class PiiSpec extends GraftSuite {
     }
   }
 
+  test("t18 kept counts match a driver recompute; the min language keeps everything") {
+    val rows = Text.mixtureSample(spark, sf)
+      .select("lang", "n_docs", "n_target", "n_kept")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nTarget = byLang.values.map(_.length).min.toLong
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    assert(rows.map(_._1).toSeq === byLang.keys.toSeq.sorted)
+    for ((lang, nDocs, tgt, kept) <- rows) {
+      assert(nDocs === byLang(lang).length.toLong && tgt === nTarget)
+      val expect = byLang(lang).count(id => h60(s"mix:$id") % nDocs < nTarget).toLong
+      assert(kept === expect, s"$lang kept")
+      if (nDocs == nTarget) assert(kept === nDocs) // min language is untouched
+    }
+  }
+
+  test("v25 recall equals the exact/approx overlap recomputed from both arms") {
+    val k = 10
+    val eval = operators.Ivf.recallEval(spark, sf, k)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)].collect()
+    val exact = operators.Knn.flatSearch(spark, sf, "cosine", k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = operators.Ivf.searchTrained(spark, sf, k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(eval.length === exact.size)
+    for ((qid, hits, recall) <- eval) {
+      assert(hits === (exact(qid) & approx(qid)).size.toLong, s"q$qid hits")
+      assert(recall === hits.toDouble / k && recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("d12 labels match t6's rule and only cross-split pairs survive") {
     val rows = operators.Dedup.splitLeakage(spark, sf)
       .select("doc_a", "doc_b", "split_a", "split_b")
