@@ -96,6 +96,12 @@ class PiiSpec extends GraftSuite {
     }
   }
 
+  test("d11's argmax is a partial agg, not a window (plan assert)") {
+    val plan = operators.Dedup.keepBestCopy(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"d11 plan grew a Window node:\n$plan")
+    assert(plan.contains("partial_max"), "cluster argmax should partial-aggregate map-side")
+  }
+
   test("t18 kept counts match a driver recompute; the min language keeps everything") {
     val rows = Text.mixtureSample(spark, sf)
       .select("lang", "n_docs", "n_target", "n_kept")
