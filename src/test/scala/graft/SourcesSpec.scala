@@ -49,6 +49,51 @@ class SourcesSpec extends GraftSuite {
     assert(ts > 1.6e18.toLong && ts < 1.8e18.toLong, s"ts=$ts not ns-scale")
   }
 
+  test("testdata schema contract: a regeneration that changes types fails HERE first") {
+    // The round-7 regeneration silently flipped events.ts from ns INT64 to
+    // µs TIMESTAMP and broke nine queries at analysis; this pins every
+    // column type the operators rely on so the NEXT drift is one loud,
+    // named failure instead of nine obscure ones.
+    import org.apache.spark.sql.types._
+    def t(table: String, colName: String): DataType =
+      Tables.load(spark, sf, table).schema(colName).dataType
+    val timestampish: Set[DataType] = Set(TimestampType, TimestampNTZType)
+    val exact: Seq[(String, String, DataType)] = Seq(
+      ("region", "r_regionkey", IntegerType), ("region", "r_name", StringType),
+      ("nation", "n_nationkey", IntegerType), ("nation", "n_name", StringType),
+      ("nation", "n_regionkey", IntegerType),
+      ("customer", "c_custkey", LongType), ("customer", "c_nationkey", IntegerType),
+      ("customer", "c_acctbal", DoubleType), ("customer", "c_mktsegment", StringType),
+      ("supplier", "s_suppkey", LongType), ("supplier", "s_nationkey", IntegerType),
+      ("part", "p_partkey", LongType), ("part", "p_size", IntegerType),
+      ("part", "p_retailprice", DoubleType),
+      ("orders", "o_orderkey", LongType), ("orders", "o_custkey", LongType),
+      ("orders", "o_orderstatus", StringType), ("orders", "o_totalprice", DoubleType),
+      ("lineitem", "l_orderkey", LongType), ("lineitem", "l_partkey", LongType),
+      ("lineitem", "l_suppkey", LongType), ("lineitem", "l_linenumber", IntegerType),
+      ("lineitem", "l_quantity", DoubleType), ("lineitem", "l_extendedprice", DoubleType),
+      ("lineitem", "l_discount", DoubleType), ("lineitem", "l_tax", DoubleType),
+      ("lineitem", "l_returnflag", StringType), ("lineitem", "l_linestatus", StringType),
+      ("events", "event_id", LongType), ("events", "user_id", LongType),
+      ("events", "event_type", StringType), ("events", "value", DoubleType),
+      ("events", "props", StringType),
+      ("documents", "doc_id", LongType), ("documents", "text", StringType),
+      ("documents", "lang", StringType), ("documents", "source", StringType),
+      ("documents", "n_chars", LongType),
+      ("embeddings", "vec_id", LongType), ("embeddings", "label", IntegerType))
+    for ((table, colName, want) <- exact)
+      assert(t(table, colName) === want, s"$table.$colName drifted")
+    // the encodings the engine explicitly handles:
+    assert((timestampish + LongType).contains(t("events", "ts")),
+      s"events.ts ${t("events", "ts")} — extend Tables.normalizeEventTs for this encoding")
+    assert(timestampish.contains(t("orders", "o_orderdate")), "o_orderdate drifted")
+    assert(timestampish.contains(t("lineitem", "l_shipdate")), "l_shipdate drifted")
+    assert(t("embeddings", "embedding") match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }, s"embeddings.embedding drifted: ${t("embeddings", "embedding")}")
+  }
+
   test("eventsUpToMs ≡ post-hoc ms filter, and the cutoff reaches the scan pushed") {
     val cutoffMs = 1705363200000L
     val pruned = Tables.eventsUpToMs(spark, sf, cutoffMs)
