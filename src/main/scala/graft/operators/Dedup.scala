@@ -334,14 +334,37 @@ object Dedup {
     * labels.
     */
   def dupClusters(spark: SparkSession, dir: String, tau: Double = 0.5,
-                  maxRounds: Int = 25): DataFrame = {
-    val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs, maxRounds)
+                  maxRounds: Int = 25): DataFrame =
+    // d7 is the clustering BUILD op: always recompute, so its bench number
+    // prices a full contraction run (the v8/v14 registry convention —
+    // consumers read the memo, the build query never does)
+    dupClustersFrom(connectedComponents(
+      minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b")), maxRounds))
+
+  /** (doc_id, cluster_id, cluster_size) from a raw (id, label) table. */
+  private def dupClustersFrom(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** Session-scoped duplicate-cluster label memo, keyed (session, dir, τ):
+    * the CC label table is the third reusable dedup artifact after the
+    * shingle pair ([[corpusShingles]]) — f2 applies it to the corpus, d11
+    * picks representatives from it, and each was re-running the whole
+    * candidate pipeline + contraction loop per query. At 100 TB this IS
+    * the persisted cluster-label table a curation pipeline maintains
+    * alongside its corpus; the memo is its single-JVM analog. d7 itself
+    * deliberately bypasses it (build op — see [[dupClusters]]). */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
+  private[graft] def clusterLabelsFor(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    labelCache.computeIfAbsent((spark, dir, tau), { _ =>
+      connectedComponents(minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint()
+    })
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)` →
     * `(id, label)` with label = min id in the component. Reusable by any
@@ -474,7 +497,7 @@ object Dedup {
     * both engines (t2's gate proves the formula bit-identical), so the
     * selection — and the emitted score — hash-gates. */
   def keepBestCopy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val clusters = dupClusters(spark, dir, tau)
+    val clusters = dupClustersFrom(clusterLabelsFor(spark, dir, tau))
     val quality = Text.qualityFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("quality"))
     clusters

@@ -70,8 +70,7 @@ object Pipeline {
     * the (tiny) non-representative set — at 100 TB the drop list is a
     * broadcast, the corpus is never shuffled. */
   def nearDedupCorpus(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val labels = Dedup.connectedComponents(
-      Dedup.minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+    val labels = Dedup.clusterLabelsFor(spark, dir, tau)
     val drops = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(true).as("dropped"))
     Tables.documents(spark, dir)
