@@ -379,6 +379,57 @@ object Ivf {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v16f: metadata filter on the TRAINED-IVF path — completes the
+    * filter × index-family matrix (flat v16, untrained IVF v16b, LSH
+    * v16c, free-form v16d/e) on the production trained quantizer. The
+    * lists are built over the FULL corpus (reference semantics: filters
+    * restrict search candidates, not index membership — models.py:48);
+    * the label predicate lands on the candidate-side embeddings scan as
+    * a PUSHED filter, so the probe reads probed-cluster rows ∩ matching
+    * row-groups and unmatching vectors are never scored. */
+  def searchTrainedFiltered(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
+                            k: Int = 10, nQueries: Int = 8, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mat = trainedCentroidsFor(spark, dir, iters)
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+      // fresh scan with the label predicate so it pushes to parquet
+      val candidates = Tables.embeddings(spark, dir)
+        .filter(col("label").isin(labels: _*))
+        .select(col("vec_id"), col("embedding"))
+      val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+        .select(col("qid"), col("vec_id"))
+        .join(candidates, Seq("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("qid"), col("vec_id"), col("score"))
+      Knn.topkPerQuery(scored, "cosine", k)
+    } finally emb.unpersist()
+  }
+
+  def searchTrainedFilteredOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10,
+                                  nQueries: Int = 8, iters: Int = 5): String =
+    s"""${trainCtes(iters)}
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c$iters c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= $Probes),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.v, q.qvec) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                     JOIN embeddings emb ON cand.vec_id = emb.vec_id
+       |                     JOIN q ON cand.qid = q.qid
+       |           WHERE emb.label IN (${labels.mkString(", ")})),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v25: the recall@k evaluation harness — the measurement loop every
     * production ANN deployment runs continuously: the trained-IVF
     * approximate results (v14) joined against the exact flat ground truth

@@ -124,6 +124,20 @@ class PiiSpec extends GraftSuite {
     }
   }
 
+  test("v16f: the label filter reaches the candidate scan pushed; results ⊆ unfiltered") {
+    val labels = Seq(2, 5)
+    val filtered = operators.Ivf.searchTrainedFiltered(spark, sf, labels)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""PushedFilters: \[[^\]]*label[^\]]*\]""".r.findFirstIn(plan).isDefined,
+      s"label filter not pushed:\n$plan")
+    // every hit carries an allowed label, and hits ⊆ the filtered corpus
+    val lbl = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    filtered.select("vec_id").as[Long].collect()
+      .foreach(v => assert(labels.contains(lbl(v)), s"vec $v label ${lbl(v)}"))
+  }
+
   test("v25 recall equals the exact/approx overlap recomputed from both arms") {
     val k = 10
     val eval = operators.Ivf.recallEval(spark, sf, k)
