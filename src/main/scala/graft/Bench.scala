@@ -137,7 +137,17 @@ object Bench {
     // Threshold overridable (SPARK_GRAFT_SCALE_FLAG_RATIO, default 12 on
     // the ~10× data step) so the flag→confirm path can be exercised on
     // purpose at small scale.
-    val flagRatio = sys.env.get("SPARK_GRAFT_SCALE_FLAG_RATIO").map(_.toDouble).getOrElse(12.0)
+    // Malformed/garbage values fall back LOUDLY instead of throwing after
+    // all timing work but before any artifact is written (NaN or ≤0 would
+    // silently disable/garble the flag; a non-number used to lose the run).
+    val flagRatio = sys.env.get("SPARK_GRAFT_SCALE_FLAG_RATIO") match {
+      case None => 12.0
+      case Some(raw) => raw.toDoubleOption.filter(r => r > 0 && !r.isNaN).getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_SCALE_FLAG_RATIO='$raw' is not a positive number — using 12.0")
+        12.0
+      }
+    }
     val suspectRatio = results.collect {
       case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > flagRatio) => n
     }

@@ -69,8 +69,20 @@ object Graft {
     // timestamps (pandas-written events.ts generations read as
     // TIMESTAMP_NTZ) convert to instants through the session timezone —
     // pinning it makes that cast the identity, matching the DuckDB oracle's
-    // naive-is-UTC `epoch_ms`, independent of host timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // naive-is-UTC `epoch_ms`, independent of host timezone. An embedding
+    // application that configured its OWN session timezone gets a loud
+    // one-time warning rather than a silent clobber (after the set the
+    // value reads back as UTC, so the warning cannot repeat).
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    if (prevTz != "UTC") {
+      // inherited-JVM-default ≠ a user choice; only an explicit non-UTC
+      // configuration deserves the warning
+      if (prevTz != java.util.TimeZone.getDefault.getID)
+        System.err.println(
+          s"[graft] overriding configured spark.sql.session.timeZone=$prevTz -> UTC " +
+            "(graft's event-time convention; see Tables.normalizeEventTs)")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     // Function registration alone is keyed on the registry (idempotent per
     // session, and extension-injected sessions already pass this check).
     val reg = spark.sessionState.functionRegistry

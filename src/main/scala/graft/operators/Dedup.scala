@@ -73,10 +73,12 @@ object Dedup {
     * scan is already parallel; the repartition then just pre-clusters by
     * doc_id, which the downstream per-doc aggregates want anyway. */
   private val corpusCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4)({
+      case (a, b) => BoundedMemo.unpersistDf(a); BoundedMemo.unpersistDf(b)
+    })
 
   private[graft] def corpusShingles(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    corpusCache.computeIfAbsent((spark, dir), { _ =>
+    corpusCache.getOrElseUpdate((spark, dir)) {
       val shingles = withShingles(
         Tables.documents(spark, dir)
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
@@ -85,7 +87,7 @@ object Dedup {
         .select(col("doc_id"), (h60(col("s")) % P).as("h"))
         .localCheckpoint()
       (shingles, hashes)
-    })
+    }
 
   /** (doc_id, h) — one row per distinct 3-word shingle, h = h60 mod P;
     * served from the session memo. */
@@ -358,13 +360,13 @@ object Dedup {
     * alongside its corpus; the memo is its single-JVM analog. d7 itself
     * deliberately bypasses it (build op — see [[dupClusters]]). */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new BoundedMemo[(SparkSession, String, Double), DataFrame](8)(BoundedMemo.unpersistDf)
 
   private[graft] def clusterLabelsFor(spark: SparkSession, dir: String, tau: Double): DataFrame =
-    labelCache.computeIfAbsent((spark, dir, tau), { _ =>
+    labelCache.getOrElseUpdate((spark, dir, tau)) {
       connectedComponents(minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b")))
         .localCheckpoint()
-    })
+    }
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)` →
     * `(id, label)` with label = min id in the component. Reusable by any

@@ -229,14 +229,14 @@ object Ivf {
     * training run under the query that IS training. Driver state per entry
     * is K×d doubles; entries die with the session. */
   private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[(Long, Array[Double])]]()
+    new BoundedMemo[(SparkSession, String, Int), Array[(Long, Array[Double])]](8)(_ => ())
 
   private[graft] def trainedCentroidsFor(spark: SparkSession, dir: String,
                                              iters: Int): Array[(Long, Array[Double])] =
-    trainedCache.computeIfAbsent((spark, dir, iters), { _ =>
+    trainedCache.getOrElseUpdate((spark, dir, iters)) {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
       try trainCentroids(spark, emb, iters) finally emb.unpersist()
-    })
+    }
 
   def kmeans(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     Graft.init(spark)
@@ -327,23 +327,27 @@ object Ivf {
   def searchTrained(spark: SparkSession, dir: String, k: Int = 10,
                     nQueries: Int = 8, iters: Int = 5): DataFrame = {
     Graft.init(spark)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
-    try {
-      val mat = trainedCentroidsFor(spark, dir, iters)
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // NO corpus-wide cache here: training caches its own scan inside
+    // trainedCentroidsFor (where each Lloyd's iteration re-reads it), but
+    // the returned SEARCH plan executes after this function returns — a
+    // cache scoped to this body would be unpersisted before the first
+    // query byte is read, and at 100 TB a corpus-wide cache is eviction
+    // churn at best. The assignment/rerank arms read the columnar scan.
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = trainedCentroidsFor(spark, dir, iters)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-      val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
 
-      val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
-        .select(col("qid"), col("vec_id"))
-        .join(emb, Seq("vec_id"))
-        .join(broadcast(queries), Seq("qid"))
-        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-        .select(col("qid"), col("vec_id"), col("score"))
+    val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
 
-      Knn.topkPerQuery(scored, "cosine", k)
-    } finally emb.unpersist()
+    Knn.topkPerQuery(scored, "cosine", k)
   }
 
   /** DuckDB replay of [[searchTrained]] (and [[Persist.trainedIvfPersistSearch]],
@@ -390,24 +394,26 @@ object Ivf {
   def searchTrainedFiltered(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
                             k: Int = 10, nQueries: Int = 8, iters: Int = 5): DataFrame = {
     Graft.init(spark)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
-    try {
-      val mat = trainedCentroidsFor(spark, dir, iters)
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
-      // fresh scan with the label predicate so it pushes to parquet
-      val candidates = Tables.embeddings(spark, dir)
-        .filter(col("label").isin(labels: _*))
-        .select(col("vec_id"), col("embedding"))
-      val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
-        .select(col("qid"), col("vec_id"))
-        .join(candidates, Seq("vec_id"))
-        .join(broadcast(queries), Seq("qid"))
-        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-        .select(col("qid"), col("vec_id"), col("score"))
-      Knn.topkPerQuery(scored, "cosine", k)
-    } finally emb.unpersist()
+    // query/assignment side — uncached (see searchTrained: a body-scoped
+    // corpus cache would die before the returned plan runs, and the 100×
+    // intent is that ONLY the candidate scan below touches the corpus
+    // with its pushed label predicate)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = trainedCentroidsFor(spark, dir, iters)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    // fresh scan with the label predicate so it pushes to parquet
+    val candidates = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding"))
+    val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+      .join(candidates, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k)
   }
 
   def searchTrainedFilteredOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10,

@@ -97,13 +97,14 @@ object IvfPq {
     * same training. rsub is localCheckpointed (the codebook trainer's
     * iterations, the encode pass, and both callers re-read it); driver
     * state per entry is K×d + M×K×Sub doubles. */
-  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+  private val trainedCache = new BoundedMemo[
     (SparkSession, String, Int),
-    (Array[(Long, Array[Double])], DataFrame, Map[Long, Array[Array[Double]]])]()
+    (Array[(Long, Array[Double])], DataFrame, Map[Long, Array[Array[Double]]])](8)(
+    v => BoundedMemo.unpersistDf(v._2))
 
   private def trainedQuantizers(spark: SparkSession, dir: String, iters: Int)
       : (Array[(Long, Array[Double])], DataFrame, Map[Long, Array[Array[Double]]]) =
-    trainedCache.computeIfAbsent((spark, dir, iters), { _ =>
+    trainedCache.getOrElseUpdate((spark, dir, iters)) {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
       try {
         val mat = Ivf.trainedCentroidsFor(spark, dir, iters)
@@ -111,7 +112,7 @@ object IvfPq {
         val cb = Pq.trainCodebooks(rsub.select(col("vec_id"), col("m"), col("sv")), iters)
         (mat, rsub, cb)
       } finally emb.unpersist()
-    })
+    }
 
   /** The IVFADC tail shared by the fixed-quantizer ([[search]]) and
     * trained ([[searchTrained]]) paths: map-only grouped-argmin encode,

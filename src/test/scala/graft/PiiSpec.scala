@@ -159,10 +159,16 @@ class PiiSpec extends GraftSuite {
     val rows = operators.Dedup.splitLeakage(spark, sf)
       .select("doc_a", "doc_b", "split_a", "split_b")
       .as[(Long, Long, String, String)].collect()
-    val label = spark.range(0, 2000)
+    // label domain derived FROM the corpus (not a hardcoded id ceiling — a
+    // regenerated larger testdata must fail a named assert, not a Map miss)
+    val maxId = graft.sources.Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).as[Long].head()
+    val label = spark.range(0, maxId + 1)
       .select(col("id"), Text.splitLabel(col("id")).as("s"))
       .as[(Long, String)].collect().toMap
     rows.foreach { case (a, b, sa, sb) =>
+      assert(label.contains(a) && label.contains(b),
+        s"pair ($a,$b) outside corpus id domain [0,$maxId]")
       assert(sa !== sb)
       assert(label(a) === sa && label(b) === sb)
     }
