@@ -392,9 +392,13 @@ object Text {
     * proves the two regex dialects agree that the rewrite is the identity;
     * the redaction semantics themselves are spec-gated on PII-laden docs
     * (`PiiSpec`). */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val staged = PiiPatterns.foldLeft(
-      Tables.documents(spark, dir).withColumn("t", col("text"))) {
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactFrame(Tables.documents(spark, dir))
+
+  /** The staged redaction chain over any (doc_id, text) frame — shared by
+    * t17 (reference corpus) and t17b (the PII-laden live corpus). */
+  private[graft] def piiRedactFrame(docs: DataFrame): DataFrame = {
+    val staged = PiiPatterns.foldLeft(docs.withColumn("t", col("text"))) {
       case (df, (name, pat, tok)) =>
         df.withColumn(s"n_$name", size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long"))
           .withColumn("t", regexp_replace(col("t"), pat, tok))
@@ -406,10 +410,13 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val piiRedactOracle: String = {
+  /** The staged-CTE oracle replay of [[piiRedactFrame]] over `src` (a table
+    * name or CTE with (doc_id, text)); `withPrefix` lets callers prepend
+    * their own corpus-defining CTEs to the WITH chain. */
+  private def piiRedactOracleFrom(src: String, withPrefix: String = ""): String = {
     // one CTE per stage: count on the incoming text, then rewrite it
     val stages = PiiPatterns.zipWithIndex.map { case ((name, pat, tok), i) =>
-      val prev = if (i == 0) "documents" else s"s${i - 1}"
+      val prev = if (i == 0) src else s"s${i - 1}"
       val prevCol = if (i == 0) "text" else "t"
       val carried = PiiPatterns.take(i).map { case (n, _, _) => s"n_$n, " }.mkString
       s"""s$i AS (SELECT doc_id, $carried
@@ -418,10 +425,88 @@ object Text {
     }
     val last = s"s${PiiPatterns.size - 1}"
     val ns = PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")
-    s"""WITH ${stages.mkString(",\n")}
+    s"""WITH $withPrefix${stages.mkString(",\n")}
        |SELECT doc_id, $ns, length(t)::BIGINT AS n_chars_redacted,
        |       CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS redacted_h
        |FROM $last ORDER BY doc_id""".stripMargin
+  }
+
+  val piiRedactOracle: String = piiRedactOracleFrom("documents")
+
+  /** Size of the t17b synthetic PII corpus. */
+  val PiiCorpusN: Long = 200L
+
+  /** The t17b corpus: `PiiCorpusN` tickets whose text embeds synthetic
+    * emails / IPv4s / phone numbers (both separators) by pure INTEGER
+    * arithmetic on the row id — deterministic, engine-portable, and
+    * replayable as a `generate_series` CTE by the DuckDB oracle. Roughly a
+    * third of each kind is withheld (and every tenth doc carries a second
+    * email) so the redaction counts vary per row: 0s, 1s and 2s all occur,
+    * which is what makes the t17b gate non-vacuous. */
+  private[graft] def piiCorpus(spark: SparkSession, n: Long = PiiCorpusN): DataFrame = {
+    val i = col("id")
+    def s(c: Column): Column = c.cast("string")
+    def sep: Column = when(i % 2 === 0, "-").otherwise(".")
+    val email = when(i % 3 =!= 2,
+      concat(lit("user"), s(i), lit(".x"), s(i % 7), lit("@mail"), s(i % 5),
+        lit(".example.com"))).otherwise("nobody")
+    val cc = when(i % 10 === 0,
+      concat(lit(" cc r"), s(i), lit("@a"), s(i % 3), lit(".net"))).otherwise("")
+    val ip = when(i % 4 =!= 3,
+      concat(lit("10."), s((i * 7) % 256), lit("."), s((i * 13) % 256), lit("."),
+        s((i * 29) % 251))).otherwise("local")
+    val phone = when(i % 5 =!= 4,
+      concat(s(i % 900 + 100), sep, s((i * 3) % 800 + 200), sep, s((i * 17) % 9000 + 1000)))
+      .otherwise("n/a")
+    val text = concat(lit("Ticket "), s(i), lit(": contact "), email, cc,
+      lit(" host "), ip, lit(" dial "), phone, lit(" end"))
+    spark.range(0, n).select(
+      col("id").as("doc_id"), text.as("text"),
+      when(i % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("pii").as("source"), length(text).cast("long").as("n_chars"))
+  }
+
+  /** t17b: PII redaction gated on a corpus that actually CONTAINS PII —
+    * t17's green row on the reference corpus only proves the two regex
+    * dialects agree the rewrite is the identity (it has no PII to scrub).
+    * Here the deterministic [[piiCorpus]] is written as JSON Lines (the
+    * reference's ingest wire format), re-ingested through
+    * [[Tables.documentsFromJson]]'s explicit-schema FAILFAST reader, and
+    * scrubbed with the UNCHANGED [[piiRedactFrame]] chain — so the hash
+    * the driver gates covers real replacements (nonzero n_email / n_ip /
+    * n_phone on most rows) plus the full JSONL ingest plumbing. The
+    * oracle regenerates the same corpus from `generate_series` and
+    * replays the same chain: corpus construction and redaction are BOTH
+    * independently recomputed, nothing flows Spark→oracle. Map-only on
+    * the ingested scan, like t17. */
+  def piiRedactLive(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_pii_jsonl"
+    piiCorpus(spark).coalesce(1).write.mode("overwrite").json(path)
+    piiRedactFrame(Tables.documentsFromJson(spark, path))
+  }
+
+  val piiRedactLiveOracle: String = {
+    def s(x: String) = s"CAST($x AS VARCHAR)"
+    val sep = "(CASE WHEN i % 2 = 0 THEN '-' ELSE '.' END)"
+    val corpus =
+      s"""pii AS (SELECT i AS doc_id,
+         |  'Ticket ' || ${s("i")} || ': contact ' ||
+         |  CASE WHEN i % 3 <> 2 THEN 'user' || ${s("i")} || '.x' || ${s("i % 7")} ||
+         |       '@mail' || ${s("i % 5")} || '.example.com' ELSE 'nobody' END ||
+         |  CASE WHEN i % 10 = 0 THEN ' cc r' || ${s("i")} || '@a' || ${s("i % 3")} ||
+         |       '.net' ELSE '' END ||
+         |  ' host ' ||
+         |  CASE WHEN i % 4 <> 3 THEN '10.' || ${s("(i * 7) % 256")} || '.' ||
+         |       ${s("(i * 13) % 256")} || '.' || ${s("(i * 29) % 251")} ELSE 'local' END ||
+         |  ' dial ' ||
+         |  CASE WHEN i % 5 <> 4 THEN ${s("i % 900 + 100")} || $sep ||
+         |       ${s("(i * 3) % 800 + 200")} || $sep || ${s("(i * 17) % 9000 + 1000")}
+         |       ELSE 'n/a' END ||
+         |  ' end' AS text
+         |FROM generate_series(0, ${PiiCorpusN - 1}) t(i)),
+         |""".stripMargin
+    piiRedactOracleFrom("pii", corpus)
   }
 
   /** t18: mixture rebalancing — downsample every language to the SMALLEST

@@ -76,6 +76,28 @@ class PiiSpec extends GraftSuite {
     once.foreach { case (id, t) => assert(again(id) === t, s"doc $id not idempotent") }
   }
 
+  test("t17b's gate is non-vacuous: the live corpus drives real redactions") {
+    val rows = Text.piiRedactLive(spark, sf)
+      .select("doc_id", "n_email", "n_ip", "n_phone")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length.toLong === Text.PiiCorpusN)
+    // every PII kind fires, counts vary (0s and >0s both present), and the
+    // doc with a second email reports 2
+    for ((name, get) <- Seq[(String, ((Long, Long, Long, Long)) => Long)](
+        ("email", _._2), ("ip", _._3), ("phone", _._4))) {
+      assert(rows.map(get).sum > 0, s"no $name redactions — gate vacuous")
+      assert(rows.exists(get(_) === 0L), s"every doc has a $name — no negative cases")
+    }
+    assert(rows.find(_._1 === 0L).get._2 === 2L) // doc 0: primary + cc email
+    // JVM recompute of doc 1's chain as ground truth
+    val t1 = "Ticket 1: contact user1.x1@mail1.example.com host 10.7.13.29 dial 101.203.1017 end"
+    var t = t1
+    val expected = Text.PiiPatterns.map { case (_, pat, tok) =>
+      val n = pat.r.findAllIn(t).length.toLong; t = t.replaceAll(pat, tok); n
+    }
+    assert(rows.find(_._1 === 1L).get === ((1L, expected(0), expected(1), expected(2))))
+  }
+
   test("d11 keeps a member of each cluster with the cluster-max quality") {
     val kept = operators.Dedup.keepBestCopy(spark, sf)
       .select("cluster_id", "kept_doc_id", "kept_quality")
