@@ -94,6 +94,27 @@ object Dedup {
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     corpusShingles(spark, dir)._2
 
+  /** The PERSISTED distinct shingle-hash table, bucketed+sorted by `h` —
+    * the on-disk form of [[corpusShingles]]'s in-flight memo and the
+    * artifact a 100 TB dedup deployment maintains next to its corpus (the
+    * p2 band-table convention applied to raw shingle hashes). Bucketing by
+    * `h` is the load-bearing choice: d6's df-cap count window and its
+    * candidate self-join BOTH cluster on `h`, so every consumer reads the
+    * table pre-shuffled — the tokenize+hash+distinct corpus pass is paid
+    * once per (session, corpus), at build, not per query. The table name
+    * carries a corpus-dir fingerprint so two dirs served by one session
+    * (the bench's dual-SF pass) can never read each other's artifact. */
+  private val shingleIndexCache =
+    new BoundedMemo[(SparkSession, String), DataFrame](4)(_ => ())
+
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    shingleIndexCache.getOrElseUpdate((spark, dir)) {
+      val table = "graft_idx_shingles_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      Persist.materializeBucketed(spark, shingleHashes(spark, dir).distinct(),
+        table, 8, Seq("h"))
+    }
+
   /** d1: exact-dup accounting per source via text hash. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -292,16 +313,13 @@ object Dedup {
     * backfires — dfCap=5 shrinks set sizes so far that one shared rare
     * shingle clears τ, 29× more pairs, all noise.) */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame = {
-    // the corpus pass comes from the session memo; the distinct (h60
-    // collisions within a doc would double-count — both engines dedup) is
-    // re-materialized because three consumers read it: the df-cap branch,
-    // the sizes branch, and both sides of the pair self-join
-    val sh = shingleHashes(spark, dir)
-      .distinct()
-      .localCheckpoint()
-    // df-cap as a COUNT WINDOW over h: one shuffle that both filters hot
-    // shingles and leaves `kept` hash-partitioned by h — exactly the
-    // clustering the pair self-join below needs, so it adds no exchange
+    // served from the PERSISTED bucketed shingle table (distinct applied at
+    // build — h60 collisions within a doc would double-count; both engines
+    // dedup): the tokenize+hash pass that used to be rebuilt per run is now
+    // the standing artifact, and because the table is bucketed by `h`, the
+    // df-cap window AND both sides of the pair self-join read it already
+    // clustered — zero exchanges until the per-pair aggregates
+    val sh = shingleIndex(spark, dir)
     val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap).drop("df")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -45,8 +45,8 @@ object Persist {
   }
 
   /** Rewrite `df` as a bucketed+sorted catalog table and reload it. */
-  private def materializeBucketed(spark: SparkSession, df: DataFrame, table: String,
-                                  buckets: Int, bucketCols: Seq[String]): DataFrame = {
+  private[operators] def materializeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                                             buckets: Int, bucketCols: Seq[String]): DataFrame = {
     dropIndexTable(spark, table)
     df.write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

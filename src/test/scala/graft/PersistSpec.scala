@@ -222,6 +222,22 @@ class PersistSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("d6 serves from the bucketed shingle artifact: no exchange feeds the df-cap window") {
+    val df = Dedup.ngramJaccard(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"),
+      s"d6 no longer reads the bucketed shingle table:\n${plan.take(1200)}")
+    assert(plan.contains("graft_idx_shingles_"),
+      "d6 should scan the persisted shingle artifact")
+    // the only shuffles are the two per-key aggregates (pair counts, doc
+    // sizes) and the output sort — the window and self-join consume the
+    // bucket clustering straight off the scan
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).length
+    assert(shuffles <= 3,
+      s"expected ≤3 shuffle exchanges (2 aggs + sort), got $shuffles:\n${plan.take(1200)}")
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
