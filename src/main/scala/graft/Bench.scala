@@ -188,7 +188,7 @@ object Bench {
       "v19c_ivfpq_persist",
       "d8_dedup_incremental",
       "p1_lsh_persist_search", "p2_minhash_persist_pairs",
-      "p3_ivf_persist_search", "p4_lsh_incremental")
+      "p3_ivf_persist_search", "p4_lsh_incremental", "p5_labels_persist")
       .filter(results.toMap.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

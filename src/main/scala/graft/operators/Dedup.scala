@@ -516,8 +516,14 @@ object Dedup {
     * window, no second corpus pass. Quality doubles compare exactly in
     * both engines (t2's gate proves the formula bit-identical), so the
     * selection — and the emitted score — hash-gates. */
-  def keepBestCopy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val clusters = dupClustersFrom(clusterLabelsFor(spark, dir, tau))
+  def keepBestCopy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    keepBestCopyFrom(spark, dir, clusterLabelsFor(spark, dir, tau))
+
+  /** [[keepBestCopy]] over an explicit (id, label) table — lets p5 drive
+    * the identical selection from the RELOADED persisted label table. */
+  private[graft] def keepBestCopyFrom(spark: SparkSession, dir: String,
+                                      labels: DataFrame): DataFrame = {
+    val clusters = dupClustersFrom(labels)
     val quality = Text.qualityFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("quality"))
     clusters

@@ -617,4 +617,26 @@ object Persist {
   def lshIncrementalSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4,
                                  nBits: Int = 12, seed: Long = 5000): String =
     Lsh.searchOracle(k, nQueries, nTables, nBits, seed)
+
+  /** p5: cluster-label persistence — the duplicate-cluster label table
+    * (d7's connected-components output, the artifact every curation
+    * pipeline maintains BETWEEN runs) materialized as a catalog table
+    * bucketed+sorted by `id`, reloaded, and exercised: the reloaded labels
+    * drive d11's keep-best-copy selection, which must equal the
+    * fresh-label result bit-for-bit (oracle = d11's). Bucketing by `id`
+    * is the serving layout — label lookups and corpus join-backs key on
+    * doc_id, so a co-bucketed consumer reads the table with no label-side
+    * shuffle (plan-asserted in PersistSpec). At 100 TB the label table is
+    * edge-sized (only clustered docs appear) and this is the p1–p4
+    * convention applied to the THIRD dedup artifact: shingles (d6's
+    * table), band keys (p2), and now labels. */
+  def labelsPersistSearch(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    Graft.init(spark)
+    val labels = Dedup.clusterLabelsFor(spark, dir, tau)
+    val persisted = materializeBucketed(spark, labels, "graft_idx_cc_labels", 8, Seq("id"))
+    Dedup.keepBestCopyFrom(spark, dir, persisted)
+  }
+
+  /** Oracle = d11's fresh-label selection: persistence must be invisible. */
+  def labelsPersistSearchOracle(tau: Double = 0.5): String = Dedup.keepBestCopyOracle(tau)
 }

@@ -238,6 +238,31 @@ class PersistSpec extends GraftSuite {
       s"expected ≤3 shuffle exchanges (2 aggs + sort), got $shuffles:\n${plan.take(1200)}")
   }
 
+  test("p5: persisted labels reproduce d11 exactly; join-back shuffles only the corpus side") {
+    val fresh = rows(Dedup.keepBestCopy(spark, sf))
+    val persisted = rows(Persist.labelsPersistSearch(spark, sf))
+    assert(persisted === fresh, "reloaded label table changed the d11 selection")
+
+    // join-back layout claim: labels bucketed by id stream into a
+    // sort-merge join with NO label-side exchange — only the (unbucketed)
+    // corpus quality projection shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val labels = spark.table("graft_idx_cc_labels")
+      val quality = graft.operators.Text.qualityFrame(
+        graft.sources.Tables.documents(spark, sf))
+        .select(col("doc_id").as("id"), col("quality"))
+      val joined = labels.join(quality, Seq("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"label table not read through its buckets:\n${plan.take(1000)}")
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).length
+      assert(shuffles <= 1,
+        s"expected ≤1 shuffle (corpus side only), got $shuffles:\n${plan.take(1000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
