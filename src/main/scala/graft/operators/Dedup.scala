@@ -592,6 +592,74 @@ object Dedup {
        |      FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d13: bucket-skew audit — the accounting a dedup pipeline runs to
+    * find boilerplate buckets BEFORE they quadratic-join (it is exactly
+    * this histogram that justifies d6's df-cap and the banding
+    * parameters). The bucket key is derived deterministically from the
+    * corpus with a planted pathology: every 5th doc lands in ONE bucket
+    * (20% of the corpus — the "every page shares the site footer" shape),
+    * the rest spread over 97 tail buckets. Each document is then
+    * ANNOTATED with its bucket's document frequency by an equi-join
+    * against the bucket-stats table — the skewed join an equi-join dedup
+    * pipeline actually faces (the hot bucket's docs all hash to one
+    * reduce partition), and the scalable alternative to a count-window
+    * over the same key: AQE can runtime-split a skewed JOIN partition,
+    * but a skewed window partition is one task forever.
+    *
+    * Scale shape: `hint("merge")` pins sort-merge (the stats table has
+    * one row per distinct key — corpus-scale for shingle keys, so
+    * broadcast is not an option at 100 TB and would dodge the skew
+    * here), and AQE's skew-join machinery then splits the hot partition
+    * at runtime — `skew=true`, asserted in PersistSpec on this same
+    * function (with `forceOptimizeSkewedJoin`, needed whenever a partial
+    * aggregate rides the join's stage, plus test-scale thresholds).
+    * Output is two rows of exact integers (hot vs tail: docs, buckets,
+    * max df, implied candidate-pair volume, char mass) — the skewed plan
+    * hash-gates, and splitting may not change a bit of it. */
+  def skewPairs(spark: SparkSession, dir: String): DataFrame = {
+    // doc_id repartition: the one-file test corpus gives the scan ONE map
+    // task, and AQE splits a skewed reduce partition by MAPPER ranges — a
+    // single mapper is unsplittable no matter the thresholds (at 100 TB
+    // the scan has thousands of mappers and this is just pre-clustering,
+    // the corpusShingles precedent)
+    val kd = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(-1L)).otherwise(col("doc_id") % 97).as("k"),
+        col("n_chars"))
+    // per-bucket document frequency — at 100 TB this is the PERSISTED
+    // bucket-stats table (one row per distinct key: corpus-scale for
+    // shingle keys, hence the merge hint below — broadcast is impossible
+    // there and would dodge the skew here). Materializing it also puts a
+    // plain shuffle directly under the join, the shape AQE's skew rule
+    // pattern-matches (sort-over-shuffle on both sides).
+    val stats = kd.groupBy(col("k")).agg(count(lit(1)).as("df_k")).localCheckpoint()
+    kd.hint("merge").join(stats.hint("merge"), Seq("k"))
+      .groupBy((col("k") === -1L).as("hot"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("k")).as("n_buckets"),
+        max(col("df_k")).as("max_df"),
+        expr("CAST(sum(df_k - 1) div 2 AS BIGINT)").as("n_pairs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("hot")
+  }
+
+  def skewPairsOracle(): String =
+    """WITH kd AS (SELECT doc_id,
+      |                   CASE WHEN doc_id % 5 = 0 THEN -1 ELSE doc_id % 97 END AS k,
+      |                   n_chars
+      |            FROM documents),
+      |stats AS (SELECT k, count(*) AS df_k FROM kd GROUP BY k),
+      |a AS (SELECT kd.doc_id, kd.k, kd.n_chars, stats.df_k
+      |      FROM kd JOIN stats USING (k))
+      |SELECT (k = -1) AS hot, count(*)::BIGINT AS n_docs,
+      |       count(DISTINCT k)::BIGINT AS n_buckets, max(df_k)::BIGINT AS max_df,
+      |       (sum(df_k - 1) // 2)::BIGINT AS n_pairs,
+      |       sum(n_chars)::BIGINT AS sum_chars
+      |FROM a GROUP BY 1 ORDER BY hot""".stripMargin
+
   /** d9: benchmark decontamination — the train/eval overlap check every
     * serious training-data pipeline runs before a corpus ships (the
     * n-gram-collision recipe of GPT-3 appendix C / Dolma §4: a training

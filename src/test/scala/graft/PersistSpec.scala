@@ -304,4 +304,40 @@ class PersistSpec extends GraftSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("d13: the gated skew query splits its hot bucket under production AQE thresholds") {
+    // the hot bucket needs enough BYTES to clear a skew threshold — use the
+    // sf0.01 corpus (hot bucket = 100 docs), not the 50-doc test default
+    val skewSf = "/root/testdata/sf0.01"
+    // baseline result under default conf (what the driver gate sees)
+    val baseline = rows(Dedup.skewPairs(spark, skewSf))
+    // the SAME query function, with skew thresholds scaled to test-corpus
+    // bytes (a production job sets the same knobs in MB): the hinted
+    // sort-merge self-join must be runtime-split on the planted hot
+    // bucket — and splitting may not change a single output row
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the partial agg riding the join's stage makes the split "add a
+      // shuffle" in the rule's accounting — production jobs running this
+      // report shape set force, exactly as documented on the operator
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128b")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Dedup.skewPairs(spark, skewSf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"),
+        s"d13's self-join must sort-merge (broadcast dodges the skew):\n${plan.take(1000)}")
+      assert(plan.contains("skew=true"),
+        s"hot bucket not runtime-split:\n${plan.take(1200)}")
+      assert(rows(df) === baseline, "skew splitting changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
