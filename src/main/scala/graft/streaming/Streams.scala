@@ -170,6 +170,107 @@ object Streams {
       .toDF()
   }
 
+  /** [[funnelOoo]]'s per-user state. Two phases: while OPEN, `tv` is the
+    * earliest view seen so far (MaxValue = none yet) and `clicks` /
+    * `purchases` buffer the times that could still qualify; once
+    * FINALIZED the buffers are dropped and the record is a 3-long
+    * tombstone that suppresses re-emission. Buffers are BOUNDED by
+    * construction: a click can only qualify in (tv, tv+W] and tv only
+    * ever shrinks, so anything > tv+W (resp. tv+2W for purchases) is
+    * pruned on arrival and on every tv improvement; with no view yet the
+    * buffers are bounded by the watermark horizon — a click older than
+    * the watermark can never pair with a future view, because that view
+    * would itself be beyond-watermark late. */
+  case class FunnelBuf(finalized: Boolean, tv: Long, clicks: Seq[Long],
+                       purchases: Seq[Long], lastMs: Long)
+
+  /** [[FunnelEvent]] + the event-time column: the watermark's column must
+    * survive into the stateful operator's child plan for EventTimeTimeout
+    * to resolve, so the typed row carries it. */
+  case class OooFunnelEvent(user_id: Long, event_type: String, ms: Long,
+                            ts_us: java.sql.Timestamp)
+
+  /** s12: OUT-OF-ORDER streaming funnel — e6 under the arrival order real
+    * event streams actually have. [[funnelStateful]]'s fire-once
+    * transitions are only correct in-order (a late earlier `view` must
+    * re-open stage 1); here nothing is decided until it is SAFE to
+    * decide: events buffer per user (pruned to what could still qualify,
+    * see [[FunnelBuf]]) and the funnel is evaluated ONCE, when the
+    * event-time watermark passes `lastMs + 2W` — beyond which no
+    * non-late event can change any stage (tp ≤ tc+W ≤ tv+2W ≤ lastMs+2W,
+    * and a view lowering tv would be older still). Emission is
+    * append-mode, one final row per user; post-finalization events hit
+    * the tombstone and change nothing (batch e6's global-min-view rule
+    * means a later episode cannot alter the stages either). Events later
+    * than the watermark allows are dropped by Spark's standard late-data
+    * filter — the same contract every watermarked operator here has.
+    * StreamingMultiBatchSpec shuffles the corpus across micro-batches
+    * and asserts streamed ≡ batch e6 exactly, each user emitted once. */
+  def funnelOoo(spark: SparkSession,
+                events: org.apache.spark.sql.Dataset[FunnelEvent],
+                windowMs: Long = 86400000L, delay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val evs = events.toDF()
+      .withColumn("ts_us", timestamp_micros(col("ms") * 1000))
+      .withWatermark("ts_us", delay)
+      .as[OooFunnelEvent]
+
+    def stageOf(b: FunnelBuf): Long = {
+      val tv = if (b.tv == Long.MaxValue) None else Some(b.tv)
+      val tc = tv.flatMap(t => b.clicks.filter(m => m > t && m <= t + windowMs)
+        .minOption)
+      val tp = tc.flatMap(t => b.purchases.filter(m => m > t && m <= t + windowMs)
+        .minOption)
+      if (tp.isDefined) 3L else if (tc.isDefined) 2L else if (tv.isDefined) 1L else 0L
+    }
+
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelState](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            // tombstone: stage is immutable now — drop the buffers, keep
+            // the mark so later-episode events cannot re-emit the user
+            state.update(FunnelBuf(finalized = true, b.tv, Nil, Nil, b.lastMs))
+            Iterator(FunnelState(uid, stageOf(b)))
+          } else {
+            val b0 = state.getOption.getOrElse(
+              FunnelBuf(finalized = false, Long.MaxValue, Nil, Nil, Long.MinValue))
+            if (b0.finalized) Iterator.empty
+            else {
+              var tv = b0.tv
+              var clicks = b0.clicks
+              var purchases = b0.purchases
+              var lastMs = b0.lastMs
+              it.foreach { e =>
+                e.event_type match {
+                  case "view" if e.ms < tv =>
+                    tv = e.ms
+                    clicks = clicks.filter(_ <= tv + windowMs)
+                    purchases = purchases.filter(_ <= tv + 2 * windowMs)
+                  case "click" if tv == Long.MaxValue || e.ms <= tv + windowMs =>
+                    clicks = e.ms +: clicks
+                  case "purchase" if tv == Long.MaxValue || e.ms <= tv + 2 * windowMs =>
+                    purchases = e.ms +: purchases
+                  case _ =>
+                }
+                if (e.ms > lastMs) lastMs = e.ms
+              }
+              state.update(FunnelBuf(finalized = false, tv, clicks, purchases, lastMs))
+              // finalize when the watermark clears the last time anything
+              // could still qualify (must arm strictly above the current
+              // watermark — an already-cleared horizon fires next batch)
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 2 * windowMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup — the in-flight half of the d1 operator: drop
     * rows whose dedup key was already seen, with watermark-bounded state
     * (`dropDuplicatesWithinWatermark` keeps a key in state only until the

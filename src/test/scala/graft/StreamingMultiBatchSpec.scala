@@ -374,6 +374,54 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s12 out-of-order streaming funnel: SHUFFLED micro-batches == batch e6, one row per user") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 86400000L
+    val evs = Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select($"user_id", $"event_type", $"ms")
+      .as[Streams.FunnelEvent].collect()
+    // deterministic SCRAMBLE of time order, within and across micro-batches
+    val shuffled = evs.sortBy(e =>
+      scala.util.hashing.MurmurHash3.productHash((e.user_id, e.ms, e.event_type)))
+    val msMin = evs.map(_.ms).min
+    val msMax = evs.map(_.ms).max
+    // watermark delay spans the corpus so the scramble drops nothing
+    val delaySec = (msMax - msMin) / 1000 + 1
+    val cut1 = shuffled.length / 3
+    val cut2 = 2 * shuffled.length / 3
+    val stream = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelOoo(spark, stream.toDS(), W, s"$delaySec seconds")
+    val q = out.writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append").start()
+    try {
+      Seq(shuffled.slice(0, cut1), shuffled.slice(cut1, cut2),
+        shuffled.slice(cut2, shuffled.length)).foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+      }
+      // two sentinel events push the watermark past every user's
+      // lastMs + 2W finalization horizon (watermark advances at batch
+      // end; timeouts fire in the batch AFTER it advances)
+      val sentinelMs = msMax + 2 * W + delaySec * 1000L + 3600000L
+      stream.addData(Seq(Streams.FunnelEvent(-1L, "view", sentinelMs)))
+      q.processAllAvailable()
+      stream.addData(Seq(Streams.FunnelEvent(-2L, "view", sentinelMs + 1)))
+      q.processAllAvailable()
+
+      val emitted = spark.table("funnel_ooo").filter($"user_id" >= 0)
+      // exactly one final row per user — append-mode, finalized once
+      assert(emitted.groupBy($"user_id").count().filter($"count" > 1).isEmpty,
+        "a user was finalized more than once")
+      val streamed = emitted
+        .groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long)].collect().toSet
+      val batch = operators.Events.funnelStages(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"out-of-order streaming funnel diverged: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV cardinality: merged micro-batch sketch == one-shot batch sketch, replay-idempotent") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_kmv_stream_state"
