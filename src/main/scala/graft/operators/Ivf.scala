@@ -191,6 +191,52 @@ object Ivf {
       .orderBy("qid", "vec_id")
   }
 
+  /** v27: IVF probe search for the external query WORKLOAD table
+    * ([[Knn.queryTable]]) — the same probe-and-rerank plan as [[search]],
+    * with the query side coming from its own artifact instead of a
+    * corpus prefix: the workload scans as a tiny broadcast table, its
+    * probes are computed against the broadcast centroids, and the
+    * candidate path is unchanged. Together with v26 this retires the
+    * `vec_id < Q` prefix as the only modeled query source. */
+  def workloadSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = collectCentroids(centroidsFixed(spark, dir))
+    val queries = Knn.queryTable(spark, dir)
+
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    val candidates = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+
+    val scored = candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def workloadSearchOracle(k: Int = 10): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
+       |q AS (${Knn.queryTableSql()}),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= $Probes),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   def rangeSearchOracle(tau: Double = 0.2, nQueries: Int = 8): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),

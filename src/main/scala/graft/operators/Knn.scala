@@ -31,6 +31,48 @@ object Knn {
     topkPerQuery(scoreAll(emb, queries, metric), metric, k)
   }
 
+  /** The EXTERNALIZED query workload: production searches arrive as their
+    * own (tiny, broadcast) table — a query log, an eval set — not as a
+    * corpus prefix, which is what every other search here uses as its
+    * test convention (`vec_id < Q`). The workload is derived by a pure
+    * content hash (~2% of vectors, the t8/t18 sampling rule), WRITTEN as
+    * its own parquet artifact and read back, so consumers plan against
+    * exactly what a real external workload file gives them: a scan of an
+    * unknown-content table, broadcast into the search — no correlation
+    * with corpus layout, no prefix pushdown to lean on. The DuckDB
+    * oracle re-derives the same set from the hash rule. */
+  def queryTable(spark: SparkSession, dir: String, mod: Long = 50L): DataFrame = {
+    Graft.init(spark)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_query_workload"
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .filter(Dedup.h60(concat(lit("qry:"), col("vec_id").cast("string"))) % mod === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The workload table as an oracle CTE body (same hash rule). */
+  private[operators] def queryTableSql(mod: Long = 50L): String =
+    "SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings " +
+      s"WHERE (CAST('0x' || substr(md5('qry:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0"
+
+  /** v26: flat kNN served for the external query workload table. */
+  def workloadSearch(spark: SparkSession, dir: String, metric: String = "cosine",
+                     k: Int = 10): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    topkPerQuery(scoreAll(emb, queryTable(spark, dir), metric), metric, k)
+  }
+
+  def workloadSearchOracle(k: Int = 10): String =
+    s"""WITH q AS (${queryTableSql()}),
+       |s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v16: metadata-filtered kNN — the reference's `metadata_filters` search
     * parameter (declared at app/core/models.py:48 and on every index
     * `search` signature, e.g. flat.py:46; left TODO there — implemented for
