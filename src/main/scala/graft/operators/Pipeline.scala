@@ -167,6 +167,83 @@ object Pipeline {
        |       round(score, 4) AS score
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** The f4 kept-set: every unclustered doc plus each duplicate cluster's
+    * highest-quality member (d11's argmax rule) — the corpus a release
+    * actually ships after near-dedup. Exposed for the leakage-free spec:
+    * because every d3 near-dup pair's endpoints share a cluster and only
+    * one member survives, the kept set contains NO near-dup pair at all —
+    * so cross-split leakage (d12) is structurally zero after this stage. */
+  private[graft] def releaseKept(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.clusterLabelsFor(spark, dir, tau)
+    val quality = Text.qualityFrame(docs).select(col("doc_id"), col("quality"))
+    // d11's keep-best argmax, reduced to the kept-id set (edge-sized)
+    val best = labels.select(col("id").as("doc_id"), col("label"))
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
+      .select((-col("b.neg")).as("doc_id"), lit(true).as("is_best"))
+    val clustered = labels.select(col("id").as("doc_id"), lit(true).as("clustered"))
+    docs
+      .join(broadcast(clustered), Seq("doc_id"), "left")
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .filter(col("clustered").isNull || col("is_best").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"))
+  }
+
+  /** f4: the RELEASE pipeline — what actually runs before a corpus ships:
+    * near-dedup with keep-BEST-copy (d7's clusters × d11's quality
+    * argmax, not f2's min-id), PII redaction of the survivors (t17's
+    * chain), t6's content-stable split, and per-(split, lang) release
+    * stats with the scrub accounting a data card reports. Composes four
+    * gated operators in ONE plan: the label/best sets are edge-sized
+    * broadcasts against a single corpus scan, redaction is map-only on
+    * the kept rows, the split is a pure hash — so the whole pipeline
+    * costs the dedup candidate pass plus one corpus scan and one final
+    * partial-agg shuffle. A structural bonus falls out: the kept set
+    * contains no near-dup pair (each pair collapsed to one member), so
+    * d12-style cross-split leakage is ZERO by construction
+    * (spec-asserted, [[releaseKept]]). */
+  def releasePipeline(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    graft.Graft.init(spark)
+    Text.piiRedactFrame(releaseKept(spark, dir, tau), carry = Seq("lang"))
+      .withColumn("split", Text.splitLabel(col("doc_id")))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_phone")).as("n_pii"),
+        sum(col("n_chars_redacted")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split", "lang")
+  }
+
+  def releasePipelineOracle(tau: Double = 0.5): String = {
+    val (stages, last) = Text.piiStageCtes("kept")
+    s"""WITH lab AS (SELECT doc_id, cluster_id FROM (${Dedup.dupClustersOracle(tau)})),
+       |q AS (SELECT doc_id, quality FROM (${Text.qualityOracle})),
+       |bst AS (SELECT kept_doc_id FROM (
+       |  SELECT l.cluster_id, q.doc_id AS kept_doc_id,
+       |         row_number() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY q.quality DESC, q.doc_id) AS rn
+       |  FROM lab l JOIN q ON l.doc_id = q.doc_id) WHERE rn = 1),
+       |kept AS (SELECT d.doc_id, d.text, d.lang
+       |         FROM documents d
+       |         LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |         LEFT JOIN bst ON d.doc_id = bst.kept_doc_id
+       |         WHERE lab.doc_id IS NULL OR bst.kept_doc_id IS NOT NULL),
+       |$stages,
+       |j AS (SELECT s.doc_id, k.lang,
+       |             s.n_email + s.n_ip + s.n_phone AS n_pii,
+       |             length(s.t)::BIGINT AS n_chars,
+       |             ${Text.splitLabelSql("s.doc_id")} AS split
+       |      FROM $last s JOIN kept k ON s.doc_id = k.doc_id)
+       |SELECT split, lang, count(*)::BIGINT AS n_docs, sum(n_pii)::BIGINT AS n_pii,
+       |       sum(n_chars)::BIGINT AS n_chars,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM j GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")

@@ -396,15 +396,17 @@ object Text {
     piiRedactFrame(Tables.documents(spark, dir))
 
   /** The staged redaction chain over any (doc_id, text) frame — shared by
-    * t17 (reference corpus) and t17b (the PII-laden live corpus). */
-  private[graft] def piiRedactFrame(docs: DataFrame): DataFrame = {
+    * t17 (reference corpus), t17b (the PII-laden live corpus) and f4 (the
+    * release pipeline, which carries `lang` through via `carry`). */
+  private[graft] def piiRedactFrame(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val staged = PiiPatterns.foldLeft(docs.withColumn("t", col("text"))) {
       case (df, (name, pat, tok)) =>
         df.withColumn(s"n_$name", size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long"))
           .withColumn("t", regexp_replace(col("t"), pat, tok))
     }
     staged.select(
-      col("doc_id") +: PiiPatterns.map { case (n, _, _) => col(s"n_$n") } :+
+      col("doc_id") +: PiiPatterns.map { case (n, _, _) => col(s"n_$n") } ++:
+        carry.map(col) :+
         length(col("t")).cast("long").as("n_chars_redacted") :+
         Dedup.h60(col("t")).as("redacted_h"): _*)
       .orderBy("doc_id")
@@ -413,8 +415,10 @@ object Text {
   /** The staged-CTE oracle replay of [[piiRedactFrame]] over `src` (a table
     * name or CTE with (doc_id, text)); `withPrefix` lets callers prepend
     * their own corpus-defining CTEs to the WITH chain. */
-  private def piiRedactOracleFrom(src: String, withPrefix: String = ""): String = {
-    // one CTE per stage: count on the incoming text, then rewrite it
+  /** The redaction stage CTEs over `src` (one per pattern: count on the
+    * incoming text, then rewrite) → (ctesText, lastCteName). Composable
+    * into any larger WITH chain (f4's release pipeline). */
+  private[operators] def piiStageCtes(src: String): (String, String) = {
     val stages = PiiPatterns.zipWithIndex.map { case ((name, pat, tok), i) =>
       val prev = if (i == 0) src else s"s${i - 1}"
       val prevCol = if (i == 0) "text" else "t"
@@ -423,9 +427,13 @@ object Text {
          |  len(regexp_extract_all($prevCol, '$pat'))::BIGINT AS n_$name,
          |  regexp_replace($prevCol, '$pat', '$tok', 'g') AS t FROM $prev)""".stripMargin
     }
-    val last = s"s${PiiPatterns.size - 1}"
+    (stages.mkString(",\n"), s"s${PiiPatterns.size - 1}")
+  }
+
+  private def piiRedactOracleFrom(src: String, withPrefix: String = ""): String = {
+    val (stages, last) = piiStageCtes(src)
     val ns = PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")
-    s"""WITH $withPrefix${stages.mkString(",\n")}
+    s"""WITH $withPrefix$stages
        |SELECT doc_id, $ns, length(t)::BIGINT AS n_chars_redacted,
        |       CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS redacted_h
        |FROM $last ORDER BY doc_id""".stripMargin

@@ -100,6 +100,36 @@ class PipelineSpec extends GraftSuite {
     assert(e.getMessage != null)
   }
 
+  test("f4: the kept set holds best copies only and is leakage-free by construction") {
+    import spark.implicits._
+    val keptIds = operators.Pipeline.releaseKept(spark, sf, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // kept = unclustered ∪ exactly one (best-quality) member per cluster
+    val labels = operators.Dedup.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val quality = operators.Text.qualityFrame(
+      graft.sources.Tables.documents(spark, sf))
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val clustered = labels.map(_._1).toSet
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      val keptMembers = members.map(_._1).filter(keptIds)
+      val bestQ = members.map(m => quality(m._1)).max
+      val expect = members.map(_._1).filter(d => quality(d) == bestQ).min
+      assert(keptMembers.toSeq === Seq(expect), s"cluster $cid kept $keptMembers")
+    }
+    assert((quality.keySet -- clustered).subsetOf(keptIds), "an unclustered doc was dropped")
+    // leakage-free: every near-dup pair lost at least one endpoint, so no
+    // pair — cross-split or otherwise — survives into the release
+    val pairs = operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(!(keptIds(a) && keptIds(b)), s"near-dup pair ($a,$b) fully survived dedup")
+    }
+    // and the released stats cover exactly the kept set
+    val total = run("f4_release_pipeline").agg(sum("n_docs")).as[Long].head()
+    assert(total === keptIds.size.toLong)
+  }
+
   test("m3 media search: binary→vector→LSH composes; self-hit at rank 1; deterministic") {
     val hits = run("m3_media_search").collect().toSeq
     assert(hits.nonEmpty)
