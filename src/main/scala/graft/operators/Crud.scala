@@ -78,6 +78,64 @@ object Crud {
        |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** c10: snapshot DIFF — the CDC between two points in time: which
+    * (user, type) keys' latest-wins state was born or changed in
+    * (T1, T2], with old/new values side by side. This is what an
+    * incremental consumer of c6 snapshots actually wants (ship the
+    * delta, not the world), and the batch twin of the streaming CDC
+    * upsert's per-batch emissions.
+    *
+    * Scale shape: ONE scan of events ≤ T2 (the cutoff pushed in the
+    * column's native type, [[Tables.eventsUpToMs]] — at 100 TB the scan
+    * reads only row groups predating T2), and ONE partial-agg groupBy:
+    * both states come from the same pass via a conditional `max(struct)`
+    * (the ≤T1 arm inside a `when`), so the diff costs one shuffle of
+    * pre-combined per-key rows — no window, no self-join of two
+    * snapshots. Ordering inside the struct is (ms, event_id) — exactly
+    * c1/c6's latest-wins rule, so a c10 'changed' row is precisely a c6
+    * state transition. Unchanged keys (no qualifying event in (T1, T2])
+    * drop out. */
+  def snapshotDiff(spark: SparkSession, dir: String,
+                   t1Ms: Long = 1705363200000L,
+                   t2Ms: Long = 1705708800000L): DataFrame = {
+    val t1NsIncl = t1Ms * 1000000L + 999999L
+    val st = struct(expr("ts div 1000000").as("ms"), col("event_id"), col("value"))
+    Tables.eventsUpToMs(spark, dir, t2Ms)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(st).as("new"),
+        max(when(col("ts") <= t1NsIncl, st)).as("old"))
+      .filter(col("old").isNull || col("old.event_id") =!= col("new.event_id"))
+      .select(col("user_id"), col("event_type"),
+        when(col("old").isNull, "added").otherwise("changed").as("change"),
+        col("old.event_id").as("old_event_id"),
+        col("new.event_id").as("new_event_id"),
+        col("old.value").as("old_value"),
+        col("new.value").as("new_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def snapshotDiffOracle(t1Ms: Long = 1705363200000L, t2Ms: Long = 1705708800000L): String =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value,
+       |                  epoch_ms(ts) AS ms, epoch_ns(ts) AS ns
+       |           FROM events WHERE epoch_ns(ts) <= ${t2Ms * 1000000L + 999999L}),
+       |n AS (SELECT user_id, event_type, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |                               ORDER BY ms DESC, event_id DESC) AS rn FROM e)
+       |  WHERE rn = 1),
+       |o AS (SELECT user_id, event_type, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |                               ORDER BY ms DESC, event_id DESC) AS rn
+       |  FROM e WHERE ns <= ${t1Ms * 1000000L + 999999L})
+       |  WHERE rn = 1)
+       |SELECT n.user_id, n.event_type,
+       |       CASE WHEN o.user_id IS NULL THEN 'added' ELSE 'changed' END AS change,
+       |       o.event_id AS old_event_id, n.event_id AS new_event_id,
+       |       o.value AS old_value, n.value AS new_value
+       |FROM n LEFT JOIN o ON n.user_id = o.user_id AND n.event_type = o.event_type
+       |WHERE o.user_id IS NULL OR o.event_id <> n.event_id
+       |ORDER BY n.user_id, n.event_type""".stripMargin
+
   /** c2: delete documents (lang = 'de') and cascade to their embeddings;
     * report surviving chunks per label. */
   def deleteCascade(spark: SparkSession, dir: String): DataFrame = {

@@ -408,4 +408,46 @@ object Relational {
        |       n_zero_buckets, register_checksum
        |FROM f ORDER BY l_returnflag""".stripMargin
   }
+
+  /** q12: CUBE / grouping sets — the multi-granularity aggregate every BI
+    * layer sits on (q8's rollup is the hierarchy special case; CUBE emits
+    * all 2^k granularities with a GROUPING bitmask identifying each).
+    * Spark expands the cube BEFORE the aggregate, so the plan is still
+    * one partial-agg groupBy — the expansion rides the map side and the
+    * shuffle carries one pre-combined row per (granularity, group) per
+    * task, never the fact table ×4.
+    *
+    * Money sums use the v20 fixed-point recipe — per-row cents
+    * quantization (`floor(x·100+½)::BIGINT`) then an exact integer sum —
+    * because the cube's grand-total row sums the WHOLE fact table and a
+    * 2-dp-rounded double sum is not aggregation-order-stable at that
+    * width (the q1 trick stops scaling exactly where CUBE starts). */
+  def q12Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("disc_c"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("qty_c")).as("qty_cents"),
+        sum(col("disc_c")).as("disc_price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q12Oracle: String =
+    """WITH f AS (SELECT l_returnflag, l_linestatus,
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+      |                  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS disc_c
+      |           FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+      |       count(*)::BIGINT AS n_rows,
+      |       sum(qty_c)::BIGINT AS qty_cents,
+      |       sum(disc_c)::BIGINT AS disc_price_cents
+      |FROM f
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 }
