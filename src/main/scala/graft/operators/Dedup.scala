@@ -312,30 +312,75 @@ object Dedup {
     * that from a handful of boilerplate shingles. Too-aggressive capping
     * backfires — dfCap=5 shrinks set sizes so far that one shared rare
     * shingle clears τ, 29× more pairs, all noise.) */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame = {
-    // served from the PERSISTED bucketed shingle table (distinct applied at
-    // build — h60 collisions within a doc would double-count; both engines
-    // dedup): the tokenize+hash pass that used to be rebuilt per run is now
-    // the standing artifact, and because the table is bucketed by `h`, the
-    // df-cap window AND both sides of the pair self-join read it already
-    // clustered — zero exchanges until the per-pair aggregates
+  /** The df-capped candidate machinery shared by d6 (Jaccard) and d14
+    * (containment): pair rows (doc_a, doc_b, common, na, nb) from the
+    * persisted bucketed shingle table. Because the table is bucketed by
+    * `h`, the df-cap count window AND both sides of the pair self-join
+    * read it already clustered — zero exchanges until the per-pair
+    * aggregates (plan-asserted in PersistSpec via d6). */
+  private def cappedPairStats(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap).drop("df")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = kept.as("a")
+    kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.2, dfCap: Long = 10): DataFrame =
+    // served from the PERSISTED bucketed shingle table (distinct applied at
+    // build — h60 collisions within a doc would double-count; both engines
+    // dedup): the tokenize+hash pass that used to be rebuilt per run is the
+    // standing artifact
+    cappedPairStats(spark, dir, dfCap)
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** d14: CONTAINMENT dedup (Broder's resemblance vs containment split) —
+    * Jaccard misses the quote/partial-copy case: a short document wholly
+    * embedded in a long one has tiny |A∩B|/|A∪B| but containment
+    * |A∩B|/min(|A|,|B|) ≈ 1. This is the screen that catches boilerplate
+    * wrappers, quoted excerpts and doc-in-doc concatenations that
+    * near-dup dedup (d2–d7) structurally cannot. Same capped candidate
+    * machinery and artifact as d6 — one extra arithmetic projection, so
+    * the marginal cost of ALSO running the containment screen in a
+    * pipeline that runs d6 is one cheap tail. Exact integer ratio →
+    * hash-gates. */
+  def containment(spark: SparkSession, dir: String, tau: Double = 0.4, dfCap: Long = 10): DataFrame =
+    cappedPairStats(spark, dir, dfCap)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"),
+        (col("na") <= col("nb")).as("a_is_smaller"))
+      .filter(col("containment") >= tau)
+      .orderBy("doc_a", "doc_b")
+
+  def containmentOracle(tau: Double = 0.4, dfCap: Long = 10): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                    for i in generate_series(1, len(w) - 2)])) AS s
+       |       FROM w),
+       |h0 AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh),
+       |df AS (SELECT h, count(*) AS df FROM h0 GROUP BY h),
+       |h AS (SELECT h0.doc_id, h0.h FROM h0 JOIN df USING (h) WHERE df.df <= $dfCap),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+       |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |       FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |c AS (SELECT cm.doc_a, cm.doc_b,
+       |             cm.common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS containment,
+       |             (sa.n_sh <= sb.n_sh) AS a_is_smaller
+       |      FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, containment, a_is_smaller FROM c
+       |WHERE containment >= $tau ORDER BY doc_a, doc_b""".stripMargin
 
   /** d7: duplicate-cluster assignment — connected components over the d3
     * near-dup pair graph, i.e. the "keep one representative per duplicate

@@ -564,6 +564,50 @@ object Text {
       |       max(CASE WHEN keep THEN doc_id END) AS max_kept
       |FROM k GROUP BY lang, n_docs, n_target ORDER BY lang""".stripMargin
 
+  /** t19: character-bigram FAMILIARITY — the cheap language-model proxy
+    * of CCNet-style quality filtering: gibberish, encoding mojibake and
+    * non-linguistic blobs are exactly the documents whose character
+    * patterns are RARE corpus-wide, so each doc is scored by the mean
+    * corpus document-frequency of its distinct char bigrams (normalized
+    * by corpus size → (0, 1]). A true LM perplexity needs log-sums whose
+    * libm results are not bit-portable across engines; the frequency
+    * form keeps the discriminating signal in EXACT integers (df sums /
+    * counts), so it hash-gates with one rounded division.
+    *
+    * Scale shape: the bigram vocabulary is bounded by charset² — a few
+    * thousand rows for any corpus size — so the df table is a TRUE
+    * broadcast dim at 100 TB (unlike word vocabularies); the corpus
+    * sees one explode scan and one doc-keyed partial agg. */
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "CASE WHEN length(text) < 2 THEN array() " +
+          "ELSE transform(sequence(1, length(text) - 1), i -> substr(text, i, 2)) END"))).as("bg"))
+    val dfTab = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bi.join(broadcast(dfTab), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("df_sum"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("df_sum").cast("double") /
+          (col("n_bigrams") * col("n_docs")).cast("double"), 4).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
+  val bigramFamiliarityOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |                  unnest(list_distinct([substr(text, i, 2)
+      |                                        for i in generate_series(1, length(text) - 1)])) AS bg
+      |           FROM documents),
+      |df AS (SELECT bg, count(*) AS df FROM b GROUP BY bg),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(df.df)::BIGINT AS df_sum
+      |      FROM b JOIN df USING (bg) GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
+      |       round(df_sum::DOUBLE / (n_bigrams * n.n_docs)::DOUBLE, 4) AS familiarity
+      |FROM s CROSS JOIN n ORDER BY doc_id""".stripMargin
+
   /** t11: BM25 top-k retrieval (Robertson/Spärck Jones; the ranking the
     * reference's text search approximates with embedding cosine). Fully
     * relational: tf is a partial-agg groupBy over tokens FILTERED to the
