@@ -64,9 +64,10 @@ object Bench {
     def totalOf(r: (Double, Double)): Double = r._1 + r._2
 
     /** 1 untimed warmup + `reps` timed runs; empty on failure. */
-    def timedReps(name: String, reps: Int, dir: String = sfDir): Seq[(Double, Double)] =
+    def timedReps(name: String, reps: Int, dir: String = sfDir,
+                  warmup: Boolean = true): Seq[(Double, Double)] =
       try {
-        runOnce(name, dir)
+        if (warmup) runOnce(name, dir)
         (1 to reps).map(_ => runOnce(name, dir))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -123,9 +124,15 @@ object Bench {
     // plan; overhead-dominated sub-second queries sit near 1.
     val doScaling = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)) &&
       scaleDir != sfDir
+    // no warmup on the scale pass (the code paths are hot from the main
+    // pass; only the small SF's parquet footers are cold): halves the
+    // pass's run count as the suite grows, and a footer-cold small-sf
+    // time only LOWERS the ratio — it can never false-flag, and a real
+    // super-linear plan still reproduces in the confirmation pass
     val scalePass: Map[String, Double] =
       if (!doScaling) Map.empty
-      else names.flatMap(n => timedReps(n, 1, scaleDir).map(totalOf).minOption.map(n -> _)).toMap
+      else names.flatMap(n =>
+        timedReps(n, 1, scaleDir, warmup = false).map(totalOf).minOption.map(n -> _)).toMap
     // A flag must survive a CONFIRMATION re-measurement before it is
     // raised: the large-sf side is a min over 3-6 reps, but a sustained
     // host-VM contention stretch (observed: a 0.5 s map-only query

@@ -580,10 +580,19 @@ object Text {
     * sees one explode scan and one doc-keyed partial agg. */
   def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bi = docs.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "CASE WHEN length(text) < 2 THEN array() " +
-          "ELSE transform(sequence(1, length(text) - 1), i -> substr(text, i, 2)) END"))).as("bg"))
+    // materialize the char-explode ONCE: both the df aggregate and the
+    // score join consume it with different downstream partitionings, so
+    // nothing dedups the subtree otherwise and the corpus-sized explode
+    // runs twice (the d3/d4/t11 lesson; measured 1.9× on t19 at sf0.1).
+    // The doc_id repartition gives the one-file test corpus parallel
+    // explode tasks (the corpusShingles precedent).
+    val bi = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "CASE WHEN length(text) < 2 THEN array() " +
+            "ELSE transform(sequence(1, length(text) - 1), i -> substr(text, i, 2)) END"))).as("bg"))
+      .localCheckpoint()
     val dfTab = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     bi.join(broadcast(dfTab), Seq("bg"))
       .groupBy(col("doc_id"))
