@@ -37,6 +37,14 @@ class ContractSpec extends GraftSuite {
   test("oracle SQL strings are DuckDB-style, non-empty") {
     SparkEntry.oracleSql.values.foreach(sql => assert(sql.trim.nonEmpty))
   }
+  test("query-name leading tokens are unique (bench short-key contract)") {
+    // the bench contract line keys queries by their leading token
+    // ("v14b_ivf_trained_persist" → "v14b"); a collision would make the
+    // driver-captured artifact ambiguous — fail HERE, not mid-bench
+    val tokens = SparkEntry.queries.keys.toSeq.map(k => k.takeWhile(_ != '_'))
+    val dups = tokens.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"colliding short keys: ${dups.mkString(", ")}")
+  }
 }
 
 /** Degenerate-document totality: the text/dedup kernels must stay
