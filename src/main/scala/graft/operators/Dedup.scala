@@ -761,6 +761,32 @@ object Dedup {
     * (order-independent), so false positives are reproducible — the DuckDB
     * oracle replays membership as `pos IN (distinct bench positions)`, which
     * is bit-for-bit the same predicate as the bitset test. Hash-gates. */
+  /** The benchmark-side Bloom bitset build alone: k probe positions per
+    * benchmark gram → distributed `bit_or` into mBits/64 packed words;
+    * driver state is the 8 KiB bitset only. Shared by d10 and the
+    * streaming decontamination screen ([[graft.streaming.Streams
+    * .decontaminateStream]]), which broadcasts the SAME constant. */
+  private[graft] def bloomBitset(spark: SparkSession, dir: String, n: Int = 5,
+                                 benchMod: Long = 37L, mBits: Int = 1 << 16,
+                                 k: Int = 4): Array[Long] = {
+    require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n))) END"))).as("gram"))
+    val posCols: Seq[Column] = (0 until k).map { j =>
+      h60(concat(lit(s"bloom$j:"), col("gram"))) % mBits.toLong
+    }
+    val words = new Array[Long](mBits / 64)
+    grams.filter(col("doc_id") % benchMod === 0L)
+      .select(explode(array(posCols: _*)).as("pos"))
+      .groupBy(expr("cast(pos div 64 as int)").as("widx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))").as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
   def bloomDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
                          benchMod: Long = 37L, mBits: Int = 1 << 16,
                          k: Int = 4): DataFrame = {
@@ -773,14 +799,7 @@ object Dedup {
     def posCols: Seq[Column] = (0 until k).map { j =>
       h60(concat(lit(s"bloom$j:"), col("gram"))) % mBits.toLong
     }
-    // benchmark pass: k probe positions per gram -> distributed bit_or into
-    // mBits/64 words; driver state is the packed bitset only (8 KiB)
-    val words = new Array[Long](mBits / 64)
-    grams.filter(col("doc_id") % benchMod === 0L)
-      .select(explode(array(posCols: _*)).as("pos"))
-      .groupBy(expr("cast(pos div 64 as int)").as("widx"))
-      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))").as("word"))
-      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val words = bloomBitset(spark, dir, n, benchMod, mBits, k)
     val wordsLit = typedLit(words.toSeq)
     // corpus pass: map-only probe (k bit tests per gram), one per-doc agg;
     // all k bits set <=> the product of the k 0/1 tests is 1

@@ -639,4 +639,70 @@ object Persist {
 
   /** Oracle = d11's fresh-label selection: persistence must be invisible. */
   def labelsPersistSearchOracle(tau: Double = 0.5): String = Dedup.keepBestCopyOracle(tau)
+
+  /** v28: IVF + SQ8 — the remaining cell of the quantizer × index-family
+    * matrix (PQ×IVF is v19; flat×SQ8 is v17): inverted lists persisted
+    * partitioned by cluster AND storing the int8 codes instead of the
+    * float vectors, so a probe reads probed DIRECTORIES of 4×-compressed
+    * rows — the two big scan levers (partition pruning × quantized
+    * storage) stacked on one artifact, which is exactly FAISS's `IVFx,SQ8`
+    * factory string. Assignment runs on the RAW vectors at build (the
+    * FAISS convention); search scores the codes directly — cosine is
+    * scale-invariant, so per-vector SQ8 codes rank exactly like their
+    * dequantized forms (v17's insight) and no scale column is needed.
+    * Zero vectors carry no quantizable signal and are dropped at build,
+    * like v17. */
+  def ivfSq8Search(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+
+    val path = tablePath(spark, "graft_idx_ivf_sq8")
+    val built = Ivf.assignToMat(emb, mat)
+      .select(col("vec_id"), Graft.sq8Encode(col("embedding")).as("qcode"), col("cluster_id"))
+      .filter(col("qcode").isNotNull)
+    Sinks.writePartitioned(built, path, "cluster_id")
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    val scored = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+      .select(col("cluster_id"), col("vec_id"),
+        expr("transform(qcode, c -> CAST(c AS DOUBLE))").as("embedding"))
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def ivfSq8SearchOracle(k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < ${Ivf.K}),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= ${Ivf.Probes}),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
+       |             FROM e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
+       |z AS (SELECT vec_id, [floor(x * (127.0 / maxabs) + 0.5) for x in v] AS qv
+       |      FROM m WHERE maxabs > 0),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(z.qv, q.qvec) AS score
+       |           FROM cand JOIN z ON cand.vec_id = z.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 }

@@ -282,6 +282,39 @@ object Streams {
       .withWatermark("ts_us", delay)
       .dropDuplicatesWithinWatermark("h")
 
+  /** s13: streaming decontamination — d10's Bloom screen as a continuous
+    * ingest gate: the 8 KiB benchmark bitset is built ONCE in batch
+    * ([[graft.operators.Dedup.bloomBitset]]) and enters the stream as a
+    * CONSTANT, so the transform is completely STATELESS map-only work —
+    * grams, probe positions and hit counts are computed IN-ROW via HOFs
+    * (no explode, no groupBy): the streaming plan has no state store, no
+    * watermark, no shuffle. That is the property that lets the screen run
+    * at the ingest edge, before anything is persisted — the batch d10
+    * then rescreens survivors exactly. Docs too short for one n-gram
+    * emit n_grams = 0 (batch d10's explode drops them; the spec aligns on
+    * n_grams > 0). Per-row cost: k probes × 2 md5 per gram — the md5 is
+    * recomputed for the div/mod pair, a 2× the batch path's exploded
+    * form doesn't pay; acceptable where statelessness is the point. */
+  def decontaminateStream(docs: DataFrame, words: Seq[Long], n: Int = 5,
+                          mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val hit = (0 until k).map { j =>
+      val pos = s"(CAST(conv(substring(md5(concat('bloom$j:', g)), 1, 15), 16, 10) AS BIGINT)" +
+        s" % $mBits)"
+      s"(shiftrightunsigned(element_at(bloom_words, cast($pos div 64 as int) + 1), " +
+        s"cast($pos % 64 as int)) & 1)"
+    }.mkString(" * ")
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("grams", expr(
+        s"CASE WHEN size(w) < $n THEN array() ELSE array_distinct(transform(" +
+          s"sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))) END"))
+      .withColumn("bloom_words", typedLit(words))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_hit", expr(s"aggregate(grams, CAST(0 AS BIGINT), (acc, g) -> acc + ($hit))"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 4).as("contamination"))
+  }
+
   /** Stream-stream interval join — each purchase joined to the same user's
     * clicks in the preceding `windowSec` seconds, both streams watermarked
     * so Spark derives a state horizon from the time bound and EVICTS

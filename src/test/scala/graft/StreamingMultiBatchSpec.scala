@@ -422,6 +422,34 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s13 streaming Bloom decontamination: stateless screened stream == batch d10") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = operators.Dedup.bloomBitset(spark, sf)
+    // the ingest side of the screen: only non-benchmark docs arrive
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      stream.toDS().toDF("doc_id", "text"), words.toSeq)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("bloom_stream").filter($"n_grams" > 0)
+        .select("doc_id", "n_grams", "n_hit").as[(Long, Long, Long)].collect().toSet
+      val batch = run("d10_bloom_decontaminate")
+        .select("doc_id", "n_grams", "n_hit").as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "the stateless in-row streaming screen diverged from batch d10")
+      // and the plan really is stateless: no state store operator at all
+      val plan = out.queryExecution.analyzed.toString
+      assert(!plan.contains("FlatMapGroupsWithState") && !plan.contains("Aggregate"),
+        s"streaming screen should be pure map work:\n${plan.take(600)}")
+    } finally q.stop()
+  }
+
   test("streaming KMV cardinality: merged micro-batch sketch == one-shot batch sketch, replay-idempotent") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_kmv_stream_state"
