@@ -45,6 +45,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The suite's three BY-DESIGN bounded unpartitioned windows (v24's
+    // ≤C-row rank arms, t16's bucket table) each emit a WindowExec WARN
+    // per execution — 250+ stderr lines per bench run that invite
+    // misdiagnosis of deliberate plans. Silence exactly that logger; a
+    // GENUINELY unpartitioned corpus window would still show up as a
+    // scaling flag, which is the signal that matters.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     /** One rep, split at the construction/execution boundary: the
       * index-building queries (see `includesBuild` below) run their build

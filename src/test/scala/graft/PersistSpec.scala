@@ -263,6 +263,21 @@ class PersistSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("v28: the SQ8 inverted lists prune to probed partitions and store codes") {
+    val df = Persist.ivfSq8Search(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""PartitionFilters: \[[^\]]*cluster_id""".r.findFirstIn(plan).isDefined,
+      s"v28 probe not partition-pruned:\n${plan.take(1200)}")
+    // the persisted rows are the int8 codes, not the float vectors
+    val lists = spark.read.parquet(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_sq8")
+    assert(lists.schema.fieldNames.contains("qcode") &&
+      !lists.schema.fieldNames.contains("embedding"),
+      s"v28 artifact schema: ${lists.schema.simpleString}")
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
