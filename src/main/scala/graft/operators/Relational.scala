@@ -409,6 +409,77 @@ object Relational {
        |FROM f ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q13: histogram quantiles — the MERGEABLE approximate-quantile sketch
+    * that completes the sketch family (KMV/HLL = distinct, CMS =
+    * frequency, this = quantiles): fixed equi-width bins over the global
+    * [min, max], per-group bin counts, quantile read off the cumulative
+    * histogram with within-bin linear interpolation. Bin counts ADD, so
+    * partial aggregation and cross-partition merge are exact — the state
+    * each task ships is ≤ `bins` longs regardless of data size, which is
+    * why production engines serve p99 dashboards from histograms while
+    * exact selection (q9) costs a distributed sort. Two passes (bounds,
+    * then counts); at 100 TB the bounds come from table stats.
+    *
+    * Determinism: binning is `floor((v−lo)/width)` on driver-collected
+    * lo/width doubles — both engines evaluate the identical IEEE
+    * expression, and everything after is exact integers until one
+    * interpolation division, so the sketch hash-gates (contrast GK/
+    * t-digest, whose state depends on arrival order). */
+  def q13HistQuantiles(spark: SparkSession, dir: String, bins: Int = 1024,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val r = li.agg(min(col("v")), max(col("v"))).head()
+    val lo = r.getDouble(0)
+    val width = (r.getDouble(1) - lo) / bins
+    val binned = li
+      .select(col("l_returnflag"),
+        least(lit(bins - 1L), floor((col("v") - lo) / width)).cast("long").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("cnt"))
+    // cumulative over ≤`bins` rows per group — a bounded window by design
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cb", col("cum") - col("cnt"))
+    val ranks = binned.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+    ranks.join(cum, Seq("l_returnflag"))
+      .filter(col("cum") >= col("rank") && col("cb") < col("rank"))
+      .select(col("l_returnflag"), col("q"), col("n"), col("rank"),
+        round(lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("rank") - col("cb")).cast("double") / col("cnt").cast("double")),
+          4).as("est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  def q13Oracle(bins: Int = 1024, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): String = {
+    val qList = qs.mkString(", ")
+    s"""WITH b AS (SELECT min(l_extendedprice) AS lo,
+       |                  (max(l_extendedprice) - min(l_extendedprice)) / $bins.0 AS width
+       |           FROM lineitem),
+       |binned AS (SELECT l_returnflag,
+       |                  least(${bins - 1}, floor((l_extendedprice - b.lo) / b.width))::BIGINT AS bin
+       |           FROM lineitem CROSS JOIN b),
+       |g AS (SELECT l_returnflag, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+       |c AS (SELECT l_returnflag, bin, cnt,
+       |             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+       |      FROM g),
+       |c2 AS (SELECT *, cum - cnt AS cb FROM c),
+       |n AS (SELECT l_returnflag, sum(cnt) AS n FROM g GROUP BY 1),
+       |r AS (SELECT n.l_returnflag, t.q, n.n, ceil(t.q * n.n)::BIGINT AS rank
+       |      FROM n CROSS JOIN (SELECT unnest([$qList]::DOUBLE[]) AS q) t)
+       |SELECT r.l_returnflag, r.q, r.n::BIGINT AS n, r.rank,
+       |       round(b.lo + b.width * c2.bin +
+       |             b.width * ((r.rank - c2.cb)::DOUBLE / c2.cnt::DOUBLE), 4) AS est
+       |FROM r JOIN c2 ON r.l_returnflag = c2.l_returnflag
+       |              AND c2.cum >= r.rank AND c2.cb < r.rank
+       |CROSS JOIN b
+       |ORDER BY r.l_returnflag, r.q""".stripMargin
+  }
+
   /** q12: CUBE / grouping sets — the multi-granularity aggregate every BI
     * layer sits on (q8's rollup is the hierarchy special case; CUBE emits
     * all 2^k granularities with a GROUPING bitmask identifying each).

@@ -21,6 +21,27 @@ class SketchSpec extends GraftSuite {
       s"KMV estimate $est vs exact $exact: rel err $relErr")
   }
 
+  test("q13: histogram quantile estimates land within one bin width of exact") {
+    import spark.implicits._
+    val bins = 1024
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice")
+    val Seq(lo, hi) = li.agg(min($"l_extendedprice"), max($"l_extendedprice"))
+      .as[(Double, Double)].head() match { case (a, b) => Seq(a, b) }
+    val width = (hi - lo) / bins
+    val est = operators.Relational.q13HistQuantiles(spark, sf)
+      .select("l_returnflag", "q", "est").as[(String, Double, Double)].collect()
+    assert(est.length === 3 * li.select("l_returnflag").distinct().count())
+    val byGroup = li.as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, q, e) <- est) {
+      val vs = byGroup(g)
+      val exact = vs(math.min(vs.length - 1, math.ceil(q * vs.length).toInt - 1))
+      assert(math.abs(e - exact) <= width + 1e-9,
+        s"$g q=$q est $e vs exact $exact (width $width)")
+    }
+  }
+
   test("t12: KMV aggregate keeps the k smallest DISTINCT values under any partitioning") {
     import spark.implicits._
     // duplicates + shuffled order + more values than k; expected = sorted distinct mins
