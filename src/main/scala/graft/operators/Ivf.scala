@@ -414,8 +414,9 @@ object Ivf {
     * the reciprocal (`y * (1.0/nrm)`, matching `graft_vec_normalize`), the
     * driver renormalize and the reseed divide (`y / nrm`, matching
     * [[trainCentroids]]). */
-  def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5): String =
-    s"""${trainCtes(iters)}
+  def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5,
+                          sampled: Boolean = false): String =
+    s"""${trainCtes(iters, sampled)}
        |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
        |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
        |            FROM q CROSS JOIN c$iters c),
@@ -553,22 +554,30 @@ object Ivf {
     * corpus assignment. Oracle-gated by replaying the identical sampled
     * iterations as unrolled CTEs — grid-quantized accumulation makes the
     * sampled training exactly as replayable as the full one. */
-  def kmeansSampled(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    Graft.init(spark)
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  /** The sampled training run itself (no memo — the callers are build
+    * operations that should price training; it costs `keep/mod` of a v8
+    * run): cache the SLICE (re-read per iteration), init from its first
+    * K members by id. */
+  private[graft] def sampledCentroids(spark: SparkSession, emb: DataFrame,
+                                      iters: Int): Array[(Long, Array[Double])] = {
     // the training slice is re-read every iteration — cache IT (not the
-    // corpus; the one full-corpus pass below streams the parquet scan)
+    // corpus; full-corpus passes stream the parquet scan)
     val train = emb.filter(samplePredCol).cache()
     try {
       val init = train.orderBy("vec_id").limit(K).collect().map { r =>
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
       }
-      val mat = trainCentroids(spark, train, iters, Some(init))
-      assignToMat(emb, mat)
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
-        .orderBy("cluster_id")
+      trainCentroids(spark, train, iters, Some(init))
     } finally train.unpersist()
+  }
+
+  def kmeansSampled(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    assignToMat(emb, sampledCentroids(spark, emb, iters))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
+      .orderBy("cluster_id")
   }
 
   def kmeansSampledOracle(iters: Int = 5): String =

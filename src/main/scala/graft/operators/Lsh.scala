@@ -172,6 +172,33 @@ object Lsh {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v29: LSH bucket search for the external query WORKLOAD table
+    * ([[Knn.queryTable]]) — completes the workload convention across all
+    * three index families (flat v26, IVF v27): the workload's keys are
+    * computed on its own (tiny, broadcast) scan and meet the corpus key
+    * table in the usual bucket equi-join; nothing else changes. */
+  def workloadSearch(spark: SparkSession, dir: String, k: Int = 10,
+                     nTables: Int = 4, nBits: Int = 10, seed: Long = 1000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = Knn.queryTable(spark, dir)
+    searchIndex(keyRows(emb, nTables, nBits, seed), emb, queries, nTables, nBits, seed, k)
+  }
+
+  def workloadSearchOracle(k: Int = 10, nTables: Int = 4, nBits: Int = 10,
+                           seed: Long = 1000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT qid, qvec AS qv FROM (${Knn.queryTableSql()}) t),
+       |dk AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(e.v, q.qv) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   def simJoinOracle(tau: Double = 0.3, nTables: Int = 4, nBits: Int = 8,
                     seed: Long = 2000, dim: Int = 64): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

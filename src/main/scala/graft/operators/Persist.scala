@@ -640,6 +640,31 @@ object Persist {
   /** Oracle = d11's fresh-label selection: persistence must be invisible. */
   def labelsPersistSearchOracle(tau: Double = 0.5): String = Dedup.keepBestCopyOracle(tau)
 
+  /** v14c: the 100 TB trained-IVF flow end to end — SAMPLE-trained
+    * centroids (v8b's trainer, the shape production actually runs: the
+    * Lloyd's iterations never see the full corpus) → ONE full-corpus
+    * map-only assignment pass writing the hive-partitioned lists →
+    * probe-pruned serving (v14b's tail). v14b proves the persisted flow
+    * with the reference-faithful full trainer; this is the same flow
+    * with the trainer you'd use when the corpus is 1000× the sample.
+    * Oracle replays the sampled training CTEs + the same probe tail, so
+    * the whole composite hash-gates; training runs fresh per call (a
+    * build op prices its own training, the v8/d7 convention). */
+  def sampledIvfPersistSearch(spark: SparkSession, dir: String, k: Int = 10,
+                              nQueries: Int = 8, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.sampledCentroids(spark, emb, iters)
+    val path = tablePath(spark, "graft_idx_ivf_sampled")
+    val built = Ivf.assignToMat(emb, mat)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    Sinks.writePartitioned(built, path, "cluster_id")
+    probedListsSearch(spark, emb, path, mat, k, nQueries)
+  }
+
+  def sampledIvfPersistSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5): String =
+    Ivf.trainedSearchOracle(k, nQueries, iters, sampled = true)
+
   /** v28: IVF + SQ8 — the remaining cell of the quantizer × index-family
     * matrix (PQ×IVF is v19; flat×SQ8 is v17): inverted lists persisted
     * partitioned by cluster AND storing the int8 codes instead of the
