@@ -282,6 +282,57 @@ object Streams {
       .withWatermark("ts_us", delay)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Event for the streaming snapshot diff (same fields as the upsert
+    * changelog; `ms` exact epoch millis). */
+  case class DiffEvent(user_id: Long, event_type: String, event_id: Long,
+                       value: Double, ms: Long)
+
+  /** One emitted CDC delta: a key born ("added") or whose latest-wins
+    * state changed in this micro-batch. Option fields surface as
+    * nullable columns, matching batch c10's schema. */
+  case class DiffRow(user_id: Long, event_type: String, change: String,
+                     old_event_id: Option[Long], new_event_id: Long,
+                     old_value: Option[Double], new_value: Double)
+
+  /** s14: streaming snapshot DIFF — c10's twin under continuous arrival:
+    * each micro-batch emits exactly the keys whose latest-wins state was
+    * born or changed IN THAT BATCH, with old/new side by side — the
+    * incremental consumer's feed, produced incrementally. State per key
+    * is the current (ms, event_id, value) winner (O(live keys), same as
+    * the CDC upsert); the comparison rule is c1/c6/c10's exact
+    * (ms, event_id) ordering, so a batch window's emissions equal batch
+    * c10 between the window's time bounds (spec-asserted), and late or
+    * replayed older events can never regress state — they lose the
+    * comparison and emit nothing. Unchanged keys emit nothing at all
+    * (append mode), which is the point: the delta stream is
+    * O(changes/batch), not O(keys). */
+  def snapshotDiffStream(spark: SparkSession,
+                         events: org.apache.spark.sql.Dataset[DiffEvent]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[(Long, Long, Double), DiffRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, typ), it, state: GroupState[(Long, Long, Double)]) =>
+          val old = state.getOption
+          var (bMs, bId, bV) = old.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          it.foreach { e =>
+            if (e.ms > bMs || (e.ms == bMs && e.event_id > bId)) {
+              bMs = e.ms; bId = e.event_id; bV = e.value
+            }
+          }
+          state.update((bMs, bId, bV))
+          old match {
+            case None => Iterator(DiffRow(uid, typ, "added", None, bId, None, bV))
+            case Some((_, oid, ov)) if oid != bId =>
+              Iterator(DiffRow(uid, typ, "changed", Some(oid), bId, Some(ov), bV))
+            case _ => Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   /** s13: streaming decontamination — d10's Bloom screen as a continuous
     * ingest gate: the 8 KiB benchmark bitset is built ONCE in batch
     * ([[graft.operators.Dedup.bloomBitset]]) and enters the stream as a

@@ -422,6 +422,38 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s14 streaming snapshot diff: a batch window's emissions == batch c10 between its bounds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = 1705363200000L
+    val t2 = 1705708800000L
+    val evs = Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select($"user_id", $"event_type", $"event_id", $"value", $"ms")
+      .as[Streams.DiffEvent].collect()
+    val stream = MemoryStream[Streams.DiffEvent]
+    val out = Streams.snapshotDiffStream(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("snapdiff_stream")
+      .outputMode("append").start()
+    def rowsNow(): Set[Seq[Any]] = spark.table("snapdiff_stream").collect()
+      .map(_.toSeq).toSet
+    try {
+      // batch 1 = the T1 snapshot's events; batch 2 = exactly (T1, T2]
+      stream.addData(evs.filter(_.ms <= t1).toSeq); q.processAllAvailable()
+      val afterT1 = rowsNow()
+      stream.addData(evs.filter(e => e.ms > t1 && e.ms <= t2).toSeq)
+      q.processAllAvailable()
+      val batch2Emissions = rowsNow() -- afterT1
+      val c10 = operators.Crud.snapshotDiff(spark, sf, t1, t2).collect()
+        .map(_.toSeq).toSet
+      assert(batch2Emissions === c10,
+        s"streamed window deltas diverged from batch c10 " +
+          s"(${batch2Emissions.size} vs ${c10.size})")
+      // replaying older events regresses nothing and emits nothing
+      stream.addData(evs.filter(_.ms <= t1).toSeq); q.processAllAvailable()
+      assert(rowsNow() === afterT1 ++ batch2Emissions, "replay emitted spurious deltas")
+    } finally q.stop()
+  }
+
   test("s13 streaming Bloom decontamination: stateless screened stream == batch d10") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val words = operators.Dedup.bloomBitset(spark, sf)
