@@ -382,6 +382,66 @@ object Dedup {
        |SELECT doc_a, doc_b, containment, a_is_smaller FROM c
        |WHERE containment >= $tau ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d15: keep-LONGEST containment curation — d14's screen turned into a
+    * drop decision: every document contained (containment ≥ τ) in a
+    * larger one is dropped in favor of its best container (the superset
+    * doc), the opposite orientation from d11's keep-best-QUALITY rule —
+    * for quote/wrapper/concatenation dups the longer document is the
+    * information-superset and quality scores tie. Pair orientation is a
+    * projection; the per-dropped-doc argmax over containers is ONE
+    * `max(struct)` partial agg (containment desc, container size desc,
+    * id asc — d11's recipe), so the marginal cost over d14 is one
+    * aggregate on the (small) pair set; the corpus is never re-scanned.
+    * Equal-size mutual containment keeps the lower doc_id. `kept` names
+    * the DIRECT container: in an A⊂B⊂C chain B is itself dropped — A
+    * and B are both (correctly) dropped, and full cluster resolution is
+    * d7's job, not this screen's. */
+  def keepLongest(spark: SparkSession, dir: String, tau: Double = 0.4, dfCap: Long = 10): DataFrame = {
+    val smallerIsA = col("na") < col("nb")
+    cappedPairStats(spark, dir, dfCap)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select(
+        when(smallerIsA, col("doc_a")).otherwise(col("doc_b")).as("dropped"),
+        when(smallerIsA, col("doc_b")).otherwise(col("doc_a")).as("kept"),
+        col("containment"),
+        greatest(col("na"), col("nb")).as("kept_n"))
+      .groupBy(col("dropped"))
+      .agg(max(struct(col("containment").as("c"), col("kept_n").as("n"),
+        (-col("kept")).as("nk"))).as("best"))
+      .select(col("dropped"), (-col("best.nk")).as("kept"),
+        col("best.c").as("containment"))
+      .orderBy("dropped")
+  }
+
+  def keepLongestOracle(tau: Double = 0.4, dfCap: Long = 10): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                    for i in generate_series(1, len(w) - 2)])) AS s
+       |       FROM w),
+       |h0 AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh),
+       |df AS (SELECT h, count(*) AS df FROM h0 GROUP BY h),
+       |h AS (SELECT h0.doc_id, h0.h FROM h0 JOIN df USING (h) WHERE df.df <= $dfCap),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+       |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |       FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |c AS (SELECT cm.doc_a, cm.doc_b, sa.n_sh AS na, sb.n_sh AS nb,
+       |             cm.common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS containment
+       |      FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id
+       |      WHERE cm.common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE >= $tau),
+       |o AS (SELECT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS dropped,
+       |             CASE WHEN na < nb THEN doc_b ELSE doc_a END AS kept,
+       |             containment, greatest(na, nb) AS kept_n
+       |      FROM c),
+       |r AS (SELECT dropped, kept, containment,
+       |             row_number() OVER (PARTITION BY dropped
+       |                                ORDER BY containment DESC, kept_n DESC, kept) AS rn
+       |      FROM o)
+       |SELECT dropped, kept, containment FROM r WHERE rn = 1 ORDER BY dropped""".stripMargin
+
   /** d7: duplicate-cluster assignment — connected components over the d3
     * near-dup pair graph, i.e. the "keep one representative per duplicate
     * group" step a curation pipeline runs after candidate generation.

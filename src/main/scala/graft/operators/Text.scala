@@ -240,13 +240,13 @@ object Text {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df is a second scan-and-aggregate branch on purpose: deriving it from
-    // tf looks shareable but column pruning rewrites that branch's
-    // aggregate, so the exchange never canonicalizes equal and AQE cannot
-    // reuse it (measured), while df-as-window-over-term concentrates every
-    // doc containing a stopword into one partition (skew at scale). In a
-    // production corpus df comes from a persisted vocabulary-stats table.
-    val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df comes from the persisted vocabulary-stats artifact ([[vocabIndex]])
+    // — the production shape this query's earlier in-flight df aggregate
+    // only approximated (and the reason deriving df from tf was rejected:
+    // column pruning rewrites the shared subtree so AQE never reuses the
+    // exchange, while df-as-window-over-term concentrates every doc
+    // containing a stopword into one partition — skew at scale).
+    val dfreq = vocabIndex(spark, dir)
     val nDf = docs.agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(dfreq), Seq("term"))
@@ -270,6 +270,75 @@ object Text {
        |      FROM s)
        |SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** The PERSISTED word-vocabulary-stats table — (term, document
+    * frequency), bucketed+sorted by `term` — the artifact t7's comment
+    * promised ("in a production corpus df comes from a persisted
+    * vocabulary-stats table") and the word-level analog of
+    * [[Dedup.shingleIndex]]. Word vocabularies are heavy-tailed and
+    * unbounded (unlike t19's charset²-capped char-bigram table), so at
+    * 100 TB this is a real table, not a broadcast dim: bucketing by
+    * `term` means every term-keyed consumer (t7's tf·idf join, t20's
+    * familiarity join) reads it pre-clustered on the join key with zero
+    * artifact-side exchange. Built once per (session, corpus); the name
+    * carries a corpus-dir fingerprint so the bench's dual-SF pass can
+    * never cross-read. */
+  private val vocabIndexCache =
+    new BoundedMemo[(SparkSession, String), DataFrame](4)(_ => ())
+
+  private[operators] def vocabIndex(spark: SparkSession, dir: String): DataFrame =
+    vocabIndexCache.getOrElseUpdate((spark, dir)) {
+      val table = "graft_idx_vocab_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tok = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      Persist.materializeBucketed(spark,
+        tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df")),
+        table, 8, Seq("term"))
+    }
+
+  /** t20: WORD-level familiarity — t19's cheap-LM quality signal moved
+    * from character bigrams to the word vocabulary: each document scores
+    * the mean corpus document-frequency of its distinct terms (normalized
+    * by corpus size → (0, 1]), so domain-jargon/gibberish/wrong-corpus
+    * documents surface as unfamiliar. Exactly t19's exact-integer recipe
+    * (df sums and counts; one rounded division at the output), but the df
+    * side is the persisted [[vocabIndex]] artifact rather than an
+    * in-flight aggregate — the term join carries NO broadcast hint on
+    * purpose: the artifact is bucketed by `term`, so at scale the join
+    * clusters on the bucket spec with no artifact-side exchange, while at
+    * test scale AQE freely converts the small side to broadcast. */
+  def wordFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+    dt.join(vocabIndex(spark, dir), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("df_sum"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      // fixed-point 4-dp quantization, NOT round(): the corpus lands a doc
+      // exactly on a .xxxx5 representation edge where the two engines'
+      // decimal-rounding paths disagree by 1 ulp (the v20 lesson —
+      // floor(x·10⁴+0.5) is the same IEEE sequence in both engines)
+      .select(col("doc_id"), col("n_terms"),
+        floor(col("df_sum").cast("double") /
+          (col("n_terms") * col("n_docs")).cast("double") * 10000d + 0.5d)
+          .cast("long").as("familiarity_q4"))
+      .orderBy("doc_id")
+  }
+
+  val wordFamiliarityOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT dt.doc_id, count(*) AS n_terms, sum(df.df)::BIGINT AS df_sum
+      |      FROM dt JOIN df USING (term) GROUP BY dt.doc_id)
+      |SELECT doc_id, n_terms::BIGINT AS n_terms,
+      |       floor(df_sum::DOUBLE / (n_terms * n.n_docs)::DOUBLE * 10000 + 0.5)::BIGINT AS familiarity_q4
+      |FROM s CROSS JOIN n ORDER BY doc_id""".stripMargin
 
   /** t8: deterministic per-language stratified sample — keep a document iff
     * `h60("sample:" + doc_id) mod 1000 < rate(lang)` (permille rates;

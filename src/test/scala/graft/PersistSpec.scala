@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ivf, IvfPq, Lsh, Persist}
+import graft.operators.{Dedup, Ivf, IvfPq, Lsh, Persist, Text}
 
 /** Index persistence round-trips (reference: tests-mongo/test_persistence.py
   * — indexes survive restart bit-for-bit) + the physical-layout claims:
@@ -236,6 +236,16 @@ class PersistSpec extends GraftSuite {
     val shuffles = "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).length
     assert(shuffles <= 3,
       s"expected ≤3 shuffle exchanges (2 aggs + sort), got $shuffles:\n${plan.take(1200)}")
+  }
+
+  test("t20 serves df from the bucketed vocab artifact") {
+    val df = Text.wordFamiliarity(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_idx_vocab_"),
+      s"t20 should scan the persisted vocabulary-stats artifact:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      "vocab artifact scan should be bucketed (term-clustered, exchange-free artifact side)")
   }
 
   test("p5: persisted labels reproduce d11 exactly; join-back shuffles only the corpus side") {

@@ -123,4 +123,47 @@ class QualitySpec extends GraftSuite {
       assert(got((d, 0L)) === n, s"cohort $d offset-0 cell")
     }
   }
+
+  test("d15: keep-longest selection matches a full driver recompute") {
+    // independent replication of the whole chain: shingle → h60 mod P →
+    // df-cap → pair stats → containment → orientation → argmax container
+    val P = 2147483647L
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val hs: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      val sh = if (w.length < 3) Set.empty[String]
+               else w.sliding(3).map(_.mkString(" ")).toSet
+      id -> sh.map(s => h60(s) % P)
+    }.toMap
+    val dfCount = hs.values.flatten.toSeq.groupBy(identity).map { case (h, v) => h -> v.size }
+    val kept = hs.map { case (id, s) => id -> s.filter(dfCount(_) <= 10) }
+    val ids = kept.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      common = (kept(a) & kept(b)).size if common > 0
+      na = kept(a).size; nb = kept(b).size
+      c = common.toDouble / math.min(na, nb) if c >= 0.4
+    } yield (a, b, na, nb, c)
+    val expected = pairs
+      .map { case (a, b, na, nb, c) =>
+        if (na < nb) (a, b, nb, c) else (b, a, math.max(na, nb), c)
+      }
+      .groupBy(_._1)
+      .map { case (dropped, cands) =>
+        val best = cands.maxBy { case (_, keptId, keptN, c) => (c, keptN, -keptId) }
+        dropped -> (best._2, best._4)
+      }
+    val got = run("d15_keep_longest").collect()
+      .map(r => r.getAs[Long]("dropped") ->
+        (r.getAs[Long]("kept"), r.getAs[Double]("containment"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus should contain containment dups")
+  }
 }
