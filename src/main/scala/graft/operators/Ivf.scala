@@ -517,6 +517,68 @@ object Ivf {
        |       sum(hit)::DOUBLE / $k AS recall
        |FROM h GROUP BY qid ORDER BY qid""".stripMargin
 
+  /** Rank discounts 1/log₂(r+1) for r = 1..k, quantized to 8-dp
+    * fixed-point — computed ONCE driver-side and injected as literals
+    * into BOTH engines' queries, so NDCG needs no cross-engine libm-log
+    * parity at all: the per-rank terms are identical integers by
+    * construction and the per-query DCG is an exact long sum
+    * (order-independent, like every other gated sketch sum). */
+  private def ndcgDiscQ8(k: Int): Array[Long] =
+    (1 to k).map(r => math.floor(1e8 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong).toArray
+
+  /** v31: NDCG@k of the trained-IVF search against the exact flat top-k
+    * (binary relevance: a returned id is relevant iff the exact search
+    * returns it) — the position-sensitive eval metric that complements
+    * v25's recall: losing the top hit to rank k now costs score. IDCG is
+    * the all-hits-first prefix sum of the same discount table, indexed by
+    * the hit count; the one float op is the final dcg/idcg divide, which
+    * runs on bit-identical long inputs in both engines and is fixed-point
+    * quantized like v20. Plan shape = v25's: two searches, one broadcast
+    * hash join on (qid, vec_id), one partial agg — eval cost scales with
+    * Q·k, never the corpus. */
+  def ndcgEval(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    val disc = ndcgDiscQ8(k)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val discArr = array(disc.map(lit): _*)
+    val cumArr = array(cum.map(lit): _*)
+    val exact = Knn.flatSearch(spark, dir, "cosine", k, nQueries)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    searchTrained(spark, dir, k, nQueries)
+      .select(col("qid"), col("vec_id"), col("rank"))
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        sum(when(col("hit") === 1L,
+          element_at(discArr, col("rank").cast("int"))).otherwise(0L)).as("dcg_q8"))
+      .select(col("qid"), col("hits"), col("dcg_q8"),
+        when(col("hits") === 0L, lit(0L)).otherwise(
+          floor(col("dcg_q8").cast("double") /
+            element_at(cumArr, col("hits").cast("int")).cast("double") * 10000d + 0.5d)
+            .cast("long")).as("ndcg_q4"))
+      .orderBy("qid")
+  }
+
+  def ndcgEvalOracle(k: Int = 10, nQueries: Int = 8): String = {
+    val disc = ndcgDiscQ8(k)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    s"""WITH a AS (SELECT qid, vec_id, rank FROM (${trainedSearchOracle(k, nQueries)})),
+       |x AS (SELECT qid, vec_id FROM (${Knn.oracleFlat("cosine", k, nQueries)})),
+       |h AS (SELECT a.qid, a.rank, CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM a LEFT JOIN x ON a.qid = x.qid AND a.vec_id = x.vec_id),
+       |g AS (SELECT qid, sum(hit)::BIGINT AS hits,
+       |             sum(CASE WHEN hit = 1
+       |                      THEN list_extract([${disc.mkString(", ")}], rank::INT)
+       |                      ELSE 0 END)::BIGINT AS dcg_q8
+       |      FROM h GROUP BY qid)
+       |SELECT qid, hits, dcg_q8,
+       |       CASE WHEN hits = 0 THEN 0
+       |            ELSE floor(dcg_q8::DOUBLE /
+       |                       list_extract([${cum.mkString(", ")}], hits::INT)::DOUBLE
+       |                       * 10000 + 0.5)::BIGINT END AS ndcg_q4
+       |FROM g ORDER BY qid""".stripMargin
+  }
+
   /** DuckDB replay of [[kmeans]] (v8): the same training CTEs, reduced to
     * the per-cluster (count, avg sim) training trace. The avg is the one
     * aggregation-order-dependent float in the output — rounded to 4 dp on

@@ -79,6 +79,54 @@ object Pq {
     Knn.topkPerQuery(scored, "dot", k)
   }
 
+  /** v30: PQ ADC search for the EXTERNAL query workload table
+    * ([[Knn.queryTable]]) — extends the workload convention past the
+    * index families (flat v26, IVF v27, LSH v29) onto the quantizer
+    * path: the workload's exact subvectors broadcast against the coded
+    * corpus reconstruction; the corpus side is identical to v18 (codes ×
+    * broadcast codebook), so serving an external query log instead of a
+    * corpus prefix costs nothing but the workload scan. */
+  def workloadSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cent = centroids(emb)
+    val codes = encode(spark, emb)
+    val qsub = subvectors(
+      Knn.queryTable(spark, dir).select(col("qid"), col("qvec").as("embedding")), "qid", "qm")
+    val partials = codes
+      .join(broadcast(cent), codes("m") === cent("m") && codes("code") === cent("c"))
+      .select(col("vec_id"), codes("m").as("m"), col("cv"))
+      .join(broadcast(qsub), Seq("m"))
+      .select(col("qid"), col("vec_id"), Graft.dot(col("cv"), col("qm")).as("p"))
+    val scored = partials.groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("p")).as("score"))
+    Knn.topkPerQuery(scored, "dot", k)
+  }
+
+  def workloadSearchOracle(k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |em AS (SELECT vec_id, v, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM e),
+       |sub AS (SELECT vec_id, m, v[($Sub*m+1):($Sub*m+$Sub)] AS sv FROM em),
+       |cent AS (SELECT vec_id AS c, m, sv AS cv FROM sub WHERE vec_id < $K),
+       |dist AS (SELECT s.vec_id, s.m, c.c, list_distance(s.sv, c.cv) AS d
+       |         FROM sub s JOIN cent c USING (m)),
+       |code AS (SELECT vec_id, m, c AS code FROM (
+       |           SELECT vec_id, m, c,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |           FROM dist) WHERE rn = 1),
+       |recon AS (SELECT k.vec_id, k.m, c.cv FROM code k
+       |          JOIN cent c ON k.m = c.m AND k.code = c.c),
+       |q AS (${Knn.queryTableSql()}),
+       |qm0 AS (SELECT qid, qvec AS v, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM q),
+       |qsub AS (SELECT qid, m, v[($Sub*m+1):($Sub*m+$Sub)] AS qm FROM qm0),
+       |part AS (SELECT q.qid, r.vec_id, list_inner_product(r.cv, q.qm) AS p
+       |         FROM recon r JOIN qsub q USING (m)),
+       |sc AS (SELECT qid, vec_id, sum(p) AS score FROM part GROUP BY 1, 2),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM sc)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** Per-subspace Lloyd's k-means over the subvector table — the
     * reference's train flow (app/core/vector_db.py:294 train_index) applied
     * per PQ subspace, as Jégou et al. §III prescribe. ALL `M` codebooks
