@@ -244,6 +244,57 @@ object Pipeline {
        |FROM j GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
+  /** f5: the CURATED release — f4's near-dup keep-best rule composed with
+    * d15's containment keep-longest screen, the two drop rules a real
+    * release runs in sequence: collapse each near-dup cluster to its best
+    * member, then ALSO drop any survivor still contained in a larger
+    * survivor-or-not (quotes/wrappers that Jaccard-banding structurally
+    * misses — see d14). Both drop sets are edge-sized broadcasts against
+    * ONE corpus scan, so the composite costs the two candidate passes
+    * (both served from session artifacts: the shingle table and the label
+    * memo) plus a single scan and one partial-agg shuffle. Emits the
+    * per-language accounting a data card reports: kept after near-dedup,
+    * containment drops among them, and the final shipped count/id range. */
+  def curatedRelease(spark: SparkSession, dir: String, tau: Double = 0.5,
+                     ctau: Double = 0.4, dfCap: Long = 10): DataFrame = {
+    graft.Graft.init(spark)
+    val droppedC = Dedup.keepLongest(spark, dir, ctau, dfCap)
+      .select(col("dropped").as("doc_id"), lit(true).as("contained"))
+    releaseKept(spark, dir, tau)
+      .join(broadcast(droppedC), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_near_kept"),
+        sum(when(col("contained"), 1L).otherwise(0L)).as("n_contained_dropped"),
+        count(when(col("contained").isNull, lit(1))).as("n_final"),
+        min(when(col("contained").isNull, col("doc_id"))).as("min_doc"),
+        max(when(col("contained").isNull, col("doc_id"))).as("max_doc"))
+      .orderBy("lang")
+  }
+
+  def curatedReleaseOracle(tau: Double = 0.5, ctau: Double = 0.4, dfCap: Long = 10): String =
+    s"""WITH lab AS (SELECT doc_id, cluster_id FROM (${Dedup.dupClustersOracle(tau)})),
+       |q AS (SELECT doc_id, quality FROM (${Text.qualityOracle})),
+       |bst AS (SELECT kept_doc_id FROM (
+       |  SELECT l.cluster_id, q.doc_id AS kept_doc_id,
+       |         row_number() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY q.quality DESC, q.doc_id) AS rn
+       |  FROM lab l JOIN q ON l.doc_id = q.doc_id) WHERE rn = 1),
+       |kept AS (SELECT d.doc_id, d.lang
+       |         FROM documents d
+       |         LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |         LEFT JOIN bst ON d.doc_id = bst.kept_doc_id
+       |         WHERE lab.doc_id IS NULL OR bst.kept_doc_id IS NOT NULL),
+       |drp AS (SELECT dropped AS doc_id FROM (${Dedup.keepLongestOracle(ctau, dfCap)})),
+       |j AS (SELECT k.doc_id, k.lang, (d.doc_id IS NOT NULL) AS contained
+       |      FROM kept k LEFT JOIN drp d ON k.doc_id = d.doc_id)
+       |SELECT lang, count(*)::BIGINT AS n_near_kept,
+       |       sum(CASE WHEN contained THEN 1 ELSE 0 END)::BIGINT AS n_contained_dropped,
+       |       count(CASE WHEN NOT contained THEN 1 END)::BIGINT AS n_final,
+       |       min(CASE WHEN NOT contained THEN doc_id END) AS min_doc,
+       |       max(CASE WHEN NOT contained THEN doc_id END) AS max_doc
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")

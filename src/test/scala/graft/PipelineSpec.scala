@@ -148,4 +148,21 @@ class PipelineSpec extends GraftSuite {
     // deterministic end to end (stub decode + vectorize + index + search)
     assert(run("m3_media_search").collect().toSeq === hits)
   }
+
+  test("f5: containment screen drops exactly d15 ∩ f4-kept; accounting balances") {
+    val out = run("f5_curated_release").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_final") ===
+        r.getAs[Long]("n_near_kept") - r.getAs[Long]("n_contained_dropped"),
+        s"lang ${r.getString(0)} accounting")
+    }
+    val keptIds = graft.operators.Pipeline.releaseKept(spark, sf, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d15Dropped = run("d15_keep_longest")
+      .select("dropped").collect().map(_.getLong(0)).toSet
+    val expectDropped = (keptIds & d15Dropped).size.toLong
+    assert(out.map(_.getAs[Long]("n_contained_dropped")).sum === expectDropped)
+    assert(out.map(_.getAs[Long]("n_near_kept")).sum === keptIds.size.toLong)
+    assert(expectDropped > 0, "containment stage is vacuous on this corpus")
+  }
 }
