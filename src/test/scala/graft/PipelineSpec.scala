@@ -149,6 +149,20 @@ class PipelineSpec extends GraftSuite {
     assert(run("m3_media_search").collect().toSeq === hits)
   }
 
+  test("e9: bucketed range join plans as an equi-join — no nested-loop, no cartesian") {
+    val df = graft.operators.Events.rangeJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs plan:\n${plan.take(1200)}")
+    // overlap factor: len/stride = 4/3 → some events hit 2 windows; the
+    // total match count must exceed the event count (true range join, not
+    // a partition of the stream into disjoint buckets)
+    val events = graft.sources.Tables.events(spark, sf).count()
+    val matches = df.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(matches > events, s"windows should overlap: $matches matches vs $events events")
+  }
+
   test("f5: containment screen drops exactly d15 ∩ f4-kept; accounting balances") {
     val out = run("f5_curated_release").collect()
     out.foreach { r =>
