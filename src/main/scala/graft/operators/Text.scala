@@ -793,6 +793,52 @@ object Text {
        |            ELSE round(${(k - 1).toDouble} * ${Dedup.P.toDouble} / kth::DOUBLE, 4) END AS est_distinct
        |FROM st""".stripMargin
 
+  /** q14: MERGEABLE cardinality — per-source KMV sketches union-merged
+    * into a corpus-wide distinct estimate, the property that makes
+    * sketches the 100 TB answer at all: every partition/source/day keeps
+    * its own k-long summary and the global estimate comes from merging
+    * summaries, never re-scanning data. Merge = k smallest of the
+    * concatenated min-sets, which is EXACTLY the sketch of the union (a
+    * KMV identity, not an approximation) — so the __union row here must
+    * equal t12's one-shot corpus sketch bit for bit (spec-asserted). Per
+    * source: one partial-agg groupBy whose shuffle carries ≤k longs per
+    * (partition, source); the merge aggregates S·k rows. The same shape
+    * federates estimates across 1000 daily corpora without touching one. */
+  def kmvBySource(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    graft.Graft.init(spark)
+    val sh = Dedup.corpusShingles(spark, dir)._2
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = sh.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("mins"))
+    val union = per.select(explode(col("mins")).as("h"))
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("mins"))
+      .withColumn("source", lit("__union"))
+    per.unionByName(union)
+      .select(col("source"),
+        size(col("mins")).cast("long").as("k"),
+        element_at(col("mins"), k).as("kth"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Dedup.P.toDouble) /
+            element_at(col("mins"), k).cast("double"), 4))
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
+  def kmvBySourceOracle(k: Int = 128): String =
+    s"""WITH ${Dedup.shingleSqlCte},
+       |src AS (SELECT DISTINCT d.source, h.h FROM h JOIN documents d USING (doc_id)),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM src),
+       |per AS (SELECT source, count(*) AS n, max(h) AS kth FROM r WHERE rn <= $k GROUP BY source),
+       |m AS (SELECT DISTINCT h FROM r WHERE rn <= $k),
+       |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM m),
+       |uni AS (SELECT '__union' AS source, count(*) AS n, max(h) AS kth FROM mr WHERE rn <= $k),
+       |s AS (SELECT * FROM per UNION ALL SELECT * FROM uni)
+       |SELECT source, n::BIGINT AS k, kth,
+       |       CASE WHEN n < $k THEN n::DOUBLE
+       |            ELSE round(${(k - 1).toDouble} * ${Dedup.P.toDouble} / kth::DOUBLE, 4) END AS est_distinct
+       |FROM s ORDER BY source""".stripMargin
+
   /** t13: count-min sketch term frequencies (Cormode & Muthukrishnan
     * 2005) — the frequency companion to t12's cardinality sketch. The
     * sketch state is d×w counters (here 4×256 longs) REGARDLESS of

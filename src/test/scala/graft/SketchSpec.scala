@@ -246,4 +246,26 @@ class SketchSpec extends GraftSuite {
       .toSet
     assert(got === expected)
   }
+
+  test("q14: merging per-source KMV sketches equals the one-shot corpus sketch") {
+    // the KMV mergeability identity: k-smallest of the union of per-source
+    // k-smallest sets == k-smallest of the union — so the merged row must
+    // reproduce t12's corpus sketch EXACTLY, not approximately
+    val t12 = run("t12_kmv_distinct").collect()(0)
+    val union = run("q14_kmv_union").filter(col("source") === "__union").collect()(0)
+    assert(union.getAs[Long]("k") === t12.getAs[Long]("k"))
+    assert(union.getAs[Long]("kth") === t12.getAs[Long]("kth"))
+    assert(union.getAs[Double]("est_distinct") === t12.getAs[Double]("est_distinct"))
+    // per-source estimates stay within the 2/sqrt(k) KMV error of exact
+    val exact = graft.operators.Dedup.corpusShingles(spark, sf)._2
+      .join(graft.sources.Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(countDistinct("h").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("q14_kmv_union").filter(col("source") =!= "__union").collect().foreach { r =>
+      val s = r.getString(0)
+      val est = r.getAs[Double]("est_distinct")
+      val err = math.abs(est - exact(s)) / exact(s)
+      assert(err <= 2.0 / math.sqrt(128.0), s"source $s KMV error $err")
+    }
+  }
 }
