@@ -90,6 +90,46 @@ object Streams {
       .toDF()
   }
 
+  /** Event row for the streaming per-user top-k. */
+  case class TopkEvent(user_id: Long, event_id: Long, value: Double)
+
+  /** Current top-k emission; `n_seen` is strictly increasing per user so a
+    * consumer identifies the final emission without batch metadata. */
+  case class TopkEmit(user_id: Long, rank: Long, event_id: Long,
+                      value: Double, n_seen: Long)
+
+  /** s15: streaming per-user top-k — e3's twin under continuous arrival.
+    * State per user is the current top-k (value desc, event_id asc) list —
+    * k tuples, O(keys·k) total, never the stream. The merge (state ∪
+    * batch → sort → take k) is a commutative idempotent-free monoid fold,
+    * so the final state is ARRIVAL-ORDER-INVARIANT: unlike sessionization
+    * (whose gap rule needs time order) the spec feeds deliberately
+    * shuffled micro-batches and still matches batch e3 exactly. Each
+    * micro-batch re-emits the group's current top-k (Update-shaped
+    * emission under Append mode, the upsert convention). */
+  def topkStateful(spark: SparkSession,
+                   events: org.apache.spark.sql.Dataset[TopkEvent],
+                   k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Seq[(Double, Long)], Long), TopkEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Seq[(Double, Long)], Long)]) =>
+          val (top0, seen0) = state.getOption.getOrElse((Seq.empty[(Double, Long)], 0L))
+          val incoming = it.map(e => (e.value, e.event_id)).toSeq
+          val merged = (top0 ++ incoming)
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          val seen = seen0 + incoming.size
+          state.update((merged, seen))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopkEmit(uid, i + 1L, id, v, seen)
+          }
+      }
+      .toDF()
+  }
+
   /** Changelog event for the streaming upsert (CDC latest-wins). */
   case class UpsertEvent(user_id: Long, event_type: String, event_id: Long,
                          value: Double, ms: Long)

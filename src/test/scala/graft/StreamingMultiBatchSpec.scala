@@ -345,6 +345,38 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s15 streaming per-user top-k: SHUFFLED micro-batches == batch e3 (order-invariant merge)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "value")
+      .as[Streams.TopkEvent].collect()
+      // deterministic shuffle: arrival order decorrelated from both time
+      // and id — the monoid merge must not care
+      .sortBy(e => (e.event_id * 1103515245L + 12345L) & 0x7fffffffL)
+    val third = evs.length / 3
+    val batches = Seq(evs.take(third), evs.slice(third, 2 * third), evs.drop(2 * third))
+    val stream = MemoryStream[Streams.TopkEvent]
+    val q = Streams.topkStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_topk").start()
+    try {
+      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      val emitted = spark.table("graft_mb_topk")
+        .select("user_id", "n_seen", "rank", "event_id", "value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      // final emission per user = the one at max n_seen
+      val lastSeen = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val streamedFinal = emitted.collect {
+        case (u, seen, rank, id, v) if seen == lastSeen(u) => (u, rank, id, v)
+      }.toSet
+      val batch = run("e3_topk_per_group")
+        .select("user_id", "rank", "event_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamedFinal === batch)
+      assert(streamedFinal.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine: final per-user stages == batch e6 under in-order arrival") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = Tables.events(spark, sf)
