@@ -415,9 +415,10 @@ object Ivf {
     * driver renormalize and the reseed divide (`y / nrm`, matching
     * [[trainCentroids]]). */
   def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5,
-                          sampled: Boolean = false): String =
+                          sampled: Boolean = false, queryPred: String = ""): String = {
+    val pred = if (queryPred.nonEmpty) queryPred else s"vec_id < $nQueries"
     s"""${trainCtes(iters, sampled)}
-       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $pred),
        |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
        |            FROM q CROSS JOIN c$iters c),
        |probes AS (SELECT qid, cid FROM (
@@ -430,6 +431,31 @@ object Ivf {
        |r AS (SELECT qid, vec_id, score,
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** v32: the trained-IVF production flow served for the EXTERNAL query
+    * workload table ([[Knn.queryTable]]) — the convention's final cell:
+    * train (memoized), assign once, probe-and-rerank, with the probe set
+    * computed for workload rows instead of a corpus prefix. Everything
+    * downstream of the query source is [[searchTrained]] unchanged. */
+  def workloadSearchTrained(spark: SparkSession, dir: String, k: Int = 10,
+                            iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = trainedCentroidsFor(spark, dir, iters)
+    val queries = Knn.queryTable(spark, dir)
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    val scored = assigned.join(broadcast(probesFor(queries, mat, spark)), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def workloadSearchTrainedOracle(k: Int = 10, iters: Int = 5): String =
+    trainedSearchOracle(k, 0, iters, sampled = false, queryPred = Knn.workloadPredSql())
 
   /** v16f: metadata filter on the TRAINED-IVF path — completes the
     * filter × index-family matrix (flat v16, untrained IVF v16b, LSH

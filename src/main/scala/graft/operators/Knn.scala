@@ -52,9 +52,14 @@ object Knn {
   }
 
   /** The workload table as an oracle CTE body (same hash rule). */
+  /** The workload membership predicate alone (same hash rule), for oracles
+    * that must filter an existing CTE rather than re-scan `embeddings`. */
+  private[operators] def workloadPredSql(mod: Long = 50L): String =
+    s"(CAST('0x' || substr(md5('qry:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0"
+
   private[operators] def queryTableSql(mod: Long = 50L): String =
     "SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings " +
-      s"WHERE (CAST('0x' || substr(md5('qry:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0"
+      s"WHERE ${workloadPredSql(mod)}"
 
   /** v26: flat kNN served for the external query workload table. */
   def workloadSearch(spark: SparkSession, dir: String, metric: String = "cosine",
