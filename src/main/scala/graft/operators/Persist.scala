@@ -730,4 +730,48 @@ object Persist {
        |r AS (SELECT qid, vec_id, score,
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** The corpus re-laid-out hive-partitioned by `lang` — CORPUS-side data
+    * layout (every partitioned artifact so far is index-side). At 100 TB
+    * the language directories make every lang-scoped curation job (t8's
+    * sampler, t18's rebalancer, per-lang quality sweeps) a file-listing
+    * prune instead of a full-corpus scan — the same economics p3 proved
+    * for IVF probe lists, applied to the raw documents. Memoized per
+    * (session, corpus) with a dir-fingerprinted name like every other
+    * standing artifact. */
+  private val langLayoutCache =
+    new BoundedMemo[(SparkSession, String), DataFrame](4)(_ => ())
+
+  private[operators] def langPartitionedCorpus(spark: SparkSession, dir: String): DataFrame =
+    langLayoutCache.getOrElseUpdate((spark, dir)) {
+      val path = tablePath(spark, "graft_corpus_by_lang_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+      Sinks.writePartitioned(Tables.documents(spark, dir), path, "lang")
+      spark.read.parquet(path)
+    }
+
+  /** p6: lang-pruned corpus stats off the partitioned layout — the filter
+    * must land in `PartitionFilters` (directory pruning, spec-asserted),
+    * never the row-level filter; results are layout-invariant, so the
+    * oracle reads the original documents table. */
+  def langLayoutStats(spark: SparkSession, dir: String,
+                      langs: Seq[String] = Seq("de", "fr")): DataFrame = {
+    graft.Graft.init(spark)
+    langPartitionedCorpus(spark, dir)
+      .filter(col("lang").isin(langs: _*))
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy("lang")
+  }
+
+  def langLayoutStatsOracle(langs: Seq[String] = Seq("de", "fr")): String = {
+    val inList = langs.sorted.map(l => s"'$l'").mkString(", ")
+    s"""SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc,
+       |       max(doc_id) AS max_doc,
+       |       sum(len(string_split(text, ' ')))::BIGINT AS sum_tok
+       |FROM documents WHERE lang IN ($inList) GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

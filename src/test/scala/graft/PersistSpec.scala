@@ -248,6 +248,16 @@ class PersistSpec extends GraftSuite {
       "vocab artifact scan should be bucketed (term-clustered, exchange-free artifact side)")
   }
 
+  test("p6: lang filter prunes partitions of the corpus layout, not rows") {
+    val df = Persist.langLayoutStats(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined,
+      s"lang filter did not reach PartitionFilters:\n${plan.take(1200)}")
+    assert(!"""PushedFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined,
+      "lang landed as a row-level pushed filter — the layout is not pruning directories")
+  }
+
   test("p5: persisted labels reproduce d11 exactly; join-back shuffles only the corpus side") {
     val fresh = rows(Dedup.keepBestCopy(spark, sf))
     val persisted = rows(Persist.labelsPersistSearch(spark, sf))
