@@ -78,6 +78,55 @@ object Persist {
                              nBits: Int = 12, seed: Long = 5000): String =
     Lsh.searchOracle(k, nQueries, nTables, nBits, seed)
 
+  /** p7: DELETION from a persisted index WITHOUT rebuild — the
+    * right-to-be-forgotten flow an ANN store actually runs: the bucketed
+    * index stays untouched on disk, a deletion request appends the doc
+    * ids to a tiny tombstone log (its own parquet artifact), and every
+    * search applies the log MERGE-ON-READ as a broadcast anti-join on
+    * the candidate set (and on the query set — a deleted doc may not
+    * query either). Cost per delete is O(|log|) writes and O(|log|)
+    * broadcast per search, never an index rebuild; a compaction job
+    * (the [[graft.streaming.Streams.compactIndex]] shape) folds the log
+    * into a new generation when it grows. The delete set is a pure
+    * content-hash slice so the oracle re-derives it as a predicate —
+    * semantically, search-after-delete ≡ a fresh index over the
+    * surviving corpus (spec-asserted bit-for-bit). */
+  def tombstoneDeleteSearch(spark: SparkSession, dir: String, k: Int = 10,
+                            nQueries: Int = 8, nTables: Int = 4, nBits: Int = 12,
+                            seed: Long = 5000, mod: Long = 7L): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val built = Lsh.keyRows(emb, nTables, nBits, seed)
+    val index = materializeBucketed(spark, built, "graft_idx_lsh_del", 8, Seq("key"))
+    val delPath = tablePath(spark, "graft_idx_lsh_tombstones")
+    emb.select(col("vec_id"))
+      .filter(Dedup.h60(concat(lit("del:"), col("vec_id").cast("string"))) % mod === 0L)
+      .write.mode("overwrite").parquet(delPath)
+    val tombs = spark.read.parquet(delPath)
+    val liveIndex = index.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Lsh.searchIndex(liveIndex, emb, queries, nTables, nBits, seed, k)
+  }
+
+  def tombstoneDeleteSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 4,
+                                  nBits: Int = 12, seed: Long = 5000, mod: Long = 7L,
+                                  dim: Int = 64): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |      WHERE NOT ((CAST('0x' || substr(md5('del:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0)),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dk AS (${Lsh.keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${Lsh.keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(e.v, q.qv) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** p2: MinHash-signature persistence round-trip — compute the banded LSH
     * key table ONCE, persist it bucketed by `band_key`, reload, self-join
     * the materialized table for candidate pairs, exact-Jaccard rerank

@@ -248,6 +248,27 @@ class PersistSpec extends GraftSuite {
       "vocab artifact scan should be bucketed (term-clustered, exchange-free artifact side)")
   }
 
+  test("p7: tombstoned search == fresh index over the surviving corpus; no deleted id surfaces") {
+    val out = Persist.tombstoneDeleteSearch(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val del = emb.select(col("vec_id"))
+      .filter(Dedup.h60(concat(lit("del:"), col("vec_id").cast("string"))) % 7L === 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(del.nonEmpty, "delete slice is empty — the test is vacuous")
+    out.foreach { r =>
+      assert(!del.contains(r.getAs[Long]("vec_id")), s"deleted ${r.getAs[Long]("vec_id")} surfaced")
+      assert(!del.contains(r.getAs[Long]("qid")), s"deleted query ${r.getAs[Long]("qid")} ran")
+    }
+    // merge-on-read over the tombstoned index must be indistinguishable
+    // from a full rebuild on the surviving corpus
+    val live = emb.filter(!col("vec_id").isInCollection(del))
+    val queries = live.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fresh = Lsh.searchIndex(Lsh.keyRows(live, 4, 12, 5000), live, queries, 4, 12, 5000, 10)
+      .collect()
+    assert(out.toSeq === fresh.toSeq)
+  }
+
   test("p6: lang filter prunes partitions of the corpus layout, not rows") {
     val df = Persist.langLayoutStats(spark, sf)
     df.collect()
