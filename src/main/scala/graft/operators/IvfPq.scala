@@ -73,6 +73,31 @@ object IvfPq {
     adcSearch(spark, emb, mat, cb, rsub, k, nQueries, refine)
   }
 
+  /** v33: IVFADC for the external query workload table ([[Knn.queryTable]])
+    * — the last workload × index-family cell (flat v26, IVF v27, LSH v29,
+    * PQ v30, trained IVF v32): probes and ADC query subvectors come from
+    * the workload scan; codes, codebooks and the refine tail are
+    * [[search]] unchanged. */
+  def workloadSearch(spark: SparkSession, dir: String, k: Int = 10,
+                     refine: Int = 32): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val rsub = residualSub(residuals(emb, mat)).localCheckpoint()
+    val cbRows = rsub.filter(col("vec_id") >= Ivf.K && col("vec_id") < 2 * Ivf.K)
+      .select(col("vec_id"), col("m"), col("sv")).collect()
+      .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toArray))
+    val cb: Map[Long, Array[Array[Double]]] =
+      cbRows.groupBy(_._1).map { case (m, rows) => m -> rows.sortBy(_._2).map(_._3) }
+    val queries = Knn.queryTable(spark, dir)
+    adcFromCodes(spark, emb, mat, cb, encodeCodes(rsub, cb),
+      Ivf.probesFor(queries, mat, spark), k, queries, refine)
+  }
+
+  def workloadSearchOracle(k: Int = 10, refine: Int = 32): String =
+    searchOracle(k, 0, refine, queryPred = Knn.workloadPredSql())
+
   /** v19b: IVFADC with a TRAINED coarse quantizer (v8's order-independent
     * k-means, [[Ivf.trainCentroids]]) AND TRAINED residual codebooks
     * (v18b's per-subspace Lloyd's, [[Pq.trainCodebooks]], run on the
@@ -126,7 +151,7 @@ object IvfPq {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     adcFromCodes(spark, emb, mat, cb, encodeCodes(rsub, cb),
-      Ivf.probesFor(queries, mat, spark), k, nQueries, refine)
+      Ivf.probesFor(queries, mat, spark), k, queries, refine)
   }
 
   /** Map-only grouped-argmin encode: (vec_id, cluster_id, m, code). */
@@ -147,10 +172,8 @@ object IvfPq {
                                       mat: Array[(Long, Array[Double])],
                                       cb: Map[Long, Array[Array[Double]]],
                                       codes: DataFrame, probes: DataFrame,
-                                      k: Int, nQueries: Int, refine: Int): DataFrame = {
+                                      k: Int, queries: DataFrame, refine: Int): DataFrame = {
     val cvecs = typedLit(mat.map(_._2.toSeq).toSeq) // position = cid
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
     // codebook + query subvectors as broadcast dims for ADC
     val cbDf = Ivf.codebookDf(spark, cb)
@@ -249,12 +272,14 @@ object IvfPq {
         .select(col("vec_id"), col("cluster_id"), col("pos").cast("long").as("m"),
           col("col").as("code"))
 
-      adcFromCodes(spark, emb, mat2, cb2, codes, probeDf, k, nQueries, refine)
+      adcFromCodes(spark, emb, mat2, cb2, codes, probeDf, k, queries, refine)
     } finally emb.unpersist()
   }
 
-  def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32): String = {
+  def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32,
+                   queryPred: String = ""): String = {
     val K = Ivf.K; val M = Pq.M; val S = Pq.Sub; val P = Ivf.Probes
+    val pred = if (queryPred.nonEmpty) queryPred else s"vec_id < $nQueries"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $K),
        |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
@@ -276,7 +301,7 @@ object IvfPq {
        |  SELECT vec_id, cluster_id, m, code,
        |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
        |  FROM code_s) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $pred),
        |qsub AS (SELECT qid, m, qvec[($S*m+1):($S*m+$S)] AS qm FROM (
        |  SELECT qid, qvec, unnest([i for i in generate_series(0, ${M - 1})]) AS m FROM q)),
        |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
