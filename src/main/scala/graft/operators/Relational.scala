@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -521,4 +521,59 @@ object Relational {
       |FROM f
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** q15: Bloom SEMI-JOIN REDUCTION — the shuffle-side economics of a
+    * selective fact×dim join made explicit: the selected order keys fold
+    * into an 8 KiB Bloom bitset (distributed `bit_or`, the d10 packing),
+    * which broadcasts as a CONSTANT and pre-filters lineitem with k
+    * map-only bit tests BEFORE the join shuffle — the shuffle then
+    * carries only probable matches instead of the whole fact table
+    * (Spark's own runtime bloom-filter injection does this opportunistically;
+    * here it is structural, so the plan keeps the guarantee at any scale
+    * or config). False positives are removed by the exact equi-join that
+    * follows, so the Bloom stage is semantically INVISIBLE: the oracle is
+    * the plain join SQL, and the gate proves transparency. The spec
+    * measures the reduction: post-filter fact rows ≪ fact table, and
+    * every surviving row's key is genuinely probable. */
+  def q15BloomJoin(spark: SparkSession, dir: String, cutoff: Double = 450000.0,
+                   mBits: Int = 1 << 16, kH: Int = 3): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
+    graft.Graft.init(spark)
+    def posCols(c: Column): Seq[Column] = (0 until kH).map { j =>
+      Dedup.h60(concat(lit(s"bj$j:"), c.cast("string"))) % mBits.toLong
+    }
+    val sel = Tables.orders(spark, dir).filter(col("o_totalprice") > cutoff)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val words = new Array[Long](mBits / 64)
+    sel.select(explode(array(posCols(col("o_orderkey")): _*)).as("pos"))
+      .groupBy(expr("cast(pos div 64 as int)").as("widx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))").as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedLit(words.toSeq)
+    val hit = (0 until kH).map { j =>
+      s"(shiftrightunsigned(element_at(bw, cast(p$j div 64 as int) + 1), " +
+        s"cast(p$j % 64 as int)) & 1)"
+    }.mkString(" * ")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumns(((0 until kH).map(j =>
+        s"p$j" -> posCols(col("l_orderkey"))(j)) :+ ("bw" -> wordsLit)).toMap)
+      .filter(expr(hit) === 1)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q15Oracle(cutoff: Double = 450000.0): String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |       round(sum(l_quantity), 2) AS sum_qty,
+       |       round(sum(l_extendedprice), 2) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > $cutoff
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -124,6 +124,37 @@ class QualitySpec extends GraftSuite {
     }
   }
 
+  test("q15: the Bloom pre-filter keeps every true match and prunes most of the fact side") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val mBits = 1 << 16; val kH = 3
+    val sel = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(sel.nonEmpty)
+    val words = new Array[Long](mBits / 64)
+    sel.foreach { key =>
+      (0 until kH).foreach { j =>
+        val p = (h60(s"bj$j:$key") % mBits).toInt
+        words(p / 64) |= (1L << (p % 64))
+      }
+    }
+    def probable(key: Long): Boolean = (0 until kH).forall { j =>
+      val p = (h60(s"bj$j:$key") % mBits).toInt
+      ((words(p / 64) >>> (p % 64)) & 1L) == 1L
+    }
+    val liKeys = Tables.lineitem(spark, sf).select("l_orderkey")
+      .collect().map(_.getLong(0))
+    // no false negatives: every fact row whose key IS selected survives
+    liKeys.filter(sel.contains).foreach(k => assert(probable(k), s"true match $k dropped"))
+    // and the screen genuinely prunes: most non-matching rows are filtered
+    val kept = liKeys.count(probable)
+    assert(kept < liKeys.length / 2,
+      s"bloom kept $kept of ${liKeys.length} fact rows — no reduction")
+  }
+
   test("d15: keep-longest selection matches a full driver recompute") {
     // independent replication of the whole chain: shingle → h60 mod P →
     // df-cap → pair stats → containment → orientation → argmax container
