@@ -576,4 +576,42 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |WHERE o_totalprice > $cutoff
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q16: INCREMENTAL aggregate maintenance (materialized-view delta
+    * update) — the per-(hour, type) rollup maintained the way a nightly
+    * pipeline actually maintains it: the base aggregate is a PERSISTED
+    * artifact computed from the log up to the snapshot cutoff, the delta
+    * scan reads only events AFTER it (the `>` filter pushed in the
+    * column's native type, [[Tables.eventsAfterMs]] — at 100 TB the
+    * nightly job reads the new row groups, never the history), and the
+    * refresh is a union + re-aggregate of PARTIAL STATES. That merge is
+    * exact because every aggregate here is a mergeable monoid in exact
+    * integers: counts add, and values sum as fixed-point CENTS (the q12
+    * device) so base+delta is bit-identical to the full recompute the
+    * oracle runs — the gate IS the IVM correctness proof. countDistinct
+    * is deliberately absent: it does not merge; its incremental form is
+    * the KMV/HLL sketch state (q14, s10). */
+  def q16IncrementalAgg(spark: SparkSession, dir: String,
+                        cutoffMs: Long = 1705363200000L): DataFrame = {
+    graft.Graft.init(spark)
+    def rollup(e: DataFrame): DataFrame = e
+      .withColumn("hour_bucket", expr("(ts div 1000000) div 3600000"))
+      .withColumn("vc", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_cents"))
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_mv_hourly_base"
+    rollup(Tables.eventsUpToMs(spark, dir, cutoffMs))
+      .write.mode("overwrite").parquet(path)
+    val base = spark.read.parquet(path)
+    base.unionByName(rollup(Tables.eventsAfterMs(spark, dir, cutoffMs)))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  val q16Oracle: String =
+    """SELECT floor(epoch_ms(ts) / 3600000)::BIGINT AS hour_bucket, event_type,
+      |       count(*) AS n,
+      |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
 }

@@ -72,6 +72,25 @@ object Tables {
     * included on the boundary in both physical encodings, matching the
     * oracle's `epoch_ns(ts) <= cutoff·10⁶ + 999999`. Returns the
     * normalized (BIGINT-ns) frame. */
+  /** The exact complement of [[eventsUpToMs]] — events strictly AFTER the
+    * millisecond-inclusive cutoff, with the same native-type pushdown so a
+    * delta scan reads only new row groups. upTo(c) ∪ after(c) partitions
+    * the log with no overlap at any sub-ms residue. */
+  def eventsAfterMs(spark: SparkSession, dir: String, cutoffMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = eventsRaw(spark, dir)
+    val cutoffUs = timestamp_micros(lit(cutoffMs * 1000L + 999L))
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => raw.filter(col("ts") > cutoffMs * 1000000L + 999999L)
+      case TimestampType => raw.filter(col("ts") > cutoffUs)
+      case TimestampNTZType => raw.filter(col("ts") > cutoffUs.cast(TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected BIGINT ns or TIMESTAMP)")
+    }
+    normalizeEventTs(filtered)
+  }
+
   def eventsUpToMs(spark: SparkSession, dir: String, cutoffMs: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -155,6 +155,15 @@ class QualitySpec extends GraftSuite {
       s"bloom kept $kept of ${liKeys.length} fact rows — no reduction")
   }
 
+  test("q16: upTo/after cutoff scans partition the event log exactly") {
+    val cutoff = 1705363200000L
+    val base = Tables.eventsUpToMs(spark, sf, cutoff).count()
+    val delta = Tables.eventsAfterMs(spark, sf, cutoff).count()
+    assert(base > 0 && delta > 0, s"cutoff does not split the log: base=$base delta=$delta")
+    assert(base + delta === Tables.events(spark, sf).count(),
+      "upTo + after lose or double-count events at a sub-ms residue")
+  }
+
   test("d15: keep-longest selection matches a full driver recompute") {
     // independent replication of the whole chain: shingle → h60 mod P →
     // df-cap → pair stats → containment → orientation → argmax container
