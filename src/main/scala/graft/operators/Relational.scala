@@ -539,8 +539,13 @@ object Relational {
                    mBits: Int = 1 << 16, kH: Int = 3): DataFrame = {
     require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
     graft.Graft.init(spark)
+    // xxhash64 on the raw long key, not h60: the Bloom stage never reaches
+    // the oracle (the exact join erases it), so the hash needs no DuckDB
+    // parity — take the fast codegen'd one (3 md5-of-string hashes per
+    // fact row measured 3.2 s at sf0.1; xxhash64 is the whole point of a
+    // pre-shuffle screen being cheap)
     def posCols(c: Column): Seq[Column] = (0 until kH).map { j =>
-      Dedup.h60(concat(lit(s"bj$j:"), c.cast("string"))) % mBits.toLong
+      pmod(xxhash64(lit(j), c), lit(mBits.toLong))
     }
     val sel = Tables.orders(spark, dir).filter(col("o_totalprice") > cutoff)
       .select(col("o_orderkey"), col("o_orderpriority"))

@@ -130,6 +130,53 @@ object Streams {
       .toDF()
   }
 
+  /** Event row for the streaming materialized-view maintenance. */
+  case class MvEvent(event_type: String, ms: Long, value: Double)
+
+  /** The s16 per-batch writer, exposed for the replay spec: reduces one
+    * micro-batch to its PARTIAL rollup states and appends them under the
+    * commit-log guard — a re-delivered (batchId, data) pair is skipped, so
+    * delivery retries can never double-count. */
+  private[graft] def mvWriteBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
+    val s = batch.sparkSession
+    val commits = table + "_commits"
+    val alreadyCommitted = s.catalog.tableExists(commits) &&
+      !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyCommitted) {
+      batch
+        .withColumn("hour_bucket", expr("ms div 3600000"))
+        .withColumn("vc", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_cents"))
+        .write.mode("append").format("parquet").saveAsTable(table)
+      s.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+    }
+  }
+
+  /** s16: streaming MATERIALIZED-VIEW maintenance — q16's refresh loop as
+    * continuous ingestion: each micro-batch reduces map-side to its
+    * partial rollup (hour, type, count, fixed-point cents — the mergeable
+    * integer monoid q16 established), appends the partials under the
+    * commit-log idempotence the index-ingest streams use, and the served
+    * view is one merge-on-read aggregate over the partial table. The MV
+    * therefore equals the batch full recompute after any number of
+    * delivery attempts (replay spec calls the writer twice with one
+    * batchId); compaction of the partial table is the [[compactIndex]]
+    * shape when batch count grows. */
+  def mvIngestStream(events: DataFrame, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => mvWriteBatch(batch, batchId, table))
+      .start()
+
+  /** The served view: merge-on-read over the appended partial states. */
+  def mvState(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy("hour_bucket", "event_type")
+
   /** Changelog event for the streaming upsert (CDC latest-wins). */
   case class UpsertEvent(user_id: Long, event_type: String, event_id: Long,
                          value: Double, ms: Long)

@@ -125,28 +125,27 @@ class QualitySpec extends GraftSuite {
   }
 
   test("q15: the Bloom pre-filter keeps every true match and prunes most of the fact side") {
-    def h60(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
     val mBits = 1 << 16; val kH = 3
     val sel = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(sel.nonEmpty)
-    val words = new Array[Long](mBits / 64)
-    sel.foreach { key =>
-      (0 until kH).foreach { j =>
-        val p = (h60(s"bj$j:$key") % mBits).toInt
-        words(p / 64) |= (1L << (p % 64))
-      }
-    }
-    def probable(key: Long): Boolean = (0 until kH).forall { j =>
-      val p = (h60(s"bj$j:$key") % mBits).toInt
-      ((words(p / 64) >>> (p % 64)) & 1L) == 1L
-    }
     val liKeys = Tables.lineitem(spark, sf).select("l_orderkey")
       .collect().map(_.getLong(0))
+    // the operator's exact hash positions, evaluated once per distinct key
+    // (replicating xxhash64 in the driver would re-implement the hash; the
+    // point here is the PACKING and bit logic, not the hash function)
+    val posOf: Map[Long, Seq[Int]] = {
+      val keys = (sel ++ liKeys).toSeq
+      import spark.implicits._
+      keys.toDF("key").select(col("key") +: (0 until kH).map(j =>
+          pmod(xxhash64(lit(j), col("key")), lit(mBits.toLong)).as(s"p$j")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to kH).map(i => r.getLong(i).toInt).toSeq).toMap
+    }
+    val words = new Array[Long](mBits / 64)
+    sel.foreach(key => posOf(key).foreach(p => words(p / 64) |= (1L << (p % 64))))
+    def probable(key: Long): Boolean =
+      posOf(key).forall(p => ((words(p / 64) >>> (p % 64)) & 1L) == 1L)
     // no false negatives: every fact row whose key IS selected survives
     liKeys.filter(sel.contains).foreach(k => assert(probable(k), s"true match $k dropped"))
     // and the screen genuinely prunes: most non-matching rows are filtered

@@ -377,6 +377,34 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s16 streaming MV maintenance: merged partials == batch q16; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.operators.Persist.dropIndexTable(spark, "graft_mb_mv")
+    graft.operators.Persist.dropIndexTable(spark, "graft_mb_mv_commits")
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 1000000 AS ms", "value")
+      .as[Streams.MvEvent].collect()
+    val third = evs.length / 3
+    val batches = Seq(evs.take(third), evs.slice(third, 2 * third), evs.drop(2 * third))
+    val stream = MemoryStream[Streams.MvEvent]
+    val q = Streams.mvIngestStream(stream.toDS().toDF(), "graft_mb_mv")
+    try {
+      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batchFull = run("q16_incremental_agg")
+      .select("hour_bucket", "event_type", "n", "sum_cents")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    def state() = Streams.mvState(spark, "graft_mb_mv")
+      .select("hour_bucket", "event_type", "n", "sum_cents")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(state() === batchFull)
+    // replay: re-deliver batch 0 under its original batchId — the commit
+    // log must make it a no-op, not a double count
+    import spark.implicits._
+    Streams.mvWriteBatch(batches.head.toSeq.toDF("event_type", "ms", "value"), 0L, "graft_mb_mv")
+    assert(state() === batchFull, "replayed batch double-counted into the MV")
+  }
+
   test("streaming funnel state machine: final per-user stages == batch e6 under in-order arrival") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = Tables.events(spark, sf)
