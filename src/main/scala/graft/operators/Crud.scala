@@ -302,6 +302,49 @@ object Crud {
       |       lead(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS valid_to
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** c11: SCD2 AS-OF dimension lookup — the classic warehouse temporal
+    * join c9's table exists to serve: each purchase reads the version of
+    * the same user's `view` dimension row that was valid at purchase
+    * time (`valid_from ≤ t < valid_to`, open current row = NULL). The
+    * dimension is MATERIALIZED bucketed by `user_id` (the serving
+    * artifact, not an in-flight window), so the fact join clusters on
+    * the bucket spec with zero dimension-side exchange; the containment
+    * filter rides the equi-join and per-fact fanout is bounded by the
+    * user's version count (versions PARTITION time — disjoint,
+    * zero-length intervals from same-ms versions match nothing — so at
+    * most one row survives per fact with no argmax needed). Purchases
+    * before a user's first view drop out (inner join), identically in
+    * both engines. */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val e = Tables.events(spark, dir).withColumn("ms", expr("ts div 1000000"))
+    val dimBuilt = e.filter(col("event_type") === "view")
+      .withColumn("valid_to", lead(col("ms"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("value").as("view_value"), col("ms").as("valid_from"), col("valid_to"))
+    val dim = Persist.materializeBucketed(spark, dimBuilt, "graft_dim_scd2", 8, Seq("user_id"))
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ms"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ms") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ms") < col("valid_to")))
+      .select(col("purchase_id"), col("user_id"), col("view_event_id"),
+        col("view_value"), col("valid_from"))
+      .orderBy("purchase_id")
+  }
+
+  val scd2LookupOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ms FROM events),
+      |d AS (SELECT user_id, event_id AS view_event_id, value AS view_value, ms AS valid_from,
+      |             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
+      |      FROM e WHERE event_type = 'view'),
+      |f AS (SELECT event_id AS purchase_id, user_id, ms FROM e WHERE event_type = 'purchase')
+      |SELECT f.purchase_id, f.user_id, d.view_event_id, d.view_value, d.valid_from
+      |FROM f JOIN d ON f.user_id = d.user_id
+      |WHERE f.ms >= d.valid_from AND (d.valid_to IS NULL OR f.ms < d.valid_to)
+      |ORDER BY purchase_id""".stripMargin
+
   val libraryStatsOracle: String =
     """SELECT d.source,
       |       count(*) AS n_docs,

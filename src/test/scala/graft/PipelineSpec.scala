@@ -149,6 +149,23 @@ class PipelineSpec extends GraftSuite {
     assert(run("m3_media_search").collect().toSeq === hits)
   }
 
+  test("c11: SCD2 lookup resolves exactly one dimension version per covered fact") {
+    val out = run("c11_scd2_lookup").collect()
+    assert(out.nonEmpty)
+    // intervals partition time: a purchase can never match two versions
+    val ids = out.map(_.getAs[Long]("purchase_id"))
+    assert(ids.length === ids.distinct.length, "a purchase matched multiple versions")
+    // coverage: every purchase at-or-after its user's first view resolves
+    val e = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000000 AS ms").collect()
+    val firstView = e.filter(_.getString(2) == "view").groupBy(_.getLong(1))
+      .map { case (u, rs) => u -> rs.map(_.getLong(3)).min }
+    val expected = e.filter(_.getString(2) == "purchase")
+      .filter(r => firstView.get(r.getLong(1)).exists(_ <= r.getLong(3)))
+      .map(_.getLong(0)).toSet
+    assert(ids.toSet === expected)
+  }
+
   test("e9: bucketed range join plans as an equi-join — no nested-loop, no cartesian") {
     val df = graft.operators.Events.rangeJoin(spark, sf)
     df.collect()
