@@ -839,6 +839,41 @@ object Text {
        |            ELSE round(${(k - 1).toDouble} * ${Dedup.P.toDouble} / kth::DOUBLE, 4) END AS est_distinct
        |FROM s ORDER BY source""".stripMargin
 
+  /** t21: LENGTH-OUTLIER screen in EXACT integers — flag documents whose
+    * token count sits more than 1.5σ from their language's mean, with the
+    * z-test cross-multiplied into pure BIGINT arithmetic so it hash-gates
+    * with no floats at all: `|x−μ| > 1.5σ  ⟺  4(x·N−S)² > 9(N·SS−S²)`
+    * where S=Σx, SS=Σx² per lang. (2σ is vacuous on this corpus — token
+    * counts are near-uniform and a uniform's max deviation is 1.73σ;
+    * 1.5σ catches the tails, measured 63 flags at sf0.001.) Shape: one
+    * tokenize-count scan, a 5-row stats aggregate broadcast back, a
+    * map-only integer predicate — the outlier screen stays two scans at
+    * any corpus size, and the magnitudes fit long exactly (x·N ≤ ~1e9
+    * squared ≤ ~1e18 at 100 TB per-lang partitions). */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val stats = t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("sm"),
+        sum(col("n_tok") * col("n_tok")).as("ss"))
+    val dev = col("n_tok") * col("nd") - col("sm")
+    t.join(broadcast(stats), Seq("lang"))
+      .filter(lit(4L) * dev * dev > lit(9L) * (col("nd") * col("ss") - col("sm") * col("sm")))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  val lengthOutliersOracle: String =
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      |s AS (SELECT lang, count(*) AS nd, sum(n_tok) AS sm, sum(n_tok * n_tok) AS ss
+      |      FROM t GROUP BY lang)
+      |SELECT t.doc_id, t.lang, t.n_tok
+      |FROM t JOIN s USING (lang)
+      |WHERE 4 * (t.n_tok * s.nd - s.sm) * (t.n_tok * s.nd - s.sm)
+      |      > 9 * (s.nd * s.ss - s.sm * s.sm)
+      |ORDER BY doc_id""".stripMargin
+
   /** t13: count-min sketch term frequencies (Cormode & Muthukrishnan
     * 2005) — the frequency companion to t12's cardinality sketch. The
     * sketch state is d×w counters (here 4×256 longs) REGARDLESS of

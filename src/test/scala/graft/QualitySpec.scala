@@ -154,6 +154,41 @@ class QualitySpec extends GraftSuite {
       s"bloom kept $kept of ${liKeys.length} fact rows — no reduction")
   }
 
+  test("e10: transition rows are a probability distribution per from_type") {
+    val out = run("e10_transition_matrix").collect()
+    assert(out.nonEmpty)
+    val byFrom = out.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rows) =>
+      val pSum = rows.map(_.getAs[Long]("p_q4")).sum
+      // each row rounds independently: the sum can miss 10000 by at most
+      // half a unit per row
+      assert(math.abs(pSum - 10000L) <= rows.length / 2 + 1,
+        s"from=$from probabilities sum to $pSum")
+      val n = rows.map(_.getAs[Long]("n")).sum
+      assert(n > 0)
+    }
+    // total transitions = total events - one per user (each user's last
+    // event has no successor)
+    val e = graft.sources.Tables.events(spark, sf)
+    val users = e.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum === e.count() - users)
+  }
+
+  test("t21: the integer z-screen agrees with a float z-score recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val expected = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.length.toDouble
+      val mu = rows.map(_._3).sum / n
+      val sd = math.sqrt(rows.map(x => (x._3 - mu) * (x._3 - mu)).sum / n)
+      rows.filter(r => math.abs(r._3 - mu) > 1.5 * sd).map(_._1).toSeq
+    }.toSet
+    val got = run("t21_length_outliers").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "outlier screen is vacuous on this corpus")
+  }
+
   test("q16: upTo/after cutoff scans partition the event log exactly") {
     val cutoff = 1705363200000L
     val base = Tables.eventsUpToMs(spark, sf, cutoff).count()
