@@ -200,6 +200,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d16: MinHash CALIBRATION eval — v25's measure-the-approximation
+    * discipline applied to dedup: for every banded candidate pair, the
+    * signature-agreement estimate (matching coords / 16, the quantity
+    * LSH banding actually thresholds on) next to the exact Jaccard, as a
+    * gated query. The per-pair agreement count is exact integer equality
+    * over the 16 signature coordinates — a 16-term conditional sum both
+    * engines compute identically — and the exact Jaccard is d3's
+    * candidate-side division, so approximation QUALITY itself hash-gates.
+    * Cost over d3: one extra signature join on the (small) pair set. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (shingles, sh) = corpusShingles(spark, dir)
+    val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(":", parts: _*)).as("band_key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"b$j")): _*)
+    val m16 = (0 until NumHashes).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs
+      .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), m16.as("m16"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashCalibrationOracle: String = {
+    val bandArms = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => s"m${b * BandSize + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(':', $parts)) AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val m16 = (0 until NumHashes).map(j =>
+      s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleSqlCte,
+       |sig AS ($minhashSqlSelect),
+       |bands AS ($bandArms),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |           AND a.doc_id < b.doc_id),
+       |mm AS (SELECT p.doc_a, p.doc_b, ($m16)::BIGINT AS m16
+       |       FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+       |                    JOIN sig sb ON p.doc_b = sb.doc_id),
+       |shl AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                      for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
+       |j AS (SELECT mm.doc_a, mm.doc_b, mm.m16,
+       |             len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+       |      FROM mm JOIN shl sa ON mm.doc_a = sa.doc_id JOIN shl sb ON mm.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, m16, jaccard FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def minhashLshOracle(tau: Double = 0.5): String = {
     val bandArms = (0 until NumHashes / BandSize).map { b =>
       val parts = (0 until BandSize).map(i => s"m${b * BandSize + i}").mkString(", ")

@@ -619,4 +619,57 @@ object Relational {
       |       count(*) AS n,
       |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
       |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
+  private val fkEdges = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** q17: FOREIGN-KEY integrity audit — the data-quality gate a pipeline
+    * runs before anything downstream trusts a snapshot: for every
+    * declared FK edge, child rows, ORPHANS (children whose parent is
+    * missing — anti-join child→parent) and UNREFERENCED parents (parents
+    * no child points at — anti-join parent→child, the reverse direction).
+    * Six edges × two anti-joins, each a bounded aggregate, unioned with
+    * no driver loops. This generator's edges are referentially closed
+    * (orphans all 0 — asserted, not assumed), so the reverse metric is
+    * what keeps the audit non-vacuous: childless customers, unordered
+    * parts-of-nations etc. are real and nonzero (spec cross-checks q5's
+    * no-orders bucket against the orders->customer row). */
+  def q17FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(spark, dir)
+      case "nation" => Tables.nation(spark, dir)
+      case "region" => Tables.region(spark, dir)
+      case "orders" => Tables.orders(spark, dir)
+      case "lineitem" => Tables.lineitem(spark, dir)
+      case "supplier" => Tables.supplier(spark, dir)
+      case "documents" => Tables.documents(spark, dir)
+      case "embeddings" => Tables.embeddings(spark, dir)
+    }
+    fkEdges.map { case (name, child, ck, parent, pk) =>
+      val c = table(child); val p = table(parent)
+      val orphans = c.select(col(ck)).join(p.select(col(pk)),
+        col(ck) === col(pk), "left_anti")
+      val unreferenced = p.select(col(pk)).join(c.select(col(ck)),
+        col(pk) === col(ck), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .crossJoin(unreferenced.agg(count(lit(1)).as("n_unreferenced")))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"), col("n_unreferenced"))
+    }.reduce(_ unionByName _).orderBy("edge")
+  }
+
+  val q17Oracle: String =
+    fkEdges.map { case (name, child, ck, parent, pk) =>
+      s"""SELECT '$name' AS edge, (SELECT count(*) FROM $child)::BIGINT AS n_child,
+         |       (SELECT count(*) FROM $child c
+         |        WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = c.$ck))::BIGINT AS n_orphans,
+         |       (SELECT count(*) FROM $parent p
+         |        WHERE NOT EXISTS (SELECT 1 FROM $child WHERE $ck = p.$pk))::BIGINT AS n_unreferenced""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
 }

@@ -189,6 +189,39 @@ class QualitySpec extends GraftSuite {
     assert(got.nonEmpty, "outlier screen is vacuous on this corpus")
   }
 
+  test("d16: minhash agreement tracks exact Jaccard (unbiased estimator sanity)") {
+    val out = run("d16_minhash_calibration").collect()
+    assert(out.nonEmpty)
+    val errs = out.map { r =>
+      math.abs(r.getAs[Long]("m16").toDouble / 16.0 - r.getAs[Double]("jaccard"))
+    }
+    // 16 coords → per-pair std ≤ 1/8; candidate pairs skew high-jaccard,
+    // so the mean absolute error stays well inside two stds
+    assert(errs.sum / errs.length < 0.2, s"MAE ${errs.sum / errs.length}")
+    out.foreach { r =>
+      val m = r.getAs[Long]("m16")
+      assert(m >= 0L && m <= 16L)
+      assert(m >= 4L, s"banded pair with agreement $m/16 — banding requires a full band match")
+    }
+  }
+
+  test("q17: orphans are genuinely zero; unreferenced parents are real and cross-check q5") {
+    val got = run("q17_fk_audit").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"), r.getAs[Long]("n_unreferenced")))
+      .toMap
+    assert(got.size === 6)
+    // this generator's edges are referentially closed — asserted, not assumed
+    got.foreach { case (e, (_, orphans, _)) => assert(orphans === 0L, s"$e has orphans") }
+    // the reverse direction is the non-vacuous one: lineitem-less orders
+    // exist in this generator — recompute directly and match the audit row
+    val orderless = graft.sources.Tables.orders(spark, sf).select("o_orderkey")
+      .join(graft.sources.Tables.lineitem(spark, sf).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(orderless > 0L, "no lineitem-less orders — the unreferenced check is vacuous")
+    assert(got("lineitem->orders")._3 === orderless)
+  }
+
   test("q16: upTo/after cutoff scans partition the event log exactly") {
     val cutoff = 1705363200000L
     val base = Tables.eventsUpToMs(spark, sf, cutoff).count()
