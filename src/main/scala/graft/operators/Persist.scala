@@ -780,6 +780,50 @@ object Persist {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** p8: SCHEMA EVOLUTION across parquet generations — the lakehouse fact
+    * of life every long-lived corpus hits: generation 1 was written with
+    * (doc_id, text, lang, source); generation 2 ADDED a `quality` column
+    * and DROPPED `source`. The reader merges the generations with
+    * `mergeSchema` — missing columns surface as NULL in either direction,
+    * no rewrite of old files, no reader branching — and the aggregate
+    * handles both (null-source counting for gen2 rows, quality stats over
+    * the rows that have it). gen2's quality is a trivial deterministic
+    * expression ON PURPOSE: the capability under test is the merged READ
+    * semantics, which the oracle replays from the unified table via the
+    * generation rule (even/odd doc_id). Quality sums ride as fixed-point
+    * cents (the q12/q16 device). */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+    val base = tablePath(spark, "graft_corpus_generations")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(base + "/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"),
+        ((col("doc_id") % 100).cast("double") / 100.0).as("quality"))
+      .write.mode("overwrite").parquet(base + "/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(base + "/gen=1", base + "/gen=2")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("n_gen2"),
+        sum(when(col("quality").isNotNull,
+          floor(col("quality") * 100d + 0.5d).cast("long")).otherwise(0L)).as("q_cents"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"))
+      .orderBy("lang")
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_gen2,
+      |       sum(CASE WHEN doc_id % 2 = 1
+      |                THEN floor((doc_id % 100)::DOUBLE / 100.0 * 100 + 0.5)::BIGINT
+      |                ELSE 0 END)::BIGINT AS q_cents,
+      |       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_null_source
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** The corpus re-laid-out hive-partitioned by `lang` — CORPUS-side data
     * layout (every partitioned artifact so far is index-side). At 100 TB
     * the language directories make every lang-scoped curation job (t8's
