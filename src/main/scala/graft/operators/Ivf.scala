@@ -105,7 +105,7 @@ object Ivf {
 
   /** Top-`Probes` nearest centroids per query (tiny: Q×k rows). */
   private[operators] def probesFor(queries: DataFrame, mat: Array[(Long, Array[Double])],
-                                   spark: SparkSession): DataFrame = {
+                                   spark: SparkSession, nProbes: Int = Probes): DataFrame = {
     val schema = StructType(Seq(
       StructField("cid", LongType, nullable = false),
       StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
@@ -115,7 +115,7 @@ object Ivf {
     queries.crossJoin(broadcast(cdf))
       .withColumn("s", Graft.cosine(col("qvec"), col("cvec")))
       .groupBy(col("qid"))
-      .agg(Graft.topk(col("s"), col("cid"), lit(Probes), lit(false)).as("top"))
+      .agg(Graft.topk(col("s"), col("cid"), lit(nProbes), lit(false)).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cluster_id"))
   }
 
@@ -415,7 +415,8 @@ object Ivf {
     * driver renormalize and the reseed divide (`y / nrm`, matching
     * [[trainCentroids]]). */
   def trainedSearchOracle(k: Int = 10, nQueries: Int = 8, iters: Int = 5,
-                          sampled: Boolean = false, queryPred: String = ""): String = {
+                          sampled: Boolean = false, queryPred: String = "",
+                          nProbes: Int = Probes): String = {
     val pred = if (queryPred.nonEmpty) queryPred else s"vec_id < $nQueries"
     s"""${trainCtes(iters, sampled)}
        |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $pred),
@@ -423,7 +424,7 @@ object Ivf {
        |            FROM q CROSS JOIN c$iters c),
        |probes AS (SELECT qid, cid FROM (
        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
-       |  WHERE rn <= $Probes),
+       |  WHERE rn <= $nProbes),
        |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
        |scored AS (SELECT cand.qid, cand.vec_id,
        |                  list_cosine_similarity(e.v, q.qvec) AS score
@@ -432,6 +433,59 @@ object Ivf {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** v34: the nprobe TUNING SWEEP — the recall-vs-cost curve an operator
+    * actually reads before fixing an IVF deployment's probe count, as one
+    * gated query: recall@k of the trained index at nprobe ∈ {1,2,4,8}
+    * against the exact flat top-k. Train once (memoized), assign once
+    * (the checkpointed table feeds all four arms), then each arm is a
+    * probe-join + rerank + hit-count — the sweep costs four candidate
+    * joins, never four trainings or four corpus assignments. Recall is a
+    * fixed-point division of exact integers, so the curve itself
+    * hash-gates; monotonicity in nprobe is spec-asserted (more probes can
+    * never lose a hit — candidate sets are nested). */
+  def probeSweep(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+                 probesList: Seq[Int] = Seq(1, 2, 4, 8), iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = trainedCentroidsFor(spark, dir, iters)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+      .localCheckpoint()
+    val exact = Knn.flatSearch(spark, dir, "cosine", k, nQueries)
+      .select(col("qid"), col("vec_id"))
+    val denom = (nQueries * k).toLong
+    probesList.sorted.map { p =>
+      val scored = assigned.join(broadcast(probesFor(queries, mat, spark, p)), Seq("cluster_id"))
+        .select(col("qid"), col("vec_id"))
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+        .select(col("qid"), col("vec_id"), col("score"))
+      val approx = Knn.topkPerQuery(scored, "cosine", k)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(p.toLong).as("nprobe"), col("hits"),
+          lit(denom).as("n_considered"),
+          floor(col("hits").cast("double") / lit(denom.toDouble) * 10000d + 0.5d)
+            .cast("long").as("recall_q4"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  def probeSweepOracle(k: Int = 10, nQueries: Int = 8,
+                       probesList: Seq[Int] = Seq(1, 2, 4, 8), iters: Int = 5): String =
+    probesList.sorted.map { p =>
+      s"""SELECT $p::BIGINT AS nprobe, sum(hit)::BIGINT AS hits,
+         |       ${nQueries * k}::BIGINT AS n_considered,
+         |       floor(sum(hit)::DOUBLE / ${(nQueries * k).toDouble} * 10000 + 0.5)::BIGINT AS recall_q4
+         |FROM (
+         |  SELECT x.qid, x.vec_id, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM (${Knn.oracleFlat("cosine", k, nQueries)}) x
+         |  LEFT JOIN (${trainedSearchOracle(k, nQueries, iters, nProbes = p)}) a
+         |    ON x.qid = a.qid AND x.vec_id = a.vec_id) h""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
 
   /** v32: the trained-IVF production flow served for the EXTERNAL query
     * workload table ([[Knn.queryTable]]) — the convention's final cell:

@@ -89,6 +89,20 @@ class RecallSpec extends GraftSuite {
     assert(top1.nonEmpty && top1.forall { case (q, v) => q == v })
   }
 
+  test("v34: recall is monotone in nprobe and the top arm matches v25") {
+    val rows = run("v34_probe_sweep")
+      .select("nprobe", "hits", "recall_q4").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // candidate sets are nested in nprobe: recall can never decrease
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall dropped from nprobe=${a._1} to ${b._1}")
+    case _ =>
+    }
+    // the nprobe=4 arm is exactly the configuration v25 measures
+    val v25hits = run("v25_recall_eval").select("hits").as[Long].collect().sum
+    assert(rows.find(_._1 == 4L).get._2 === v25hits)
+  }
+
   test("v31: NDCG agrees with a driver recompute from v25's hit sets") {
     val exact = hits("v1_knn_cosine_flat")
     val ranks = run("v14_ivf_trained_search")
