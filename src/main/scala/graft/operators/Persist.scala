@@ -824,6 +824,37 @@ object Persist {
       |       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_null_source
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** p9: CO-LOCATED fact-fact join — the two big tables of the schema
+    * (lineitem, orders) persisted bucketed on their JOIN key into catalog
+    * tables, then joined with NO shuffle on either side: both scans come
+    * out of storage already clustered on the key, so the sort-merge join
+    * consumes the bucket spec directly (spec-asserted with broadcast
+    * disabled: the only exchanges left are the final aggregate's and the
+    * output sort's). This is the fact-fact counterpart of p2's
+    * self-join colocation and THE layout decision that turns a daily
+    * fact×fact reconciliation at 100 TB from two corpus shuffles into
+    * zero. The oracle is the plain join — bucketing must be invisible. */
+  def colocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val li = materializeBucketed(spark,
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_fact_lineitem", 8, Seq("l_orderkey"))
+    val o = materializeBucketed(spark,
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_fact_orders", 8, Seq("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val colocatedJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** The corpus re-laid-out hive-partitioned by `lang` — CORPUS-side data
     * layout (every partitioned artifact so far is index-side). At 100 TB
     * the language directories make every lang-scoped curation job (t8's

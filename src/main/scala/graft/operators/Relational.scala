@@ -620,6 +620,70 @@ object Relational {
       |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
       |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
 
+  /** q18: per-column DATA PROFILE of the event log — the datasheet
+    * primitive a pipeline publishes with every snapshot (null rates,
+    * cardinalities, numeric ranges): one row per column, each computed
+    * as exact aggregates in one unioned plan. Numeric ranges are emitted
+    * only for numeric columns (string min/max would gate on collation);
+    * the props column's JSON key presence profiles as its null rate
+    * after extraction — the semi-structured column is profiled by what
+    * it PARSES to, not its raw bytes. */
+  def q18Profile(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    def num(name: String, c: Column): DataFrame =
+      e.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast("double").as("min_num"),
+        max(c).cast("double").as("max_num"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"))
+    def str(name: String, c: Column): DataFrame =
+      e.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(c).as("n_distinct"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"))
+    Seq(
+      num("event_id", col("event_id")),
+      str("event_type", col("event_type")),
+      num("props_k", col("k")),
+      num("user_id", col("user_id")),
+      num("value", col("value")))
+      .reduce(_ unionByName _).orderBy("column")
+  }
+
+  val q18Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |                  json_extract_string(props, '$.k')::BIGINT AS k
+      |           FROM events)
+      |SELECT 'event_id' AS "column", count(*) AS n_rows,
+      |       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+      |       count(DISTINCT event_id) AS n_distinct,
+      |       min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num FROM e
+      |UNION ALL
+      |SELECT 'event_type', count(*),
+      |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |       count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE FROM e
+      |UNION ALL
+      |SELECT 'props_k', count(*),
+      |       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |       count(DISTINCT k), min(k)::DOUBLE, max(k)::DOUBLE FROM e
+      |UNION ALL
+      |SELECT 'user_id', count(*),
+      |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |       count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE FROM e
+      |UNION ALL
+      |SELECT 'value', count(*),
+      |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |       count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE FROM e
+      |ORDER BY "column"""".stripMargin
+
   private val fkEdges = Seq(
     ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),

@@ -269,6 +269,21 @@ class PersistSpec extends GraftSuite {
     assert(out.toSeq === fresh.toSeq)
   }
 
+  test("p9: the bucketed fact-fact join shuffles neither side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Persist.colocatedJoin(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), s"fact scans are not bucketed:\n${plan.take(800)}")
+      // only the aggregate's exchange and the output sort remain — the
+      // join itself consumes both bucket specs straight off the scans
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).length
+      assert(shuffles <= 2,
+        s"expected ≤2 shuffles (agg + sort), got $shuffles:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("p6: lang filter prunes partitions of the corpus layout, not rows") {
     val df = Persist.langLayoutStats(spark, sf)
     df.collect()
