@@ -130,6 +130,46 @@ object Streams {
       .toDF()
   }
 
+  /** Event row for the streaming transition counter. */
+  case class TransEvent(user_id: Long, event_type: String, ms: Long, event_id: Long)
+
+  /** Per-batch transition-count delta for one user. */
+  case class TransEmit(user_id: Long, from_type: String, to_type: String, n: Long)
+
+  /** s17: streaming TRANSITION counting — e10's twin with the hard part
+    * made explicit: a transition can SPAN a micro-batch boundary (last
+    * event of batch k → first event of batch k+1 for the same user), so
+    * per-user state holds exactly the last seen event (type, ms, id —
+    * O(1) per user, not the stream) and each batch emits only its DELTA
+    * pair counts, boundary pair included. Deltas are a mergeable monoid:
+    * summing all emissions reproduces batch e10's counts exactly
+    * (spec-asserted across three time-ordered micro-batches). In-order
+    * arrival across batches is the documented contract, same as
+    * sessionization's. */
+  def transitionStateful(spark: SparkSession,
+                         events: org.apache.spark.sql.Dataset[TransEvent]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long), TransEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(String, Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_._1).toSeq ++ sorted.map(_.event_type)
+            val last = sorted.last
+            state.update((last.event_type, last.ms, last.event_id))
+            types.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+              .groupBy(identity).iterator.map { case ((f, t), v) =>
+                TransEmit(uid, f, t, v.size.toLong)
+              }
+          }
+      }
+      .toDF()
+  }
+
   /** Event row for the streaming materialized-view maintenance. */
   case class MvEvent(event_type: String, ms: Long, value: Double)
 

@@ -377,6 +377,31 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s17 streaming transitions: summed per-batch deltas == batch e10 counts (boundary pairs kept)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000000 AS ms", "event_id")
+      .as[Streams.TransEvent].collect().sortBy(e => (e.ms, e.event_id))
+    val third = evs.length / 3
+    val batches = Seq(evs.take(third), evs.slice(third, 2 * third), evs.drop(2 * third))
+    val stream = MemoryStream[Streams.TransEvent]
+    val q = Streams.transitionStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_trans").start()
+    try {
+      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("graft_mb_trans")
+      .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = run("e10_transition_matrix")
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("s16 streaming MV maintenance: merged partials == batch q16; replayed batch is a no-op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     graft.operators.Persist.dropIndexTable(spark, "graft_mb_mv")
