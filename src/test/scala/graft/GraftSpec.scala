@@ -45,6 +45,20 @@ class ContractSpec extends GraftSuite {
     val dups = tokens.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"colliding short keys: ${dups.mkString(", ")}")
   }
+
+  test("no query plans a non-broadcast cartesian product (global plan regression)") {
+    // every all-pairs product in this engine rides a BROADCAST side by
+    // design (query sets, centroid/codebook dims); a CartesianProduct
+    // node means a fact×fact blowup snuck in — the single worst plan
+    // regression possible at 100 TB. Planning only, no execution: eager
+    // artifact builds inside query constructors still run, but they are
+    // session-memoized and shared with the other suites in this JVM.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
 }
 
 /** Degenerate-document totality: the text/dedup kernels must stay
