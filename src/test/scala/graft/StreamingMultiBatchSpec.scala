@@ -59,6 +59,40 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("late rows are dropped BY THE WATERMARK, visibly: numRowsDroppedByWatermark > 0") {
+    // observability contract: when the watermark drops a late event, the
+    // operator must SAY so in its progress metrics — silent late-data loss
+    // is undebuggable at 100 TB. Feed time-ordered data, advance the
+    // watermark past hour H, then deliver a straggler inside H.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (b1, b2) = orderedEvents()
+    val stream = MemoryStream[Ev]
+    val agg = Streams.tumblingAgg(
+      stream.toDF().withColumn("ts_us", timestamp_micros($"ms" * 1000)))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_late").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // a straggler 12 hours before the max event time — far below the
+      // 2-hour watermark delay, in a window long since finalized
+      val lateMs = (b1 ++ b2).map(_.ms).max - 12L * 3600 * 1000
+      stream.addData(Seq(Ev(999999L, 1L, "view", 1.0, lateMs)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped > 0L, "the watermark silently swallowed a late row with no metric")
+      // and the finalized results never saw it: the straggler's window was
+      // emitted before the straggler arrived, with the on-time count
+      val lateBucket = lateMs / 3600000L
+      val emitted = spark.table("graft_mb_late")
+        .filter($"hour_bucket" === lateBucket && $"event_type" === "view")
+        .select("n").as[Long].collect()
+      val onTime = (b1 ++ b2).count(e => e.ms / 3600000L == lateBucket && e.event_type == "view")
+      emitted.foreach(n => assert(n === onTime.toLong, "late row leaked into a finalized window"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops cross-batch duplicates (watermark-bounded state)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // key stream: (event-time ms, dedup key); batch 2 repeats half of
