@@ -295,6 +295,53 @@ object Pipeline {
        |       max(CASE WHEN NOT contained THEN doc_id END) AS max_doc
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** f6: the corpus DATASHEET — the per-source summary a data card
+    * actually publishes, composed from four gated families in ONE plan:
+    * document counts, exact-dup accounting (d1's rule), language spread,
+    * token volume, mean quality (per-doc quality fixed-point-quantized
+    * BEFORE the sum, so the aggregate is an exact long sum — never a
+    * float reduction), and t21's length-outlier count (edge-sized
+    * broadcast join-back). One corpus scan feeds everything; the outlier
+    * arm re-reads only because its per-lang stats need their own
+    * aggregate. */
+  def datasheet(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+    val q = Text.qualityFrame(docs).select(col("doc_id"), col("quality"))
+    val outl = Text.lengthOutliers(spark, dir)
+      .select(col("doc_id"), lit(1L).as("is_outlier"))
+    docs.join(q, Seq("doc_id"))
+      .join(broadcast(outl), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        floor(sum(floor(col("quality") * 10000d + 0.5d).cast("long")).cast("double") /
+          count(lit(1)).cast("double") + 0.5d).cast("long").as("mean_quality_q4"),
+        sum(coalesce(col("is_outlier"), lit(0L))).as("n_len_outliers"))
+      .orderBy("source")
+  }
+
+  def datasheetOracle: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${Text.qualityOracle})),
+       |tt AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       |st AS (SELECT lang, count(*) AS nd, sum(n_tok) AS sm, sum(n_tok * n_tok) AS ss
+       |       FROM tt GROUP BY lang),
+       |o AS (SELECT tt.doc_id FROM tt JOIN st USING (lang)
+       |      WHERE 4 * (tt.n_tok * st.nd - st.sm) * (tt.n_tok * st.nd - st.sm)
+       |            > 9 * (st.nd * st.ss - st.sm * st.sm))
+       |SELECT d.source, count(*) AS n_docs,
+       |       (count(*) - count(DISTINCT md5(d.text)))::BIGINT AS n_dup_docs,
+       |       count(DISTINCT d.lang) AS n_langs,
+       |       sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens,
+       |       floor(sum(floor(q.quality * 10000 + 0.5)::BIGINT)::DOUBLE /
+       |             count(*)::DOUBLE + 0.5)::BIGINT AS mean_quality_q4,
+       |       sum(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_len_outliers
+       |FROM documents d JOIN q USING (doc_id) LEFT JOIN o USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")
