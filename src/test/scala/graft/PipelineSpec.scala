@@ -149,6 +149,20 @@ class PipelineSpec extends GraftSuite {
     assert(run("m3_media_search").collect().toSeq === hits)
   }
 
+  test("f6: datasheet totals reconcile with the corpus and its component queries") {
+    val out = run("f6_datasheet").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val outliers = run("t21_length_outliers").count()
+    assert(out.map(_.getAs[Long]("n_len_outliers")).sum === outliers)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") >= 0L &&
+        r.getAs[Long]("n_dup_docs") < r.getAs[Long]("n_docs"))
+      val mq = r.getAs[Long]("mean_quality_q4")
+      assert(mq > 0L && mq <= 10000L, s"source ${r.getString(0)} mean quality $mq")
+    }
+  }
+
   test("c11: SCD2 lookup resolves exactly one dimension version per covered fact") {
     val out = run("c11_scd2_lookup").collect()
     assert(out.nonEmpty)
