@@ -91,6 +91,12 @@ object Graft {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }
+    // Sessions not built with spark.sql.extensions=graft.GraftExtensions
+    // still get the (knob-gated, otherwise inert) range-join rewrite via
+    // the experimental hook; idempotent append.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
     spark
   }
 

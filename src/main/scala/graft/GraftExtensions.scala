@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // inert unless spark.graft.rangejoin.bucket is set — see RangeJoinRule
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -31,4 +31,41 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prior)
     }
   }
+
+  test("RangeJoinRule: a naive inequality join plans as an equi-join when the knob is set") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Graft.init(TestSession.spark)
+    val sf = TestSession.sf
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), expr("ts div 1000000").as("ms"))
+    val bounds = e.agg(min(col("ms")).as("t0"), max(col("ms")).as("t1"))
+    val wins = bounds
+      .select(col("t0"), explode(expr("sequence(0L, (t1 - t0) div 5400000L)")).as("widx"))
+      .select(col("widx"), (col("t0") + col("widx") * 5400000L).as("lo"),
+        (col("t0") + col("widx") * 5400000L + 7200000L).as("hi"))
+      .localCheckpoint() // freeze: both runs must see identical intervals
+    def naive() = e.join(wins, col("ms") >= col("lo") && col("ms") < col("hi"))
+      .groupBy(col("widx")).agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("widx")
+    // knob OFF: the planner's only answer to a pure range join is a
+    // nested-loop — this is the plan the rule exists to replace
+    spark.conf.unset("spark.graft.rangejoin.bucket")
+    val off = naive()
+    off.collect()
+    assert(off.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "precondition failed: naive range join no longer plans BNLJ")
+    val offRows = off.collect().map(_.toSeq).toSeq
+    // knob ON: the injected rule rewrites to the bucketed equi-join
+    spark.conf.set("spark.graft.rangejoin.bucket", "3600000")
+    try {
+      val on = naive()
+      val rows = on.collect().map(_.toSeq).toSeq
+      val plan = on.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule did not fire:\n${plan.take(1200)}")
+      assert(rows === offRows, "the rewrite changed the join's results")
+      assert(rows.nonEmpty)
+    } finally spark.conf.unset("spark.graft.rangejoin.bucket")
+  }
 }
