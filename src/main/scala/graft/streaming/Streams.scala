@@ -170,6 +170,35 @@ object Streams {
       .toDF()
   }
 
+  /** The s18 per-batch tombstone writer, exposed for the replay spec:
+    * appends the batch's deleted ids to the tombstone log under the
+    * commit-log guard (a re-delivered batch is a no-op). */
+  private[graft] def tombstoneWriteBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
+    val s = batch.sparkSession
+    val commits = table + "_commits"
+    val alreadyCommitted = s.catalog.tableExists(commits) &&
+      !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyCommitted) {
+      batch.select(col("vec_id")).write.mode("append").format("parquet").saveAsTable(table)
+      s.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+    }
+  }
+
+  /** s18: streaming DELETION ingest — p7's tombstone flow under
+    * continuous arrival: delete requests stream in, each micro-batch
+    * appends its ids to the tombstone log (commit-log idempotent, like
+    * every other ingest stream here), and any search served after a
+    * batch applies the log merge-on-read exactly as p7 does — the index
+    * itself is never rewritten. The spec searches after EVERY batch and
+    * proves equivalence with a fresh index over the corpus minus the
+    * deletions so far, then replays a batch and proves the no-op. */
+  def tombstoneIngestStream(dels: DataFrame, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dels.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => tombstoneWriteBatch(batch, batchId, table))
+      .start()
+
   /** Event row for the streaming materialized-view maintenance. */
   case class MvEvent(event_type: String, ms: Long, value: Double)
 

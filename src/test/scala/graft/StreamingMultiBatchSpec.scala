@@ -411,6 +411,46 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s18 streaming deletes: search after each batch == fresh build minus deletions so far") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    operators.Persist.dropIndexTable(spark, "graft_mb_tombs")
+    operators.Persist.dropIndexTable(spark, "graft_mb_tombs_commits")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val slice = emb.select($"vec_id")
+      .filter(operators.Dedup.h60(concat(lit("del:"), $"vec_id".cast("string"))) % 7L === 0L)
+      .as[Long].collect().sorted
+    assert(slice.length >= 2)
+    val batches = Seq(slice.take(slice.length / 2), slice.drop(slice.length / 2))
+    val stream = MemoryStream[Long]
+    val q = Streams.tombstoneIngestStream(stream.toDS().toDF("vec_id"), "graft_mb_tombs")
+    try {
+      batches.foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+        val tombs = spark.table("graft_mb_tombs")
+        val deleted = tombs.as[Long].collect().toSet
+        // merge-on-read over the UNCHANGED index vs a fresh build on the
+        // surviving corpus — must be bit-identical after every batch
+        val idx = operators.Lsh.keyRows(emb, 4, 12, 5000)
+          .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+        val queries = emb.filter($"vec_id" < 8)
+          .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        val got = operators.Lsh.searchIndex(idx, emb, queries, 4, 12, 5000, 10).collect().toSeq
+        val live = emb.filter(!$"vec_id".isInCollection(deleted))
+        val fresh = operators.Lsh.searchIndex(
+          operators.Lsh.keyRows(live, 4, 12, 5000), live,
+          live.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qvec")),
+          4, 12, 5000, 10).collect().toSeq
+        assert(got === fresh, s"diverged after deleting ${deleted.size} ids")
+      }
+    } finally q.stop()
+    // replaying batch 0 under its original id must not grow the log
+    val before = spark.table("graft_mb_tombs").count()
+    import spark.implicits._
+    Streams.tombstoneWriteBatch(batches.head.toSeq.toDF("vec_id"), 0L, "graft_mb_tombs")
+    assert(spark.table("graft_mb_tombs").count() === before, "replayed delete batch re-appended")
+  }
+
   test("s17 streaming transitions: summed per-batch deltas == batch e10 counts (boundary pairs kept)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = Tables.events(spark, sf)
