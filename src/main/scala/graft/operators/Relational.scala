@@ -736,4 +736,83 @@ object Relational {
          |       (SELECT count(*) FROM $parent p
          |        WHERE NOT EXISTS (SELECT 1 FROM $child WHERE $ck = p.$pk))::BIGINT AS n_unreferenced""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  /** The hot-folded grouping column: four of the five event types collapse
+    * into one `hot` group (~80% of the log), the deterministic stand-in
+    * for the hot key every real workload has (one tenant, one `lang`, one
+    * referrer dominating). Derivation is pure CASE so the oracle replays
+    * it verbatim. */
+  private def hotGrp: Column =
+    when(col("event_type") === "purchase", col("event_type")).otherwise(lit("hot"))
+
+  /** q19: MULTI-DISTINCT aggregation over a HOT group WITHOUT Expand —
+    * distinct users AND distinct active days (plus plain count/sum) per
+    * group, where one group carries ~80% of the log.
+    *
+    * Spark plans two+ distinct aggregates in one Aggregate via Expand:
+    * every input row is replicated once per distinct spec (3× here — gid
+    * for users, days, and the plain aggs) BEFORE the first exchange, so
+    * the shuffle carries 3× the corpus and the hot group's replicas all
+    * hash to the same reducers. This rewrite computes each distinct
+    * dimension as its OWN two-stage compound-key aggregation — stage 1
+    * keys on (grp, user) / (grp, day), so map-side combine collapses the
+    * corpus to the pair cardinality and the hot group SPREADS across the
+    * cluster by the high-cardinality second key; stage 2 is a partial agg
+    * over pair rows only — then joins the ≤G-row branch results. At
+    * 100 TB: no row is ever replicated, no corpus-sized shuffle is keyed
+    * by the hot column alone, and the join is between G-row aggregates.
+    * The plain metrics ride the user branch (stage-1 partial sums), so
+    * the corpus is scanned once per distinct DIMENSION (2×), not
+    * replicated 3× into one skewed shuffle. The spec proves the plan
+    * shape (zero Expand here, Expand present in the naive twin) and
+    * result equality with the naive plan; exact fixed-point cents make
+    * the sum hash-stable (the q12/q16 device). */
+  def q19HotDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val e = Tables.events(spark, dir)
+      .withColumn("grp", hotGrp)
+      .withColumn("vc", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val userBranch = e.groupBy(col("grp"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        sum(col("c")).as("sum_cents"))
+    val dayBranch = e.groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("nd"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"))
+    userBranch.join(broadcast(dayBranch), Seq("grp"))
+      .select(col("grp"), col("n_users"), col("n_days"),
+        col("n_events"), col("sum_cents"))
+      .orderBy("grp")
+  }
+
+  /** The naive one-Aggregate twin (two countDistinct + plain aggs in a
+    * single agg — Spark plans it through Expand). Exists for the spec:
+    * results must be identical, plans must not be. */
+  private[graft] def q19Naive(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    Tables.events(spark, dir)
+      .withColumn("grp", hotGrp)
+      .withColumn("vc", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+      .groupBy(col("grp"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+      .orderBy("grp")
+  }
+
+  val q19Oracle: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS grp,
+      |         user_id,
+      |         floor(value * 100 + 0.5)::BIGINT AS vc,
+      |         floor(epoch_ms(ts) / 86400000)::BIGINT AS day
+      |  FROM events)
+      |SELECT grp, count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT day) AS n_days,
+      |       count(*) AS n_events, sum(vc)::BIGINT AS sum_cents
+      |FROM e GROUP BY grp ORDER BY grp""".stripMargin
 }

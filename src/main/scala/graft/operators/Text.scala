@@ -874,6 +874,79 @@ object Text {
       |      > 9 * (s.nd * s.ss - s.sm * s.sm)
       |ORDER BY doc_id""".stripMargin
 
+  /** t22: QUALITY-BAND filter — keep only documents whose t2 quality
+    * score falls inside the corpus's exact [p25, p75] interquartile band
+    * (the perplexity-band/quality-band cut every LLM curation pipeline
+    * applies: drop the junk tail AND the degenerate too-clean head).
+    *
+    * The thresholds are EXACT corpus quantiles computed from a BOUNDED
+    * frequency histogram, not a sort: quality quantizes to 4-dp fixed
+    * point (the v20 device), whose DOMAIN is ≤ ~11k distinct values
+    * whatever the corpus size — one partial-agg groupBy folds 100 TB into
+    * a ≤11k-row table, and the driver walks cumulative counts to the two
+    * bracketing values of each quantile position (h = q·(n−1), then the
+    * same `lo·(1−frac) + hi·frac` two-term sum DuckDB's quantile_cont
+    * computes — the q9-verified bit-parity formula, exact here because
+    * the inputs are small integers). Pass 2 re-scans with a map-only
+    * band predicate and aggregates per-lang stats in exact integers.
+    * Shape at 100 TB: two scans, one ≤11k-row shuffle, O(domain) driver
+    * state — where a sort-based percentile would shuffle the corpus.
+    * (The rescan recomputes the score rather than caching the corpus —
+    * deliberate: a 100 TB cache is eviction churn, and the score is one
+    * codegen'd projection.) */
+  def qualityBand(spark: SparkSession, dir: String,
+                  pLo: Double = 0.25, pHi: Double = 0.75): DataFrame = {
+    graft.Graft.init(spark)
+    def scored: DataFrame = qualityFrame(Tables.documents(spark, dir))
+      .withColumn("q4", expr("cast(floor(quality * 10000 + 0.5) as bigint)"))
+    val hist: Array[(Long, Long)] = scored.groupBy(col("q4"))
+      .agg(count(lit(1)).as("n")).orderBy("q4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    require(n > 0, "empty corpus — quality band undefined")
+    def valueAt(pos: Long): Long = {
+      var c = 0L
+      hist.collectFirst { case (v, cnt) if { c += cnt; c > pos } => v }.get
+    }
+    def quantile(p: Double): Double = {
+      val h = (n - 1).toDouble * p
+      val lo = math.floor(h).toLong
+      val hi = math.ceil(h).toLong
+      if (lo == hi) valueAt(lo).toDouble
+      else {
+        val frac = h - lo
+        valueAt(lo).toDouble * (1.0 - frac) + valueAt(hi).toDouble * frac
+      }
+    }
+    val (tLo, tHi) = (quantile(pLo), quantile(pHi))
+    scored.filter(col("q4").cast("double") >= tLo && col("q4").cast("double") <= tHi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("q4")).as("sum_q4"),
+        min(col("q4")).as("min_q4"), max(col("q4")).as("max_q4"))
+      .orderBy("lang")
+  }
+
+  def qualityBandOracle(pLo: Double = 0.25, pHi: Double = 0.75): String = {
+    val allStops = StopWords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |         len(list_intersect(list_distinct(string_split(text, ' ')), [$allStops]))::BIGINT AS stop_hits
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang,
+       |         floor((0.5 * (n_uniq::DOUBLE / n_tok::DOUBLE)
+       |              + 0.3 * least((length(text)::DOUBLE / n_tok::DOUBLE) / 10.0, 1.0)
+       |              + 0.2 * (stop_hits::DOUBLE / n_uniq::DOUBLE)) * 10000 + 0.5)::BIGINT AS q4
+       |  FROM t),
+       |b AS (SELECT quantile_cont(q4, $pLo) AS lo, quantile_cont(q4, $pHi) AS hi FROM q)
+       |SELECT lang, count(*) AS n_kept, sum(q4)::BIGINT AS sum_q4,
+       |       min(q4) AS min_q4, max(q4) AS max_q4
+       |FROM q, b WHERE q4::DOUBLE >= lo AND q4::DOUBLE <= hi
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** t13: count-min sketch term frequencies (Cormode & Muthukrishnan
     * 2005) — the frequency companion to t12's cardinality sketch. The
     * sketch state is d×w counters (here 4×256 longs) REGARDLESS of

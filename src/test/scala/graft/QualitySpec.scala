@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Text}
+import graft.operators.{Dedup, Events, Relational, Text}
 import graft.sources.Tables
 
 /** d9 decontamination / t15 repetition rules / e7 cohort retention —
@@ -152,6 +152,58 @@ class QualitySpec extends GraftSuite {
     val kept = liKeys.count(probable)
     assert(kept < liKeys.length / 2,
       s"bloom kept $kept of ${liKeys.length} fact rows — no reduction")
+  }
+
+  test("q19: Expand-free rewrite == naive multi-distinct plan; hot group spreads on compound keys") {
+    val rewritten = run("q19_hot_distinct")
+    val naive = Relational.q19Naive(spark, sf)
+    assert(rewritten.collect().map(_.toSeq).toSeq === naive.collect().map(_.toSeq).toSeq,
+      "rewritten result diverged from the naive one-Aggregate plan")
+    // the naive twin genuinely pays the Expand (row replication per
+    // distinct spec) — without this the rewrite would be solving a
+    // non-problem; and the rewrite genuinely avoids it in the FINAL plan
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("Expand"),
+      "naive multi-distinct no longer plans through Expand — rewrite may be obsolete")
+    val finalPlan = rewritten.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Expand"), "rewritten plan still contains Expand")
+    // every corpus-sized exchange is keyed by a COMPOUND (grp, highcard)
+    // key — the hot group never keys a corpus shuffle alone
+    assert("hashpartitioning\\(grp#\\d+, user_id#\\d+".r.findFirstIn(finalPlan).isDefined,
+      s"no (grp, user_id) compound-key exchange in plan:\n$finalPlan")
+    assert("hashpartitioning\\(grp#\\d+, day#\\d+".r.findFirstIn(finalPlan).isDefined,
+      s"no (grp, day) compound-key exchange in plan:\n$finalPlan")
+    // the hot fold is real: 'hot' carries ~4/5 of the log
+    val byGrp = rewritten.collect().map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+    assert(byGrp("hot") > 3L * byGrp("purchase"), s"hot group not hot: $byGrp")
+  }
+
+  test("t22: quality band matches a driver-side quantile recompute and keeps the middle half") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q4Of: Map[Long, Long] = run("t2_quality_score").select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 10000 + 0.5).toLong).toMap
+    val sortedQ = q4Of.values.toSeq.sorted
+    val n = sortedQ.length
+    def quantile(p: Double): Double = {
+      val h = (n - 1).toDouble * p
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      if (lo == hi) sortedQ(lo).toDouble
+      else { val f = h - lo; sortedQ(lo) * (1.0 - f) + sortedQ(hi) * f }
+    }
+    val (tLo, tHi) = (quantile(0.25), quantile(0.75))
+    val kept = q4Of.filter { case (_, q) => q.toDouble >= tLo && q.toDouble <= tHi }
+    val want = kept.groupBy { case (id, _) => docs(id) }.map { case (lang, m) =>
+      lang -> (m.size.toLong, m.values.sum, m.values.min, m.values.max)
+    }
+    val got = run("t22_quality_band").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want, "per-lang band stats diverge from the driver recompute")
+    // the band is a genuine middle cut: neither empty nor the whole corpus
+    val total = got.values.map(_._1).sum
+    assert(total > n * 3 / 10 && total < n * 7 / 10,
+      s"band kept $total of $n docs — not an interquartile cut")
   }
 
   test("e10: transition rows are a probability distribution per from_type") {
