@@ -206,6 +206,43 @@ class QualitySpec extends GraftSuite {
       s"band kept $total of $n docs — not an interquartile cut")
   }
 
+  test("e11: session lift matches a full driver-side market-basket recompute") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000").as("ms"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // replay the e2 gap rule: per user, events in (ms, event_id) order;
+    // a >30-min gap starts a new session
+    val sessions: Seq[Set[String]] = evs.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val buf = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Set[String]]()
+      var prev = Long.MinValue
+      ordered.foreach { case (_, ms, _, t) =>
+        if (buf.isEmpty || ms - prev > Events.SessionGapMs)
+          buf += scala.collection.mutable.Set[String]()
+        buf.last += t
+        prev = ms
+      }
+      buf.map(_.toSet)
+    }.toSeq
+    val n = sessions.size.toLong
+    val marg = sessions.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val pairs = sessions.flatMap(s =>
+      s.toSeq.sorted.combinations(2).map { case Seq(x, y) => (x, y) })
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = run("e11_session_lift").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_ab") === pairs((ta, tb)), s"n_ab $ta/$tb")
+      assert(r.getAs[Long]("n_a") === marg(ta) && r.getAs[Long]("n_b") === marg(tb))
+      assert(r.getAs[Long]("n_sessions") === n)
+      val lift = n.toDouble * pairs((ta, tb)).toDouble / (marg(ta).toDouble * marg(tb).toDouble)
+      assert(r.getAs[Long]("lift_4") === math.floor(lift * 10000.0 + 0.5).toLong, s"lift $ta/$tb")
+    }
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === pairs.keySet,
+      "pair coverage diverges from the driver recompute")
+  }
+
   test("e10: transition rows are a probability distribution per from_type") {
     val out = run("e10_transition_matrix").collect()
     assert(out.nonEmpty)
