@@ -167,7 +167,7 @@ object Knn {
   }
 
   /** Score column for `embedding` vs `qvec` under `metric`. */
-  private[operators] def metricCol(metric: String): org.apache.spark.sql.Column = metric match {
+  private[graft] def metricCol(metric: String): org.apache.spark.sql.Column = metric match {
     case "cosine" => Graft.cosine(col("embedding"), col("qvec"))
     case "l2" => Graft.l2(col("embedding"), col("qvec"))
     case "dot" => Graft.dot(col("embedding"), col("qvec"))
@@ -176,7 +176,7 @@ object Knn {
   }
 
   /** Cross-score `data` rows against broadcast `queries`. */
-  private[operators] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame =
+  private[graft] def scoreAll(data: DataFrame, queries: DataFrame, metric: String): DataFrame =
     data.crossJoin(broadcast(queries)).withColumn("score", metricCol(metric))
 
   /** v22: Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
@@ -298,13 +298,13 @@ object Knn {
   }
 
   /** smallestFirst for distance metrics, largest for similarities. */
-  private[operators] def smallestFirst(metric: String): Boolean = metric match {
+  private[graft] def smallestFirst(metric: String): Boolean = metric match {
     case "l2" | "manhattan" => true
     case _ => false
   }
 
   /** Reduce scored rows (qid, vec_id, score) to ranked top-k per query. */
-  private[operators] def topkPerQuery(scored: DataFrame, metric: String, k: Int,
+  private[graft] def topkPerQuery(scored: DataFrame, metric: String, k: Int,
                                       idCol: String = "vec_id", outId: String = "vec_id"): DataFrame = {
     scored
       .groupBy(col("qid"))
