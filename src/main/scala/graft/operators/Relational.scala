@@ -804,6 +804,52 @@ object Relational {
       .orderBy("grp")
   }
 
+  /** q20: CHAINED CORRELATED EXISTS / NOT EXISTS — the TPC-H Q21 shape
+    * ("suppliers who kept orders waiting") re-keyed to this schema: for
+    * finished orders, suppliers with a RETURNED line on a multi-supplier
+    * order where NO OTHER supplier on that order had a return — i.e. the
+    * sole offender. Declared as SQL with both correlated subqueries so
+    * Catalyst decorrelates: EXISTS → left-semi, NOT EXISTS → left-anti,
+    * each an equi-join on `l_orderkey` with the extra predicates riding
+    * along — three co-partitioned joins of the fact table against itself
+    * instead of O(rows) correlated rescans (q10's argument, doubled).
+    * Spec asserts zero surviving Subquery nodes in the executed plan and
+    * cross-checks a driver recompute. Exact integer counts → hash-stable. */
+  def q20ExistsChain(spark: SparkSession, dir: String, limit: Int = 50): DataFrame = {
+    graft.Graft.init(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    spark.sql(
+      s"""SELECT l1.l_suppkey AS suppkey, count(*) AS n_lines
+         |FROM g_lineitem l1 JOIN g_orders o ON o.o_orderkey = l1.l_orderkey
+         |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY l1.l_suppkey
+         |ORDER BY n_lines DESC, suppkey
+         |LIMIT $limit""".stripMargin)
+  }
+
+  def q20Oracle(limit: Int = 50): String =
+    s"""SELECT l1.l_suppkey AS suppkey, count(*) AS n_lines
+       |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_returnflag = 'R')
+       |GROUP BY l1.l_suppkey
+       |ORDER BY n_lines DESC, suppkey
+       |LIMIT $limit""".stripMargin
+
   val q19Oracle: String =
     """WITH e AS (
       |  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS grp,

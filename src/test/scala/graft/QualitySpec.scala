@@ -206,6 +206,30 @@ class QualitySpec extends GraftSuite {
       s"band kept $total of $n docs — not an interquartile cut")
   }
 
+  test("q20: decorrelated EXISTS chain matches a driver recompute; no surviving Subquery nodes") {
+    val df = run("q20_exists_chain")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"),
+      "correlated EXISTS/NOT EXISTS did not decorrelate — per-row subquery execution survives")
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val finished = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val byOrder = lines.groupBy(_._1)
+    val want = lines.filter { case (ok, sk, rf) =>
+      finished.contains(ok) && rf == "R" && {
+        val others = byOrder(ok).filter(_._2 != sk)
+        others.nonEmpty && !others.exists(_._3 == "R")
+      }
+    }.groupBy(_._2).map { case (sk, xs) => sk -> xs.length.toLong }
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty, "q20 empty — the sole-offender pattern never fires on this corpus")
+    val wantTop = want.toSeq.sortBy { case (sk, n) => (-n, sk) }.take(50)
+    assert(got.toSeq === wantTop, "q20 diverges from the driver recompute")
+  }
+
   test("e11: session lift matches a full driver-side market-basket recompute") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000000").as("ms"), col("event_id"), col("event_type"))
