@@ -342,6 +342,47 @@ object Pipeline {
        |FROM documents d JOIN q USING (doc_id) LEFT JOIN o USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** f7: SHARD EXPORT + MANIFEST — the publish step that ends every
+    * curation run: the corpus written hash-sharded (shard =
+    * h60('shard:'||doc_id) mod S — deterministic, layout-free, the t6
+    * split rule applied to output placement), then the per-shard manifest
+    * computed by RE-READING THE SHARD FILES, not the source table — so
+    * the gate proves the round trip: what landed on disk, per shard, is
+    * exactly what the oracle derives from the unified corpus. Manifest
+    * columns are a consumer's integrity contract: doc/token/char counts
+    * in exact integers plus an ORDER-INDEPENDENT checksum
+    * (`bit_xor(h60(text))` — XOR commutes, so the checksum is stable
+    * under any read order / partitioning, unlike a sum, which overflows,
+    * or a hash-of-concat, which order-breaks). Scale shape: one map-only
+    * assignment pass + the partitioned write + one partial agg over the
+    * reread — the write IS the work; the manifest is free. */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    graft.Graft.init(spark)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_release_shards"
+    Tables.documents(spark, dir)
+      .withColumn("shard",
+        pmod(Dedup.h60(concat(lit("shard:"), col("doc_id").cast("string"))), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // partition-column inference reads `shard` back as INT; re-cast so the
+    // output schema matches the oracle's BIGINT
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))").as("checksum"))
+      .orderBy("shard")
+  }
+
+  def shardManifestOracle(nShards: Int = 8): String =
+    s"""SELECT CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $nShards AS shard,
+       |       count(*) AS n_docs,
+       |       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       |       sum(n_chars)::BIGINT AS n_chars,
+       |       bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
   def trainingPipelineOracle(minQuality: Double = 0.4): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")

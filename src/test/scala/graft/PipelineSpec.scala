@@ -163,6 +163,30 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("f7: shard manifests reconcile with the corpus; checksums are read-order independent") {
+    val out = run("f7_shard_manifest").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong,
+      "shard doc counts do not reconcile with the corpus")
+    assert(out.map(_.getAs[Long]("n_chars")).sum === docs.map(_.getLong(2)).sum)
+    assert(out.length > 1 && out.forall(_.getAs[Long]("n_docs") > 0),
+      "hash sharding left an empty shard on this corpus")
+    // checksum recompute: XOR of h60(text) per shard from the SOURCE rows
+    // (any iteration order) must equal the manifest read from shard files
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val wantSum = docs.groupBy(r => h60(s"shard:${r.getLong(0)}") % 8)
+      .map { case (shard, rs) => shard -> rs.map(r => h60(r.getString(1))).reduce(_ ^ _) }
+    out.foreach { r =>
+      assert(r.getAs[Long]("checksum") === wantSum(r.getAs[Long]("shard")),
+        s"shard ${r.getAs[Long]("shard")} checksum mismatch")
+    }
+  }
+
   test("c11: SCD2 lookup resolves exactly one dimension version per covered fact") {
     val out = run("c11_scd2_lookup").collect()
     assert(out.nonEmpty)
