@@ -203,7 +203,7 @@ object Bench {
       "v14c_sampled_ivf_persist",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
       "v19c_ivfpq_persist",
-      "d8_dedup_incremental",
+      "d8_dedup_incremental", "f7_shard_manifest",
       "p1_lsh_persist_search", "p2_minhash_persist_pairs",
       "p3_ivf_persist_search", "p4_lsh_incremental", "p5_labels_persist")
       .filter(results.toMap.contains).map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -203,18 +203,24 @@ final class GraftDb(spark: SparkSession, val root: String) {
   // ---- search (vector_db.py:249-270) --------------------------------------
 
   /** kNN over one library, routed by its `index_type`; `includeChunk`
-    * joins the hit payload back (search_with_payload / include_chunk).
-    * An `ivf` library that was never trained serves exact flat results —
-    * the reference's `_ensure_index` builds on first use; here "untrained"
-    * degrades to correct-but-unaccelerated, never to an error. */
+    * joins the hit payload back (search_with_payload / include_chunk);
+    * `metadataFilter` is the reference's declared `metadata_filters`
+    * (models.py:48) as a Column predicate over the snapshot columns —
+    * applied BEFORE scoring, so filtered candidates never reach the
+    * distance math (the v16 discipline). An `ivf` library that was never
+    * trained serves exact flat results — the reference's `_ensure_index`
+    * builds on first use; here "untrained" degrades to
+    * correct-but-unaccelerated, never to an error. */
   def search(libId: Long, query: Array[Float], k: Int = 10,
              includeChunk: Boolean = false, nProbes: Int = 2,
-             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L): DataFrame = {
+             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
+             metadataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val lib = listLibraries().filter(col("library_id") === libId).collect()
     require(lib.nonEmpty, s"no such library $libId")
     val indexType = lib.head.getAs[String]("index_type")
-    val snap = listChunks(libId)
+    val base = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"), col("text"))
+    val snap = metadataFilter.fold(base)(base.filter)
     val emb = snap.select(col("vec_id"), col("embedding"))
     val queries = Seq((0L, query)).toDF("qid", "qvec")
     val hits = (indexType, trainedMat(libId)) match {

@@ -785,6 +785,61 @@ object Streams {
           .as("est_distinct"))
   }
 
+  /** One facade-changelog record for the s19 tail ([[graft.api.GraftDb]]'s
+    * chunk log minus the payload columns — state parity needs identity +
+    * seq + op; text/embedding ride along in production). */
+  case class ChunkLogOp(seq: Long, op: String, library_id: Long, doc_id: Long,
+                        chunk_id: Long)
+
+  /** Per-doc state of the facade tail: latest (seq, isUpsert) per chunk,
+    * the doc-tombstone high-water seq, and an absorbed-op counter so a
+    * consumer identifies each doc's FINAL emission (the n_ops-max rows,
+    * the upsert stream's convention). */
+  case class ChunkLogState(ops: Map[Long, (Long, Boolean)], docTomb: Long, nOps: Long)
+
+  /** One live-chunk emission; `chunk_id = -1` marks "doc currently has no
+    * live chunks" so emptiness is an observable state, not an absent row. */
+  case class LiveChunk(library_id: Long, doc_id: Long, n_ops: Long, chunk_id: Long)
+
+  /** s19: STREAMING TAIL OF THE FACADE CHANGELOG — [[graft.api.GraftDb]]'s
+    * merge-on-read snapshot maintained continuously: the service's chunk
+    * log streams in (a file tail in production; any order the transport
+    * delivers), state per (library, doc) folds each op by MAX SEQ — a
+    * late-arriving older upsert can never regress a newer one, and a doc
+    * tombstone masks exactly the chunks whose latest upsert is older,
+    * GraftDb.chunks()'s rule verbatim. After every batch the doc's full
+    * live set re-emits with a cumulative op counter, so the state after
+    * ANY delivery interleaving equals the batch snapshot (spec: parity-
+    * split batches so later batches carry both older and newer seqs).
+    * State is O(live chunks per doc) + 2 longs — the per-key analog of
+    * the facade's latest-wins aggregate. */
+  def facadeLogStateful(spark: SparkSession,
+                        ops: org.apache.spark.sql.Dataset[ChunkLogOp]
+                       ): org.apache.spark.sql.Dataset[LiveChunk] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ops
+      .groupByKey(o => (o.library_id, o.doc_id))
+      .flatMapGroupsWithState[ChunkLogState, LiveChunk](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((lib, doc), it, state: GroupState[ChunkLogState]) =>
+          val prev = state.getOption.getOrElse(ChunkLogState(Map.empty, -1L, 0L))
+          var ops = prev.ops
+          var tomb = prev.docTomb
+          var n = prev.nOps
+          it.foreach { o =>
+            n += 1
+            if (o.op == "delete_doc") { if (o.seq > tomb) tomb = o.seq }
+            else if (ops.get(o.chunk_id).forall(_._1 < o.seq))
+              ops = ops.updated(o.chunk_id, (o.seq, o.op == "upsert"))
+          }
+          state.update(ChunkLogState(ops, tomb, n))
+          val live = ops.collect { case (cid, (seq, true)) if seq > tomb => cid }.toSeq.sorted
+          (if (live.isEmpty) Seq(LiveChunk(lib, doc, n, -1L))
+           else live.map(cid => LiveChunk(lib, doc, n, cid))).iterator
+      }
+  }
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

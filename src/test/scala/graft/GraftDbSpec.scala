@@ -126,6 +126,23 @@ class GraftDbSpec extends GraftSuite {
     assert(hits.head.getString(4) === q._2, "include_chunk payload mismatch")
   }
 
+  test("metadata filter prunes candidates before scoring (metadata_filters semantics)") {
+    val db = freshDb()
+    db.createLibrary(5L, "filt", corpus.head._3.length, "flat")
+    db.upsertChunks(corpus.take(20).map { case (id, text, emb) => (5L, id / 10, id, text, emb) })
+    val q = corpus(2)._3
+    // doc_id is the promoted metadata key here: restrict to document 1
+    val hits = db.search(5L, q, k = 20, includeChunk = true,
+      metadataFilter = Some(col("doc_id") === 1L)).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getLong(3) === 1L), "a filtered-out candidate surfaced")
+    // filter-then-search == search-the-subset: exact same hit set
+    val want = corpus.take(20).filter(_._1 / 10 == 1L)
+      .map { case (id, _, emb) => id -> cosine(emb, q) }
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(hits.map(_.getLong(1)).toSeq === want.toSeq)
+  }
+
   test("a new session over the same root continues the sequence (rebuild-on-startup)") {
     val root = Files.createTempDirectory("graftdb").toString
     val db1 = new GraftDb(spark, root)

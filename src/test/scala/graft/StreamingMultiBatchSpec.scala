@@ -676,4 +676,46 @@ class StreamingMultiBatchSpec extends GraftSuite {
     val relErr = math.abs(est.getAs[Double]("est_distinct") - exact) / exact
     assert(relErr < 2.0 / math.sqrt(k.toDouble), s"rel err $relErr")
   }
+
+  test("s19 facade changelog tail: parity-split batches == GraftDb.chunks() merge-on-read") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // drive the REAL facade through a lifecycle with regressions to mask:
+    // updates, chunk deletes, a doc cascade, and a post-cascade re-add
+    val db = new graft.api.GraftDb(spark,
+      java.nio.file.Files.createTempDirectory("graftdb-s19").toString)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    db.createLibrary(1L, "lib", emb(0L).length, "flat")
+    (0L to 11L).foreach(id => db.addChunk(1L, id / 4, id, s"c$id", emb(id)))
+    (0L to 5L).foreach(id => db.updateChunk(1L, id / 4, id, s"c$id'", emb(id)))
+    db.deleteChunk(1L, 0L, 2L)
+    db.deleteDocument(1L, 1L) // masks chunks 4..7
+    db.addChunk(1L, 1L, 5L, "revived", emb(5L)) // survives the cascade
+    db.deleteChunk(1L, 2L, 100L) // tombstone for a chunk that never existed
+
+    val log = spark.read.parquet(s"${db.root}/chunks_log")
+      .select("seq", "op", "library_id", "doc_id", "chunk_id")
+      .as[Streams.ChunkLogOp].collect().toSeq
+    // parity split: batch 2 carries seqs both older and newer than batch
+    // 1's, so state must resist regressions across the boundary
+    val (b1, b2) = log.partition(_.seq % 2 == 0)
+    val stream = MemoryStream[Streams.ChunkLogOp]
+    val q = Streams.facadeLogStateful(spark, stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_mb_facade").start()
+    try {
+      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("graft_mb_facade")
+        .withColumn("mx", max($"n_ops").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"library_id", $"doc_id")))
+        .filter($"n_ops" === $"mx" && $"chunk_id" >= 0L)
+        .select("library_id", "doc_id", "chunk_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = db.chunks().select("library_id", "doc_id", "chunk_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "facade snapshot empty — vacuous")
+      assert(streamed === batch,
+        s"facade tail diverged: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
