@@ -981,4 +981,74 @@ object Dedup {
        |FROM g LEFT JOIN b ON g.gram = b.gram
        |WHERE g.doc_id % $benchMod <> 0
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Fixed-point scale for d17: 12 integer decimal digits of rank mass. */
+  private val PrScale = 1000000000000L
+
+  /** d17: PAGERANK over the near-dup graph — centrality on d3's pair
+    * list: which documents sit at the CENTER of duplication neighborhoods
+    * (the crawl's most-recopied pages — prime keep-best candidates and
+    * boilerplate detectors), where d7 only says which docs are together.
+    * The iterative-graph family beyond connected components.
+    *
+    * EXACT-INTEGER PageRank, so an inherently iterative float algorithm
+    * hash-gates: rank mass is int64 fixed-point (10^12), every step is
+    * integer division/sum — contrib = pr div deg, damped = (85·Σ) div
+    * 100, base = (15·SCALE) div (100·N) — so there is NO float anywhere
+    * and the DuckDB oracle replays the iterations as unrolled CTEs
+    * bit-for-bit (the v8 training-replay recipe applied to graph
+    * iteration; floor-quantization loses ≤1 unit in 10^12 per step,
+    * irrelevant to ranking and identical in both engines). Undirected
+    * edges mean no dangling nodes and every node receives mass, so no
+    * lost-mass correction term is needed.
+    *
+    * Scale shape: the classic Spark PageRank loop — edges materialized
+    * ONCE (localCheckpoint; at 100 TB: a bucketed-by-src table so the
+    * per-iteration join never reshuffles the edge list), each iteration
+    * one edge-keyed equi-join + one partial-agg sum over EDGE-sized data
+    * (the near-dup pair list, orders of magnitude smaller than the
+    * corpus), rank state one row per graph node, driver state one scalar
+    * (N). Plan stays O(1) in iterations via per-step checkpoints (the d7
+    * discipline). */
+  def pagerank(spark: SparkSession, dir: String, tau: Double = 0.5,
+               iters: Int = 3): DataFrame = {
+    graft.Graft.init(spark)
+    val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "near-dup graph is empty — pagerank undefined")
+    val base = (15L * PrScale) / (100L * n)
+    var pr = deg.select(col("src").as("id"), lit(PrScale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = edges.join(deg, Seq("src"))
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .select(col("id"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("doc_id"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+  }
+
+  def pagerankOracle(tau: Double = 0.5, iters: Int = 3): String = {
+    val prevChain = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, sum(p.pr // d.deg)::BIGINT AS s
+         |        FROM e JOIN $prev p ON e.src = p.id JOIN deg d ON e.src = d.src
+         |        GROUP BY e.dst),
+         |pr$i AS (SELECT c$i.id, ((15 * $PrScale) // (100 * nn.n) + (85 * c$i.s) // 100)::BIGINT AS pr
+         |         FROM c$i, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fp AS (SELECT doc_a, doc_b FROM (${minhashLshOracle(tau)})),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM fp
+       |      UNION ALL SELECT doc_b, doc_a FROM fp),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+       |pr0 AS (SELECT src AS id, ($PrScale // nn.n)::BIGINT AS pr FROM deg, nn),
+       |$prevChain
+       |SELECT id AS doc_id, pr FROM pr$iters ORDER BY pr DESC, doc_id""".stripMargin
+  }
 }

@@ -206,6 +206,31 @@ class QualitySpec extends GraftSuite {
       s"band kept $total of $n docs — not an interquartile cut")
   }
 
+  test("d17: integer pagerank matches an exact driver replay of the iterations") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size.toLong
+    val scale = 1000000000000L
+    val base = (15L * scale) / (100L * n)
+    var pr: Map[Long, Long] = deg.map { case (v, _) => v -> scale / n }
+    (1 to 3).foreach { _ =>
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = s.map { case (v, sum) => v -> (base + (85L * sum) / 100L) }
+    }
+    val got = run("d17_pagerank").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === pr, "pagerank diverged from the exact integer replay")
+    // ordering contract: pr desc, doc_id asc
+    assert(got.toSeq === got.toSeq.sortBy { case (id, p) => (-p, id) })
+    // sanity: total mass stays within floor-loss of the scale
+    val mass = pr.values.sum
+    assert(mass <= scale && mass > scale - 100L * n, s"mass $mass drifted from $scale")
+  }
+
   test("q20: decorrelated EXISTS chain matches a driver recompute; no surviving Subquery nodes") {
     val df = run("q20_exists_chain")
     val plan = df.queryExecution.executedPlan.toString
