@@ -982,6 +982,57 @@ object Dedup {
        |WHERE g.doc_id % $benchMod <> 0
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  /** d18: SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023) — cluster
+    * the embedding space with the coarse quantizer, then compare pairs
+    * ONLY within a cluster: near-duplicate *meaning* lands in the same
+    * cell, so the candidate set is Σ|cell|² instead of N² — the method
+    * behind LAION/web-scale semantic pruning, and the embedding-space
+    * complement of d3's lexical banding (d5 finds the same pairs via LSH
+    * buckets; SemDeDup's cells are semantically coherent regions, which
+    * is what lets it also prune *semantic redundancy*, not just
+    * near-copies). Emits the standard pair-list shape (doc_a, doc_b,
+    * sim) so d7's CC / d11's keep-best compose unchanged.
+    *
+    * Scale shape: map-only codegen assignment (no shuffle), one
+    * cluster-keyed self-equi-join (row multiplicity = cell size; at
+    * production scale K ~ √N keeps cells small — here K=16, the v6
+    * quantizer), exact cosine only on co-cell pairs. Threshold compares
+    * RAW doubles — both engines compute the identical IEEE cosine on
+    * identical inputs (the v1-family gates prove it), so no quantization
+    * is needed at the boundary; the EMITTED sim rounds to 4 dp (output
+    * convention). */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    graft.Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = Ivf.assignToMat(emb, Ivf.fixedMat(spark, dir))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+    val x = a.select(col("cluster_id"), col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val y = a.select(col("cluster_id"), col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    x.join(y, Seq("cluster_id")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim", graft.Graft.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= tau)
+      .select(col("cluster_id"), col("doc_a"), col("doc_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def semDedupOracle(tau: Double = 0.4): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |           FROM embeddings WHERE vec_id < ${Ivf.K}),
+       |s AS (SELECT e.vec_id, c.cid,
+       |             list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |      FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT vec_id, cid,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s),
+       |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT x.cid AS cluster_id, x.vec_id AS doc_a, y.vec_id AS doc_b,
+       |             list_cosine_similarity(ex.v, ey.v) AS sim
+       |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |           JOIN e2 ex ON x.vec_id = ex.vec_id
+       |           JOIN e2 ey ON y.vec_id = ey.vec_id)
+       |SELECT cluster_id, doc_a, doc_b, round(sim, 4) AS sim
+       |FROM p WHERE sim >= $tau ORDER BY doc_a, doc_b""".stripMargin
+
   /** Fixed-point scale for d17: 12 integer decimal digits of rank mass. */
   private val PrScale = 1000000000000L
 

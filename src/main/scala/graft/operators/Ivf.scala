@@ -38,6 +38,11 @@ object Ivf {
     Tables.embeddings(spark, dir).filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
+  /** The fixed (first-K) centroid matrix — v6's coarse quantizer, shared
+    * with [[Dedup.semDedup]]'s cluster stage. */
+  private[operators] def fixedMat(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    collectCentroids(centroidsFixed(spark, dir))
+
   /** Collect a small (cid, cvec) frame to the driver-side k×d matrix,
     * sorted by cid — the canonical k-means driver state (k×d doubles). */
   private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =

@@ -206,6 +206,36 @@ class QualitySpec extends GraftSuite {
       s"band kept $total of $n docs — not an interquartile cut")
   }
 
+  test("d18: semdedup pairs are co-clustered, above threshold, and a subset of exact pairs") {
+    val tau = 0.4
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val centroids = emb.filter(_._1 < 16).toSeq.sortBy(_._1)
+    def cell(v: Array[Double]): Long =
+      centroids.map { case (cid, c) => (cid, cos(v, c)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    val got = run("d18_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (cl, a, b, sim) =>
+      assert(cell(emb(a)) === cl && cell(emb(b)) === cl, s"pair $a/$b not co-clustered in $cl")
+      val exact = cos(emb(a), emb(b))
+      assert(exact >= tau, s"pair $a/$b below threshold: $exact")
+      assert(math.abs(exact - sim) < 1e-3, s"pair $a/$b sim mismatch")
+    }
+    // the approximation contract: emitted == exact-pairs ∩ co-clustered
+    val ids = emb.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if cell(emb(i)) == cell(emb(j)) && cos(emb(i), emb(j)) >= tau
+    } yield (i, j)).toSet
+    assert(got.map(p => (p._2, p._3)).toSet === expected)
+  }
+
   test("d17: integer pagerank matches an exact driver replay of the iterations") {
     val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
