@@ -154,6 +154,73 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v35: 1-bit binary quantization + Hamming candidate scan + exact
+    * rerank — the FAISS `IndexBinaryFlat`(+refine) shape, and the last rung
+    * of the quantization ladder here (SQ8 4×, PQ ~32×, binary 32× with
+    * integer-only scan math). Each 64-dim float vector packs to two 32-bit
+    * sign words (`bit i = x_i > 0`); candidate generation scans ONLY those
+    * two BIGINT columns — at 100 TB that is a 32× I/O cut over the float
+    * scan, and the per-pair work is two XOR+popcount instructions, all
+    * inside whole-stage codegen (no float math until the rerank). Top-`r`
+    * by Hamming per query (TopK partial agg — r rows/query cross the
+    * shuffle), then [[exactRefine]] re-scores the Q·r survivors against the
+    * raw vectors for the exact cosine top-k, the same refine join v18b/v19
+    * use. Two 32-bit words, not one 64-bit word: bit 63 would need
+    * `1<<63`, which overflows DuckDB's checked BIGINT arithmetic — 32-bit
+    * words keep the pack a plain integer sum in both engines.
+    * (reference: the binary-quantized analog of app/core/indexes/flat.py's
+    * linear scan; candidate/refine split as in ivf.py's probe+rescore.) */
+  def binaryHammingSearch(spark: SparkSession, dir: String, k: Int = 10,
+                          r: Int = 40, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val packed = emb.select(col("vec_id"),
+      signWordExpr("embedding", 0).as("w0"), signWordExpr("embedding", 1).as("w1"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+    // negated Hamming so "largest first" ranks nearest; ties → smaller id
+    // in both the TopK buffer and the oracle's (ham, vec_id) row_number.
+    val approx = packed.crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+    exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  /** 32-bit sign word `w` of an `array<float>` column: bit i set iff
+    * element `32·w + i` (0-based) is > 0; elements past the array end
+    * contribute 0 (element_at → NULL → CASE else). Distinct powers of two
+    * summed = bitwise OR, and every partial sum < 2³² — no overflow in
+    * either engine's checked arithmetic. */
+  private[graft] def signWordExpr(embCol: String, w: Int): org.apache.spark.sql.Column = expr(
+    s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+      s"(CASE WHEN element_at($embCol, ${w * 32} + i + 1) > CAST(0.0 AS FLOAT) " +
+      s"THEN shiftleft(1L, i) ELSE 0L END))")
+
+  def binaryHammingSearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |             list_sum([CASE WHEN v[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w0,
+       |             list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w1
+       |      FROM e),
+       |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id < $nQueries),
+       |h AS (SELECT q.qid, p.vec_id,
+       |             bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS ham
+       |      FROM p CROSS JOIN q),
+       |c AS (SELECT qid, vec_id,
+       |             row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+       |      FROM h),
+       |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT c.qid, c.vec_id, list_cosine_similarity(e.v, qs.qvec) AS score
+       |      FROM c JOIN e USING (vec_id) JOIN qs USING (qid) WHERE c.hrank <= $r),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** kNN join: every vector in `data` (id < limit) gets its top-k neighbors
     * from the full table, excluding itself. */
   def knnJoin(spark: SparkSession, dir: String, metric: String = "cosine",

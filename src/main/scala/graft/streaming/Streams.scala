@@ -840,6 +840,31 @@ object Streams {
       }
   }
 
+  /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
+    * aggregation — the windowed-aggregate twin of
+    * [[sessionizeStatefulFrom]]. The state store merges overlapping
+    * session windows natively, so out-of-order events WITHIN THE WATERMARK
+    * are sessionized correctly — the stateful twin's gap rule needs
+    * in-order arrival (its spec feeds time-ordered batches; this one's
+    * feeds shuffled batches). Gap duration = SessionGapMs + 1 ms: the
+    * batch rule keeps an event in its session when `diff <= gap`, while
+    * `session_window` merges when `diff < D`; on integer-ms timestamps
+    * `D = gap+1` makes the predicates identical, so per-user session
+    * counts match batch e2 exactly. Append mode emits one row per CLOSED
+    * session (watermark past session end); `delay` must exceed the feed's
+    * max disorder — a production landing zone is near-ordered so a small
+    * delay suffices; the spec's fully-shuffled feed uses a delay wider
+    * than the corpus time span plus a far-future flush sentinel. */
+  def sessionWindowAgg(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts_us", delay)
+      .groupBy(col("user_id"), session_window(col("ts_us"),
+        s"${graft.operators.Events.SessionGapMs + 1} milliseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        col("n_events"))
+
   private def stageDir(dir: String): String = {
     val watched = java.nio.file.Paths.get("target", "stream-src",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))

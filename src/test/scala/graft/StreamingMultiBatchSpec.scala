@@ -379,6 +379,42 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s20 native session_window sessionization: SHUFFLED micro-batches == batch e2") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (b1o, b2o) = orderedEvents()
+    // fully shuffled feed in three unordered micro-batches: the stateful
+    // sessionizer (s2) cannot survive this — session_window's native state
+    // merging can, as long as the watermark delay exceeds the disorder
+    val shuffled = new scala.util.Random(42).shuffle((b1o ++ b2o).toVector)
+    val stream = MemoryStream[Ev]
+    val agg = Streams.sessionWindowAgg(
+      stream.toDF().withColumn("ts_us", timestamp_micros($"ms" * 1000)), "35 days")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_swin").start()
+    try {
+      shuffled.grouped(shuffled.size / 3 + 1).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      // flush sentinel: watermark -> maxMs + 5 days, past every session end
+      val maxMs = shuffled.map(_.ms).max
+      stream.addData(Ev(-1L, -1L, "flush", 0.0, maxMs + 40L * 86400000L))
+      q.processAllAvailable()
+      val streamedFinal = spark.table("graft_mb_swin")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = run("e2_sessionize")
+        .groupBy("user_id")
+        .agg(max("session_idx").as("n_sessions"), count(lit(1)).as("n_events"))
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamedFinal === batch,
+        "session_window sessions diverge from batch e2 under shuffled arrival")
+    } finally q.stop()
+  }
+
   test("s15 streaming per-user top-k: SHUFFLED micro-batches == batch e3 (order-invariant merge)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = Tables.events(spark, sf)

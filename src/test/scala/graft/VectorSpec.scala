@@ -54,6 +54,31 @@ class VectorSpec extends GraftSuite {
     }
   }
 
+  test("v35: sign-word packing matches driver bit math; self-hit survives Hamming+rerank") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(3)(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val got = vecs.toDF("id", "v")
+      .select($"id",
+        operators.Knn.signWordExpr("v", 0).as("w0"),
+        operators.Knn.signWordExpr("v", 1).as("w1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    vecs.foreach { case (id, v) =>
+      def wordOf(w: Int): Long = (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (v(32 * w + i) > 0f) acc | (1L << i) else acc
+      }
+      assert(got(id) === ((wordOf(0), wordOf(1))),
+        s"packed sign words diverge from driver bit math for vec $id")
+    }
+    // self Hamming distance is 0, so the self-hit is always a candidate and
+    // the exact rerank must put it back at rank 1 with cosine 1.0
+    val top1 = run("v35_binary_hamming").filter($"rank" === 1).collect()
+    assert(top1.length === 8)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("score") - 1.0) < 1e-9)
+    }
+  }
+
   test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
     val l2 = run("v2_knn_l2_flat").collect()
     l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
