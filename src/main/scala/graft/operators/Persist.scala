@@ -780,6 +780,42 @@ object Persist {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v36: v35's binary sign-bit index as a PERSISTED artifact — rows are
+    * `(vec_id bigint, w0 bigint, w1 bigint)`, 24 bytes of payload per
+    * vector and NO float column at all: the candidate stage scans a table
+    * ~32× smaller than the raw corpus and its per-pair math is XOR +
+    * popcount (the spec asserts the artifact scans' ReadSchema carries
+    * only bigints — the float corpus is touched only by the Q·r-row exact
+    * rerank). This is the binary cell of the persisted-quantizer matrix
+    * (SQ8 = v17's artifact, PQ = v18b, IVF×SQ8 = v28); at 100 TB the
+    * candidate pass reads ~3 TB. Query sign-words are recomputed from the
+    * raw query vectors (an external workload arrives as floats), not read
+    * from the artifact. */
+  def binaryPersistSearch(spark: SparkSession, dir: String, k: Int = 10,
+                          r: Int = 40, nQueries: Int = 8): DataFrame = {
+    graft.Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val path = tablePath(spark, "graft_idx_binary")
+    emb.select(col("vec_id"),
+        Knn.signWordExpr("embedding", 0).as("w0"),
+        Knn.signWordExpr("embedding", 1).as("w1"))
+      .write.mode("overwrite").parquet(path)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = queries.select(col("qid"),
+      Knn.signWordExpr("qvec", 0).as("qw0"), Knn.signWordExpr("qvec", 1).as("qw1"))
+    val approx = spark.read.parquet(path).crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+    Knn.exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  /** Same semantics as the transient build — the artifact is a layout, not
+    * a result change. */
+  def binaryPersistSearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
+    Knn.binaryHammingSearchOracle(k, r, nQueries)
+
   /** p8: SCHEMA EVOLUTION across parquet generations — the lakehouse fact
     * of life every long-lived corpus hits: generation 1 was written with
     * (doc_id, text, lang, source); generation 2 ADDED a `quality` column

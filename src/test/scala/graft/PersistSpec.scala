@@ -334,6 +334,31 @@ class PersistSpec extends GraftSuite {
       s"v28 artifact schema: ${lists.schema.simpleString}")
   }
 
+  test("v36: binary artifact stores only sign words; result == transient v35") {
+    val df = Persist.binaryPersistSearch(spark, sf)
+    val persisted = rows(df)
+    assert(persisted === rows(graft.operators.Knn.binaryHammingSearch(spark, sf)),
+      "persisted binary search diverges from the transient build")
+    assert(persisted.nonEmpty)
+    // the artifact carries NO float column — candidate I/O is 3 bigints/row
+    val idx = spark.read.parquet(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_binary")
+    assert(idx.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"v36 artifact schema not pure bigint: ${idx.schema.simpleString}")
+    // and the candidate-stage scans of it read exactly that schema
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val artifactScans = plan.linesIterator.zipWithIndex.toSeq
+    val locLines = artifactScans.filter(_._1.contains("graft_idx_binary")).map(_._2)
+    assert(locLines.nonEmpty, "no scan of the binary artifact in the plan")
+    locLines.foreach { i =>
+      val window = artifactScans.slice(i, i + 6).map(_._1).mkString("\n")
+      assert(window.contains("ReadSchema: struct<vec_id:bigint,w0:bigint,w1:bigint>"),
+        s"artifact scan reads more than the sign words:\n$window")
+    }
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
