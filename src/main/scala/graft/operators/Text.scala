@@ -1155,4 +1155,66 @@ object Text {
        |SELECT off // $chunkTokens AS chunk_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM o GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
+  /** t23: unigram-LM NEGATIVE-LOG-LIKELIHOOD quality filter — the
+    * perplexity screen of the CCNet/CC-style pipelines (Wenzek et al.
+    * 2020): score each doc by the mean −ln p(term) under a unigram model
+    * trained on the corpus itself; high-NLL (unfamiliar, high-perplexity)
+    * docs are dropped. Differs from t19/t20's familiarity (linear mean of
+    * document frequencies): this is the LOG-space likelihood the
+    * perplexity literature actually uses, so rare terms are penalized
+    * multiplicatively, not additively.
+    *
+    * Hash-stability discipline: a cross-partition sum of doubles is
+    * order-nondeterministic, so each term's log-prob is quantized to a
+    * 6-dp fixed-point LONG first (`floor(ln(cnt/T)·10⁶ + ½)` — per-value
+    * libm parity, the t14 precedent) and the per-doc reduction is an
+    * exact integer sum; the final mean divides two exact longs with the
+    * same IEEE ops in both engines (4-dp output).
+    *
+    * Shape (3 shuffles, scale-safe): tokens collapse to (doc, term, tf)
+    * pairs FIRST — the model join then moves |D·V| rows, not |tokens|,
+    * and per-pair multiplicity is 1 so a hot stopword key skews the join
+    * no further than its distinct-doc count (AQE broadcasts the ≤|V|-row
+    * model at test scale; at 100 TB it clusters on term with skew-split).
+    * Vocab aggregate → broadcast total → map-side quantize; doc-keyed
+    * partial agg closes. */
+  def logprobFilter(spark: SparkSession, dir: String, keepNllQ4: Long = 34500L): DataFrame = {
+    graft.Graft.init(spark)
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dt = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers: the vocab aggregate and the score join
+    val vocab = dt.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("t"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        floor(log(col("cnt").cast("double") / col("t").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lq"))
+    dt.join(model, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lq") * col("tf")).as("sum_q6"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(-col("sum_q6").cast("double") / col("n_tokens").cast("double") / 100.0 + 0.5)
+          .cast("long").as("nll_q4"))
+      .withColumn("keep", col("nll_q4") <= keepNllQ4)
+      .orderBy("doc_id")
+  }
+
+  def logprobFilterOracle(keepNllQ4: Long = 34500L): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |v AS (SELECT term, sum(tf)::BIGINT AS cnt FROM dt GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS t FROM v),
+       |m AS (SELECT term, floor(ln(cnt::DOUBLE / t::DOUBLE) * 1000000 + 0.5)::BIGINT AS lq
+       |      FROM v CROSS JOIN tot),
+       |d AS (SELECT dt.doc_id, sum(dt.tf)::BIGINT AS n_tokens,
+       |             sum(m.lq * dt.tf)::BIGINT AS sum_q6
+       |      FROM dt JOIN m USING (term) GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT AS nll_q4,
+       |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT <= $keepNllQ4 AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
 }

@@ -206,6 +206,32 @@ class QualitySpec extends GraftSuite {
       s"band kept $total of $n docs — not an interquartile cut")
   }
 
+  test("t23: unigram NLL matches an exact driver replay; the keep band is non-trivial") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)).toSeq).toMap
+    // corpus unigram model, exactly the operator's arithmetic: per-term
+    // 6-dp fixed-point log-prob, integer sums, one final IEEE division
+    val cnt = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = cnt.values.sum
+    val lq = cnt.map { case (t, c) =>
+      t -> math.floor(math.log(c.toDouble / total.toDouble) * 1e6 + 0.5).toLong
+    }
+    val out = Text.logprobFilter(spark, sf).collect()
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = docs(id)
+      val sumQ6 = w.map(lq).sum
+      val nll = math.floor(-sumQ6.toDouble / w.length.toDouble / 100.0 + 0.5).toLong
+      assert(r.getAs[Long]("n_tokens") === w.length.toLong, s"doc $id n_tokens")
+      assert(r.getAs[Long]("nll_q4") === nll, s"doc $id nll_q4")
+      assert(r.getAs[Boolean]("keep") === (nll <= 34500L), s"doc $id keep")
+    }
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length,
+      s"threshold is vacuous: $kept/${out.length} kept")
+  }
+
   test("d18: semdedup pairs are co-clustered, above threshold, and a subset of exact pairs") {
     val tau = 0.4
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
