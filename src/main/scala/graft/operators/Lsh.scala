@@ -107,6 +107,59 @@ object Lsh {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v37: MULTI-PROBE LSH (Lv et al. 2007) — probe the query's exact
+    * bucket PLUS every 1-bit-flip neighbor bucket in each table, so one
+    * table yields `nBits+1` probes. The point of the technique: recall
+    * that would need many hash tables comes from extra probes into the
+    * SAME index instead — here 2 tables × 17 probes replaces v10's
+    * 4-table build at half the index storage (at 100 TB the index IS the
+    * cost), and the probe expansion is query-side only: a
+    * `(qid, table_id, key)`-row explode of the broadcast side, the
+    * candidate join identical to v10's equi-join. Flipping one bit of a
+    * SimHash key = crossing one random hyperplane — the 1-flip
+    * neighborhood is exactly the "likely to still match" perturbation
+    * set for near-duplicate vectors. */
+  def multiProbeSearch(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+                       nTables: Int = 2, nBits: Int = 16, seed: Long = 1000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = keyRows(emb, nTables, nBits, seed)
+    val probes = keyRows(queries.select(col("qid"), col("qvec").as("embedding")),
+        nTables, nBits, seed, idCol = "qid")
+      .select(col("qid"), col("table_id"), explode(expr(
+        s"concat(array(key), transform(sequence(0, ${nBits - 1}), b -> key ^ shiftleft(1L, b)))"))
+        .as("key"))
+
+    val candidates = index.join(broadcast(probes), Seq("table_id", "key"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val scored = candidates
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  def multiProbeSearchOracle(k: Int = 10, nQueries: Int = 8, nTables: Int = 2,
+                             nBits: Int = 16, seed: Long = 1000, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dk AS (${keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |qk AS (${keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id", nTables, nBits, dim, seed)}),
+       |qp AS (SELECT id, table_id,
+       |              unnest(list_prepend(key, [xor(key, (1::BIGINT << b))
+       |                                        for b in generate_series(0, ${nBits - 1})])) AS key
+       |       FROM qk),
+       |cand AS (SELECT DISTINCT qp.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qp ON dk.table_id = qp.table_id AND dk.key = qp.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(e.v, q.qv) AS score
+       |           FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v11: all-pairs cosine ≥ τ via shared LSH buckets — the approximate
     * similarity-join / embedding near-dup primitive. */
   def simJoin(spark: SparkSession, dir: String, tau: Double = 0.3,

@@ -79,6 +79,27 @@ class VectorSpec extends GraftSuite {
     }
   }
 
+  test("v37: multi-probe candidates dominate the exact-probe arm at equal index size") {
+    // same 2-table/16-bit index; the only difference is the query-side
+    // 1-bit-flip probe expansion — a candidate SUPERSET, so the top-k can
+    // only gain rows and per-rank scores can only rise
+    val mp = run("v37_multiprobe_lsh").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) -> r.getAs[Double]("score")).toMap
+    val exact = operators.Lsh.search(spark, sf, k = 10, nQueries = 8,
+      nTables = 2, nBits = 16, seed = 1000).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) -> r.getAs[Double]("score")).toMap
+    assert(mp.size >= exact.size,
+      s"multi-probe returned fewer hits (${mp.size}) than exact probing (${exact.size})")
+    exact.foreach { case (key, s) =>
+      assert(mp.contains(key) && mp(key) >= s - 1e-9,
+        s"rank $key regressed under multi-probe: ${mp.get(key)} < $s")
+    }
+    // the expansion must actually BUY something on this corpus, or the
+    // gated query demonstrates nothing
+    assert(mp.size > exact.size || exact.exists { case (k2, s) => mp(k2) > s + 1e-9 },
+      "multi-probe found nothing beyond the exact buckets — parameters are vacuous")
+  }
+
   test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
     val l2 = run("v2_knn_l2_flat").collect()
     l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
