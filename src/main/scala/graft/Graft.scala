@@ -97,6 +97,11 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    // ... and the as-of join planner strategy (a no-op unless an
+    // [[graft.plans.AsOfJoin]] node appears in a plan).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     spark
   }
 

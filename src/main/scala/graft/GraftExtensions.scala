@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // inert unless spark.graft.rangejoin.bucket is set — see RangeJoinRule
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // plans graft.plans.AsOfJoin nodes; inert on every other plan
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -68,4 +68,51 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows.nonEmpty)
     } finally spark.conf.unset("spark.graft.rangejoin.bucket")
   }
+
+  test("e12: custom AsOfJoinExec == e4's window formulation; plan has the node, no Window") {
+    val spark = graft.Graft.init(TestSession.spark)
+    val sf = TestSession.sf
+    val merge = graft.operators.Events.asofJoinMerge(spark, sf)
+    val m = merge.collect().map(_.toSeq).toSet
+    val w = graft.operators.Events.asofJoin(spark, sf).collect().map(_.toSeq).toSet
+    assert(m === w, "custom as-of join diverges from the union+window twin")
+    assert(m.nonEmpty)
+    val plan = merge.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "AsOfJoinExec missing from the physical plan")
+    assert(!plan.contains("Window ") && !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of plan fell back to a built-in formulation:\n${plan.take(1200)}")
+  }
+
+  test("AsOfJoin merge semantics on a hand-built frame: ties, gaps, empty keys, null payloads") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Graft.init(TestSession.spark)
+    import spark.implicits._
+    // left: (id, key, t); right: (rid, key, t) — crafted so that:
+    //  key 1: two rights at the SAME time 10 (rid 100, 101) -> larger tie wins;
+    //         a right AFTER the left row (t=99) must not match
+    //  key 2: right only at t=50 -> left t=49 unmatched, left t=50 matched (<=)
+    //  key 3: no rights at all
+    //  key 4: rights only (no lefts) -> consumed and dropped
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 15L), (3L, 2L, 49L), (4L, 2L, 50L), (5L, 3L, 7L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 1L, 10L), (101L, 1L, 10L), (102L, 1L, 99L),
+      (200L, 2L, 50L), (300L, 4L, 1L))
+      .toDF("rid", "rk", "rt")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val joined = org.apache.spark.sql.GraftShims.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp, attr(lp, "k"), attr(rp, "rk"),
+        attr(lp, "t"), attr(rp, "rt"), attr(rp, "rid")))
+      .select($"id", $"rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(joined === Map(
+      1L -> Some(101L), // tie at t=10: larger rid wins; rid 102 (t=99) excluded
+      2L -> Some(101L), // carried forward within the key
+      3L -> None,       // strictly-before right only arrives at t=50
+      4L -> Some(200L), // at-or-before is inclusive
+      5L -> None))      // key with no rights
+  }
 }
