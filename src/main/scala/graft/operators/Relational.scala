@@ -351,7 +351,6 @@ object Relational {
     * distinct key; Spark's HLL sketch can't be oracle-replayed). */
   def q11HllDistinct(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p                 // registers per group
-    val two53 = 9007199254740992L  // 2^53: scale factor for the exact harmonic sum
     val keyed = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         Dedup.h60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
@@ -361,14 +360,26 @@ object Relational {
       // bin(r) both render without leading zeros, so length() agrees
       .withColumn("rho", when(col("r") === 0L, lit(53L))
         .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
-    keyed.groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("reg"))
-      .groupBy(col("l_returnflag")).agg(
+    hllEstimate(
+      keyed.groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("reg")),
+      Seq("l_returnflag"), m)
+      .orderBy("l_returnflag")
+  }
+
+  /** The q11 estimate pipeline over any `(groupCols..., bucket, reg)`
+    * register table — shared by q11 (per-flag) and q21 (per cube cell):
+    * exact-integer harmonic sum scaled by 2^53, one IEEE division, linear
+    * counting below 2.5·m. */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val two53 = 9007199254740992L
+    val gc = groupCols.map(col)
+    regs.groupBy(gc: _*).agg(
         count(lit(1)).as("n_present"),
         sum(expr("shiftleft(cast(1 as bigint), cast(53 - reg as int))")).as("present_sum"),
         sum(col("reg") * (col("bucket") + lit(1L))).as("register_checksum"))
-      .select(col("l_returnflag"), col("register_checksum"),
+      .select(gc ++ Seq(col("register_checksum"),
         (lit(m.toLong) - col("n_present")).as("n_zero_buckets"),
-        (col("present_sum") + (lit(m.toLong) - col("n_present")) * lit(two53)).as("intsum"))
+        (col("present_sum") + (lit(m.toLong) - col("n_present")) * lit(two53)).as("intsum")): _*)
       .withColumn("est_raw",
         lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
           lit(m.toDouble * m) * lit(two53.toDouble) / col("intsum").cast("double"))
@@ -377,9 +388,81 @@ object Relational {
         round(when(col("n_zero_buckets") > lit(0L) && col("est_raw") <= lit(2.5 * m),
           lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_buckets").cast("double")))
           .otherwise(col("est_raw")), 4))
-      .select(col("l_returnflag"), col("est_distinct"),
-        col("n_zero_buckets"), col("register_checksum"))
-      .orderBy("l_returnflag")
+      .select(gc ++ Seq(col("est_distinct"),
+        col("n_zero_buckets"), col("register_checksum")): _*)
+  }
+
+  /** q21: HLL DISTINCT over a CUBE, rolled up IN SKETCH SPACE — the
+    * mergeability claim that makes sketches the 100 TB answer, executed:
+    * ONE corpus pass builds the finest-grain register table
+    * (flag × status × bucket — ≤ F·S·m rows, the sketch, not the data);
+    * every coarser cell ((flag, ALL), (ALL, status), (ALL, ALL)) is then
+    * derived by `max`-merging REGISTERS, never rescanning the corpus.
+    * Contrast q12's exact cube: Expand replicates every corpus row ×4
+    * before the shuffle — correct, but the map-side input is 4× the scan;
+    * here the ×4 expansion happens on the register table. This is how a
+    * warehouse serves distinct-count rollups at every granularity from
+    * one sketch pass (Druid/BigQuery sketch rollups). 'ALL' is the
+    * grouping sentinel (not NULL) so the gate's column hashing stays
+    * engine-neutral. Spec: the (flag, ALL) cells reproduce q11's output
+    * EXACTLY — merged registers ≡ directly-built registers. */
+  def q21HllCube(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val fine = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        Dedup.h60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr(s"h % $m").as("bucket"), expr(s"h div $m").as("r"))
+      .withColumn("rho", when(col("r") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("bucket"))
+      .agg(max(col("rho")).as("reg")) // the ONLY corpus-sized aggregation
+    val merged = fine
+      .select(explode(expr(
+        "array(named_struct('gf', l_returnflag, 'gs', l_linestatus), " +
+          "named_struct('gf', l_returnflag, 'gs', 'ALL'), " +
+          "named_struct('gf', 'ALL', 'gs', l_linestatus), " +
+          "named_struct('gf', 'ALL', 'gs', 'ALL'))")).as("g"),
+        col("bucket"), col("reg"))
+      .select(col("g.gf").as("grp_flag"), col("g.gs").as("grp_status"),
+        col("bucket"), col("reg"))
+      .groupBy(col("grp_flag"), col("grp_status"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    hllEstimate(merged, Seq("grp_flag", "grp_status"), m)
+      .orderBy("grp_flag", "grp_status")
+  }
+
+  def q21Oracle(p: Int = 8): String = {
+    val m = 1 << p
+    s"""WITH k AS (SELECT l_returnflag, l_linestatus,
+       |                  CAST('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |           FROM lineitem),
+       |r AS (SELECT l_returnflag, l_linestatus, h % $m AS bucket,
+       |             CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END AS rho
+       |      FROM k),
+       |fine AS (SELECT l_returnflag, l_linestatus, bucket, max(rho) AS reg
+       |         FROM r GROUP BY 1, 2, 3),
+       |exp AS (SELECT l_returnflag AS gf, l_linestatus AS gs, bucket, reg FROM fine
+       |        UNION ALL SELECT l_returnflag, 'ALL', bucket, reg FROM fine
+       |        UNION ALL SELECT 'ALL', l_linestatus, bucket, reg FROM fine
+       |        UNION ALL SELECT 'ALL', 'ALL', bucket, reg FROM fine),
+       |regs AS (SELECT gf, gs, bucket, max(reg) AS reg FROM exp GROUP BY 1, 2, 3),
+       |a AS (SELECT gf, gs,
+       |             sum(reg * (bucket + 1))::BIGINT AS register_checksum,
+       |             ($m - count(*))::BIGINT AS n_zero_buckets,
+       |             (sum(1::BIGINT << (53 - reg)) + ($m - count(*)) * 9007199254740992)::BIGINT AS intsum
+       |      FROM regs GROUP BY 1, 2),
+       |f AS (SELECT gf, gs, register_checksum, n_zero_buckets,
+       |             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / $m.0::DOUBLE) *
+       |               ${m.toDouble * m}::DOUBLE * 9007199254740992.0::DOUBLE / intsum::DOUBLE AS est_raw
+       |      FROM a)
+       |SELECT gf AS grp_flag, gs AS grp_status,
+       |       round(CASE WHEN n_zero_buckets > 0 AND est_raw <= ${2.5 * m}::DOUBLE
+       |                  THEN $m.0::DOUBLE * ln($m.0::DOUBLE / n_zero_buckets::DOUBLE)
+       |                  ELSE est_raw END, 4) AS est_distinct,
+       |       n_zero_buckets, register_checksum
+       |FROM f ORDER BY grp_flag, grp_status""".stripMargin
   }
 
   def q11Oracle(p: Int = 8): String = {

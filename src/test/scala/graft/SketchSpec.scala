@@ -268,4 +268,28 @@ class SketchSpec extends GraftSuite {
       assert(err <= 2.0 / math.sqrt(128.0), s"source $s KMV error $err")
     }
   }
+
+  test("q21: registers merged in sketch space == registers built directly (q11 parity)") {
+    // the (flag, ALL) cube cells rolled up from the (flag, status) register
+    // table must reproduce q11's per-flag sketch EXACTLY — max-merge of
+    // partitioned registers is the whole mergeability claim
+    val cube = run("q21_hll_cube").collect()
+    val flagCells = cube.filter(r =>
+        r.getAs[String]("grp_status") == "ALL" && r.getAs[String]("grp_flag") != "ALL")
+      .map(r => r.getAs[String]("grp_flag") ->
+        ((r.getAs[Double]("est_distinct"), r.getAs[Long]("n_zero_buckets"),
+          r.getAs[Long]("register_checksum")))).toMap
+    val q11 = run("q11_hll_distinct").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("est_distinct"), r.getAs[Long]("n_zero_buckets"),
+          r.getAs[Long]("register_checksum")))).toMap
+    assert(flagCells === q11, "sketch-space rollup diverges from direct per-flag sketches")
+    // and the grand-total cell agrees with the exact corpus distinct within 3 sigma
+    val all = cube.find(r => r.getAs[String]("grp_flag") == "ALL" &&
+      r.getAs[String]("grp_status") == "ALL").get.getAs[Double]("est_distinct")
+    val exactAll = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count().toDouble
+    assert(math.abs(all - exactAll) / exactAll < 3.0 * 1.04 / math.sqrt(256.0),
+      s"ALL/ALL estimate $all vs exact $exactAll")
+  }
 }
