@@ -816,6 +816,81 @@ object Persist {
   def binaryPersistSearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
     Knn.binaryHammingSearchOracle(k, r, nQueries)
 
+  /** v38: IVF × BINARY — the two big scan levers stacked on one artifact,
+    * like v28 stacks IVF × SQ8: inverted lists partitioned by cluster AND
+    * storing only the two sign words, so a probe reads probed DIRECTORIES
+    * of float-free 24-byte rows (partition pruning × 32× compression —
+    * FAISS's `IVFx` over a binary code, with exact refine). Assignment
+    * runs on the raw vectors at build (the FAISS convention); the probed
+    * candidate scan is XOR+popcount Hamming, top-`r` per query, then the
+    * shared exact-cosine refine join touches the float corpus only for
+    * Q·r rows. */
+  def ivfBinarySearch(spark: SparkSession, dir: String, k: Int = 10,
+                      r: Int = 40, nQueries: Int = 8): DataFrame = {
+    graft.Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = Ivf.collectCentroids(
+      emb.filter(col("vec_id") < Ivf.K).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val path = tablePath(spark, "graft_idx_ivf_binary")
+    val built = Ivf.assignToMat(emb, mat)
+      .select(col("vec_id"),
+        Knn.signWordExpr("embedding", 0).as("w0"),
+        Knn.signWordExpr("embedding", 1).as("w1"),
+        col("cluster_id"))
+    Sinks.writePartitioned(built, path, "cluster_id")
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = queries.select(col("qid"),
+      Knn.signWordExpr("qvec", 0).as("qw0"), Knn.signWordExpr("qvec", 1).as("qw1"))
+    val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    val approx = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(qwords), Seq("qid"))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  def ivfBinarySearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < ${Ivf.K}),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= ${Ivf.Probes}),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim
+       |             FROM e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |b AS (SELECT vec_id,
+       |             list_sum([CASE WHEN v[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w0,
+       |             list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w1
+       |      FROM e),
+       |qb AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM b WHERE vec_id < $nQueries),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |h AS (SELECT cand.qid, cand.vec_id,
+       |             bit_count(xor(b.w0, qb.qw0)) + bit_count(xor(b.w1, qb.qw1)) AS ham
+       |      FROM cand JOIN b USING (vec_id) JOIN qb USING (qid)),
+       |hr AS (SELECT qid, vec_id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+       |       FROM h),
+       |s AS (SELECT hr.qid, hr.vec_id, list_cosine_similarity(e.v, q.qvec) AS score
+       |      FROM hr JOIN e USING (vec_id) JOIN q USING (qid) WHERE hr.hrank <= $r),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** p8: SCHEMA EVOLUTION across parquet generations — the lakehouse fact
     * of life every long-lived corpus hits: generation 1 was written with
     * (doc_id, text, lang, source); generation 2 ADDED a `quality` column

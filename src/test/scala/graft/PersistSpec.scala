@@ -359,6 +359,29 @@ class PersistSpec extends GraftSuite {
     }
   }
 
+  test("v38: IVF x binary lists prune to probed partitions and store only sign words") {
+    val df = Persist.ivfBinarySearch(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""PartitionFilters: \[[^\]]*cluster_id""".r.findFirstIn(plan).isDefined,
+      s"v38 probe not partition-pruned:\n${plan.take(1200)}")
+    val lists = spark.read.parquet(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_binary")
+    // data columns are pure bigint sign words; cluster_id is the partition dir
+    assert(lists.schema.fieldNames.sorted === Array("cluster_id", "vec_id", "w0", "w1"),
+      s"v38 artifact schema: ${lists.schema.simpleString}")
+    assert(!lists.schema.fields.exists(_.dataType.typeName.contains("array")),
+      "v38 artifact carries a vector column")
+    // the self-hit (Hamming 0, own cluster always probed) survives to rank 1
+    val top1 = df.filter(col("rank") === 1).collect()
+    assert(top1.length === 8)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("score") - 1.0) < 1e-9)
+    }
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
