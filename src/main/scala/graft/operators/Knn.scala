@@ -188,6 +188,49 @@ object Knn {
     exactRefine(approx, emb, queries, "cosine", r, k)
   }
 
+  /** v39: v35 served for the EXTERNAL query workload table (the v26–v33
+    * convention, kept complete for the binary family): query sign-words
+    * are computed from the workload's raw float vectors — exactly what an
+    * external query file provides — and the corpus-side plan is v35's
+    * unchanged. */
+  def workloadBinarySearch(spark: SparkSession, dir: String, k: Int = 10,
+                           r: Int = 40): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = queryTable(spark, dir)
+    val qwords = queries.select(col("qid"),
+      signWordExpr("qvec", 0).as("qw0"), signWordExpr("qvec", 1).as("qw1"))
+    val packed = emb.select(col("vec_id"),
+      signWordExpr("embedding", 0).as("w0"), signWordExpr("embedding", 1).as("w1"))
+    val approx = packed.crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+    exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  def workloadBinarySearchOracle(k: Int = 10, r: Int = 40): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |             list_sum([CASE WHEN v[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w0,
+       |             list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w1
+       |      FROM e),
+       |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE ${workloadPredSql()}),
+       |h AS (SELECT q.qid, p.vec_id,
+       |             bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS ham
+       |      FROM p CROSS JOIN q),
+       |c AS (SELECT qid, vec_id,
+       |             row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+       |      FROM h),
+       |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE ${workloadPredSql()}),
+       |s AS (SELECT c.qid, c.vec_id, list_cosine_similarity(e.v, qs.qvec) AS score
+       |      FROM c JOIN e USING (vec_id) JOIN qs USING (qid) WHERE c.hrank <= $r),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** 32-bit sign word `w` of an `array<float>` column: bit i set iff
     * element `32·w + i` (0-based) is > 0; elements past the array end
     * contribute 0 (element_at → NULL → CASE else). Distinct powers of two

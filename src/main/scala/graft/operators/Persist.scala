@@ -134,6 +134,65 @@ object Persist {
     * restart). The self-join on the bucketed table needs NO Exchange
     * (asserted in PersistSpec) — this replaces round 1's fragile
     * AQE-ReuseExchange of the in-flight signature computation. */
+  /** p11: VERIFIED PHYSICAL PURGE — the data-governance flow
+    * (right-to-be-forgotten / takedown) a training-data store must prove,
+    * not just promise. p7 shows MERGE-ON-READ deletion (tombstones mask
+    * at query time, files untouched); this is the second half: the
+    * COMPACTION that rewrites corpus and index without the tombstoned
+    * rows, then an audit computed by RE-READING the rewritten artifacts —
+    * per artifact: row count, count of purged ids still present (must be
+    * 0), and an order-independent `bit_xor` content checksum (the f7
+    * manifest device). The oracle recomputes count+checksum from the base
+    * table with the tombstone predicate inverted, so a hash-green row
+    * proves the files on disk hold exactly the intended survivors —
+    * deletion evidenced from the storage, not the query path. At 100 TB
+    * this is one filtered rewrite per artifact plus bounded-output
+    * audit aggregates. */
+  def purgeProof(spark: SparkSession, dir: String, mod: Long = 7L,
+                 nTables: Int = 4, nBits: Int = 12, seed: Long = 5000): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def tomb(c: Column): Column =
+      Dedup.h60(concat(lit("del:"), c.cast("string"))) % mod === 0L
+    val corpusPath = tablePath(spark, "graft_purged_corpus")
+    emb.filter(!tomb(col("vec_id"))).write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val idxPath = tablePath(spark, "graft_purged_lsh")
+    Lsh.keyRows(corpus, nTables, nBits, seed).write.mode("overwrite").parquet(idxPath)
+    val idx = spark.read.parquet(idxPath)
+
+    val corpusAudit = corpus
+      .select(col("vec_id"),
+        Dedup.h60(concat(lit("chk:"), col("vec_id").cast("string"))).as("hc"))
+      .groupBy(lit("corpus").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("vec_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    val idxAudit = idx
+      .select(col("vec_id"), Dedup.h60(concat_ws(":",
+        lit("chk"), col("vec_id"), col("table_id"), col("key"))).as("hc"))
+      .groupBy(lit("lsh_index").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("vec_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    corpusAudit.unionAll(idxAudit).orderBy("artifact")
+  }
+
+  def purgeProofOracle(mod: Long = 7L, nTables: Int = 4, nBits: Int = 12,
+                       seed: Long = 5000, dim: Int = 64): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |      WHERE NOT ((CAST('0x' || substr(md5('del:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0)),
+       |dk AS (${Lsh.keysSql("e", "vec_id", nTables, nBits, dim, seed)}),
+       |ca AS (SELECT 'corpus' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |       FROM e),
+       |ia AS (SELECT 'lsh_index' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(id AS VARCHAR) || ':' ||
+       |                CAST(table_id AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |       FROM dk)
+       |SELECT * FROM ca UNION ALL SELECT * FROM ia ORDER BY artifact""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

@@ -382,6 +382,32 @@ class PersistSpec extends GraftSuite {
     }
   }
 
+  test("p11: the purge is physical and non-vacuous — no tombstoned id in any rewritten file") {
+    import spark.implicits._
+    val audit = Persist.purgeProof(spark, sf).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_purged_remaining")))).toMap
+    assert(audit.keySet === Set("corpus", "lsh_index"))
+    audit.foreach { case (a, (n, left)) =>
+      assert(left === 0L, s"$a still holds $left purged rows")
+      assert(n > 0L, s"$a rewrote to empty")
+    }
+    // the tombstone set is non-empty and every id is genuinely gone from disk
+    val tombs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"))
+      .filter(graft.operators.Dedup.h60(concat(lit("del:"), col("vec_id").cast("string"))) % 7 === 0L)
+      .as[Long].collect().toSet
+    assert(tombs.nonEmpty, "tombstone rule selected nothing — the proof is vacuous")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val corpusIds = spark.read.parquet(wh + "/graft_purged_corpus")
+      .select("vec_id").as[Long].collect().toSet
+    val idxIds = spark.read.parquet(wh + "/graft_purged_lsh")
+      .select("vec_id").as[Long].collect().toSet
+    assert((corpusIds intersect tombs).isEmpty && (idxIds intersect tombs).isEmpty,
+      "a purged id survives in a rewritten artifact")
+    assert(audit("corpus")._1 === corpusIds.size.toLong)
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
