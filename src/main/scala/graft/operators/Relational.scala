@@ -351,19 +351,27 @@ object Relational {
     * distinct key; Spark's HLL sketch can't be oracle-replayed). */
   def q11HllDistinct(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p                 // registers per group
-    val keyed = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        Dedup.h60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
-      .select(col("l_returnflag"), expr(s"h % $m").as("bucket"), expr(s"h div $m").as("r"))
-      // rank of the highest set bit in the 52-bit suffix, 1-based from the
-      // left (53 when the suffix is all zeros); conv(r,10,2) and DuckDB's
-      // bin(r) both render without leading zeros, so length() agrees
-      .withColumn("rho", when(col("r") === 0L, lit(53L))
-        .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
     hllEstimate(
-      keyed.groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("reg")),
+      hllRegisters(Tables.lineitem(spark, dir), Seq("l_returnflag"),
+        "hll:", "l_orderkey", m),
       Seq("l_returnflag"), m)
       .orderBy("l_returnflag")
+  }
+
+  /** The `(groupCols..., bucket, reg)` register table for HLL over
+    * `keyCol`, shared by q11/q21/q22. rho = rank of the highest set bit in
+    * the 52-bit hash suffix, 1-based from the left (53 for an all-zero
+    * suffix); conv(r,10,2) and DuckDB's bin(r) both render without
+    * leading zeros, so length() agrees. */
+  private def hllRegisters(rows: DataFrame, groupCols: Seq[String],
+                           keyPrefix: String, keyCol: String, m: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    rows
+      .select(gc :+ Dedup.h60(concat(lit(keyPrefix), col(keyCol).cast("string"))).as("h"): _*)
+      .select(gc :+ expr(s"h % $m").as("bucket") :+ expr(s"h div $m").as("r"): _*)
+      .withColumn("rho", when(col("r") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
+      .groupBy(gc :+ col("bucket"): _*).agg(max(col("rho")).as("reg"))
   }
 
   /** The q11 estimate pipeline over any `(groupCols..., bucket, reg)`
@@ -408,15 +416,9 @@ object Relational {
     * EXACTLY — merged registers ≡ directly-built registers. */
   def q21HllCube(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p
-    val fine = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_linestatus"),
-        Dedup.h60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
-      .select(col("l_returnflag"), col("l_linestatus"),
-        expr(s"h % $m").as("bucket"), expr(s"h div $m").as("r"))
-      .withColumn("rho", when(col("r") === 0L, lit(53L))
-        .otherwise(lit(53L) - length(conv(col("r"), 10, 2)).cast("long")))
-      .groupBy(col("l_returnflag"), col("l_linestatus"), col("bucket"))
-      .agg(max(col("rho")).as("reg")) // the ONLY corpus-sized aggregation
+    // the ONLY corpus-sized aggregation: the finest-grain register build
+    val fine = hllRegisters(Tables.lineitem(spark, dir),
+      Seq("l_returnflag", "l_linestatus"), "hll:", "l_orderkey", m)
     val merged = fine
       .select(explode(expr(
         "array(named_struct('gf', l_returnflag, 'gs', l_linestatus), " +
@@ -490,6 +492,56 @@ object Relational {
        |                  ELSE est_raw END, 4) AS est_distinct,
        |       n_zero_buckets, register_checksum
        |FROM f ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q22: INCREMENTAL HLL — the sketch as a MAINTAINED MATERIALIZED VIEW
+    * (q16's exact-count MV, upgraded to distinct counts): the per-type
+    * user-distinct register table is persisted for the history up to a
+    * cutoff, and each refresh max-merges ONLY the delta's registers —
+    * nothing rescans history, the state is F×m longs forever, and because
+    * register-max is idempotent and commutative a replayed or reordered
+    * delta cannot corrupt the view (the s16/q16 exactly-once argument,
+    * free at the sketch level). Oracle = the one-shot full-pass sketch:
+    * merged-incremental ≡ full is the entire claim. */
+  def q22HllIncremental(spark: SparkSession, dir: String,
+                        cutoffMs: Long = 1705363200000L, p: Int = 8): DataFrame = {
+    graft.Graft.init(spark)
+    val m = 1 << p
+    def regs(e: DataFrame): DataFrame =
+      hllRegisters(e, Seq("event_type"), "hllu:", "user_id", m)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_mv_hll_users"
+    regs(Tables.eventsUpToMs(spark, dir, cutoffMs)).write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path)
+      .unionByName(regs(Tables.eventsAfterMs(spark, dir, cutoffMs)))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("reg")).as("reg"))
+    hllEstimate(merged, Seq("event_type"), m).orderBy("event_type")
+  }
+
+  def q22Oracle(p: Int = 8): String = {
+    val m = 1 << p
+    s"""WITH k AS (SELECT event_type,
+       |                  CAST('0x' || substr(md5('hllu:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |           FROM events),
+       |r AS (SELECT event_type, h % $m AS bucket,
+       |             CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END AS rho
+       |      FROM k),
+       |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |a AS (SELECT event_type,
+       |             sum(reg * (bucket + 1))::BIGINT AS register_checksum,
+       |             ($m - count(*))::BIGINT AS n_zero_buckets,
+       |             (sum(1::BIGINT << (53 - reg)) + ($m - count(*)) * 9007199254740992)::BIGINT AS intsum
+       |      FROM regs GROUP BY 1),
+       |f AS (SELECT event_type, register_checksum, n_zero_buckets,
+       |             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / $m.0::DOUBLE) *
+       |               ${m.toDouble * m}::DOUBLE * 9007199254740992.0::DOUBLE / intsum::DOUBLE AS est_raw
+       |      FROM a)
+       |SELECT event_type,
+       |       round(CASE WHEN n_zero_buckets > 0 AND est_raw <= ${2.5 * m}::DOUBLE
+       |                  THEN $m.0::DOUBLE * ln($m.0::DOUBLE / n_zero_buckets::DOUBLE)
+       |                  ELSE est_raw END, 4) AS est_distinct,
+       |       n_zero_buckets, register_checksum
+       |FROM f ORDER BY event_type""".stripMargin
   }
 
   /** q13: histogram quantiles — the MERGEABLE approximate-quantile sketch

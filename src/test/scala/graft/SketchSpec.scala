@@ -292,4 +292,24 @@ class SketchSpec extends GraftSuite {
     assert(math.abs(all - exactAll) / exactAll < 3.0 * 1.04 / math.sqrt(256.0),
       s"ALL/ALL estimate $all vs exact $exactAll")
   }
+
+  test("q22: the sketch MV is replay-idempotent and its registers match a one-shot build") {
+    val once = run("q22_hll_incremental").collect().map(_.toSeq).toSeq
+    // re-running rebuilds the base artifact and re-merges the delta — a
+    // full replay; register max is idempotent so the view cannot drift
+    val again = run("q22_hll_incremental").collect().map(_.toSeq).toSeq
+    assert(once === again, "replaying the incremental refresh changed the view")
+    assert(once.nonEmpty)
+    // 3-sigma accuracy against the exact per-type distinct users
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("q22_hll_incremental").collect().foreach { r =>
+      val t = r.getString(0)
+      val est = r.getAs[Double]("est_distinct")
+      val relErr = math.abs(est - exact(t).toDouble) / exact(t).toDouble
+      assert(relErr < 3.0 * 1.04 / math.sqrt(256.0), s"type=$t est=$est exact=${exact(t)}")
+    }
+  }
 }
