@@ -397,8 +397,8 @@ object Knn {
     * `refine` ids per query, re-score them against the RAW vectors, ship
     * the exact top-k. Costs a Q×refine broadcast point-lookup — the
     * compressed scan did the corpus pass. */
-  private[operators] def exactRefine(approx: DataFrame, emb: DataFrame, queries: DataFrame,
-                                     metric: String, refine: Int, k: Int): DataFrame = {
+  private[graft] def exactRefine(approx: DataFrame, emb: DataFrame, queries: DataFrame,
+                                 metric: String, refine: Int, k: Int): DataFrame = {
     val cand = topkPerQuery(approx, metric, refine).select(col("qid"), col("vec_id"))
     val exact = cand
       .join(emb, Seq("vec_id"))

@@ -573,6 +573,54 @@ object Streams {
       .start()
   }
 
+  /** s21: streaming BINARY sign-word index ingest — v36's float-free
+    * artifact maintained under continuous arrival. The pack is a map-only
+    * projection of the arriving delta (no training, no global state — the
+    * simplest continuously-maintainable index family, which is precisely
+    * why production stores like binary codes for hot ingest paths); the
+    * batchId commit log gives the same replay idempotence as the LSH/IVF
+    * ingests, and the duplicate-residue window (a crash between the data
+    * append and the marker append) is harmless because
+    * [[binarySearchPacked]] dedups packed rows before scoring. */
+  def binaryIngestStream(embStream: DataFrame,
+                         table: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val commits = table + "_commits"
+      val alreadyCommitted = s.catalog.tableExists(commits) &&
+        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+      if (!alreadyCommitted) {
+        batch.select(col("vec_id"),
+            graft.operators.Knn.signWordExpr("embedding", 0).as("w0"),
+            graft.operators.Knn.signWordExpr("embedding", 1).as("w1"))
+          .write.mode("append").format("parquet").saveAsTable(table)
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(commits)
+      }
+    }
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .start()
+  }
+
+  /** Search any `(vec_id, w0, w1)` packed table (stream-ingested or
+    * batch-built): Hamming candidates, top-`r`, exact rerank. The
+    * `distinct()` makes the search insensitive to a replay-residue
+    * duplicate batch, like Lsh.searchIndex's candidate dedup. */
+  def binarySearchPacked(packed: DataFrame, emb: DataFrame, queries: DataFrame,
+                         k: Int = 10, r: Int = 40): DataFrame = {
+    import graft.operators.Knn
+    val qwords = queries.select(col("qid"),
+      Knn.signWordExpr("qvec", 0).as("qw0"), Knn.signWordExpr("qvec", 1).as("qw1"))
+    val approx = packed.select(col("vec_id"), col("w0"), col("w1")).distinct()
+      .crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
   /** Streaming vector ingest into a TRAINED partitioned IVF index —
     * v14b's serving artifact maintained under continuous arrival
     * (reference: add_vector on a trained index, vector_db.py:118-168 +

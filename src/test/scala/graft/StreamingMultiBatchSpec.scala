@@ -196,6 +196,38 @@ class StreamingMultiBatchSpec extends GraftSuite {
       "replayed micro-batch double-appended despite the batchId commit log")
   }
 
+  test("s21 streaming binary ingest: appended sign words search == fresh pack; replay is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_idx_binary_stream"
+    operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_commits")
+    val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val all = embDf.as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = all.partition(_._1 < 250)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Streams.binaryIngestStream(stream.toDF().toDF("vec_id", "embedding"), table)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val queries = embDf.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Streams.binarySearchPacked(spark.table(table), embDf, queries).collect().toSeq
+    val freshPacked = embDf.select($"vec_id",
+      operators.Knn.signWordExpr("embedding", 0).as("w0"),
+      operators.Knn.signWordExpr("embedding", 1).as("w1"))
+    val want = Streams.binarySearchPacked(freshPacked, embDf, queries).collect().toSeq
+    assert(got.nonEmpty && got === want, "stream-ingested binary index diverged from fresh pack")
+
+    // replay: fresh source restarts batchIds at 0 — commit log must skip
+    val rowsBefore = spark.table(table).count()
+    val replay = MemoryStream[(Long, Array[Float])]
+    val q2 = Streams.binaryIngestStream(replay.toDF().toDF("vec_id", "embedding"), table)
+    try { replay.addData(b1); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.table(table).count() === rowsBefore,
+      "replayed micro-batch double-appended despite the batchId commit log")
+  }
+
   test("streaming IVF ingestion: trained-quantizer appends; pruned search == fresh trained build") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_ivf_stream"
