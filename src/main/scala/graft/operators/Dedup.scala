@@ -1084,6 +1084,66 @@ object Dedup {
       .orderBy(col("pr").desc, col("doc_id"))
   }
 
+  /** d19: TRIANGLE COUNTING over the near-dup graph — the local-density
+    * measure that separates tight duplicate CLIQUES (boilerplate families,
+    * mirror farms) from loose chains d7's components can't distinguish:
+    * a component of pairwise-similar docs and a chain of barely-linked
+    * docs have the same CC label but wildly different triangle counts.
+    * Third member of the graph family (d7 connected components, d17
+    * PageRank) and, unlike both, NON-iterative: exact in two joins.
+    *
+    * Scale shape — the degree-ordered orientation (the MapReduce
+    * "last-reducer" fix, Suri & Vassilvitskii 2011): orient every edge
+    * from its (degree, id)-smaller endpoint to the larger; each triangle
+    * then has exactly ONE vertex with out-edges to the other two, so the
+    * wedge self-join counts each triangle once and a node's wedge count
+    * is bounded by its ORIENTED out-degree (O(√E) max, vs the raw-degree
+    * blowup a naive wedge join suffers on hubs). Closure is an equi-join
+    * of wedge endpoints against the undirected pair list. Everything is
+    * exact integers over EDGE-sized data. */
+  def triangles(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    graft.Graft.init(spark)
+    val pairs = minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // two consumers: orientation build + closure join
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+      .filter(col("deg") < col("ddeg") ||
+        (col("deg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // both sides of the wedge self-join
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
+    val tris = wedges.join(pairs,
+      pairs("doc_a") === least(col("v"), col("w")) &&
+        pairs("doc_b") === greatest(col("v"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("doc_id"))
+  }
+
+  def trianglesOracle(tau: Double = 0.5): String =
+    s"""WITH fp AS (SELECT doc_a, doc_b FROM (${minhashLshOracle(tau)})),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM fp
+       |      UNION ALL SELECT doc_b, doc_a FROM fp),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+       |o AS (SELECT e.src, e.dst FROM e
+       |      JOIN deg d1 ON e.src = d1.src
+       |      JOIN deg d2 ON e.dst = d2.src
+       |      WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)),
+       |wdg AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+       |        FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+       |tri AS (SELECT u, v, w FROM wdg
+       |        JOIN fp ON fp.doc_a = least(v, w) AND fp.doc_b = greatest(v, w)),
+       |x AS (SELECT unnest([u, v, w]) AS doc_id FROM tri)
+       |SELECT doc_id, count(*)::BIGINT AS n_tri FROM x
+       |GROUP BY 1 ORDER BY n_tri DESC, doc_id""".stripMargin
+
   def pagerankOracle(tau: Double = 0.5, iters: Int = 3): String = {
     val prevChain = (1 to iters).map { i =>
       val prev = if (i == 1) "pr0" else s"pr${i - 1}"

@@ -232,6 +232,25 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("d19: triangle counts match an exact driver recompute; the graph has triangles") {
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0L
+    for ((a, b) <- pairs; c <- adj(a) if c > b && adj(b).contains(c)) {
+      total += 1
+      Seq(a, b, c).foreach(x => triCount(x) += 1)
+    }
+    assert(total > 0, "no triangles at sf0.001 — the d19 gate would be vacuous")
+    val got = run("d19_triangles").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tri")).toMap
+    assert(got === triCount.toMap, "oriented-wedge count diverges from the naive recompute")
+    assert(got.values.sum === 3 * total, "per-node counts must sum to 3x the triangle total")
+  }
+
   test("d18: semdedup pairs are co-clustered, above threshold, and a subset of exact pairs") {
     val tau = 0.4
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
