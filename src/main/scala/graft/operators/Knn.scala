@@ -231,6 +231,58 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v40: the refine-depth TUNING CURVE for the binary index — v34's
+    * nprobe sweep applied to the binary family's one knob: recall@k of
+    * (Hamming top-`r` → exact rerank) against flat exact top-k, for
+    * r ∈ {10, 20, 40, 80}. Pack once (checkpointed — all four arms share
+    * it); each arm costs one TopK pass over the packed words, never a
+    * re-pack. Recall is monotone in `r` by construction (candidate sets
+    * nest — spec-asserted), and the curve itself hash-gates because the
+    * hit overlap is exact integers. This is the measurement a production
+    * store runs to pick `r`: the knee of this curve is the whole
+    * latency/recall tradeoff of binary-with-refine. */
+  def refineSweep(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8,
+                  rList: Seq[Int] = Seq(10, 20, 40, 80)): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val packed = emb.select(col("vec_id"),
+        signWordExpr("embedding", 0).as("w0"), signWordExpr("embedding", 1).as("w1"))
+      .localCheckpoint() // four arms share the pack
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val approx = packed.crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+    val exact = flatSearch(spark, dir, "cosine", k, nQueries)
+      .select(col("qid"), col("vec_id"))
+    val denom = (nQueries * k).toLong
+    rList.sorted.map { r =>
+      val got = exactRefine(approx, emb, queries, "cosine", r, k)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(got, Seq("qid", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(r.toLong).as("refine"), col("hits"),
+          lit(denom).as("n_considered"),
+          floor(col("hits").cast("double") / lit(denom.toDouble) * 10000d + 0.5d)
+            .cast("long").as("recall_q4"))
+    }.reduce(_ unionByName _).orderBy("refine")
+  }
+
+  def refineSweepOracle(k: Int = 10, nQueries: Int = 8,
+                        rList: Seq[Int] = Seq(10, 20, 40, 80)): String =
+    rList.sorted.map { r =>
+      s"""SELECT $r::BIGINT AS refine, sum(hit)::BIGINT AS hits,
+         |       ${nQueries * k}::BIGINT AS n_considered,
+         |       floor(sum(hit)::DOUBLE / ${(nQueries * k).toDouble} * 10000 + 0.5)::BIGINT AS recall_q4
+         |FROM (
+         |  SELECT x.qid, x.vec_id, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM (${oracleFlat("cosine", k, nQueries)}) x
+         |  LEFT JOIN (${binaryHammingSearchOracle(k, r, nQueries)}) a
+         |    ON x.qid = a.qid AND x.vec_id = a.vec_id) h""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY refine")
+
   /** 32-bit sign word `w` of an `array<float>` column: bit i set iff
     * element `32·w + i` (0-based) is > 0; elements past the array end
     * contribute 0 (element_at → NULL → CASE else). Distinct powers of two

@@ -100,6 +100,22 @@ class VectorSpec extends GraftSuite {
       "multi-probe found nothing beyond the exact buckets — parameters are vacuous")
   }
 
+  test("v40: recall is monotone in refine depth and the r=40 arm matches v35's overlap") {
+    val sweep = run("v40_refine_sweep").collect()
+      .map(r => r.getAs[Long]("refine") -> r.getAs[Long]("hits")).toMap
+    assert(sweep.keySet === Set(10L, 20L, 40L, 80L))
+    val ordered = sweep.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in refine depth: $sweep")
+    // consistency: the r=40 arm's hit count == |v35 result ∩ v1 exact top-k|
+    val v35ids = run("v35_binary_hamming").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1ids = run("v1_knn_cosine_flat").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sweep(40L) === (v35ids intersect v1ids).size.toLong,
+      "sweep arm diverges from the gated v35 query at the same r")
+  }
+
   test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
     val l2 = run("v2_knn_l2_flat").collect()
     l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
