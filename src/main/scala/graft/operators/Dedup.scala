@@ -674,6 +674,41 @@ object Dedup {
        |FROM lab l JOIN sz s USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** d20: UNIFIED dedup clusters — the lexical (d3 MinHash-banded) and
+    * semantic (d18 SemDeDup co-cluster cosine) pair graphs fused into ONE
+    * connected-components label table. Production curation combines the
+    * two signals because each catches what the other misses: paraphrases
+    * and re-encodings share meaning but few shingles (lexical misses),
+    * templated boilerplate shares shingles but may embed apart (semantic
+    * misses); a doc joined to one partner lexically and another
+    * semantically transitively merges all three. Cost: one UNION of two
+    * edge-sized pair lists + the same d7 contraction — the corpus is
+    * never rescanned, both candidate pipelines are the bucketed shapes
+    * already gated. */
+  def unifiedClusters(spark: SparkSession, dir: String, lexTau: Double = 0.5,
+                      semTau: Double = 0.4, maxRounds: Int = 25): DataFrame = {
+    graft.Graft.init(spark)
+    val lex = minhashLsh(spark, dir, lexTau).select(col("doc_a"), col("doc_b"))
+    val sem = semDedup(spark, dir, semTau).select(col("doc_a"), col("doc_b"))
+    dupClustersFrom(connectedComponents(lex.union(sem).distinct(), maxRounds))
+  }
+
+  def unifiedClustersOracle(lexTau: Double = 0.5, semTau: Double = 0.4): String =
+    s"""WITH RECURSIVE lexp AS (SELECT doc_a, doc_b FROM (${minhashLshOracle(lexTau)})),
+       |semp AS (SELECT doc_a, doc_b FROM (${semDedupOracle(semTau)})),
+       |pairs AS (SELECT doc_a, doc_b FROM lexp UNION SELECT doc_a, doc_b FROM semp),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   /** d11: canonical-copy selection — the curation decision AFTER d7's
     * clustering: each duplicate cluster keeps its highest-QUALITY member
     * (t2's quality formula; ties → lowest doc_id), not the arbitrary

@@ -251,6 +251,33 @@ class QualitySpec extends GraftSuite {
     assert(got.values.sum === 3 * total, "per-node counts must sum to 3x the triangle total")
   }
 
+  test("d20: unified clusters refine-merge the two signals; labels match a driver union-find") {
+    val lex = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sem = graft.operators.Dedup.semDedup(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lex.nonEmpty && sem.nonEmpty, "one signal is empty — the union is vacuous")
+    // driver union-find over the merged edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (lex ++ sem).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = (lex ++ sem).flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.map(x => x -> find(x)).toMap
+    val got = run("d20_unified_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got === want, "unified CC labels diverge from the driver union-find")
+    // the union must actually merge something beyond the lexical-only clustering
+    val lexOnly = run("d7_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got != lexOnly, "semantic edges changed nothing — d20 duplicates d7")
+  }
+
   test("d18: semdedup pairs are co-clustered, above threshold, and a subset of exact pairs") {
     val tau = 0.4
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
