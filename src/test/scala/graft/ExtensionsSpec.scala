@@ -84,6 +84,22 @@ class ExtensionsSpec extends AnyFunSuite {
       s"as-of plan fell back to a built-in formulation:\n${plan.take(1200)}")
   }
 
+  test("AsOfJoinExec survives a different shuffle-partition count under AQE coalescing") {
+    // zipPartitions requires the two child exchanges to stay aligned after
+    // AQE's runtime coalescing — run at an odd partition count and compare
+    // against the window twin to catch any misalignment
+    val spark = graft.Graft.init(TestSession.spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try {
+      val m = graft.operators.Events.asofJoinMerge(spark, TestSession.sf)
+        .collect().map(_.toSeq).toSet
+      val w = graft.operators.Events.asofJoin(spark, TestSession.sf)
+        .collect().map(_.toSeq).toSet
+      assert(m === w, "as-of join results drift at a non-default partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("AsOfJoin merge semantics on a hand-built frame: ties, gaps, empty keys, null payloads") {
     import org.apache.spark.sql.functions._
     val spark = graft.Graft.init(TestSession.spark)
