@@ -188,6 +188,57 @@ object Knn {
     exactRefine(approx, emb, queries, "cosine", r, k)
   }
 
+  /** v16g: metadata filter on the BINARY family — completes the
+    * filter × index-family matrix over the new index (flat v16, IVF
+    * v16b, LSH v16c, free-form v16d/e, trained v16f). The label
+    * predicate restricts CANDIDATES (never queries, the family
+    * convention) and sits under the pack projection, so it reaches the
+    * parquet scan as a pushed filter — at 100 TB a label-filtered binary
+    * search reads only matching row groups AND only their sign words. */
+  def filteredBinarySearch(spark: SparkSession, dir: String, labels: Seq[Int] = Seq(2, 5),
+                           k: Int = 10, r: Int = 40, nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val all = Tables.embeddings(spark, dir)
+    val emb = all.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = queries.select(col("qid"),
+      signWordExpr("qvec", 0).as("qw0"), signWordExpr("qvec", 1).as("qw1"))
+    val packedCand = all.filter(col("label").isin(labels: _*))
+      .select(col("vec_id"),
+        signWordExpr("embedding", 0).as("w0"), signWordExpr("embedding", 1).as("w1"))
+    val approx = packedCand.crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+    exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  def filteredBinarySearchOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10,
+                                 r: Int = 40, nQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |             list_sum([CASE WHEN v[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w0,
+       |             list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w1
+       |      FROM e),
+       |pc AS (SELECT p.* FROM p JOIN embeddings raw ON p.vec_id = raw.vec_id
+       |       WHERE raw.label IN (${labels.mkString(", ")})),
+       |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id < $nQueries),
+       |h AS (SELECT q.qid, pc.vec_id,
+       |             bit_count(xor(pc.w0, q.qw0)) + bit_count(xor(pc.w1, q.qw1)) AS ham
+       |      FROM pc CROSS JOIN q),
+       |c AS (SELECT qid, vec_id,
+       |             row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+       |      FROM h),
+       |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT c.qid, c.vec_id, list_cosine_similarity(e.v, qs.qvec) AS score
+       |      FROM c JOIN e USING (vec_id) JOIN qs USING (qid) WHERE c.hrank <= $r),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v39: v35 served for the EXTERNAL query workload table (the v26–v33
     * convention, kept complete for the binary family): query sign-words
     * are computed from the workload's raw float vectors — exactly what an

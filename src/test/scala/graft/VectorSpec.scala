@@ -116,6 +116,20 @@ class VectorSpec extends GraftSuite {
       "sweep arm diverges from the gated v35 query at the same r")
   }
 
+  test("v16g: the binary candidate scan pushes the label filter; hits stay in the filter set") {
+    val df = run("v16g_filtered_binary")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"label filter not pushed to the pack scan:\n${plan.take(900)}")
+    val allowed = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"label".isin(2, 5)).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => allowed.contains(r.getAs[Long]("vec_id"))),
+      "a hit escaped the metadata filter")
+  }
+
   test("v2 L2 kNN scores ascend per query; v1 cosine scores descend") {
     val l2 = run("v2_knn_l2_flat").collect()
     l2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
