@@ -2,7 +2,8 @@ package graft.api
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -18,11 +19,18 @@ import graft.operators.{Ivf, Knn, Lsh}
   * every mutation here appends an immutable row to a changelog and every
   * read derives the current state MERGE-ON-READ — latest-wins per chunk
   * (the c1 `max(struct(seq, …))` partial aggregate), document and library
-  * tombstones masking only rows OLDER than the tombstone (so delete → re-
-  * add behaves like the reference's sequential calls), cascades as
-  * seq-aware joins (c2/c8). Writers never block readers and any past
-  * state is reconstructible — the lakehouse answer to the reference's
-  * lock discipline.
+  * state folded per-id from the op sequence (upsert replaces, PATCH
+  * merges non-null fields and unions metadata latest-wins — the
+  * reference's partial `update_library`/`update_document`,
+  * vector_db.py:125-135 — delete tombstones), cascades as seq-aware
+  * joins (c2/c8). Writers never block readers and any past state is
+  * reconstructible — the lakehouse answer to the reference's lock
+  * discipline.
+  *
+  * Documents are a first-class entity with `title` + metadata dict and
+  * their own changelog (reference: app/core/models.py:26-38 — Library
+  * and Document both carry metadata; app/api/routes/documents.py:24-86),
+  * not just implicit chunk `doc_id`s.
   *
   * Search dispatches on the library's declared `index_type` exactly like
   * the reference's index factory (app/core/indexing.py): `flat` = exact
@@ -31,15 +39,21 @@ import graft.operators.{Ivf, Knn, Lsh}
   * with probe-and-rerank; `lsh` = SimHash bucket union + exact rerank.
   * All three serve the SAME merge-on-read snapshot, so an upsert is
   * visible to the next search with no rebuild step (u1 semantics).
+  * [[searchAll]] serves a whole workload table through one plan (the
+  * v26–v39 external-workload convention applied to the facade);
+  * [[search]] is its single-query special case.
   *
-  * Scale notes: the changelog is the only growing artifact; [[compact]]
-  * folds it to the live snapshot (the reference's rebuild-from-storage
+  * Scale notes: the changelogs are the only growing artifacts; [[compact]]
+  * folds them to the live snapshot (the reference's rebuild-from-storage
   * analog, app/core/vector_db.py:272-292 — here it shrinks the log
-  * instead of rebuilding RAM state). Snapshot derivation is one partial
-  * agg + two broadcast tombstone joins; per-query work is the operators'
-  * plans unchanged. Paths are plain `spark.read/write.parquet`, so `root`
-  * can be any Hadoop-compatible URI; only the existence probe below
-  * assumes a local path (tests).
+  * instead of rebuilding RAM state) via temp-dirs + a commit marker +
+  * renames, so a crash at any point leaves either the old logs or the
+  * new ones, never a half-swap (recovery completes or discards the
+  * pending swap on the next open). Snapshot derivation is memoized per
+  * log-sequence number (bounded: one entry), so repeated reads between
+  * mutations reuse one cached snapshot instead of re-folding the log.
+  * Paths are plain Hadoop-FS URIs; only the existence probes assume a
+  * local path (tests).
   */
 object GraftDb {
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
@@ -47,9 +61,16 @@ object GraftDb {
   final case class ChunkOp(seq: Long, op: String, library_id: Long, doc_id: Long,
                            chunk_id: Long, text: String, embedding: Array[Float])
 
-  /** One library-changelog record. `op` ∈ upsert | delete. */
-  final case class LibOp(seq: Long, op: String, library_id: Long, name: String,
-                         dims: Int, index_type: String)
+  /** One library-changelog record. `op` ∈ upsert | patch | delete; patch
+    * rows carry None for untouched fields and only the patched metadata
+    * keys. */
+  final case class LibOp(seq: Long, op: String, library_id: Long,
+                         name: Option[String], dims: Option[Int],
+                         index_type: Option[String], metadata: Map[String, String])
+
+  /** One document-changelog record. `op` ∈ upsert | patch | delete. */
+  final case class DocOp(seq: Long, op: String, library_id: Long, doc_id: Long,
+                         title: Option[String], metadata: Map[String, String])
 }
 
 final class GraftDb(spark: SparkSession, val root: String) {
@@ -60,56 +81,224 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   private val libPath = s"$root/libraries_log"
   private val chunkPath = s"$root/chunks_log"
+  private val docPath = s"$root/documents_log"
+  private val compactMarker = s"$root/_compact_commit"
   private def centroidPath(libId: Long) = s"$root/centroids/lib=$libId"
 
-  /** One monotonic sequence shared by BOTH logs, restored from storage so
+  recoverPendingCompact()
+
+  /** One monotonic sequence shared by ALL logs, restored from storage so
     * a new session continues where the last stopped (the reference's
     * rebuild-on-startup, minus the rebuild). */
   private var seq: Long = {
     def maxSeq(path: String): Long =
       if (!Files.exists(Paths.get(path))) -1L
       else spark.read.parquet(path).agg(max(col("seq"))).head().getLong(0)
-    math.max(maxSeq(libPath), maxSeq(chunkPath)) + 1
+    Seq(libPath, chunkPath, docPath).map(maxSeq).max + 1
   }
   private def nextSeq(): Long = { val s = seq; seq += 1; s }
 
-  private def appendLib(rows: Seq[LibOp]): Unit =
-    rows.toDF().write.mode("append").parquet(libPath)
-  private def appendChunks(rows: Seq[ChunkOp]): Unit =
-    rows.toDF().write.mode("append").parquet(chunkPath)
-
-  private def libLog: DataFrame = spark.read.parquet(libPath)
-  private def chunkLog: DataFrame =
-    if (Files.exists(Paths.get(chunkPath))) spark.read.parquet(chunkPath)
-    else Seq.empty[ChunkOp].toDF()
-
-  // ---- library CRUD (vector_db.py:105-151) --------------------------------
-
-  def createLibrary(libId: Long, name: String, dims: Int, indexType: String): Unit = {
-    require(Seq("flat", "ivf", "lsh").contains(indexType), s"unknown index_type $indexType")
-    appendLib(Seq(LibOp(nextSeq(), "upsert", libId, name, dims, indexType)))
+  private def appendLib(rows: Seq[LibOp]): Unit = {
+    rows.toDF().write.mode("append").parquet(libPath); invalidateSnapshots()
   }
-  /** update_library ≡ create: latest-wins on the same log. */
-  def updateLibrary(libId: Long, name: String, dims: Int, indexType: String): Unit =
-    createLibrary(libId, name, dims, indexType)
+  private def appendChunks(rows: Seq[ChunkOp]): Unit = {
+    rows.toDF().write.mode("append").parquet(chunkPath); invalidateSnapshots()
+  }
+  private def appendDocs(rows: Seq[DocOp]): Unit = {
+    rows.toDF().write.mode("append").parquet(docPath); invalidateSnapshots()
+  }
+
+  private def logOrEmpty[T <: Product : org.apache.spark.sql.Encoder](path: String): DataFrame =
+    if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+    else Seq.empty[T].toDF()
+
+  private def libLog: DataFrame = logOrEmpty[LibOp](libPath)
+  private def chunkLog: DataFrame = logOrEmpty[ChunkOp](chunkPath)
+  private def docLog: DataFrame = logOrEmpty[DocOp](docPath)
+
+  // ---- snapshot memo -------------------------------------------------------
+
+  /** Derived snapshots, keyed by the log sequence that produced them —
+    * ONE generation cached; any append or compact invalidates. The cache
+    * holds the (lazily) cached DataFrame, so a read-heavy session folds
+    * each log once per mutation epoch instead of once per read. */
+  private var snapSeq: Long = -1L
+  private var snapCache: Map[String, DataFrame] = Map.empty
+
+  private def invalidateSnapshots(): Unit = {
+    // null check: recoverPendingCompact() runs from the constructor
+    // BEFORE these field initializers (it must — `seq` reads the
+    // recovered logs)
+    if (snapCache != null) snapCache.values.foreach(_.unpersist())
+    snapCache = Map.empty
+    snapSeq = -1L
+  }
+
+  private def memoSnapshot(key: String)(derive: => DataFrame): DataFrame = {
+    if (snapSeq != seq) invalidateSnapshots()
+    snapCache.get(key) match {
+      case Some(df) => df
+      case None =>
+        val df = derive.cache()
+        snapSeq = seq
+        snapCache += key -> df
+        df
+    }
+  }
+
+  // ---- merge-on-read folds -------------------------------------------------
+
+  /** metadata union, NEW keys win (map_concat alone throws on duplicate
+    * keys under the default dedup policy). */
+  private def mergeMeta(old: Column, nw: Column): Column =
+    map_concat(map_filter(old, (k, _) => !map_contains_key(nw, k)), nw)
+
+  private def bySeq(l: Column, r: Column): Column =
+    when(l.getField("seq") < r.getField("seq"), lit(-1))
+      .when(l.getField("seq") > r.getField("seq"), lit(1))
+      .otherwise(lit(0))
+
+  // ---- library CRUD (vector_db.py:105-151, models.py:26-30) ---------------
+
+  def createLibrary(libId: Long, name: String, dims: Int, indexType: String,
+                    metadata: Map[String, String] = Map.empty): Unit = {
+    require(Seq("flat", "ivf", "lsh").contains(indexType), s"unknown index_type $indexType")
+    appendLib(Seq(LibOp(nextSeq(), "upsert", libId,
+      Some(name), Some(dims), Some(indexType), metadata)))
+  }
+
+  /** PARTIAL update (the reference's `update_library`,
+    * vector_db.py:125-135): only the supplied fields change; `metadata`
+    * keys merge latest-wins over the stored dict. A patch on a deleted
+    * library is a no-op (the reference 404s). */
+  def updateLibrary(libId: Long, name: Option[String] = None, dims: Option[Int] = None,
+                    indexType: Option[String] = None,
+                    metadata: Map[String, String] = Map.empty): Unit = {
+    indexType.foreach(t =>
+      require(Seq("flat", "ivf", "lsh").contains(t), s"unknown index_type $t"))
+    appendLib(Seq(LibOp(nextSeq(), "patch", libId, name, dims, indexType, metadata)))
+  }
+
   def deleteLibrary(libId: Long): Unit =
-    appendLib(Seq(LibOp(nextSeq(), "delete", libId, "", 0, "")))
+    appendLib(Seq(LibOp(nextSeq(), "delete", libId, None, None, None, Map.empty)))
 
-  /** Live libraries: latest op per id, tombstones dropped. */
-  def listLibraries(): DataFrame = libLog
-    .groupBy(col("library_id"))
-    .agg(max(struct(col("seq"), col("op"), col("name"), col("dims"), col("index_type"))).as("s"))
-    .select(col("library_id"), col("s.op").as("op"), col("s.name").as("name"),
-      col("s.dims").as("dims"), col("s.index_type").as("index_type"))
-    .filter(col("op") === "upsert").drop("op")
-    .orderBy("library_id")
+  /** Live libraries: per-id op fold in seq order — upsert replaces the
+    * whole record, patch merges, delete kills (a later upsert revives).
+    * The fold is a Catalyst `aggregate` over the per-id sorted op array:
+    * one partial agg + a map-only fold, no window, no driver loop. */
+  def listLibraries(): DataFrame = memoSnapshot("libs") {
+    val init = struct(
+      lit(false).as("live"), lit(null).cast("string").as("name"),
+      lit(null).cast("int").as("dims"), lit(null).cast("string").as("index_type"),
+      map().cast("map<string,string>").as("metadata"))
+    libLog
+      .groupBy(col("library_id"))
+      .agg(array_sort(
+        collect_list(struct(col("seq"), col("op"), col("name"), col("dims"),
+          col("index_type"), col("metadata"))), bySeq _).as("ops"))
+      .select(col("library_id"), aggregate(col("ops"), init, (acc, o) =>
+        when(o.getField("op") === "delete",
+          struct(lit(false).as("live"), acc.getField("name").as("name"),
+            acc.getField("dims").as("dims"), acc.getField("index_type").as("index_type"),
+            acc.getField("metadata").as("metadata")))
+        .when(o.getField("op") === "upsert",
+          struct(lit(true).as("live"), o.getField("name").as("name"),
+            o.getField("dims").as("dims"), o.getField("index_type").as("index_type"),
+            o.getField("metadata").as("metadata")))
+        .otherwise(when(acc.getField("live"),
+          struct(lit(true).as("live"),
+            coalesce(o.getField("name"), acc.getField("name")).as("name"),
+            coalesce(o.getField("dims"), acc.getField("dims")).as("dims"),
+            coalesce(o.getField("index_type"), acc.getField("index_type")).as("index_type"),
+            mergeMeta(acc.getField("metadata"), o.getField("metadata")).as("metadata")))
+          .otherwise(acc))).as("s"))
+      .filter(col("s.live"))
+      .select(col("library_id"), col("s.name").as("name"), col("s.dims").as("dims"),
+        col("s.index_type").as("index_type"), col("s.metadata").as("metadata"))
+      .orderBy("library_id")
+  }
 
-  // ---- chunk / document CRUD (vector_db.py:153-247) -----------------------
+  private def libRecord(libId: Long): org.apache.spark.sql.Row = {
+    val rows = listLibraries().filter(col("library_id") === libId).collect()
+    require(rows.nonEmpty, s"no such library $libId")
+    rows.head
+  }
 
-  def upsertChunks(rows: Seq[(Long, Long, Long, String, Array[Float])]): Unit =
+  // ---- document CRUD (models.py:31-38, routes/documents.py:24-86) ---------
+
+  def createDocument(libId: Long, docId: Long, title: String,
+                     metadata: Map[String, String] = Map.empty): Unit =
+    appendDocs(Seq(DocOp(nextSeq(), "upsert", libId, docId, Some(title), metadata)))
+
+  /** PARTIAL document update: same patch semantics as [[updateLibrary]]. */
+  def updateDocument(libId: Long, docId: Long, title: Option[String] = None,
+                     metadata: Map[String, String] = Map.empty): Unit =
+    appendDocs(Seq(DocOp(nextSeq(), "patch", libId, docId, title, metadata)))
+
+  /** Deletes the document ENTITY and cascades to its chunks in the same
+    * mutation (reference: routes/documents.py DELETE → delete_document →
+    * chunk cascade). */
+  def deleteDocument(libId: Long, docId: Long): Unit = {
+    val s = nextSeq()
+    appendDocs(Seq(DocOp(s, "delete", libId, docId, None, Map.empty)))
+    appendChunks(Seq(ChunkOp(nextSeq(), "delete_doc", libId, docId, -1L, "", Array.empty)))
+  }
+
+  /** Live documents: library tombstones mask every doc-log row OLDER than
+    * the tombstone (delete-library then re-create ⇒ old docs stay dead,
+    * the c8 cascade applied one level up), then the same per-id fold as
+    * [[listLibraries]]. */
+  def listDocuments(libId: Long): DataFrame =
+    documents().filter(col("library_id") === libId).orderBy("doc_id")
+
+  def getDocument(libId: Long, docId: Long): DataFrame =
+    documents().filter(col("library_id") === libId && col("doc_id") === docId)
+
+  private def documents(): DataFrame = memoSnapshot("docs") {
+    val libTombs = libLog.filter(col("op") === "delete")
+      .groupBy(col("library_id")).agg(max(col("seq")).as("lib_tomb"))
+    val init = struct(lit(false).as("live"), lit(null).cast("string").as("title"),
+      map().cast("map<string,string>").as("metadata"))
+    docLog
+      .join(broadcast(libTombs), Seq("library_id"), "left")
+      .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
+      .groupBy(col("library_id"), col("doc_id"))
+      .agg(array_sort(
+        collect_list(struct(col("seq"), col("op"), col("title"), col("metadata"))),
+        bySeq _).as("ops"))
+      .select(col("library_id"), col("doc_id"), aggregate(col("ops"), init, (acc, o) =>
+        when(o.getField("op") === "delete",
+          struct(lit(false).as("live"), acc.getField("title").as("title"),
+            acc.getField("metadata").as("metadata")))
+        .when(o.getField("op") === "upsert",
+          struct(lit(true).as("live"), o.getField("title").as("title"),
+            o.getField("metadata").as("metadata")))
+        .otherwise(when(acc.getField("live"),
+          struct(lit(true).as("live"),
+            coalesce(o.getField("title"), acc.getField("title")).as("title"),
+            mergeMeta(acc.getField("metadata"), o.getField("metadata")).as("metadata")))
+          .otherwise(acc))).as("s"))
+      .filter(col("s.live"))
+      .select(col("library_id"), col("doc_id"), col("s.title").as("title"),
+        col("s.metadata").as("metadata"))
+  }
+
+  // ---- chunk CRUD (vector_db.py:153-247) ----------------------------------
+
+  def upsertChunks(rows: Seq[(Long, Long, Long, String, Array[Float])]): Unit = {
+    // dim validation at the door (reference: vector_db.py:258 raises on a
+    // mismatched vector) — one snapshot lookup per library in the batch
+    rows.groupBy(_._1).foreach { case (libId, libRows) =>
+      val dims = libRecord(libId).getAs[Int]("dims")
+      libRows.foreach { case (_, _, chunkId, _, emb) =>
+        require(emb.length == dims,
+          s"chunk $chunkId embedding has ${emb.length} dims, library $libId declares $dims")
+      }
+    }
     appendChunks(rows.map { case (lib, doc, chunk, text, emb) =>
       ChunkOp(nextSeq(), "upsert", lib, doc, chunk, text, emb)
     })
+  }
   def addChunk(libId: Long, docId: Long, chunkId: Long, text: String,
                embedding: Array[Float]): Unit =
     upsertChunks(Seq((libId, docId, chunkId, text, embedding)))
@@ -118,8 +307,6 @@ final class GraftDb(spark: SparkSession, val root: String) {
     upsertChunks(Seq((libId, docId, chunkId, text, embedding)))
   def deleteChunk(libId: Long, docId: Long, chunkId: Long): Unit =
     appendChunks(Seq(ChunkOp(nextSeq(), "delete_chunk", libId, docId, chunkId, "", Array.empty)))
-  def deleteDocument(libId: Long, docId: Long): Unit =
-    appendChunks(Seq(ChunkOp(nextSeq(), "delete_doc", libId, docId, -1L, "", Array.empty)))
 
   /** The live chunk snapshot, MERGE-ON-READ:
     * 1. latest op per (library, chunk) — one partial agg, survivors must
@@ -129,7 +316,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *    the reference's sequential semantics);
     * 3. a library tombstone does the same two levels up (c8 cascade), and
     *    the library must currently exist. */
-  def chunks(): DataFrame = {
+  def chunks(): DataFrame = memoSnapshot("chunks") {
     val log = chunkLog
     val latest = log.filter(col("op").isin("upsert", "delete_chunk"))
       .groupBy(col("library_id"), col("chunk_id"))
@@ -178,60 +365,102 @@ final class GraftDb(spark: SparkSession, val root: String) {
     else Some(spark.read.parquet(centroidPath(libId)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
 
-  /** Fold BOTH changelogs to their live snapshots — the maintenance
+  // ---- compaction (crash-safe fold of all three logs) ---------------------
+
+  /** Fold ALL changelogs to their live snapshots — the maintenance
     * analog of the reference's rebuild-from-storage: search results are
     * identical before and after (spec-proven); only the logs shrink.
     * Tombstones vanish because everything they masked does too — which is
-    * also why both logs must fold together (a surviving library tombstone
-    * would re-mask compacted chunk rows rebased to seq 0). Fully
-    * distributed: snapshot → temp dir → rewrite, no driver collect;
-    * single-writer maintenance window, like the reference's startup
-    * rebuild. */
+    * also why the logs must fold together (a surviving library tombstone
+    * would re-mask compacted rows rebased to seq 0).
+    *
+    * CRASH SAFETY: all snapshots are first written to `*_compacting` temp
+    * dirs, then a commit marker is created, then each live log is swapped
+    * via delete+rename, then the marker is removed. A crash before the
+    * marker leaves the old logs intact (stray temps are discarded on the
+    * next open); a crash after it is completed by [[recoverPendingCompact]]
+    * on the next open — readers never observe one folded log with the
+    * others unfolded. Fully distributed: snapshot → temp dir → rename, no
+    * driver collect; single-writer maintenance window, like the
+    * reference's startup rebuild. */
   def compact(): Unit = {
-    val chunkTmp = s"$root/chunks_log_compacting"
+    writeCompactSnapshots()
+    completeCompactSwap()
+  }
+
+  private def fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Phase 1: temp snapshots for all three logs + the commit marker. */
+  private[graft] def writeCompactSnapshots(): Unit = {
     chunks().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("chunk_id"), col("text"), col("embedding"))
-      .write.mode("overwrite").parquet(chunkTmp)
-    val libTmp = s"$root/libraries_log_compacting"
+      .write.mode("overwrite").parquet(s"${chunkPath}_compacting")
     listLibraries().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
-        col("name"), col("dims"), col("index_type"))
-      .write.mode("overwrite").parquet(libTmp)
-    spark.read.parquet(chunkTmp).write.mode("overwrite").parquet(chunkPath)
-    spark.read.parquet(libTmp).write.mode("overwrite").parquet(libPath)
+        col("name"), col("dims"), col("index_type"), col("metadata"))
+      .write.mode("overwrite").parquet(s"${libPath}_compacting")
+    documents().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+        col("doc_id"), col("title"), col("metadata"))
+      .write.mode("overwrite").parquet(s"${docPath}_compacting")
+    fs.create(new Path(compactMarker), true).close()
+  }
+
+  /** Phase 2: swap every log for its temp snapshot, drop the marker. */
+  private[graft] def completeCompactSwap(): Unit = {
+    Seq(chunkPath, libPath, docPath).foreach { live =>
+      val tmp = new Path(s"${live}_compacting")
+      if (fs.exists(tmp)) {
+        val livePath = new Path(live)
+        if (fs.exists(livePath)) fs.delete(livePath, true)
+        fs.rename(tmp, livePath)
+      }
+    }
+    fs.delete(new Path(compactMarker), false)
+    invalidateSnapshots()
+  }
+
+  /** On open: finish a committed-but-unswapped compaction (marker
+    * present — every temp snapshot is complete by the marker's
+    * contract), or discard stray temps from one that died mid-write. */
+  private def recoverPendingCompact(): Unit = {
+    if (fs.exists(new Path(compactMarker))) completeCompactSwap()
+    else Seq(chunkPath, libPath, docPath).foreach { live =>
+      val tmp = new Path(s"${live}_compacting")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   // ---- search (vector_db.py:249-270) --------------------------------------
 
-  /** kNN over one library, routed by its `index_type`; `includeChunk`
-    * joins the hit payload back (search_with_payload / include_chunk);
-    * `metadataFilter` is the reference's declared `metadata_filters`
-    * (models.py:48) as a Column predicate over the snapshot columns —
-    * applied BEFORE scoring, so filtered candidates never reach the
-    * distance math (the v16 discipline). An `ivf` library that was never
+  /** Serve a whole WORKLOAD of queries `(qid, qvec)` against one library
+    * in a single plan, routed by its `index_type` — the v26–v39
+    * external-workload convention applied to the facade: one Spark job
+    * for Q queries, not Q jobs. `includeChunk` joins the hit payload
+    * back with the hit set as the broadcast build side (never the
+    * snapshot — the v15 rule); `metadataFilter` is applied BEFORE
+    * scoring (the v16 discipline). An `ivf` library that was never
     * trained serves exact flat results — the reference's `_ensure_index`
     * builds on first use; here "untrained" degrades to
     * correct-but-unaccelerated, never to an error. */
-  def search(libId: Long, query: Array[Float], k: Int = 10,
-             includeChunk: Boolean = false, nProbes: Int = 2,
-             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
-             metadataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val lib = listLibraries().filter(col("library_id") === libId).collect()
-    require(lib.nonEmpty, s"no such library $libId")
-    val indexType = lib.head.getAs[String]("index_type")
+  def searchAll(libId: Long, queries: DataFrame, k: Int = 10,
+                includeChunk: Boolean = false, nProbes: Int = 2,
+                nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
+                metadataFilter: Option[Column] = None): DataFrame = {
+    val lib = libRecord(libId)
+    val indexType = lib.getAs[String]("index_type")
     val base = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"), col("text"))
     val snap = metadataFilter.fold(base)(base.filter)
     val emb = snap.select(col("vec_id"), col("embedding"))
-    val queries = Seq((0L, query)).toDF("qid", "qvec")
+    val qs = queries.select(col("qid"), col("qvec"))
     val hits = (indexType, trainedMat(libId)) match {
       case ("lsh", _) =>
-        Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, queries,
+        Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, qs,
           nTables, nBits, seed, k)
       case ("ivf", Some(mat)) =>
         val centroids = mat.toSeq.map { case (cid, v) => (cid, v.map(_.toFloat)) }
           .toDF("cluster_id", "cvec")
         val probes = Knn.topkPerQuery(
-          queries.crossJoin(broadcast(centroids))
+          qs.crossJoin(broadcast(centroids))
             .withColumn("score", Graft.cosine(col("cvec"), col("qvec")))
             .select(col("qid"), col("cluster_id").as("vec_id"), col("score")),
           "cosine", nProbes).select(col("qid"), col("vec_id").as("cluster_id"))
@@ -239,18 +468,40 @@ final class GraftDb(spark: SparkSession, val root: String) {
         val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
           .select(col("qid"), col("vec_id"))
           .join(emb, Seq("vec_id"))
-          .join(broadcast(queries), Seq("qid"))
+          .join(broadcast(qs), Seq("qid"))
           .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
           .select(col("qid"), col("vec_id"), col("score"))
         Knn.topkPerQuery(scored, "cosine", k)
       case _ => // flat, or ivf before training
-        Knn.topkPerQuery(Knn.scoreAll(emb, queries, "cosine"), "cosine", k)
+        Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
     }
-    if (!includeChunk) hits.select(col("rank"), col("vec_id").as("chunk_id"), col("score"))
-    else hits.join(broadcast(snap.select(col("vec_id"), col("doc_id"), col("text"))),
-        Seq("vec_id"), "left")
-      .select(col("rank"), col("vec_id").as("chunk_id"), col("score"),
-        col("doc_id"), col("text"))
+    if (!includeChunk)
+      hits.select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"))
+    else
+      // hit set (≤ Q·k rows) is the broadcast build side streaming over
+      // the snapshot — the snapshot is the SF-proportional relation and
+      // must never be a broadcast; inner ≡ left because every hit id
+      // comes from the snapshot itself (the v15 rule)
+      snap.select(col("vec_id"), col("doc_id"), col("text"))
+        .join(broadcast(hits), Seq("vec_id"))
+        .select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"),
+          col("doc_id"), col("text"))
+        .orderBy("qid", "rank")
+  }
+
+  /** Single-query kNN (the reference's `search`): [[searchAll]] with a
+    * one-row workload. Validates the query against the library's
+    * declared dims (reference: vector_db.py:258 raises ValueError). */
+  def search(libId: Long, query: Array[Float], k: Int = 10,
+             includeChunk: Boolean = false, nProbes: Int = 2,
+             nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
+             metadataFilter: Option[Column] = None): DataFrame = {
+    val dims = libRecord(libId).getAs[Int]("dims")
+    require(query.length == dims,
+      s"query has ${query.length} dims, library $libId declares $dims")
+    searchAll(libId, Seq((0L, query)).toDF("qid", "qvec"), k, includeChunk,
+      nProbes, nTables, nBits, seed, metadataFilter)
+      .drop("qid")
       .orderBy("rank")
   }
 

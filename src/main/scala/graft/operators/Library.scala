@@ -23,16 +23,21 @@ import graft.sources.Tables
 object Library {
 
   /** v15: flat kNN search returning the full document payload with each hit
-    * (`include_chunk=True`) — one broadcast-dim join back to `documents`
-    * on vec_id = doc_id; hits without a stored document keep NULL payload
-    * (left join, same as the reference's `chunk if include_chunk else None`). */
+    * (`include_chunk=True`) — the payload join-back runs with the HIT SET
+    * as the broadcast build side (≤ Q·k rows by construction) streaming
+    * over the corpus scan: at 100 TB `documents` is SF-proportional and
+    * must never be a broadcast, while the hit set is bounded by the query
+    * workload. Inner ≡ the reference's left semantics here because every
+    * hit id is a corpus id by construction (hits come from scoring the
+    * corpus itself); a store whose ids could dangle would union the
+    * anti-joined hits back with NULL payload. */
   def searchWithPayload(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
     Graft.init(spark)
     val hits = Knn.flatSearch(spark, dir, "cosine", k, nQueries)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         substring(col("text"), 1, 48).as("snippet"))
-    hits.join(broadcast(docs), hits("vec_id") === docs("doc_id"), "left")
+    docs.join(broadcast(hits), hits("vec_id") === docs("doc_id"))
       .select(col("qid"), col("rank"), col("vec_id"), col("score"),
         col("source"), col("lang"), col("n_chars"), col("snippet"))
       .orderBy("qid", "rank")

@@ -67,14 +67,17 @@ object Pipeline {
     * cluster labels applied back to the corpus, keeping each cluster's
     * representative (min doc_id) and every unclustered doc, with
     * per-source keep/drop accounting. One left join of the corpus against
-    * the (tiny) non-representative set — at 100 TB the drop list is a
-    * broadcast, the corpus is never shuffled. */
+    * the non-representative set — NO broadcast hint: the drop list is
+    * proportional to the corpus's dup volume, so a high-dup-rate corpus
+    * at 100 TB would OOM a forced broadcast; unhinted, AQE broadcasts it
+    * at test scale (where it measures tiny) and a pathological corpus
+    * degrades to a sort-merge join instead of a driver OOM. */
   def nearDedupCorpus(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val labels = Dedup.clusterLabelsFor(spark, dir, tau)
     val drops = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(true).as("dropped"))
     Tables.documents(spark, dir)
-      .join(broadcast(drops), Seq("doc_id"), "left")
+      .join(drops, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -184,9 +187,11 @@ object Pipeline {
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
       .select((-col("b.neg")).as("doc_id"), lit(true).as("is_best"))
     val clustered = labels.select(col("id").as("doc_id"), lit(true).as("clustered"))
+    // no broadcast hints: both sets scale with dup volume (f2's rule) —
+    // AQE broadcasts them at runtime when they measure small
     docs
-      .join(broadcast(clustered), Seq("doc_id"), "left")
-      .join(broadcast(best), Seq("doc_id"), "left")
+      .join(clustered, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
       .filter(col("clustered").isNull || col("is_best").isNotNull)
       .select(col("doc_id"), col("text"), col("lang"))
   }
@@ -249,8 +254,9 @@ object Pipeline {
     * release runs in sequence: collapse each near-dup cluster to its best
     * member, then ALSO drop any survivor still contained in a larger
     * survivor-or-not (quotes/wrappers that Jaccard-banding structurally
-    * misses — see d14). Both drop sets are edge-sized broadcasts against
-    * ONE corpus scan, so the composite costs the two candidate passes
+    * misses — see d14). Both drop sets join unhinted against ONE corpus
+    * scan (AQE broadcasts them when they measure small — f2's rule), so
+    * the composite costs the two candidate passes
     * (both served from session artifacts: the shingle table and the label
     * memo) plus a single scan and one partial-agg shuffle. Emits the
     * per-language accounting a data card reports: kept after near-dedup,
@@ -261,7 +267,7 @@ object Pipeline {
     val droppedC = Dedup.keepLongest(spark, dir, ctau, dfCap)
       .select(col("dropped").as("doc_id"), lit(true).as("contained"))
     releaseKept(spark, dir, tau)
-      .join(broadcast(droppedC), Seq("doc_id"), "left")
+      .join(droppedC, Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_near_kept"),
@@ -300,8 +306,8 @@ object Pipeline {
     * document counts, exact-dup accounting (d1's rule), language spread,
     * token volume, mean quality (per-doc quality fixed-point-quantized
     * BEFORE the sum, so the aggregate is an exact long sum — never a
-    * float reduction), and t21's length-outlier count (edge-sized
-    * broadcast join-back). One corpus scan feeds everything; the outlier
+    * float reduction), and t21's length-outlier count (unhinted
+    * join-back; AQE broadcasts it when small). One corpus scan feeds everything; the outlier
     * arm re-reads only because its per-lang stats need their own
     * aggregate. */
   def datasheet(spark: SparkSession, dir: String): DataFrame = {
@@ -311,7 +317,7 @@ object Pipeline {
     val outl = Text.lengthOutliers(spark, dir)
       .select(col("doc_id"), lit(1L).as("is_outlier"))
     docs.join(q, Seq("doc_id"))
-      .join(broadcast(outl), Seq("doc_id"), "left")
+      .join(outl, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

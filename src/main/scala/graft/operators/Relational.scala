@@ -43,14 +43,18 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Star join: revenue by nation for a market segment (broadcast dims). */
+  /** Star join: revenue by nation for a market segment. `nation`/`region`
+    * are true dims (fixed 25/5 rows) and carry broadcast hints; `customer`
+    * is SF-proportional (the segment filter keeps ~1/5 of it), so it gets
+    * NO hint — the static plan is a shuffled join on `custkey` and AQE
+    * converts it to broadcast at test scale where it measures small. */
   def q2JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir)
     val nation = Tables.nation(spark, dir)
     val region = Tables.region(spark, dir)
     orders
-      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -167,14 +171,16 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** q8: ROLLUP hierarchy totals (region → nation → grand total). */
+  /** q8: ROLLUP hierarchy totals (region → nation → grand total).
+    * `customer` is SF-proportional — no broadcast hint (q2's rule); the
+    * fixed-size dims keep theirs. */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir)
     val nation = Tables.nation(spark, dir)
     val region = Tables.region(spark, dir)
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))

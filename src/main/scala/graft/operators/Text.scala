@@ -230,12 +230,15 @@ object Text {
        |ORDER BY cnt DESC, bigram LIMIT $topN""".stripMargin
 
   /** t7: per-document top-k terms by TF-IDF (tf · ln(N/df)). One tokenize
-    * pass feeds both aggregates; the document-frequency table is keyed by
-    * term (a bounded vocabulary — orders of magnitude smaller than the
-    * corpus), so it broadcasts and the per-doc rank is the only shuffle on
-    * a corpus-sized frame. N arrives as a broadcast 1-row aggregate, never
-    * a driver-side count. Ranks on the raw double (exact ties break by
-    * term in both engines); only the OUTPUT is rounded. */
+    * pass feeds the tf aggregate; df comes from the persisted
+    * [[vocabIndex]] artifact. The term join carries NO broadcast hint —
+    * word vocabularies are heavy-tailed and unbounded (t20's design note,
+    * the same artifact), so at 100 TB the join clusters on the artifact's
+    * `term` bucket spec with no artifact-side exchange, while at test
+    * scale AQE freely converts the small side to broadcast. N arrives as
+    * a broadcast 1-row aggregate, never a driver-side count. Ranks on the
+    * raw double (exact ties break by term in both engines); only the
+    * OUTPUT is rounded. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -249,7 +252,7 @@ object Text {
     val dfreq = vocabIndex(spark, dir)
     val nDf = docs.agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df").cast("double")))
       .withColumn("rank", row_number().over(byDoc).cast("long"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
 
 /** AS-OF JOIN as a first-class operator — the one whole-operator semantic
   * Spark's built-ins genuinely cannot express without blowing up the
@@ -64,11 +65,23 @@ object AsOfJoinStrategy extends SparkStrategy {
   * the last right row seen for the current key with time <= the current
   * left time. Right rows for keys the (sorted) left side has moved past
   * are discarded as the pointer advances; the retained candidate is
-  * `copy()`-ed because sort iterators reuse row objects. */
+  * `copy()`-ed because sort iterators reuse row objects.
+  *
+  * NULL semantics (SQL-like, validated by ExtensionsSpec): a null KEY or
+  * null TIME on the left joins nothing (null-padded output row); a null
+  * key or null time on the right matches nothing (row discarded as the
+  * pointer passes it — ascending-nulls-first ordering puts those rows
+  * before any real candidate of the same key, so the discard keeps the
+  * merge forward-only). Time expressions must be LongType — checked at
+  * planning, not discovered as a cast failure mid-task. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTie: Expression) extends BinaryExecNode {
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    s"as-of join time expressions must be LongType; got " +
+      s"${leftTime.dataType.simpleString} / ${rightTime.dataType.simpleString}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -113,12 +126,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       lIter.map { l =>
         val lk = lKey.eval(l)
-        if (lk == null) {
-          // null keys join nothing; the sorted stream puts them first, so
-          // no right state to maintain
+        val ltAny = if (lk == null) null else lTime.eval(l)
+        if (lk == null || ltAny == null) {
+          // null keys and null times join nothing; the ascending-nulls-
+          // first sort puts them before any real row of the same key, so
+          // emitting the pad without touching the right pointer is safe
           resultProj(joined(l, nullRight))
         } else {
-          val lt = lTime.eval(l).asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
           if (!haveKey || keyOrd.compare(lastKey.asInstanceOf[AnyRef],
               lk.asInstanceOf[AnyRef]) != 0) {
             haveKey = true
@@ -133,9 +148,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else {
               val cmp = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
               if (cmp < 0) { rBuf.next() } // left is sorted: never needed again
-              else if (cmp == 0 && rTime.eval(rBuf.head).asInstanceOf[Long] <= lt) {
-                lastMatch = rBuf.next().copy()
-              } else advancing = false
+              else if (cmp > 0) advancing = false
+              else {
+                val rt = rTime.eval(rBuf.head)
+                if (rt == null) { rBuf.next() } // null time matches no left row
+                else if (rt.asInstanceOf[Long] <= lt) lastMatch = rBuf.next().copy()
+                else advancing = false
+              }
             }
           }
           resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))

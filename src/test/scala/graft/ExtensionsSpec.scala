@@ -131,4 +131,50 @@ class ExtensionsSpec extends AnyFunSuite {
       4L -> Some(200L), // at-or-before is inclusive
       5L -> None))      // key with no rights
   }
+
+  test("AsOfJoin null TIMES: left null-time joins nothing, right null-time matches nothing") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Graft.init(TestSession.spark)
+    import spark.implicits._
+    // key 1: left null-time row (id 1) + real row (id 2); right has a
+    //        null-time row (rid 100) that must be skipped and a real match
+    //        (rid 101, t=5)
+    // key 2: ONLY a null-time right -> left stays unmatched
+    val left = Seq((1L, 1L, None: Option[Long]), (2L, 1L, Some(10L)), (3L, 2L, Some(8L)))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 1L, None: Option[Long]), (101L, 1L, Some(5L)),
+      (200L, 2L, None: Option[Long]))
+      .toDF("rid", "rk", "rt")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val joined = org.apache.spark.sql.GraftShims.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp, attr(lp, "k"), attr(rp, "rk"),
+        attr(lp, "t"), attr(rp, "rt"), attr(rp, "rid")))
+      .select($"id", $"rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(joined === Map(
+      1L -> None,       // null left time: padded, no NPE, no time-0 match
+      2L -> Some(101L), // the null-time right (rid 100) was skipped, not matched
+      3L -> None))      // a null-time right can never be anyone's match
+  }
+
+  test("AsOfJoinExec rejects non-Long time expressions at planning time") {
+    val spark = graft.Graft.init(TestSession.spark)
+    import spark.implicits._
+    val left = Seq((1L, 1L, "a")).toDF("id", "k", "t")
+    val right = Seq((100L, 1L, "b")).toDF("rid", "rk", "rt")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val ex = intercept[Exception] {
+      org.apache.spark.sql.GraftShims.ofRows(spark,
+        graft.plans.AsOfJoin(lp, rp, attr(lp, "k"), attr(rp, "rk"),
+          attr(lp, "t"), attr(rp, "rt"), attr(rp, "rid"))).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("LongType"),
+      s"expected a LongType validation error, got: ${ex.getMessage}")
+  }
 }

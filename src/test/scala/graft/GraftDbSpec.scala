@@ -37,13 +37,144 @@ class GraftDbSpec extends GraftSuite {
     val db = freshDb()
     db.createLibrary(1L, "alpha", 8, "flat")
     db.createLibrary(2L, "beta", 8, "lsh")
-    db.updateLibrary(1L, "alpha2", 8, "flat")
+    db.updateLibrary(1L, name = Some("alpha2"))
     val libs = db.listLibraries().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(libs === Map(1L -> "alpha2", 2L -> "beta"))
     db.deleteLibrary(2L)
     assert(db.listLibraries().count() === 1)
     db.createLibrary(2L, "beta2", 8, "lsh")
     assert(db.listLibraries().count() === 2)
+  }
+
+  test("library metadata dict + PARTIAL update_library (models.py:26-30, vector_db.py:125-135)") {
+    val db = freshDb()
+    db.createLibrary(1L, "alpha", 8, "flat", Map("owner" -> "a", "tier" -> "gold"))
+    // patch only the name: dims/index_type/metadata untouched
+    db.updateLibrary(1L, name = Some("alpha2"))
+    // patch only metadata: merges latest-wins over the stored dict
+    db.updateLibrary(1L, metadata = Map("tier" -> "silver", "region" -> "eu"))
+    val r = db.listLibraries().collect().head
+    assert(r.getString(1) === "alpha2")
+    assert(r.getInt(2) === 8)
+    assert(r.getString(3) === "flat")
+    assert(r.getAs[Map[String, String]]("metadata") ===
+      Map("owner" -> "a", "tier" -> "silver", "region" -> "eu"))
+    // a full upsert REPLACES the metadata dict (create == reference PUT)
+    db.createLibrary(1L, "alpha3", 8, "flat", Map("fresh" -> "1"))
+    assert(db.listLibraries().collect().head.getAs[Map[String, String]]("metadata") ===
+      Map("fresh" -> "1"))
+    // patch on a deleted library is a no-op (reference 404s)
+    db.deleteLibrary(1L)
+    db.updateLibrary(1L, name = Some("ghost"))
+    assert(db.listLibraries().count() === 0)
+  }
+
+  test("document entity CRUD: create/list, partial update merges, delete cascades, lib-delete masks") {
+    val db = freshDb()
+    db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
+    db.createDocument(1L, 10L, "intro", Map("lang" -> "en"))
+    db.createDocument(1L, 11L, "chapter one")
+    db.upsertChunks(corpus.take(4).map { case (id, text, emb) => (1L, 10L, id, text, emb) })
+    assert(db.listDocuments(1L).collect().map(_.getLong(1)).toSeq === Seq(10L, 11L))
+
+    // partial update: title only, then metadata only — both survive
+    db.updateDocument(1L, 10L, title = Some("introduction"))
+    db.updateDocument(1L, 10L, metadata = Map("lang" -> "de", "status" -> "ok"))
+    val d = db.getDocument(1L, 10L).collect().head
+    assert(d.getString(2) === "introduction")
+    assert(d.getAs[Map[String, String]]("metadata") === Map("lang" -> "de", "status" -> "ok"))
+
+    // delete removes the entity AND cascades to its chunks in one mutation
+    db.deleteDocument(1L, 10L)
+    assert(db.getDocument(1L, 10L).count() === 0)
+    assert(db.listChunks(1L).count() === 0, "document delete must cascade to chunks")
+    // re-create revives the entity fresh (tombstone masks only older rows)
+    db.createDocument(1L, 10L, "reborn")
+    assert(db.getDocument(1L, 10L).collect().head.getString(2) === "reborn")
+
+    // library delete masks every document, even after the lib is re-created
+    db.deleteLibrary(1L)
+    db.createLibrary(1L, "lib2", corpus.head._3.length, "flat")
+    assert(db.listDocuments(1L).count() === 0,
+      "documents from before the library tombstone must stay dead")
+  }
+
+  test("dims validation: wrong-length query and wrong-length chunk both raise") {
+    val db = freshDb()
+    db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
+    db.addChunk(1L, 0L, 1L, "one", corpus(1)._3)
+    val short = corpus(1)._3.take(3)
+    val e1 = intercept[IllegalArgumentException](db.search(1L, short))
+    assert(e1.getMessage.contains("dims"))
+    val e2 = intercept[IllegalArgumentException](db.addChunk(1L, 0L, 2L, "bad", short))
+    assert(e2.getMessage.contains("dims"))
+  }
+
+  test("searchAll: one batched plan == looped single searches, per index family") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "flat", dims, "flat")
+    db.createLibrary(2L, "lsh", dims, "lsh")
+    db.createLibrary(3L, "ivf", dims, "ivf")
+    Seq(1L, 2L, 3L).foreach { lib =>
+      db.upsertChunks(corpus.take(30).map { case (id, text, emb) => (lib, id / 10, id, text, emb) })
+    }
+    db.trainIndex(3L, kCentroids = 4, iters = 2)
+    val qids = Seq(2, 7, 21)
+    import spark.implicits._
+    val workload = qids.map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    Seq(1L, 2L, 3L).foreach { lib =>
+      val batched = db.searchAll(lib, workload, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val looped = qids.flatMap { i =>
+        db.search(lib, corpus(i)._3, k = 5).collect()
+          .map(r => (i.toLong, r.getLong(0), r.getLong(1)))
+      }.sorted
+      assert(batched === looped, s"searchAll diverges from looped search on library $lib")
+      assert(batched.nonEmpty)
+    }
+  }
+
+  test("compact crash-safety: post-marker crash completes on open, pre-marker crash discards") {
+    val root = Files.createTempDirectory("graftdb").toString
+    val db = new GraftDb(spark, root)
+    db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
+    db.createDocument(1L, 0L, "doc zero")
+    db.upsertChunks(corpus.take(10).map { case (id, text, emb) => (1L, id / 10, id, text, emb) })
+    db.deleteChunk(1L, 0L, corpus(5)._1)
+    val q = corpus(3)._3
+    val want = db.search(1L, q, k = 5).collect().map(_.getLong(1)).toSeq
+
+    // crash AFTER the commit marker: temps + marker on disk, live logs stale
+    db.writeCompactSnapshots()
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/_compact_commit")))
+    val db2 = new GraftDb(spark, root) // recovery completes the swap
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/_compact_commit")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/chunks_log_compacting")))
+    assert(db2.search(1L, q, k = 5).collect().map(_.getLong(1)).toSeq === want,
+      "recovered compaction changed search results")
+    assert(spark.read.parquet(s"$root/chunks_log").count() === db2.chunks().count())
+    assert(db2.listDocuments(1L).count() === 1, "document log lost in recovery")
+
+    // crash BEFORE the marker: a stray temp with garbage must be discarded
+    val strayDir = java.nio.file.Paths.get(s"$root/chunks_log_compacting")
+    Files.createDirectory(strayDir)
+    Files.writeString(strayDir.resolve("garbage"), "not parquet")
+    val db3 = new GraftDb(spark, root)
+    assert(!Files.exists(strayDir), "uncommitted compaction temp not discarded")
+    assert(db3.search(1L, q, k = 5).collect().map(_.getLong(1)).toSeq === want)
+  }
+
+  test("snapshot memo: same derived frame between mutations, fresh one after") {
+    val db = freshDb()
+    db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
+    db.addChunk(1L, 0L, 1L, "one", corpus(1)._3)
+    assert(db.chunks() eq db.chunks(), "snapshot re-derived with no intervening mutation")
+    assert(db.listLibraries() eq db.listLibraries())
+    val before = db.chunks()
+    db.addChunk(1L, 0L, 2L, "two", corpus(2)._3)
+    assert(!(db.chunks() eq before), "stale snapshot served after a mutation")
+    assert(db.chunks().count() === 2)
   }
 
   test("chunk lifecycle: upsert visible to search, update wins, deletes cascade, re-add survives") {

@@ -59,6 +59,22 @@ class ContractSpec extends GraftSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("no query HINTS a broadcast of an SF-proportional relation (scale gate)") {
+    // a broadcast() hint promises the relation fits the driver at ANY
+    // corpus size; only query-bounded sets (aggregated/limited/key-range
+    // slices), fixed dims, driver-built matrices, serving workloads, and
+    // delta-sized tombstone logs can keep that promise — see
+    // tools.BroadcastAudit for the full rule set. Planner/AQE-chosen
+    // broadcasts are size-measured and exempt. This is the executable
+    // form of the round-8 audit finding (v15 / t7 / q2 / q8).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val vs = tools.BroadcastAudit.violations(fn(spark, sf))
+      if (vs.nonEmpty) Some(s"$name:\n${vs.mkString("\n")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"SF-proportional broadcast hints in:\n${offenders.mkString("\n\n")}")
+  }
 }
 
 /** Degenerate-document totality: the text/dedup kernels must stay
