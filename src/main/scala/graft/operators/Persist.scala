@@ -193,6 +193,86 @@ object Persist {
        |       FROM dk)
        |SELECT * FROM ca UNION ALL SELECT * FROM ia ORDER BY artifact""".stripMargin
 
+  /** p12: [[purgeProof]] extended to the DERIVED index artifacts — the
+    * round-8 finding that right-to-be-forgotten must hold for EVERY
+    * standing artifact, not just the corpus and the LSH keys: after the
+    * purge rewrite, the IVF assignment lists and the binary sign-word
+    * index are REBUILT FROM THE REWRITTEN CORPUS FILES (read back from
+    * disk, so the audit chain starts at storage), persisted, re-read, and
+    * audited with p11's inverted-predicate recipe — row count, purged ids
+    * still present (must be 0), order-independent `bit_xor` content
+    * checksum that the oracle recomputes from the base table with the
+    * tombstone predicate inverted. Centroids are the K lowest SURVIVING
+    * ids, so even the model parameters derive from post-purge data. At
+    * 100 TB: one filtered rewrite + two map-only derivations (centroid
+    * assignment is a typedLit probe, sign-packing is codegen'd integer
+    * math) + bounded-output audit aggregates. */
+  def purgeProofIndexed(spark: SparkSession, dir: String, mod: Long = 7L,
+                        kCentroids: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def tomb(c: Column): Column =
+      Dedup.h60(concat(lit("del:"), c.cast("string"))) % mod === 0L
+    val basePath = tablePath(spark, "graft_purged_base")
+    emb.filter(!tomb(col("vec_id"))).write.mode("overwrite").parquet(basePath)
+    val corpus = spark.read.parquet(basePath)
+
+    val mat: Array[(Long, Array[Double])] =
+      corpus.orderBy("vec_id").limit(kCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val listsPath = tablePath(spark, "graft_purged_ivf_lists")
+    Ivf.assignToMat(corpus, mat).select(col("vec_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(listsPath)
+    val lists = spark.read.parquet(listsPath)
+
+    val binPath = tablePath(spark, "graft_purged_binary_words")
+    corpus.select(col("vec_id"),
+      Knn.signWordExpr("embedding", 0).as("w0"), Knn.signWordExpr("embedding", 1).as("w1"))
+      .write.mode("overwrite").parquet(binPath)
+    val bin = spark.read.parquet(binPath)
+
+    val listsAudit = lists
+      .select(col("vec_id"), Dedup.h60(concat_ws(":",
+        lit("chk"), col("vec_id"), col("cluster_id"))).as("hc"))
+      .groupBy(lit("ivf_lists").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("vec_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    val binAudit = bin
+      .select(col("vec_id"), Dedup.h60(concat_ws(":",
+        lit("chk"), col("vec_id"), col("w0"), col("w1"))).as("hc"))
+      .groupBy(lit("binary_index").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("vec_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    binAudit.unionAll(listsAudit).orderBy("artifact")
+  }
+
+  def purgeProofIndexedOracle(mod: Long = 7L, kCentroids: Int = 8): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |      WHERE NOT ((CAST('0x' || substr(md5('del:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0)),
+       |c AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $kCentroids),
+       |asg AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS sim FROM e CROSS JOIN c),
+       |lists AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM asg)
+       |  WHERE rn = 1),
+       |p AS (SELECT vec_id,
+       |             list_sum([CASE WHEN v[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w0,
+       |             list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END
+       |                       for i in generate_series(0, 31)])::BIGINT AS w1
+       |      FROM e),
+       |la AS (SELECT 'ivf_lists' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(vec_id AS VARCHAR) || ':' ||
+       |                CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |       FROM lists),
+       |ba AS (SELECT 'binary_index' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(vec_id AS VARCHAR) || ':' ||
+       |                CAST(w0 AS VARCHAR) || ':' || CAST(w1 AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |       FROM p)
+       |SELECT * FROM ba UNION ALL SELECT * FROM la ORDER BY artifact""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

@@ -20,9 +20,11 @@ import graft.SparkEntry
   *     grouping sets); fine when chosen deliberately (q8 rollup, q12
   *     cube), a silent 2-3× input blowup when it sneaks in.
   *
-  * Counts come from `queryExecution.sparkPlan` — the static plan BEFORE
-  * AQE, so no execution is needed and the count is deterministic (AQE can
-  * only reuse/convert exchanges at runtime, never add one). The snapshot
+  * Counts come from the fully-prepared STATIC plan — `executedPlan`, or
+  * the AQE wrapper's `initialPlan` — after EnsureRequirements has
+  * inserted exchanges but before anything runs, so the count is
+  * deterministic (AQE can only reuse/convert exchanges at runtime, never
+  * add one, so the initial count is the worst case). The snapshot
   * lives in `src/test/resources/plan_budgets.tsv`; `PlanBudgetSpec` fails
   * any query whose plan grows a shuffle or an Expand past its recorded
   * budget, and flags stale budgets when a plan IMPROVES. Regenerate after

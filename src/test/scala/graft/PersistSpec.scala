@@ -408,6 +408,33 @@ class PersistSpec extends GraftSuite {
     assert(audit("corpus")._1 === corpusIds.size.toLong)
   }
 
+  test("p12: the purge holds for DERIVED artifacts — IVF lists and binary words on disk") {
+    import spark.implicits._
+    val audit = Persist.purgeProofIndexed(spark, sf).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_purged_remaining")))).toMap
+    assert(audit.keySet === Set("ivf_lists", "binary_index"))
+    audit.foreach { case (a, (n, left)) =>
+      assert(left === 0L, s"$a still holds $left purged rows")
+      assert(n > 0L, s"$a rewrote to empty")
+    }
+    val tombs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"))
+      .filter(graft.operators.Dedup.h60(concat(lit("del:"), col("vec_id").cast("string"))) % 7 === 0L)
+      .as[Long].collect().toSet
+    assert(tombs.nonEmpty, "tombstone rule selected nothing — the proof is vacuous")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq("graft_purged_ivf_lists", "graft_purged_binary_words").foreach { t =>
+      val ids = spark.read.parquet(s"$wh/$t").select("vec_id").as[Long].collect().toSet
+      assert((ids intersect tombs).isEmpty, s"a purged id survives on disk in $t")
+      assert(ids.nonEmpty)
+    }
+    // the centroid model itself derives from post-purge data only
+    val lists = spark.read.parquet(s"$wh/graft_purged_ivf_lists")
+    val cids = lists.select("cluster_id").distinct().as[Long].collect().toSet
+    assert((cids intersect tombs).isEmpty, "a purged id survives as a centroid id")
+  }
+
   test("IVF lists read prunes partitions on cluster probe") {
     // p3 above has written the cluster_id-partitioned lists
     val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_idx_ivf_lists"
