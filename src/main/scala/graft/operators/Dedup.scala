@@ -1197,4 +1197,77 @@ object Dedup {
        |$prevChain
        |SELECT id AS doc_id, pr FROM pr$iters ORDER BY pr DESC, doc_id""".stripMargin
   }
+
+  /** d21: DUPLICATED-SPAN accounting — the line/substring-level exact
+    * dedup step of the C4 / CCNet / "Deduplicating Training Data" (Lee
+    * et al. 2021, ExactSubstr) pipelines, at fixed W-token granularity:
+    * any W-token span occurring MORE THAN ONCE anywhere in the corpus
+    * (across documents or within one) is duplicated text, and each
+    * document reports how many of its tokens are covered by at least one
+    * duplicated span — the removal mask a line-dedup pass would apply.
+    *
+    * Scale shape: the only dedup operator with NO pairwise candidate
+    * join at any point — the hot-span table is a pure groupBy count over
+    * the exploded sliding windows (token-volume-sized, bucketable by
+    * hash; map-side combine collapses the heavy hitters), the mark-back
+    * is one hash equi-join, and the coverage union is a per-document
+    * INTERVAL SWEEP: overlapping duplicated spans must not double-count
+    * tokens, so spans sort by start within the doc and each contributes
+    * `start+W − max(running_end, start)` clamped at 0 — a running-max
+    * window over ≤ doc-length rows (per-doc partitions are bounded by
+    * the longest document, not the corpus — the q9 caveat does not bite).
+    * The suffix-array formulation finds arbitrary-length matches but
+    * needs a global structure no executor can host; fixed-W sliding
+    * hashes are the distributable approximation (a run of L ≥ W
+    * duplicated tokens is covered exactly by its L−W+1 duplicated
+    * windows). */
+  def dupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("wds"))
+      .withColumn("n_tok", size(col("wds")).cast("long"))
+    // sequence(0, n-W) counts DOWN when n < W — guard explicitly
+    val spans = toks
+      .filter(col("n_tok") >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_tok") - w)).as("start"), col("wds"))
+      .select(col("doc_id"), col("start"),
+        h60(array_join(slice(col("wds"), (col("start") + 1).cast("int"), lit(w)), " ")).as("h"))
+    val hot = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dup = spans.join(hot, Seq("h")).select(col("doc_id"), col("start"))
+    val sweep = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = dup
+      .withColumn("prev_end", max(col("start") + w).over(sweep))
+      .withColumn("cov", greatest(lit(0L),
+        col("start") + w - greatest(coalesce(col("prev_end"), col("start")), col("start"))))
+      .groupBy(col("doc_id")).agg(sum(col("cov")).as("n_dup_tokens"))
+    toks.select(col("doc_id"), col("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tok").cast("double") * 10000d + 0.5d).cast("long").as("dup_frac_q4"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpansOracle(w: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' '))::BIGINT AS n FROM documents),
+       |s AS (SELECT doc_id, i AS start,
+       |             CAST('0x' || substr(md5(array_to_string(w[i+1:i+$w], ' ')), 1, 15) AS BIGINT) AS h
+       |      FROM t, LATERAL (SELECT unnest(generate_series(0, n - $w)) AS i) u
+       |      WHERE n >= $w),
+       |hot AS (SELECT h FROM (SELECT h, count(*) AS c FROM s GROUP BY 1) WHERE c > 1),
+       |d AS (SELECT s.doc_id, s.start FROM s JOIN hot USING (h)),
+       |cov AS (SELECT doc_id, start,
+       |               max(start + $w) OVER (PARTITION BY doc_id ORDER BY start
+       |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM d),
+       |c2 AS (SELECT doc_id,
+       |              sum(greatest(0, start + $w - greatest(coalesce(prev_end, start), start)))::BIGINT AS n_dup
+       |       FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, t.n AS n_tok, coalesce(c2.n_dup, 0)::BIGINT AS n_dup_tokens,
+       |       floor(coalesce(c2.n_dup, 0)::DOUBLE / t.n::DOUBLE * 10000 + 0.5)::BIGINT AS dup_frac_q4
+       |FROM t LEFT JOIN c2 USING (doc_id) ORDER BY t.doc_id""".stripMargin
 }

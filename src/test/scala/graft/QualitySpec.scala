@@ -232,6 +232,33 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("d21: duplicated-span coverage matches a position-set driver recompute (no double count)") {
+    val w = 8
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    // global span multiset over STRINGS (no hashes — independent path)
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, toks) <- docs; i <- 0 to toks.length - w)
+      counts(toks.slice(i, i + w).mkString(" ")) += 1
+    val want = docs.map { case (id, toks) =>
+      val covered = scala.collection.mutable.BitSet.empty
+      for (i <- 0 to toks.length - w if counts(toks.slice(i, i + w).mkString(" ")) > 1)
+        covered ++= (i until i + w)
+      id -> covered.size.toLong
+    }.toMap
+    assert(want.values.sum > 0, "no duplicated spans at this SF — the d21 gate would be vacuous")
+    val got = run("d21_dup_spans").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens")).toMap
+    assert(got === want, "interval-sweep coverage diverges from the position-set recompute")
+    // overlap really occurs somewhere, so the sweep's no-double-count path is exercised
+    val overlapping = docs.exists { case (id, toks) =>
+      val starts = (0 to toks.length - w).filter(i => counts(toks.slice(i, i + w).mkString(" ")) > 1)
+      starts.sliding(2).exists { case Seq(a, b) => b - a < w; case _ => false }
+    }
+    assert(overlapping, "no overlapping duplicated spans anywhere — sweep clamp untested")
+  }
+
   test("d19: triangle counts match an exact driver recompute; the graph has triangles") {
     val pairs = graft.operators.Dedup.minhashLsh(spark, sf)
       .select("doc_a", "doc_b").collect()
