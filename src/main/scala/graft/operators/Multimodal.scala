@@ -231,6 +231,56 @@ object Multimodal {
        |SELECT doc_id, rep_doc, group_n::BIGINT AS group_n FROM g
        |WHERE group_n >= 2 ORDER BY doc_id""".stripMargin
 
+  /** m5: CROSS-MODAL retrieval — TEXT queries against the MEDIA corpus
+    * through a shared embedding space (the CLIP serving shape with both
+    * encoders stubbed): media bytes → frame features (m2's stub decode)
+    * → content fingerprint → joint-space embedding via the v13 LCG stub
+    * over the fingerprint hash; text queries → the same stub embedder
+    * over the text hash (v13/v20's path). The two encoders are the
+    * documented deterministic stand-ins; everything AROUND them is the
+    * real 100 TB plan — map-only corpus-side encode (hash materialized
+    * once, the f3 lesson: CollapseProject would otherwise re-evaluate
+    * the md5 per vector element), broadcast query side, cosine TopK
+    * partial agg. Swapping in real CLIP towers changes two expressions
+    * and no plan shape. Oracle-gated: the full post-decode pipeline
+    * replays in DuckDB (HUGEINT frame fold → fingerprint hash → LCG
+    * expansion → cosine rank). */
+  def crossModalSearch(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 4,
+                       nFrames: Int = 8, frameLen: Int = 16): DataFrame = {
+    graft.Graft.init(spark)
+    val frames = framesOf(binaryDocs(spark, dir), nFrames, frameLen).toDF()
+    val media = frames
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_feature")))).as("fs"))
+      .select(col("doc_id").as("vec_id"),
+        (Dedup.h60(concat(lit("media:"),
+          array_join(expr("transform(fs, x -> CAST(x.frame_feature AS STRING))"), ":")))
+          % SearchText.P).as("h"))
+      .localCheckpoint() // hash once — see scaladoc
+      .select(col("vec_id"), SearchText.stubEmbedFromHash(col("h")).as("embedding"))
+    val queries = Tables.documents(spark, dir).filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), SearchText.stubEmbed(col("text")).as("qvec"))
+    Knn.topkPerQuery(Knn.scoreAll(media, queries, "cosine"), "cosine", k)
+  }
+
+  def crossModalSearchOracle(k: Int = 5, nQueries: Int = 4,
+                             nFrames: Int = 8, frameLen: Int = 16): String =
+    s"""WITH ${frameCtes(nFrames, frameLen)},
+       |fp AS (SELECT doc_id, list(feat ORDER BY frame_idx) AS fp FROM ff GROUP BY doc_id),
+       |mh AS (SELECT doc_id AS vec_id,
+       |              CAST('0x' || substr(md5('media:' ||
+       |                array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ':')), 1, 15)
+       |                AS BIGINT) % ${SearchText.P} AS h
+       |       FROM fp),
+       |mv AS (SELECT vec_id, ${SearchText.stubEmbedFromHashSql("mh.h")} AS v FROM mh),
+       |q AS (SELECT doc_id AS qid, ${SearchText.stubEmbedSql("text")} AS qv
+       |      FROM documents WHERE doc_id < $nQueries),
+       |s AS (SELECT q.qid, mv.vec_id, list_cosine_similarity(mv.v, q.qv) AS score
+       |      FROM mv CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** m1: binary ingestion + per-partition decode → typed metadata. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -83,9 +83,15 @@ object SearchText {
 
   /** The stub embedding as a DuckDB list comprehension over any text
     * expression — single source for v13's and f3's oracles. */
-  private[operators] def stubEmbedSql(textExpr: String): String = {
+  private[operators] def stubEmbedSql(textExpr: String): String =
+    stubEmbedFromHashSql(s"(CAST('0x' || substr(md5($textExpr), 1, 15) AS BIGINT) % $P)")
+
+  /** The LCG expansion alone over an already-computed `h60(…) % P`
+    * BIGINT expression — the SQL twin of [[stubEmbedFromHash]] (m5's
+    * media encoder hashes a frame fingerprint instead of text). */
+  private[operators] def stubEmbedFromHashSql(hExpr: String): String = {
     val (a, c, m) = (LcgPlanes.A, LcgPlanes.C, LcgPlanes.M)
-    s"[ (($a * ((CAST('0x' || substr(md5($textExpr), 1, 15) AS BIGINT) % $P) + i) + $c) % $m)::DOUBLE / $m.0 - 0.5" +
+    s"[ (($a * ($hExpr + i) + $c) % $m)::DOUBLE / $m.0 - 0.5" +
       s" for i in generate_series(0, ${Dim - 1}) ]"
   }
 

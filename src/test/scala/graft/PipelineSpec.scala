@@ -149,6 +149,25 @@ class PipelineSpec extends GraftSuite {
     assert(run("m3_media_search").collect().toSeq === hits)
   }
 
+  test("m5 cross-modal search: text→media retrieval is total, in-corpus, deterministic, non-self") {
+    val hits = run("m5_cross_modal").collect().toSeq
+    assert(hits.nonEmpty)
+    // every query returns a full k list (the media corpus is dense)
+    val byQ = hits.groupBy(_.getLong(0))
+    assert(byQ.size === 4 && byQ.values.forall(_.length === 5))
+    // hit ids stay inside the corpus id space
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(2)).toSet.subsetOf(docIds))
+    // the two encoders are genuinely different spaces: rank-1 must NOT be
+    // the trivial self-hit for every query (a text doc's media twin hashes
+    // differently), or the cross-modal claim is vacuous
+    val selfAtRank1 = hits.filter(_.getLong(1) == 1L).count(r => r.getLong(0) == r.getLong(2))
+    assert(selfAtRank1 < 4, "every rank-1 is the self doc — the two encoders collapsed")
+    // deterministic end to end
+    assert(run("m5_cross_modal").collect().toSeq === hits)
+  }
+
   test("f6: datasheet totals reconcile with the corpus and its component queries") {
     val out = run("f6_datasheet").collect()
     val docs = graft.sources.Tables.documents(spark, sf)
