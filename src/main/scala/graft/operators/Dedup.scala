@@ -94,6 +94,22 @@ object Dedup {
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     corpusShingles(spark, dir)._2
 
+  /** Banded MinHash keys `(doc_id, band_idx, band_key)` from an exploded
+    * shingle-hash frame — the band construction shared by d3/p2/d8/f8
+    * (one partial-agg minhash signature, then the band explode). */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
+    val aggs = coeffs().zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$j")
+    }
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(":", parts: _*)).as("band_key"))
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_key"))
+  }
+
   /** The PERSISTED distinct shingle-hash table, bucketed+sorted by `h` —
     * the on-disk form of [[corpusShingles]]'s in-flight memo and the
     * artifact a 100 TB dedup deployment maintains next to its corpus (the

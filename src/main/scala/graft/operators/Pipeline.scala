@@ -420,4 +420,128 @@ object Pipeline {
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
+
+  /** f8: INCREMENTAL RELEASE maintenance — what a nightly delta actually
+    * does to the shipped corpus, computed WITHOUT redoing base×base
+    * dedup: the base release's band table and CC LABEL table are standing
+    * bucketed artifacts (the previous release's outputs; built here once
+    * per session so the query is self-contained — d6/d8's convention),
+    * and the delta run (1) screens ONLY delta bands against the band
+    * artifact (d8's probe) plus the tiny delta self-join, (2) re-clusters
+    * by contracting `label-edges ∪ new-pairs` — the label edges carry
+    * exactly the base connectivity, so the union CC equals a from-scratch
+    * clustering of the whole corpus (what the oracle recomputes via
+    * transitive closure) at O(|labels| + |delta work|) cost, (3) reports
+    * the release DELTA per source: base/delta doc counts, kept-before,
+    * kept-after, EVICTIONS (base docs the delta demoted — a delta doc
+    * with a smaller id taking over as cluster representative under f2's
+    * min-id rule), and kept delta docs. At 100 TB this is the difference
+    * between re-deduping the corpus nightly and touching only the delta.
+    * Label joins back to the corpus are unhinted (f2's rule). */
+  def releaseDelta(spark: SparkSession, dir: String, tau: Double = 0.5,
+                   mod: Int = 10): DataFrame = {
+    graft.Graft.init(spark)
+    val (shingles, sh) = Dedup.corpusShingles(spark, dir)
+    val isDelta = (col("doc_id") % mod) === 0
+
+    val baseBands = Persist.materializeBucketed(spark,
+      Dedup.minhashBands(sh.filter(!isDelta)),
+      "graft_idx_rel_bands", 8, Seq("band_key", "band_idx"))
+    val deltaBands = Dedup.minhashBands(sh.filter(isDelta))
+
+    def rerank(cand: DataFrame): DataFrame = cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+
+    // standing label artifact: the PREVIOUS release's clustering (base-only
+    // pairs from the band artifact's exchange-free self-join)
+    val basePairs = rerank(baseBands.as("a")
+      .join(baseBands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct())
+    val baseLabels = Persist.materializeBucketed(spark,
+      Dedup.connectedComponents(basePairs), "graft_idx_rel_labels", 8, Seq("id"))
+
+    // the delta's marginal work: probe the artifact + tiny delta self-join
+    val newCand = baseBands.as("a")
+      .join(broadcast(deltaBands.as("b")),
+        col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .union(deltaBands.as("a")
+        .join(deltaBands.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+      .distinct()
+    val newPairs = rerank(newCand)
+
+    // contract label-edges ∪ new-pairs: base connectivity rides the labels,
+    // so this IS the full-corpus clustering at delta cost
+    val labelEdges = baseLabels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_a"), col("label").as("doc_b"))
+    val unionLabels = Dedup.connectedComponents(labelEdges.union(newPairs).distinct())
+
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("is_delta", isDelta)
+    val kb = baseLabels.select(col("id").as("doc_id"), col("label").as("lb"))
+    val ka = unionLabels.select(col("id").as("doc_id"), col("label").as("la"))
+    docs
+      .join(kb, Seq("doc_id"), "left")
+      .join(ka, Seq("doc_id"), "left")
+      .withColumn("kept_before", col("lb").isNull || col("lb") === col("doc_id"))
+      .withColumn("kept_after", col("la").isNull || col("la") === col("doc_id"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!col("is_delta") && col("kept_before"), 1L).otherwise(0L)).as("n_kept_before"),
+        sum(when(col("kept_after"), 1L).otherwise(0L)).as("n_kept_after"),
+        sum(when(!col("is_delta") && col("kept_before") && !col("kept_after"), 1L)
+          .otherwise(0L)).as("n_evicted"),
+        sum(when(col("is_delta") && col("kept_after"), 1L).otherwise(0L)).as("n_delta_kept"))
+      .orderBy("source")
+  }
+
+  /** From-scratch DuckDB replay: both clusterings via transitive closure
+    * (base-only pairs ≡ full pair set restricted to base endpoints — band
+    * membership is per-doc, so restriction commutes with candidate
+    * generation). */
+  def releaseDeltaOracle(tau: Double = 0.5, mod: Int = 10): String =
+    s"""WITH RECURSIVE allp AS (SELECT doc_a, doc_b FROM (${Dedup.minhashLshOracle(tau)})),
+       |bp AS (SELECT doc_a, doc_b FROM allp WHERE doc_a % $mod <> 0 AND doc_b % $mod <> 0),
+       |ea AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+       |       UNION SELECT doc_b, doc_a FROM allp),
+       |reacha(src, dst) AS (
+       |  SELECT src, dst FROM ea
+       |  UNION
+       |  SELECT r.src, e.dst FROM reacha r JOIN ea e ON r.dst = e.src),
+       |laba AS (SELECT src AS doc_id, least(src, min(dst)) AS la FROM reacha GROUP BY src),
+       |eb AS (SELECT doc_a AS src, doc_b AS dst FROM bp
+       |       UNION SELECT doc_b, doc_a FROM bp),
+       |reachb(src, dst) AS (
+       |  SELECT src, dst FROM eb
+       |  UNION
+       |  SELECT r.src, e.dst FROM reachb r JOIN eb e ON r.dst = e.src),
+       |labb AS (SELECT src AS doc_id, least(src, min(dst)) AS lb FROM reachb GROUP BY src),
+       |d AS (SELECT doc_id, source, doc_id % $mod = 0 AS is_delta FROM documents),
+       |k AS (SELECT d.doc_id, d.source, d.is_delta,
+       |             (lb.doc_id IS NULL OR lb.lb = d.doc_id) AS kept_before,
+       |             (la.doc_id IS NULL OR la.la = d.doc_id) AS kept_after
+       |      FROM d LEFT JOIN labb lb ON lb.doc_id = d.doc_id
+       |             LEFT JOIN laba la ON la.doc_id = d.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END)::BIGINT AS n_base,
+       |       sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+       |       sum(CASE WHEN NOT is_delta AND kept_before THEN 1 ELSE 0 END)::BIGINT AS n_kept_before,
+       |       sum(CASE WHEN kept_after THEN 1 ELSE 0 END)::BIGINT AS n_kept_after,
+       |       sum(CASE WHEN NOT is_delta AND kept_before AND NOT kept_after THEN 1 ELSE 0 END)::BIGINT AS n_evicted,
+       |       sum(CASE WHEN is_delta AND kept_after THEN 1 ELSE 0 END)::BIGINT AS n_delta_kept
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
 }

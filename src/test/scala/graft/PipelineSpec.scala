@@ -130,6 +130,35 @@ class PipelineSpec extends GraftSuite {
     assert(total === keptIds.size.toLong)
   }
 
+  test("f8: incremental label-edge contraction == from-scratch union-find; evictions occur") {
+    val out = run("f8_release_delta").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3), "n_docs != n_base + n_delta")
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(5) <= r.getLong(1))
+    }
+    assert(out.map(_.getLong(6)).sum > 0,
+      "no evictions anywhere — the incremental merge path is vacuous")
+    // from-scratch truth: union-find over the FULL pair set, min-id reps
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    val wantKeptAfter = docs.filter { case (id, _) => !clustered(id) || find(id) == id }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gotKeptAfter = out.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(gotKeptAfter === gotKeptAfter.keySet.map(s =>
+      s -> wantKeptAfter.getOrElse(s, 0L)).toMap,
+      "incremental clustering diverges from the from-scratch union-find")
+  }
+
   test("m3 media search: binary→vector→LSH composes; self-hit at rank 1; deterministic") {
     val hits = run("m3_media_search").collect().toSeq
     assert(hits.nonEmpty)
