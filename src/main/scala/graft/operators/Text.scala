@@ -1220,4 +1220,74 @@ object Text {
        |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT AS nll_q4,
        |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT <= $keepNllQ4 AS keep
        |FROM d ORDER BY doc_id""".stripMargin
+
+  private[graft] val MojiCorpusN = 240L
+
+  /** Deterministic ENCODING-DAMAGE corpus: clean log-ish lines with
+    * double-encoded UTF-8 markers ("Ã©" = é through a latin-1 round
+    * trip, stray "â" from a mangled punctuation triple, "Â " =
+    * non-breaking-space damage) and U+FFFD replacement characters
+    * injected by pure id rules — the t17b side-corpus device applied to
+    * mojibake (the reference corpus is clean ASCII, so a gate on it
+    * would only prove the detector finds nothing). */
+  private[graft] def mojiCorpus(spark: SparkSession, n: Long = MojiCorpusN): DataFrame = {
+    val i = col("id")
+    def s(c: Column): Column = c.cast("string")
+    val moji1 = when(i % 4 === 1, lit(" cafÃ© menu")).otherwise("")
+    val moji2 = when(i % 5 === 2, lit(" status â degraded")).otherwise("")
+    val moji3 = when(i % 6 === 4, lit(" gapÂ here")).otherwise("")
+    val repl = when(i % 7 === 3, lit(" blob �� end")).otherwise("")
+    val text = concat(lit("record "), s(i), lit(": alpha beta"),
+      moji1, moji2, moji3, repl, lit(" ok"))
+    spark.range(0, n).select(
+      col("id").as("doc_id"), text.as("text"),
+      when(i % 2 === 0, "en").otherwise("fr").as("lang"),
+      lit("moji").as("source"), length(text).cast("long").as("n_chars"))
+  }
+
+  /** t24: ENCODING-DAMAGE screen (the ftfy/CCNet charset-hygiene step) —
+    * count the signatures of UTF-8 text that went through a wrong-codec
+    * round trip: the latin-1 double-encoding markers 'Ã', 'â€', 'Â' and
+    * the U+FFFD replacement character a lossy decode leaves behind. A
+    * crawl at 100 TB always contains these; the screen is one map-only
+    * projection (occurrence counts via split-length arithmetic — no
+    * regex engine in the hot path) over the scan, and the keep decision
+    * is a pure function of the counts. Gated on the [[mojiCorpus]] side
+    * corpus (JSONL round trip through the FAILFAST reader, t17b's
+    * convention) so the hash covers real detections, not a clean-corpus
+    * identity. */
+  def mojibakeScreen(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val path = spark.conf.get("spark.sql.warehouse.dir") + "/graft_moji_jsonl"
+    mojiCorpus(spark).coalesce(1).write.mode("overwrite").json(path)
+    def occurrences(marker: String): Column =
+      (size(split(col("text"), marker, -1)) - 1).cast("long")
+    Tables.documentsFromJson(spark, path)
+      .select(col("doc_id"),
+        (occurrences("Ã") + occurrences("â") + occurrences("Â"))
+          .as("n_moji"),
+        occurrences("�").as("n_repl"))
+      .withColumn("damaged", (col("n_moji") + col("n_repl")) > 0)
+      .orderBy("doc_id")
+  }
+
+  def mojibakeScreenOracle: String = {
+    def s(x: String) = s"CAST($x AS VARCHAR)"
+    s"""WITH moji AS (SELECT i AS doc_id,
+       |  'record ' || ${s("i")} || ': alpha beta' ||
+       |  CASE WHEN i % 4 = 1 THEN ' cafÃ© menu' ELSE '' END ||
+       |  CASE WHEN i % 5 = 2 THEN ' status â degraded' ELSE '' END ||
+       |  CASE WHEN i % 6 = 4 THEN ' gapÂ here' ELSE '' END ||
+       |  CASE WHEN i % 7 = 3 THEN ' blob �� end' ELSE '' END ||
+       |  ' ok' AS text
+       |FROM generate_series(0, ${MojiCorpusN - 1}) t(i)),
+       |c AS (SELECT doc_id,
+       |             (len(string_split(text, 'Ã')) - 1
+       |              + len(string_split(text, 'â')) - 1
+       |              + len(string_split(text, 'Â')) - 1)::BIGINT AS n_moji,
+       |             (len(string_split(text, '�')) - 1)::BIGINT AS n_repl
+       |      FROM moji)
+       |SELECT doc_id, n_moji, n_repl, (n_moji + n_repl) > 0 AS damaged
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 }

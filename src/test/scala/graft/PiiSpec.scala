@@ -200,4 +200,20 @@ class PiiSpec extends GraftSuite {
     val expected = all.filter { case (a, b) => label(a) != label(b) }.toSet
     assert(rows.map(r => (r._1, r._2)).toSet === expected)
   }
+
+  test("t24: mojibake screen detections follow the injection rules exactly; both classes occur") {
+    val rows = operators.Text.mojibakeScreen(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size === operators.Text.MojiCorpusN)
+    rows.foreach { case (i, (moji, repl, damaged)) =>
+      val wantMoji = (if (i % 4 == 1) 1L else 0L) + (if (i % 5 == 2) 1L else 0L) +
+        (if (i % 6 == 4) 1L else 0L)
+      val wantRepl = if (i % 7 == 3) 2L else 0L
+      assert(moji === wantMoji, s"doc $i: n_moji $moji != $wantMoji")
+      assert(repl === wantRepl, s"doc $i: n_repl $repl != $wantRepl")
+      assert(damaged === (wantMoji + wantRepl > 0))
+    }
+    // non-vacuous in both directions: damaged and clean docs both exist
+    assert(rows.values.exists(_._3) && rows.values.exists(!_._3))
+  }
 }
