@@ -439,6 +439,43 @@ object Ivf {
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** v41: IVF OCCUPANCY observability — the per-cluster list lengths of
+    * the trained index plus each list's corpus share, the health signal
+    * an IVF deployment actually monitors: a skewed list is a hot probe
+    * (tail latency; at 100 TB, a straggler scan), an empty one a wasted
+    * centroid, and drift in the shares is the retrain trigger. Costs one
+    * map-only assignment against the memoized trained matrix + one
+    * partial agg; output is bounded by K rows, so the report is free at
+    * any corpus size. Shares are fixed-point q4 (exact-integer gate);
+    * min/max vec_id per list expose id-correlated assignment drift. */
+  def listStats(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = assignToMat(emb, trainedCentroidsFor(spark, dir, iters))
+      .select(col("vec_id"), col("cluster_id"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_id"), col("n_vecs"),
+        floor(col("n_vecs").cast("double") / col("n_total").cast("double") * 10000d + 0.5d)
+          .cast("long").as("share_q4"),
+        col("min_vec"), col("max_vec"))
+      .orderBy("cluster_id")
+  }
+
+  def listStatsOracle(iters: Int = 5): String =
+    s"""${trainCtes(iters)}
+       |g AS (SELECT cluster_id, count(*)::BIGINT AS n_vecs,
+       |             min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |      FROM assigned GROUP BY 1),
+       |t AS (SELECT count(*)::BIGINT AS n_total FROM assigned)
+       |SELECT cluster_id, n_vecs,
+       |       floor(n_vecs::DOUBLE / t.n_total::DOUBLE * 10000 + 0.5)::BIGINT AS share_q4,
+       |       min_vec, max_vec
+       |FROM g, t ORDER BY cluster_id""".stripMargin
+
   /** v34: the nprobe TUNING SWEEP — the recall-vs-cost curve an operator
     * actually reads before fixing an IVF deployment's probe count, as one
     * gated query: recall@k of the trained index at nprobe ∈ {1,2,4,8}

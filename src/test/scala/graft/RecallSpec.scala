@@ -132,4 +132,19 @@ class RecallSpec extends GraftSuite {
     // with full hits exists on this corpus (self-hit + dense clusters)
     assert(got.values.exists(_._1 > 0L), "no hits at all — eval is vacuous")
   }
+
+  test("v41: occupancy report is a partition of the corpus; shares sum to ~1; bounded by K") {
+    val rows = graft.operators.Ivf.listStats(spark, sf).collect()
+    val nCorpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty && rows.length <= graft.operators.Ivf.K)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === nCorpus,
+      "list lengths must partition the corpus exactly")
+    val shares = rows.map(_.getAs[Long]("share_q4")).sum
+    assert(math.abs(shares - 10000L) <= rows.length,
+      s"q4 shares sum $shares too far from 10000 (rounding slack = one ulp per list)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_vec") <= r.getAs[Long]("max_vec"))
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+  }
 }
