@@ -888,6 +888,66 @@ object Streams {
       }
   }
 
+  /** One document-changelog record for the s22 tail ([[graft.api.GraftDb]]'s
+    * document log verbatim: upsert replaces, patch merges, delete kills). */
+  case class DocLogOp(seq: Long, op: String, library_id: Long, doc_id: Long,
+                      title: Option[String], metadata: Map[String, String])
+
+  /** s22 state: the doc's FULL op set. Unlike s19's chunk fold (max-seq
+    * latest-wins — commutative), PATCH folding is order-SENSITIVE: a
+    * patch's effect depends on every older op, so a late-arriving older
+    * patch cannot be absorbed into a scalar state. Keeping the op set and
+    * re-folding in seq order buys total arrival-order freedom at
+    * O(updates per document) state — bounded by the entity's update rate
+    * (documents see dozens of edits, not millions; compaction folds the
+    * log and resets the tail in production). */
+  case class DocLogState(ops: List[(Long, String, Option[String], Map[String, String])],
+                         nOps: Long)
+
+  /** One folded-document emission; `meta` is the metadata dict rendered
+    * canonically (sorted `k=v` joined with `,`) so parity checks compare
+    * strings, not map orderings. */
+  case class LiveDoc(library_id: Long, doc_id: Long, n_ops: Long, live: Boolean,
+                     title: String, meta: String)
+
+  /** s22: STREAMING TAIL OF THE DOCUMENT CHANGELOG — the facade's
+    * document-entity state (r9: title + metadata dict, partial patches)
+    * maintained continuously from the log in ANY delivery order. Each
+    * batch appends to the per-doc op set and re-folds sorted by seq with
+    * `GraftDb.documents()`'s exact rule: upsert replaces the record,
+    * patch coalesces non-null fields and merges metadata latest-wins
+    * (only onto a live doc — the reference 404s), delete tombstones, a
+    * later upsert revives. Emits the doc's folded state with a cumulative
+    * op counter after every batch, so the n_ops-max row per doc is the
+    * final state under any interleaving (spec: parity-split batches ≡
+    * `db.documents()`). */
+  def docLogStateful(spark: SparkSession,
+                     ops: org.apache.spark.sql.Dataset[DocLogOp]
+                    ): org.apache.spark.sql.Dataset[LiveDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ops
+      .groupByKey(o => (o.library_id, o.doc_id))
+      .flatMapGroupsWithState[DocLogState, LiveDoc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((lib, doc), it, state: GroupState[DocLogState]) =>
+          val prev = state.getOption.getOrElse(DocLogState(Nil, 0L))
+          var ops = prev.ops
+          var n = prev.nOps
+          it.foreach { o => n += 1; ops = (o.seq, o.op, o.title, o.metadata) :: ops }
+          state.update(DocLogState(ops, n))
+          val (live, title, meta) = ops.sortBy(_._1)
+            .foldLeft((false, "", Map.empty[String, String])) {
+              case ((_, t, m), (_, "delete", _, _)) => (false, t, m)
+              case ((_, _, _), (_, "upsert", ot, om)) => (true, ot.getOrElse(""), om)
+              case ((true, t, m), (_, "patch", ot, om)) => (true, ot.getOrElse(t), m ++ om)
+              case (acc, _) => acc // patch on a dead doc: no-op
+            }
+          val canonical = meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+          Iterator.single(LiveDoc(lib, doc, n, live, title, canonical))
+      }
+  }
+
   /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
     * aggregation — the windowed-aggregate twin of
     * [[sessionizeStatefulFrom]]. The state store merges overlapping

@@ -786,4 +786,52 @@ class StreamingMultiBatchSpec extends GraftSuite {
         s"facade tail diverged: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
     } finally q.stop()
   }
+
+  test("s22 document changelog tail: shuffled patch batches == GraftDb.documents() fold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // drive the REAL facade's document entity through the order-sensitive
+    // lifecycle: create, partial patches (title-only / metadata-only),
+    // delete, revive-after-delete, patch-after-revive
+    val db = new graft.api.GraftDb(spark,
+      java.nio.file.Files.createTempDirectory("graftdb-s22").toString)
+    db.createLibrary(1L, "lib", 4, "flat")
+    db.createDocument(1L, 0L, "zero", Map("a" -> "1", "b" -> "2"))
+    db.createDocument(1L, 1L, "one")
+    db.createDocument(1L, 2L, "two", Map("x" -> "old"))
+    db.updateDocument(1L, 0L, title = Some("zero2"))
+    db.updateDocument(1L, 0L, metadata = Map("b" -> "3", "c" -> "4"))
+    db.updateDocument(1L, 2L, metadata = Map("x" -> "new"))
+    db.deleteDocument(1L, 1L)
+    db.createDocument(1L, 1L, "one reborn", Map("r" -> "1")) // revive
+    db.updateDocument(1L, 1L, title = Some("one reborn 2"))
+    db.deleteDocument(1L, 2L) // stays dead
+
+    val log = spark.read.parquet(s"${db.root}/documents_log")
+      .as[Streams.DocLogOp].collect().toSeq
+    // parity split: later batch carries seqs OLDER than already-folded
+    // ones — the op-set state must re-fold, not just append
+    val (b1, b2) = log.partition(_.seq % 2 == 0)
+    val stream = MemoryStream[Streams.DocLogOp]
+    val q = Streams.docLogStateful(spark, stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_mb_docs").start()
+    try {
+      Seq(b2, b1).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("graft_mb_docs")
+        .withColumn("mx", max($"n_ops").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"library_id", $"doc_id")))
+        .filter($"n_ops" === $"mx" && $"live")
+        .select("library_id", "doc_id", "title", "meta")
+        .as[(Long, Long, String, String)].collect().toSet
+      val batch = db.listDocuments(1L).collect().map { r =>
+        val meta = r.getAs[Map[String, String]]("metadata")
+          .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        (r.getLong(0), r.getLong(1), r.getString(2), meta)
+      }.toSet
+      assert(batch.nonEmpty, "document snapshot empty — vacuous")
+      assert(batch.exists(_._4.contains("b=3")), "patch merge missing — scenario vacuous")
+      assert(streamed === batch,
+        s"doc tail diverged: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
