@@ -438,16 +438,20 @@ object Pipeline {
     * min-id rule), and kept delta docs. At 100 TB this is the difference
     * between re-deduping the corpus nightly and touching only the delta.
     * Label joins back to the corpus are unhinted (f2's rule). */
+  /** The previous release's standing artifacts — band table + CC label
+    * table — built once per (session, corpus, params): the single-JVM
+    * analog of the persisted tables a production release leaves behind
+    * (the d6 standing-shingle convention; without the memo every rep
+    * re-prices the BASE release, which is exactly what f8 exists to
+    * avoid). */
+  private val relArtifactCache =
+    new BoundedMemo[(SparkSession, String, Double, Int), (DataFrame, DataFrame)](4)(_ => ())
+
   def releaseDelta(spark: SparkSession, dir: String, tau: Double = 0.5,
                    mod: Int = 10): DataFrame = {
     graft.Graft.init(spark)
     val (shingles, sh) = Dedup.corpusShingles(spark, dir)
     val isDelta = (col("doc_id") % mod) === 0
-
-    val baseBands = Persist.materializeBucketed(spark,
-      Dedup.minhashBands(sh.filter(!isDelta)),
-      "graft_idx_rel_bands", 8, Seq("band_key", "band_idx"))
-    val deltaBands = Dedup.minhashBands(sh.filter(isDelta))
 
     def rerank(cand: DataFrame): DataFrame = cand
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
@@ -458,15 +462,23 @@ object Pipeline {
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"))
 
-    // standing label artifact: the PREVIOUS release's clustering (base-only
-    // pairs from the band artifact's exchange-free self-join)
-    val basePairs = rerank(baseBands.as("a")
-      .join(baseBands.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct())
-    val baseLabels = Persist.materializeBucketed(spark,
-      Dedup.connectedComponents(basePairs), "graft_idx_rel_labels", 8, Seq("id"))
+    val (baseBands, baseLabels) =
+      relArtifactCache.getOrElseUpdate((spark, dir, tau, mod)) {
+        val bands = Persist.materializeBucketed(spark,
+          Dedup.minhashBands(sh.filter(!isDelta)),
+          "graft_idx_rel_bands", 8, Seq("band_key", "band_idx"))
+        // standing label artifact: the PREVIOUS release's clustering
+        // (base-only pairs from the band artifact's exchange-free self-join)
+        val basePairs = rerank(bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct())
+        val labels = Persist.materializeBucketed(spark,
+          Dedup.connectedComponents(basePairs), "graft_idx_rel_labels", 8, Seq("id"))
+        (bands, labels)
+      }
+    val deltaBands = Dedup.minhashBands(sh.filter(isDelta))
 
     // the delta's marginal work: probe the artifact + tiny delta self-join
     val newCand = baseBands.as("a")
