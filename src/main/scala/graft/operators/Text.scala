@@ -1221,6 +1221,56 @@ object Text {
        |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT <= $keepNllQ4 AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** t25: TERM-DISTRIBUTION DRIFT between two corpus slices — the
+    * domain-shift monitor a training-data pipeline runs between crawls
+    * (slice A = the `en` documents, slice B = everything else, standing
+    * in for crawl N vs crawl N+1): per-term KL-divergence contribution
+    * `p_a · ln(p_a / p_b)` under add-one smoothing over the union
+    * vocabulary, top terms by contribution. One tokenize pass feeds both
+    * slices' counts as conditional aggregates of a single term groupBy;
+    * totals arrive as a broadcast 1-row aggregate; the contribution is
+    * map-only math over integer counts and the top-k cut is a
+    * TakeOrdered. Determinism: counts are exact integers, each term's
+    * contribution is computed per-VALUE (the cross-engine libm-ln parity
+    * t14/t23 established) and quantized q9 BEFORE any further use —
+    * never a float reduction. At 100 TB: one scan, one term-keyed
+    * shuffle of combined counts, K output rows. */
+  def termDrift(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select((col("lang") === "en").as("in_a"),
+      explode(split(col("text"), " ")).as("term"))
+    val counts = tok.groupBy(col("term")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    val totals = counts.agg(
+      sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("pa", (col("na") + 1).cast("double") / (col("ta") + col("v")).cast("double"))
+      .withColumn("pb", (col("nb") + 1).cast("double") / (col("tb") + col("v")).cast("double"))
+      .withColumn("contrib_q9",
+        floor(col("pa") * log(col("pa") / col("pb")) * 1000000000d + 0.5d).cast("long"))
+      .select(col("term"), col("na"), col("nb"), col("contrib_q9"))
+      .orderBy(col("contrib_q9").desc, col("term"))
+      .limit(topK)
+  }
+
+  def termDriftOracle(topK: Int = 20): String =
+    s"""WITH tok AS (SELECT lang = 'en' AS in_a, unnest(string_split(text, ' ')) AS term
+       |            FROM documents),
+       |c AS (SELECT term,
+       |             sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS na,
+       |             sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS nb
+       |      FROM tok GROUP BY 1),
+       |t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb, count(*)::BIGINT AS v FROM c),
+       |k AS (SELECT term, na, nb,
+       |             (na + 1)::DOUBLE / (ta + v)::DOUBLE AS pa,
+       |             (nb + 1)::DOUBLE / (tb + v)::DOUBLE AS pb
+       |      FROM c, t)
+       |SELECT term, na, nb,
+       |       floor(pa * ln(pa / pb) * 1000000000 + 0.5)::BIGINT AS contrib_q9
+       |FROM k ORDER BY contrib_q9 DESC, term LIMIT $topK""".stripMargin
+
   private[graft] val MojiCorpusN = 240L
 
   /** Deterministic ENCODING-DAMAGE corpus: clean log-ish lines with

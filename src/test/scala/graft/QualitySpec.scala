@@ -232,6 +232,29 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("t25: drift contributions match an exact driver KL recompute; drift is non-vacuous") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "text").collect().map(r => (r.getString(0) == "en", r.getString(1)))
+    val na = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nb = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (inA, text) =>
+      text.split(" ", -1).foreach(t => if (inA) na(t) += 1 else nb(t) += 1)
+    }
+    val vocab = na.keySet ++ nb.keySet
+    val (ta, tb, v) = (na.values.sum, nb.values.sum, vocab.size.toLong)
+    def contrib(t: String): Long = {
+      val pa = (na(t) + 1).toDouble / (ta + v).toDouble
+      val pb = (nb(t) + 1).toDouble / (tb + v).toDouble
+      math.floor(pa * math.log(pa / pb) * 1e9 + 0.5).toLong
+    }
+    val want = vocab.toSeq.map(t => (t, contrib(t)))
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = run("t25_term_drift").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(got === want, "top drift terms diverge from the driver KL recompute")
+    assert(got.head._2 > 0L, "no positive drift contribution — the slices do not differ")
+  }
+
   test("d21: duplicated-span coverage matches a position-set driver recompute (no double count)") {
     val w = 8
     val docs = graft.sources.Tables.documents(spark, sf)
