@@ -132,6 +132,21 @@ class ExtensionsSpec extends AnyFunSuite {
       5L -> None))      // key with no rights
   }
 
+  test("e13: SCD2 enrichment via AsOfJoinExec == c11's interval containment join; no Window") {
+    val spark = graft.Graft.init(TestSession.spark)
+    val sf = TestSession.sf
+    val asOf = graft.operators.Events.scd2AsOf(spark, sf)
+    val m = asOf.collect().map(_.toSeq).toSet
+    val c = graft.operators.Crud.scd2Lookup(spark, sf).collect().map(_.toSeq).toSet
+    assert(m === c, "as-of SCD2 enrichment diverges from the containment-join twin")
+    assert(m.nonEmpty)
+    val plan = asOf.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "AsOfJoinExec missing from the e13 plan")
+    assert(!plan.contains("Window ") && !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"e13 fell back to a window/nested-loop formulation:\n${plan.take(1200)}")
+  }
+
   test("AsOfJoin null TIMES: left null-time joins nothing, right null-time matches nothing") {
     import org.apache.spark.sql.functions._
     val spark = graft.Graft.init(TestSession.spark)
