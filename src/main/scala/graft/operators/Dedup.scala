@@ -1242,12 +1242,17 @@ object Dedup {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("wds"))
       .withColumn("n_tok", size(col("wds")).cast("long"))
     // sequence(0, n-W) counts DOWN when n < W — guard explicitly
+    // materialize ONCE: the span table feeds BOTH the hot-count aggregate
+    // and the mark-back join; without it the tokenize+explode+md5 subtree
+    // runs twice (measured ~2× the query) — at 100 TB this line is a
+    // persisted span-hash table, the vocab-artifact convention
     val spans = toks
       .filter(col("n_tok") >= w)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_tok") - w)).as("start"), col("wds"))
       .select(col("doc_id"), col("start"),
         h60(array_join(slice(col("wds"), (col("start") + 1).cast("int"), lit(w)), " ")).as("h"))
+      .localCheckpoint()
     val hot = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val dup = spans.join(hot, Seq("h")).select(col("doc_id"), col("start"))
