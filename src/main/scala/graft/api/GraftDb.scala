@@ -505,6 +505,23 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .orderBy("rank")
   }
 
+  /** Text-query search (the reference's `/search_text` route,
+    * app/api/routes/operations.py: embed the query text, then kNN):
+    * the stub embedder stands in for the Cohere call (v13/v20's
+    * documented deterministic stand-in — swapping a real embedder is one
+    * expression), then the same per-index dispatch as [[search]].
+    * Requires the library's dims to match the stub's output dim. */
+  def searchText(libId: Long, text: String, k: Int = 10,
+                 includeChunk: Boolean = false): DataFrame = {
+    val dims = libRecord(libId).getAs[Int]("dims")
+    require(dims == graft.operators.SearchText.Dim,
+      s"searchText serves ${graft.operators.SearchText.Dim}-dim libraries; library $libId has $dims")
+    val qdf = spark.range(1).select(lit(0L).as("qid"),
+      graft.operators.SearchText.stubEmbed(lit(text))
+        .cast("array<float>").as("qvec"))
+    searchAll(libId, qdf, k, includeChunk).drop("qid").orderBy("rank")
+  }
+
   // ---- stats (vector_db.py stats surface) ---------------------------------
 
   def stats(libId: Long): DataFrame =

@@ -105,6 +105,32 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v42: metadata filter × external WORKLOAD — the cross of the two
+    * orthogonal serving conventions (v16's filter-before-score × v26's
+    * queries-as-their-own-table), the cell a production serving tier
+    * actually runs: a batch of external queries against a
+    * metadata-restricted candidate slice. The filter restricts
+    * candidates only (never the workload) and reaches the parquet scan
+    * pushed; the workload broadcasts over the filtered scan. */
+  def workloadFilteredSearch(spark: SparkSession, dir: String,
+                             labels: Seq[Int] = Seq(2, 5), metric: String = "cosine",
+                             k: Int = 10): DataFrame = {
+    Graft.init(spark)
+    val candidates = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding"))
+    topkPerQuery(scoreAll(candidates, queryTable(spark, dir), metric), metric, k)
+  }
+
+  def workloadFilteredSearchOracle(labels: Seq[Int] = Seq(2, 5), k: Int = 10): String =
+    s"""WITH q AS (${queryTableSql()}),
+       |s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q WHERE e.label IN (${labels.mkString(", ")})),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v17: kNN over int8 scalar-quantized vectors — the 100 TB storage
     * lever: float32 → symmetric per-vector int8 (`q_i = floor(x_i·s + ½)`,
     * `s = 127/max|x|`) is a 4× footprint/scan-IO cut; the index artifact

@@ -135,6 +135,31 @@ class GraftDbSpec extends GraftSuite {
     }
   }
 
+  test("searchText: embed-then-search equals searching the stub embedding directly") {
+    val db = freshDb()
+    val dim = graft.operators.SearchText.Dim
+    db.createLibrary(1L, "txt", dim, "flat")
+    // chunks embedded with the same stub the query side uses, so the
+    // self-text query must surface its own chunk at rank 1 with score ~1
+    import spark.implicits._
+    val texts = (0 until 12).map(i => s"chunk text number $i with words")
+    val embs = texts.zipWithIndex.map { case (t, i) =>
+      val e = Seq(t).toDF("t")
+        .select(graft.operators.SearchText.stubEmbed(col("t")).cast("array<float>").as("e"))
+        .head().getSeq[Float](0).toArray
+      (1L, i.toLong / 4, i.toLong, t, e)
+    }
+    db.upsertChunks(embs)
+    val hits = db.searchText(1L, texts(5), k = 3).collect()
+    assert(hits.head.getLong(1) === 5L, "self-text must rank first")
+    assert(math.abs(hits.head.getDouble(2) - 1.0) < 1e-6)
+    // dims gate: a non-Dim library refuses text search instead of
+    // silently scoring garbage
+    db.createLibrary(2L, "small", 4, "flat")
+    val e = intercept[IllegalArgumentException](db.searchText(2L, "hello"))
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("compact crash-safety: post-marker crash completes on open, pre-marker crash discards") {
     val root = Files.createTempDirectory("graftdb").toString
     val db = new GraftDb(spark, root)
