@@ -1214,6 +1214,48 @@ object Dedup {
        |SELECT id AS doc_id, pr FROM pr$iters ORDER BY pr DESC, doc_id""".stripMargin
   }
 
+  /** d22: the RERANK-THRESHOLD tuning curve for banded MinHash dedup —
+    * the v34/v40 measured-curve convention applied to the dedup family's
+    * operating knob: for τ ∈ {0.3, 0.5, 0.7, 0.9} (tenths, kept integer
+    * end to end), how many candidate pairs survive the exact-Jaccard
+    * rerank and how many documents they touch. The curve is what an
+    * operator reads before fixing a release's τ: candidate volume falls
+    * steeply with τ while affected-doc counts show whether the graph is
+    * a few big clusters or many pairs. Costs ONE candidate pass: pairs +
+    * exact Jaccard come from [[minhashLsh]] at τ=0 (every banded
+    * candidate retained), and the arms are a 4-way explode + conditional
+    * aggregates over that single edge-sized frame — never a re-banding
+    * or a second rerank per arm. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     tenths: Seq[Int] = Seq(3, 5, 7, 9)): DataFrame = {
+    graft.Graft.init(spark)
+    val pj = minhashLsh(spark, dir, 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val arms = pj
+      .select(explode(array(tenths.map(t => lit(t.toLong)): _*)).as("tau_x10"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("tau_x10").cast("double") / 10.0d)
+    val pairCounts = arms.groupBy(col("tau_x10")).agg(count(lit(1)).as("n_pairs"))
+    val docCounts = arms
+      .select(col("tau_x10"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("tau_x10")).agg(countDistinct(col("doc")).as("n_docs"))
+    pairCounts.join(docCounts, Seq("tau_x10")).orderBy("tau_x10")
+  }
+
+  def thresholdSweepOracle(tenths: Seq[Int] = Seq(3, 5, 7, 9)): String = {
+    val vals = tenths.map(t => s"($t)").mkString(", ")
+    s"""WITH pj AS (SELECT doc_a, doc_b, jaccard FROM (${minhashLshOracle(0.0)})),
+       |arms AS (SELECT t.tau_x10, pj.doc_a, pj.doc_b
+       |         FROM pj, (VALUES $vals) t(tau_x10)
+       |         WHERE pj.jaccard >= t.tau_x10::DOUBLE / 10.0),
+       |p AS (SELECT tau_x10, count(*)::BIGINT AS n_pairs FROM arms GROUP BY 1),
+       |d AS (SELECT tau_x10, count(DISTINCT doc)::BIGINT AS n_docs
+       |      FROM (SELECT tau_x10, unnest([doc_a, doc_b]) AS doc FROM arms)
+       |      GROUP BY 1)
+       |SELECT p.tau_x10::BIGINT AS tau_x10, p.n_pairs, d.n_docs
+       |FROM p JOIN d USING (tau_x10) ORDER BY tau_x10""".stripMargin
+  }
+
   /** d21: DUPLICATED-SPAN accounting — the line/substring-level exact
     * dedup step of the C4 / CCNet / "Deduplicating Training Data" (Lee
     * et al. 2021, ExactSubstr) pipelines, at fixed W-token granularity:

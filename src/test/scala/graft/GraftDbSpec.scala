@@ -190,6 +190,34 @@ class GraftDbSpec extends GraftSuite {
     assert(db3.search(1L, q, k = 5).collect().map(_.getLong(1)).toSeq === want)
   }
 
+  test("facade plans never hint-broadcast an SF-proportional relation (BroadcastAudit)") {
+    // the r8 finding was IN the facade (search includeChunk broadcast the
+    // snapshot); run the same structural gate ContractSpec applies to the
+    // query surface over every facade read/search plan per index family
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "flat", dims, "flat")
+    db.createLibrary(2L, "lsh", dims, "lsh")
+    db.createLibrary(3L, "ivf", dims, "ivf")
+    Seq(1L, 2L, 3L).foreach { lib =>
+      db.upsertChunks(corpus.take(20).map { case (id, t, e) => (lib, id / 10, id, t, e) })
+    }
+    db.createDocument(1L, 0L, "d")
+    db.trainIndex(3L, kCentroids = 4, iters = 1)
+    val plans = Seq(
+      "chunks" -> db.chunks(),
+      "listLibraries" -> db.listLibraries(),
+      "listDocuments" -> db.listDocuments(1L),
+      "search flat+chunk" -> db.search(1L, corpus(2)._3, includeChunk = true),
+      "search lsh+chunk" -> db.search(2L, corpus(2)._3, includeChunk = true),
+      "search ivf+chunk" -> db.search(3L, corpus(2)._3, includeChunk = true))
+    val bad = plans.flatMap { case (name, df) =>
+      val vs = tools.BroadcastAudit.violations(df)
+      if (vs.nonEmpty) Some(s"$name:\n${vs.mkString("\n")}") else None
+    }
+    assert(bad.isEmpty, s"facade hints an unbounded broadcast:\n${bad.mkString("\n\n")}")
+  }
+
   test("snapshot memo: same derived frame between mutations, fresh one after") {
     val db = freshDb()
     db.createLibrary(1L, "lib", corpus.head._3.length, "flat")

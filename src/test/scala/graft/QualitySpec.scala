@@ -232,6 +232,21 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("d22: threshold curve is monotone and the tau=0.5 arm equals the gated d3 pair set") {
+    val rows = run("d22_threshold_sweep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set(3L, 5L, 7L, 9L))
+    // nested thresholds ⇒ pair and doc counts can only fall as tau rises
+    Seq(3L -> 5L, 5L -> 7L, 7L -> 9L).foreach { case (lo, hi) =>
+      assert(rows(lo)._1 >= rows(hi)._1 && rows(lo)._2 >= rows(hi)._2,
+        s"curve not monotone between tau .$lo and .$hi")
+    }
+    assert(rows(3L)._1 > rows(9L)._1, "flat curve — sweep measures nothing")
+    // cross-check an arm against the independently gated d3 query
+    val d3 = graft.operators.Dedup.minhashLsh(spark, sf, 0.5)
+    assert(rows(5L)._1 === d3.count(), "tau=0.5 arm disagrees with d3's pair count")
+  }
+
   test("t25: drift contributions match an exact driver KL recompute; drift is non-vacuous") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("lang", "text").collect().map(r => (r.getString(0) == "en", r.getString(1)))
