@@ -1214,6 +1214,43 @@ object Dedup {
        |SELECT id AS doc_id, pr FROM pr$iters ORDER BY pr DESC, doc_id""".stripMargin
   }
 
+  /** d23: the DUP-GRAPH SIZE PROFILE — the distribution a data card
+    * actually reports about near-duplication: for each cluster size, how
+    * many clusters and how many documents live at that size, plus the
+    * singleton row (size 1 = docs untouched by any near-dup pair). The
+    * shape of this histogram is the curation decision input: a corpus of
+    * many pairs dedups away ~half its dup mass, one giant
+    * boilerplate cluster dedups to a single survivor, and the tail's
+    * max size bounds the worst keep-best argmax group. Cost: two
+    * partial aggs over the edge-sized label table + two 1-row counts —
+    * the corpus is scanned once for its total. */
+  def clusterSizeProfile(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    graft.Graft.init(spark)
+    val labels = clusterLabelsFor(spark, dir, tau)
+    val dist = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    dist.unionAll(singles).orderBy("cluster_size")
+  }
+
+  def clusterSizeProfileOracle(tau: Double = 0.5): String =
+    s"""WITH lab AS (SELECT doc_id, cluster_id FROM (${dupClustersOracle(tau)})),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1),
+       |dist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       |                (cluster_size * count(*))::BIGINT AS n_docs
+       |         FROM sz GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |cl AS (SELECT count(*)::BIGINT AS c FROM lab)
+       |SELECT cluster_size, n_clusters, n_docs FROM dist
+       |UNION ALL SELECT 1::BIGINT, n - c, n - c FROM tot, cl
+       |ORDER BY cluster_size""".stripMargin
+
   /** d22: the RERANK-THRESHOLD tuning curve for banded MinHash dedup —
     * the v34/v40 measured-curve convention applied to the dedup family's
     * operating knob: for τ ∈ {0.3, 0.5, 0.7, 0.9} (tenths, kept integer

@@ -232,6 +232,24 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("d23: size profile is a partition of the corpus and agrees with the label table") {
+    val rows = run("d23_cluster_profile").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nCorpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.values.map(_._2).sum === nCorpus, "profile docs must sum to the corpus")
+    rows.foreach { case (size, (nc, nd)) => assert(nd === size * nc) }
+    assert(rows.keySet.exists(_ >= 2L), "no multi-doc cluster — profile vacuous")
+    // cross-check against the independently computed label table
+    val labels = graft.operators.Dedup.clusterLabelsFor(spark, sf, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = labels.groupBy(_._2).values.map(_.size).toSeq
+      .groupBy(identity).map { case (s, xs) => s.toLong -> xs.size.toLong }
+    want.foreach { case (s, n) =>
+      assert(rows(s)._1 === n, s"size-$s cluster count mismatch")
+    }
+    assert(rows(1L)._1 === nCorpus - labels.length, "singleton count mismatch")
+  }
+
   test("d22: threshold curve is monotone and the tau=0.5 arm equals the gated d3 pair set") {
     val rows = run("d22_threshold_sweep").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
