@@ -390,18 +390,47 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   private def fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Phase 1: temp snapshots for all three logs + the commit marker. */
-  private[graft] def writeCompactSnapshots(): Unit = {
-    chunks().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+  /** Phase 1: temp snapshots for all three logs + the commit marker.
+    * `keep` additionally filters the folded chunk/document state — the
+    * purge path's exclusion predicate; plain compaction keeps all. */
+  private[graft] def writeCompactSnapshots(keep: Column = lit(true)): Unit = {
+    chunks().filter(keep)
+      .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("chunk_id"), col("text"), col("embedding"))
       .write.mode("overwrite").parquet(s"${chunkPath}_compacting")
     listLibraries().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("name"), col("dims"), col("index_type"), col("metadata"))
       .write.mode("overwrite").parquet(s"${libPath}_compacting")
-    documents().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+    documents().filter(keep)
+      .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("title"), col("metadata"))
       .write.mode("overwrite").parquet(s"${docPath}_compacting")
     fs.create(new Path(compactMarker), true).close()
+  }
+
+  /** PHYSICAL right-to-be-forgotten for one document — the p11/p12
+    * storage-level purge surfaced in the client API. [[deleteDocument]]
+    * is a tombstone (merge-on-read mask; bytes remain on disk until a
+    * compaction); this REWRITES all three logs without any row of the
+    * (library, document) — its chunks, its entity record, and the
+    * tombstones that referenced it — through the same crash-safe
+    * temp-snapshot + commit-marker + rename swap as [[compact]], then
+    * returns an audit computed by RE-READING the rewritten files: rows
+    * still mentioning the document per log, zero on success — deletion
+    * evidenced from storage, not from the query path. Every other
+    * document's state is bit-identical before and after (compaction
+    * invariance, spec-proven). */
+  def purgeDocument(libId: Long, docId: Long): DataFrame = {
+    val target = col("library_id") === libId && col("doc_id") === docId
+    writeCompactSnapshots(keep = !target)
+    completeCompactSwap()
+    val audits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
+      case (name, log) =>
+        log.filter(target)
+          .agg(count(lit(1)).as("n_remaining"))
+          .select(lit(name).as("log"), col("n_remaining"))
+    }
+    audits.reduce(_ unionAll _).orderBy("log")
   }
 
   /** Phase 2: swap every log for its temp snapshot, drop the marker. */

@@ -218,6 +218,39 @@ class GraftDbSpec extends GraftSuite {
     assert(bad.isEmpty, s"facade hints an unbounded broadcast:\n${bad.mkString("\n\n")}")
   }
 
+  test("purgeDocument: physical erasure from all logs; other docs bit-identical; audit zero") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "lib", dims, "flat")
+    db.createDocument(1L, 0L, "keep me")
+    db.createDocument(1L, 1L, "purge me", Map("pii" -> "yes"))
+    db.upsertChunks(corpus.take(20).map { case (id, t, e) => (1L, id / 10, id, t, e) })
+    val q = corpus(3)._3
+    // ranked id sequence of the SURVIVORS (ranks renumber once the purged
+    // doc's chunks vacate their slots, so compare order, not rank values)
+    val beforeOther = db.search(1L, q, k = 20).collect()
+      .map(_.getLong(1)).filterNot(_ / 10 == 1L).toSeq
+
+    val audit = db.purgeDocument(1L, 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L))
+    // storage-level proof: the raw parquet files carry no trace of doc 1
+    assert(spark.read.parquet(s"${db.root}/chunks_log")
+      .filter(col("doc_id") === 1L).count() === 0L)
+    assert(spark.read.parquet(s"${db.root}/documents_log")
+      .filter(col("doc_id") === 1L).count() === 0L)
+    // no stray temp state from the swap
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${db.root}/_compact_commit")))
+    // the surviving corpus is untouched: same ranked results for other docs
+    val afterOther = db.search(1L, q, k = 20).collect()
+      .map(_.getLong(1)).filterNot(_ / 10 == 1L).toSeq
+    // survivors keep their relative order; freed slots admit new tail ids
+    assert(afterOther.take(beforeOther.length) === beforeOther,
+      "purge disturbed surviving documents")
+    assert(db.getDocument(1L, 0L).count() === 1L)
+    assert(db.listChunks(1L).filter(col("doc_id") === 1L).count() === 0L)
+  }
+
   test("snapshot memo: same derived frame between mutations, fresh one after") {
     val db = freshDb()
     db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
