@@ -105,6 +105,61 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** v43: the INDEX DECISION TABLE — the engine's family ladder priced
+    * on one row per family: recall@k against the exact flat truth next
+    * to the CANDIDATE-STAGE artifact bytes per vector, the two numbers
+    * an operator weighs when choosing what to deploy (flat 256 B =
+    * 64×f32 and recall 1 by definition — the anchor row that also
+    * proves the overlap machinery; SQ8 72 B = 64×i8 + f64 scale; binary
+    * 16 B = two sign words; LSH keys 32 B = 4 tables × i64; IVF lists
+    * 256 B — its lever is PRUNING, the bytes column deliberately shows
+    * compression ≠ pruning). Each arm is that family's gated search
+    * plan unchanged; overlap is a join against the ≤ Q·k flat hit set;
+    * recall is fixed-point over exact integer counts. The oracle
+    * composes each family's EXISTING oracle verbatim as an independent
+    * derived table — no logic duplicated, which is the point: the
+    * frontier is an audited VIEW over gated components, not a new
+    * measurement. (Rerank stages of binary/LSH touch raw floats for
+    * Q·r rows — the table prices the scan stage, where the corpus-sized
+    * cost lives.) */
+  def indexFrontier(spark: SparkSession, dir: String, k: Int = 10,
+                    nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val flat = flatSearch(spark, dir, "cosine", k, nQueries)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val denom = (k * nQueries).toDouble
+    def arm(name: String, bytes: Long, hits: DataFrame): DataFrame =
+      hits.select(col("qid"), col("vec_id"))
+        .join(broadcast(flat), Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("family"), lit(bytes).as("bytes_per_vec"), col("n_hits"),
+          floor(col("n_hits").cast("double") / denom * 10000d + 0.5d)
+            .cast("long").as("recall_q4"))
+    Seq(
+      arm("binary", 16L, binaryHammingSearch(spark, dir, k)),
+      arm("flat", 256L, flatSearch(spark, dir, "cosine", k, nQueries)),
+      arm("ivf", 256L, Ivf.search(spark, dir, k, nQueries)),
+      arm("lsh", 32L, Lsh.search(spark, dir, k, nQueries)),
+      arm("sq8", 72L, sq8Search(spark, dir, k, nQueries))
+    ).reduce(_ unionAll _).orderBy("family")
+  }
+
+  def indexFrontierOracle(k: Int = 10, nQueries: Int = 8): String = {
+    val flatSql = oracleFlat("cosine", k, nQueries)
+    def arm(name: String, bytes: Long, armSql: String): String =
+      s"""SELECT '$name' AS family, ${bytes}::BIGINT AS bytes_per_vec,
+         |       count(*)::BIGINT AS n_hits,
+         |       floor(count(*)::DOUBLE / ${(k * nQueries).toDouble} * 10000 + 0.5)::BIGINT AS recall_q4
+         |FROM ($armSql) a JOIN ($flatSql) f USING (qid, vec_id)""".stripMargin
+    Seq(
+      arm("binary", 16L, binaryHammingSearchOracle(k, nQueries = nQueries)),
+      arm("flat", 256L, flatSql),
+      arm("ivf", 256L, Ivf.searchOracle(k, nQueries)),
+      arm("lsh", 32L, Lsh.searchOracle(k, nQueries)),
+      arm("sq8", 72L, sq8SearchOracle(k, nQueries))
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY family")
+  }
+
   /** v42: metadata filter × external WORKLOAD — the cross of the two
     * orthogonal serving conventions (v16's filter-before-score × v26's
     * queries-as-their-own-table), the cell a production serving tier

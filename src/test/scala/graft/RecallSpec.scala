@@ -133,6 +133,24 @@ class RecallSpec extends GraftSuite {
     assert(got.values.exists(_._1 > 0L), "no hits at all — eval is vacuous")
   }
 
+  test("v43: frontier anchor row is exact, recalls bounded, arms match independent recomputes") {
+    val rows = graft.operators.Knn.indexFrontier(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === Set("binary", "flat", "ivf", "lsh", "sq8"))
+    // flat vs itself is the definitional anchor: full overlap, recall 1.0
+    assert(rows("flat") === ((256L, 80L, 10000L)))
+    rows.values.foreach { case (_, h, r4) =>
+      assert(h >= 0L && h <= 80L && r4 >= 0L && r4 <= 10000L)
+    }
+    // one arm recomputed from the independently gated queries' outputs
+    val flat = graft.operators.Knn.flatSearch(spark, sf, "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bin = graft.operators.Knn.binaryHammingSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows("binary")._2 === (bin intersect flat).size.toLong,
+      "binary arm diverges from a direct overlap recompute")
+  }
+
   test("v41: occupancy report is a partition of the corpus; shares sum to ~1; bounded by K") {
     val rows = graft.operators.Ivf.listStats(spark, sf).collect()
     val nCorpus = graft.sources.Tables.embeddings(spark, sf).count()
