@@ -52,6 +52,42 @@ class AsOfJoinPropertySpec extends AnyFunSuite {
   }
 }
 
+/** Randomized graphs through the large-star/small-star contraction vs a
+  * driver union-find — the CC kernel underpins d7/d17/d19/d20 and f8's
+  * incremental merge, and its convergence argument (alternating stars
+  * reach per-component minima) deserves adversarial shapes the corpus
+  * graphs never produce: chains, stars, cliques-with-bridges, duplicate
+  * and reversed edges. */
+class ConnectedComponentsPropertySpec extends AnyFunSuite {
+
+  test("contraction labels == union-find minima on random multigraphs") {
+    val spark = graft.Graft.init(TestSession.spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    for (iter <- 1 to 6) {
+      val n = 8 + rnd.nextInt(25)
+      val m = rnd.nextInt(70)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        // adversarial garnish: a long chain and a star, overlapping ids
+        (0L until 6L).map(i => (i, i + 1)) ++ (0L until 5L).map(i => (20L % n, i))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"iter=$iter n=$n m=${edges.size}")
+    }
+  }
+}
+
 /** Random op sequences through the REAL facade vs an in-memory replica of
   * the documented fold semantics — upsert replaces, patch coalesces
   * fields and merges metadata latest-wins onto live docs only, delete
