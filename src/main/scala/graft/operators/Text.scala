@@ -33,19 +33,60 @@ object Text {
     * filtered back to N) to compare 4 values that were sitting in the same
     * row. At 100 TB that shuffle was the whole cost; this plan touches the
     * corpus once in the scan task and shuffles nothing. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val arms = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+  /** Per-language (−score, lang) structs over a distinct-token column —
+    * shared by t1's argmax and t26's margin (sort ascending ⇒ index 0 is
+    * the winner, index 1 the runner-up; ties break to the smaller lang
+    * name, mirroring the oracle's `ORDER BY score DESC, lang`). */
+  private def langArms: Seq[Column] =
+    StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         (-size(array_intersect(col("toks"), array(words.map(lit): _*)))).cast("long").as("neg"),
         lit(lang).as("lang"))
     }
-    docs
-      .withColumn("best", sort_array(array(arms: _*))(0))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("best", sort_array(array(langArms: _*))(0))
       .select(col("doc_id"), col("best.lang").as("pred_lang"),
         (-col("best.neg")).cast("long").as("score"))
       .orderBy("doc_id")
+  }
+
+  /** t26: language-ID CONFIDENCE margin — the screen that decides which
+    * docs trust their cheap n-gram language call and which route to a
+    * heavier model or get dropped (CLD/fastText deployments threshold on
+    * exactly this): margin = top1 − top2 stopword-hit score, exact
+    * integers end to end, `confident` at margin ≥ `minMargin` (default 1: the synthetic word-salad corpus tops out at margin 1 — margin 0 IS the ambiguous class here, 22% of docs; a natural corpus would raise the bar). Same
+    * one-scan map-only shape as t1 — the runner-up falls out of the
+    * already-sorted arm array at index 1 for free. */
+  def langIdMargin(spark: SparkSession, dir: String, minMargin: Long = 1L): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sorted", sort_array(array(langArms: _*)))
+      .select(col("doc_id"),
+        col("sorted")(0).getField("lang").as("pred_lang"),
+        (-col("sorted")(0).getField("neg")).cast("long").as("score"),
+        (col("sorted")(1).getField("neg") - col("sorted")(0).getField("neg"))
+          .cast("long").as("margin"))
+      .withColumn("confident", col("margin") >= minMargin)
+      .orderBy("doc_id")
+  }
+
+  def langIdMarginOracle(minMargin: Long = 1L): String = {
+    val arms = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, len(list_intersect(toks, [$list]))::BIGINT AS score FROM t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |s AS ($arms),
+       |r AS (SELECT doc_id, lang, score,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM s)
+       |SELECT a.doc_id, a.lang AS pred_lang, a.score,
+       |       (a.score - b.score)::BIGINT AS margin,
+       |       (a.score - b.score) >= $minMargin AS confident
+       |FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rn = 2
+       |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin
   }
 
   val langIdOracle: String = {

@@ -232,6 +232,25 @@ class QualitySpec extends GraftSuite {
       s"threshold is vacuous: $kept/${out.length} kept")
   }
 
+  test("t26: margin == top1-top2 from a driver rescore; both confidence classes occur") {
+    val stop = graft.operators.Text.StopWords
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).distinct.toSet
+      val scored = stop.toSeq.sortBy(_._1)
+        .map { case (lang, ws) => (lang, ws.count(toks).toLong) }
+        .sortBy { case (lang, s) => (-s, lang) }
+      id -> ((scored.head._1, scored.head._2, scored.head._2 - scored(1)._2))
+    }.toMap
+    val got = run("t26_langid_margin").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want, "margin diverges from the driver rescore")
+    val flags = run("t26_langid_margin").collect().map(_.getBoolean(4))
+    assert(flags.exists(identity) && flags.exists(!_),
+      "one-sided confidence split — the screen is vacuous")
+  }
+
   test("d23: size profile is a partition of the corpus and agrees with the label table") {
     val rows = run("d23_cluster_profile").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
