@@ -20,9 +20,11 @@ import graft.operators.{Ivf, Knn, Lsh}
   * read derives the current state MERGE-ON-READ — latest-wins per chunk
   * (the c1 `max(struct(seq, …))` partial aggregate), document and library
   * state folded per-id from the op sequence (upsert replaces, PATCH
-  * merges non-null fields and unions metadata latest-wins — the
-  * reference's partial `update_library`/`update_document`,
-  * vector_db.py:125-135 — delete tombstones), cascades as seq-aware
+  * coalesces non-null fields and REPLACES the metadata dict when one is
+  * supplied — the reference's partial `update_library`/`update_document`
+  * `$set`s the whole dict, vector_db.py:125-135 / mongo_storage's
+  * `if body.metadata is not None` — delete tombstones), cascades as
+  * seq-aware
   * joins (c2/c8). Writers never block readers and any past state is
   * reconstructible — the lakehouse answer to the reference's lock
   * discipline.
@@ -62,15 +64,16 @@ object GraftDb {
                            chunk_id: Long, text: String, embedding: Array[Float])
 
   /** One library-changelog record. `op` ∈ upsert | patch | delete; patch
-    * rows carry None for untouched fields and only the patched metadata
-    * keys. */
+    * rows carry None for untouched fields — including metadata, where
+    * None means "dict untouched" and Some(m) means "dict replaced by m"
+    * (the reference's `$set` semantics). */
   final case class LibOp(seq: Long, op: String, library_id: Long,
                          name: Option[String], dims: Option[Int],
-                         index_type: Option[String], metadata: Map[String, String])
+                         index_type: Option[String], metadata: Option[Map[String, String]])
 
   /** One document-changelog record. `op` ∈ upsert | patch | delete. */
   final case class DocOp(seq: Long, op: String, library_id: Long, doc_id: Long,
-                         title: Option[String], metadata: Map[String, String])
+                         title: Option[String], metadata: Option[Map[String, String]])
 }
 
 final class GraftDb(spark: SparkSession, val root: String) {
@@ -108,13 +111,32 @@ final class GraftDb(spark: SparkSession, val root: String) {
     rows.toDF().write.mode("append").parquet(docPath); invalidateSnapshots()
   }
 
-  private def logOrEmpty[T <: Product : org.apache.spark.sql.Encoder](path: String): DataFrame =
-    if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+  private def logOrEmpty[T <: Product : org.apache.spark.sql.Encoder](
+      path: String, mergeSchema: Boolean = false): DataFrame =
+    if (Files.exists(Paths.get(path)))
+      spark.read.option("mergeSchema", mergeSchema).parquet(path)
     else Seq.empty[T].toDF()
 
-  private def libLog: DataFrame = logOrEmpty[LibOp](libPath)
+  /** Compat read for stores written before the metadata column existed
+    * (pre-round-9 logs): the log is footer-MERGED on read (new-code
+    * appends land next to legacy files, and without mergeSchema parquet
+    * would resolve to whichever file's schema it sampled — silently
+    * dropping the column), then normalized: a NULL dict on an upsert
+    * (legacy row) becomes the empty dict, a NULL on a patch stays NULL
+    * (= untouched). Compaction then persists the new schema. */
+  private def withMetaCompat(df: DataFrame): DataFrame = {
+    val withCol =
+      if (df.columns.contains("metadata")) df
+      else df.withColumn("metadata", lit(null).cast("map<string,string>"))
+    withCol.withColumn("metadata",
+      when(col("op") === "upsert",
+        coalesce(col("metadata"), map().cast("map<string,string>")))
+        .otherwise(col("metadata")))
+  }
+
+  private def libLog: DataFrame = withMetaCompat(logOrEmpty[LibOp](libPath, mergeSchema = true))
   private def chunkLog: DataFrame = logOrEmpty[ChunkOp](chunkPath)
-  private def docLog: DataFrame = logOrEmpty[DocOp](docPath)
+  private def docLog: DataFrame = withMetaCompat(logOrEmpty[DocOp](docPath, mergeSchema = true))
 
   // ---- snapshot memo -------------------------------------------------------
 
@@ -148,11 +170,6 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   // ---- merge-on-read folds -------------------------------------------------
 
-  /** metadata union, NEW keys win (map_concat alone throws on duplicate
-    * keys under the default dedup policy). */
-  private def mergeMeta(old: Column, nw: Column): Column =
-    map_concat(map_filter(old, (k, _) => !map_contains_key(nw, k)), nw)
-
   private def bySeq(l: Column, r: Column): Column =
     when(l.getField("seq") < r.getField("seq"), lit(-1))
       .when(l.getField("seq") > r.getField("seq"), lit(1))
@@ -164,23 +181,27 @@ final class GraftDb(spark: SparkSession, val root: String) {
                     metadata: Map[String, String] = Map.empty): Unit = {
     require(Seq("flat", "ivf", "lsh").contains(indexType), s"unknown index_type $indexType")
     appendLib(Seq(LibOp(nextSeq(), "upsert", libId,
-      Some(name), Some(dims), Some(indexType), metadata)))
+      Some(name), Some(dims), Some(indexType), Some(metadata))))
   }
 
   /** PARTIAL update (the reference's `update_library`,
-    * vector_db.py:125-135): only the supplied fields change; `metadata`
-    * keys merge latest-wins over the stored dict. A patch on a deleted
-    * library is a no-op (the reference 404s). */
-  def updateLibrary(libId: Long, name: Option[String] = None, dims: Option[Int] = None,
+    * vector_db.py:125-135): only the supplied fields change; a supplied
+    * `metadata` REPLACES the stored dict wholesale (the reference `$set`s
+    * the whole dict), None leaves it untouched. `dims` is deliberately
+    * NOT patchable — the reference's storage layer strips it ("Dims
+    * change not supported"), and patching dims under live chunks would
+    * desynchronize stored embedding lengths from the declared dims. A
+    * patch on a deleted library is a no-op (the reference 404s). */
+  def updateLibrary(libId: Long, name: Option[String] = None,
                     indexType: Option[String] = None,
-                    metadata: Map[String, String] = Map.empty): Unit = {
+                    metadata: Option[Map[String, String]] = None): Unit = {
     indexType.foreach(t =>
       require(Seq("flat", "ivf", "lsh").contains(t), s"unknown index_type $t"))
-    appendLib(Seq(LibOp(nextSeq(), "patch", libId, name, dims, indexType, metadata)))
+    appendLib(Seq(LibOp(nextSeq(), "patch", libId, name, None, indexType, metadata)))
   }
 
   def deleteLibrary(libId: Long): Unit =
-    appendLib(Seq(LibOp(nextSeq(), "delete", libId, None, None, None, Map.empty)))
+    appendLib(Seq(LibOp(nextSeq(), "delete", libId, None, None, None, None)))
 
   /** Live libraries: per-id op fold in seq order — upsert replaces the
     * whole record, patch merges, delete kills (a later upsert revives).
@@ -210,7 +231,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
             coalesce(o.getField("name"), acc.getField("name")).as("name"),
             coalesce(o.getField("dims"), acc.getField("dims")).as("dims"),
             coalesce(o.getField("index_type"), acc.getField("index_type")).as("index_type"),
-            mergeMeta(acc.getField("metadata"), o.getField("metadata")).as("metadata")))
+            coalesce(o.getField("metadata"), acc.getField("metadata")).as("metadata")))
           .otherwise(acc))).as("s"))
       .filter(col("s.live"))
       .select(col("library_id"), col("s.name").as("name"), col("s.dims").as("dims"),
@@ -228,11 +249,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   def createDocument(libId: Long, docId: Long, title: String,
                      metadata: Map[String, String] = Map.empty): Unit =
-    appendDocs(Seq(DocOp(nextSeq(), "upsert", libId, docId, Some(title), metadata)))
+    appendDocs(Seq(DocOp(nextSeq(), "upsert", libId, docId, Some(title), Some(metadata))))
 
-  /** PARTIAL document update: same patch semantics as [[updateLibrary]]. */
+  /** PARTIAL document update: same patch semantics as [[updateLibrary]] —
+    * a supplied metadata dict replaces the stored one, None = untouched. */
   def updateDocument(libId: Long, docId: Long, title: Option[String] = None,
-                     metadata: Map[String, String] = Map.empty): Unit =
+                     metadata: Option[Map[String, String]] = None): Unit =
     appendDocs(Seq(DocOp(nextSeq(), "patch", libId, docId, title, metadata)))
 
   /** Deletes the document ENTITY and cascades to its chunks in the same
@@ -240,7 +262,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * chunk cascade). */
   def deleteDocument(libId: Long, docId: Long): Unit = {
     val s = nextSeq()
-    appendDocs(Seq(DocOp(s, "delete", libId, docId, None, Map.empty)))
+    appendDocs(Seq(DocOp(s, "delete", libId, docId, None, None)))
     appendChunks(Seq(ChunkOp(nextSeq(), "delete_doc", libId, docId, -1L, "", Array.empty)))
   }
 
@@ -260,7 +282,11 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val init = struct(lit(false).as("live"), lit(null).cast("string").as("title"),
       map().cast("map<string,string>").as("metadata"))
     docLog
-      .join(broadcast(libTombs), Seq("library_id"), "left")
+      // tombstone aggregates are delta-sized between compactions but
+      // corpus-KEYED, so they carry no broadcast hint — AQE converts the
+      // small side at runtime, and a store with a pathological delete
+      // backlog degrades to a shuffled join instead of a driver OOM
+      .join(libTombs, Seq("library_id"), "left")
       .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
       .groupBy(col("library_id"), col("doc_id"))
       .agg(array_sort(
@@ -276,7 +302,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .otherwise(when(acc.getField("live"),
           struct(lit(true).as("live"),
             coalesce(o.getField("title"), acc.getField("title")).as("title"),
-            mergeMeta(acc.getField("metadata"), o.getField("metadata")).as("metadata")))
+            coalesce(o.getField("metadata"), acc.getField("metadata")).as("metadata")))
           .otherwise(acc))).as("s"))
       .filter(col("s.live"))
       .select(col("library_id"), col("doc_id"), col("s.title").as("title"),
@@ -330,11 +356,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val libTombs = libLog.filter(col("op") === "delete")
       .groupBy(col("library_id")).agg(max(col("seq")).as("lib_tomb"))
     latest
-      .join(broadcast(docTombs), Seq("library_id", "doc_id"), "left")
+      // unhinted for the same reason as [[documents]]'s tombstone join:
+      // delta-sized by the compaction contract, corpus-keyed by shape
+      .join(docTombs, Seq("library_id", "doc_id"), "left")
       .filter(col("doc_tomb").isNull || col("seq") > col("doc_tomb"))
-      .join(broadcast(libTombs), Seq("library_id"), "left")
+      .join(libTombs, Seq("library_id"), "left")
       .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
-      .join(broadcast(listLibraries().select(col("library_id"))), Seq("library_id"))
+      .join(listLibraries().select(col("library_id")), Seq("library_id"))
       .select(col("library_id"), col("doc_id"), col("chunk_id"), col("text"), col("embedding"))
   }
 

@@ -136,7 +136,7 @@ object Knn {
           floor(col("n_hits").cast("double") / denom * 10000d + 0.5d)
             .cast("long").as("recall_q4"))
     Seq(
-      arm("binary", 16L, binaryHammingSearch(spark, dir, k)),
+      arm("binary", 16L, binaryHammingSearch(spark, dir, k, nQueries = nQueries)),
       arm("flat", 256L, flatSearch(spark, dir, "cosine", k, nQueries)),
       arm("ivf", 256L, Ivf.search(spark, dir, k, nQueries)),
       arm("lsh", 32L, Lsh.search(spark, dir, k, nQueries)),

@@ -76,8 +76,13 @@ object Library {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("library"))
+    // localCheckpoint (l3's convention): materializes the ≤ libs·qPerLib
+    // query rows so the broadcast promise is backed by an actually-
+    // materialized bounded frame, not by the corpus-joined subplan that
+    // produced it — and the TopK probe never recomputes
     val queries = firstPerLibrary(emb, qPerLib)
       .select(col("library"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
 
     val scored = emb.join(broadcast(queries), Seq("library"))
       .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))

@@ -480,9 +480,13 @@ object Pipeline {
       }
     val deltaBands = Dedup.minhashBands(sh.filter(isDelta))
 
-    // the delta's marginal work: probe the artifact + tiny delta self-join
+    // the delta's marginal work: probe the artifact + tiny delta self-join.
+    // deltaBands is SF-proportional (1/mod of the corpus's band rows), so
+    // it carries NO broadcast hint — AQE converts it at test scale and a
+    // 100× corpus degrades to a shuffled hash join, never a driver OOM
+    // (the f2 rule; the band artifact side is already bucketed)
     val newCand = baseBands.as("a")
-      .join(broadcast(deltaBands.as("b")),
+      .join(deltaBands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.band_idx") === col("b.band_idx"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))

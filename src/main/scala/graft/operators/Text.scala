@@ -1168,7 +1168,10 @@ object Text {
     * running total over that TINY table is the only unpartitioned window
     * (bounded: one row per bucket, tunable; a third level would make it
     * O(corpus/G²)), and the in-bucket exclusive sum windows over the
-    * high-cardinality bucket key. Bucket offsets broadcast back. All
+    * high-cardinality bucket key. Bucket offsets join back UNHINTED —
+    * the offsets table is corpus/`bucketDocs` rows, i.e. SF-proportional,
+    * so AQE broadcasts it while it fits and degrades to a shuffled join
+    * on `bucket` (both sides already hash by it) when it doesn't. All
     * integer math — hash-gates exactly. */
   def sequencePack(spark: SparkSession, dir: String, chunkTokens: Long = 512L,
                    bucketDocs: Long = 100L): DataFrame = {
@@ -1182,7 +1185,7 @@ object Text {
     d.withColumn("ioff", coalesce(sum(col("n_tok")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .join(bucketOffsets, Seq("bucket"))
       .withColumn("chunk_id", expr(s"(boff + ioff) div $chunkTokens"))
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -889,9 +889,10 @@ object Streams {
   }
 
   /** One document-changelog record for the s22 tail ([[graft.api.GraftDb]]'s
-    * document log verbatim: upsert replaces, patch merges, delete kills). */
+    * document log verbatim: upsert replaces, patch coalesces fields and
+    * REPLACES the metadata dict when one is supplied, delete kills). */
   case class DocLogOp(seq: Long, op: String, library_id: Long, doc_id: Long,
-                      title: Option[String], metadata: Map[String, String])
+                      title: Option[String], metadata: Option[Map[String, String]])
 
   /** s22 state: the doc's FULL op set. Unlike s19's chunk fold (max-seq
     * latest-wins — commutative), PATCH folding is order-SENSITIVE: a
@@ -901,7 +902,7 @@ object Streams {
     * O(updates per document) state — bounded by the entity's update rate
     * (documents see dozens of edits, not millions; compaction folds the
     * log and resets the tail in production). */
-  case class DocLogState(ops: List[(Long, String, Option[String], Map[String, String])],
+  case class DocLogState(ops: List[(Long, String, Option[String], Option[Map[String, String]])],
                          nOps: Long)
 
   /** One folded-document emission; `meta` is the metadata dict rendered
@@ -915,7 +916,8 @@ object Streams {
     * maintained continuously from the log in ANY delivery order. Each
     * batch appends to the per-doc op set and re-folds sorted by seq with
     * `GraftDb.documents()`'s exact rule: upsert replaces the record,
-    * patch coalesces non-null fields and merges metadata latest-wins
+    * patch coalesces non-null fields and replaces the metadata dict
+    * when one is supplied — None leaves it untouched
     * (only onto a live doc — the reference 404s), delete tombstones, a
     * later upsert revives. Emits the doc's folded state with a cumulative
     * op counter after every batch, so the n_ops-max row per doc is the
@@ -939,8 +941,10 @@ object Streams {
           val (live, title, meta) = ops.sortBy(_._1)
             .foldLeft((false, "", Map.empty[String, String])) {
               case ((_, t, m), (_, "delete", _, _)) => (false, t, m)
-              case ((_, _, _), (_, "upsert", ot, om)) => (true, ot.getOrElse(""), om)
-              case ((true, t, m), (_, "patch", ot, om)) => (true, ot.getOrElse(t), m ++ om)
+              case ((_, _, _), (_, "upsert", ot, om)) =>
+                (true, ot.getOrElse(""), om.getOrElse(Map.empty))
+              case ((true, t, m), (_, "patch", ot, om)) =>
+                (true, ot.getOrElse(t), om.getOrElse(m))
               case (acc, _) => acc // patch on a dead doc: no-op
             }
           val canonical = meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")

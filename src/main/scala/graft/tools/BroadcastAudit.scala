@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, CaseWhen, Cast, Expression, LessThan, LessThanOrEqual, Literal, Pmod, Remainder}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -18,8 +18,12 @@ import graft.SparkEntry
   *
   * The only relations that can keep a hint's promise:
   *
-  *   - aggregated / limited subplans (a TopK hit set, a 1-row count, a
-  *     k-limited sample) — bounded by the query, not the corpus;
+  *   - limited subplans and aggregates whose GROUPING KEYS are provably
+  *     corpus-independent (empty grouping, keys riding a bounded side of
+  *     a join, fixed categorical domains like `lang`/`event_type`, or
+  *     literal-valued CASE / mod-by-literal expressions) — an aggregate
+  *     grouped by a corpus key (doc_id, term, band_key…) has
+  *     corpus-proportional groups and is NOT bounded;
   *   - fixed-cardinality dims (`nation` = 25 rows, `region` = 5 at every
   *     TPC-H SF) and driver-built literal frames (trained centroid /
   *     codebook matrices, probe tables — K·M rows by construction);
@@ -68,41 +72,107 @@ object BroadcastAudit {
           }
         case _ => false
       }
-    case m: InMemoryRelation => isBounded(m.cachedPlan.logicalLink.getOrElse(m))
+    // absent logicalLink → conservative false (recursing on `m` itself
+    // would loop forever: m is its own leaf)
+    case m: InMemoryRelation => m.cachedPlan.logicalLink.exists(isBounded)
     case _ => false
   }
 
-  /** True if the subtree's output cardinality is independent of the
-    * corpus size: a reducer (aggregate / limit) anywhere, a literal
-    * key-range filter, or all-bounded leaves. */
-  def isBounded(p: LogicalPlan): Boolean = {
-    val hasReducer = p.exists {
-      case _: Aggregate => true
-      case _: GlobalLimit => true
-      case _: LocalLimit => true
-      case _ => false
-    }
-    if (hasReducer) return true
-
-    // key-range slice: `<` / `<=` against a literal keeps a constant
-    // number of ids (the workload convention `vec_id < nQueries`);
-    // attribute EQUALITY against a literal is proportional (a segment
-    // filter keeps a constant FRACTION) and deliberately does not count
-    val hasRangeFilter = p.exists {
-      case f: Filter =>
-        f.condition.exists {
-          case LessThan(_, _: Literal) => true
-          case LessThanOrEqual(_, _: Literal) => true
-          case EqualTo(_, _: Literal) => false
-          case _ => false
-        }
-      case _ => false
-    }
-    if (hasRangeFilter) return true
-
-    val leaves = p.collectLeaves()
-    leaves.nonEmpty && leaves.forall(boundedLeaf)
+  /** key-range slice: `<` / `<=` against a literal keeps a constant
+    * number of ids (the workload convention `vec_id < nQueries`);
+    * attribute EQUALITY against a literal is proportional (a segment
+    * filter keeps a constant FRACTION) and deliberately does not count. */
+  private def hasRangeCond(c: Expression): Boolean = c.exists {
+    case LessThan(_, _: Literal) => true
+    case LessThanOrEqual(_, _: Literal) => true
+    case _ => false
   }
+
+  /** True if the subtree's output ROW COUNT is independent of the corpus
+    * size. Structural rules, not "a reducer anywhere": a limit bounds; a
+    * literal key-range filter bounds; an Aggregate bounds ONLY when its
+    * grouping is empty (1 row) or every grouping key traces to a
+    * corpus-independent source ([[boundedAttrs]]) — a group-by over a
+    * corpus-keyed column (doc_id, band_key, …) has corpus-proportional
+    * groups and is NOT a reducer; a join is bounded when both sides are;
+    * everything else is bounded when all its children are. */
+  def isBounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case f: Filter => hasRangeCond(f.condition) || isBounded(f.child)
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        isBounded(a.child) || {
+          lazy val cb = boundedAttrs(a.child)
+          a.groupingExpressions.forall(domainBounded(_, cb))
+        }
+    case j: Join => isBounded(j.left) && isBounded(j.right)
+    case leaf if leaf.children.isEmpty => boundedLeaf(leaf)
+    case other => other.children.forall(isBounded)
+  }
+
+  /** Categorical schema columns whose VALUE DOMAIN is fixed independent
+    * of SF (a language-ID label set, an event taxonomy, a class label) —
+    * rows grow with the corpus, distinct values don't, so a group-by
+    * over ONLY these keys is a genuine reducer. Deliberately short:
+    * corpus-KEY columns (doc_id, vec_id, terms, grams, band keys) must
+    * never appear here. */
+  private val FixedDomainColumns = Set("lang", "source", "event_type", "label")
+
+  /** Expression-level domain bound: every value the expression can take
+    * comes from a corpus-independent set — all references domain-bounded
+    * (includes pure literals: empty refs), a CASE whose branch VALUES
+    * are domain-bounded (`CASE WHEN … THEN 'train' ELSE 'test' END` has
+    * ≤ branches+1 values no matter what it scrutinizes), or a mod by a
+    * literal (`doc_id % 10` has ≤ 10 values). */
+  private def domainBounded(e: Expression, cb: AttributeSet): Boolean = e match {
+    case _ if e.references.subsetOf(cb) => true
+    case c: Cast => domainBounded(c.child, cb)
+    case c: CaseWhen =>
+      c.branches.forall { case (_, v) => domainBounded(v, cb) } &&
+        c.elseValue.forall(domainBounded(_, cb))
+    case Pmod(_, _: Literal, _) => true
+    case Remainder(_, _: Literal, _) => true
+    case _ => false
+  }
+
+  /** Attributes whose DISTINCT-VALUE domain is corpus-independent — the
+    * lineage that lets a group-by count as a reducer: anything out of a
+    * row-bounded subtree is domain-bounded; projections/aggregations of
+    * bounded inputs stay bounded; a join carries each side's bounded
+    * attrs through (group-by qid after corpus⋈workload is bounded
+    * because qid rides the workload side). */
+  private def boundedAttrs(p: LogicalPlan): AttributeSet =
+    if (isBounded(p)) p.outputSet
+    else p match {
+      case pr: Project =>
+        val cb = boundedAttrs(pr.child)
+        AttributeSet(pr.projectList.collect {
+          case ne if domainBounded(ne, cb) => ne.toAttribute
+        })
+      case a: Aggregate =>
+        val cb = boundedAttrs(a.child)
+        AttributeSet(a.aggregateExpressions.collect {
+          case ne if ne.references.nonEmpty && ne.references.subsetOf(cb) => ne.toAttribute
+        })
+      case j: Join => boundedAttrs(j.left) ++ boundedAttrs(j.right)
+      case g: Generate =>
+        val cb = boundedAttrs(g.child)
+        if (g.generator.references.subsetOf(cb)) cb ++ AttributeSet(g.generatorOutput)
+        else cb
+      case u: Union =>
+        val childBs = u.children.map(boundedAttrs)
+        AttributeSet(u.output.zipWithIndex.collect {
+          case (attr, i) if u.children.zip(childBs).forall {
+            case (c, b) => b.contains(c.output(i))
+          } => attr
+        })
+      case leaf if leaf.children.isEmpty =>
+        // fixed-domain categorical columns surface at the scan
+        AttributeSet(leaf.output.filter(a => FixedDomainColumns.contains(a.name)))
+      case other =>
+        // row-preserving pass-throughs (Filter, Sort, Window, Repartition…)
+        other.children.map(boundedAttrs).reduce(_ ++ _)
+    }
 
   private def describe(p: LogicalPlan): String = {
     val leaves = p.collectLeaves().map {

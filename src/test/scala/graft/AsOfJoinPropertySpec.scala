@@ -90,8 +90,8 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
 
 /** Random op sequences through the REAL facade vs an in-memory replica of
   * the documented fold semantics — upsert replaces, patch coalesces
-  * fields and merges metadata latest-wins onto live docs only, delete
-  * tombstones, a later upsert revives. */
+  * fields and replaces the metadata dict when one is supplied (live docs
+  * only), delete tombstones, a later upsert revives. */
 class FacadeFoldPropertySpec extends AnyFunSuite {
 
   test("GraftDb document fold == driver replica over a random op sequence") {
@@ -116,10 +116,10 @@ class FacadeFoldPropertySpec extends AnyFunSuite {
           val title = s"t${rnd.nextInt(5)}"
           db.updateDocument(1L, doc, title = Some(title))
           if (cur._1) state(doc) = (true, title, cur._3)
-        case 2 => // patch metadata only (merge latest-wins)
+        case 2 => // patch metadata only (supplied dict REPLACES the stored one)
           val meta = keys.filter(_ => rnd.nextBoolean()).map(k => k -> s"w${rnd.nextInt(3)}").toMap
-          db.updateDocument(1L, doc, metadata = meta)
-          if (cur._1) state(doc) = (true, cur._2, cur._3 ++ meta)
+          db.updateDocument(1L, doc, metadata = Some(meta))
+          if (cur._1) state(doc) = (true, cur._2, meta)
         case 3 =>
           db.deleteDocument(1L, doc)
           if (cur._1) state(doc) = (false, cur._2, cur._3)

@@ -51,14 +51,23 @@ class GraftDbSpec extends GraftSuite {
     db.createLibrary(1L, "alpha", 8, "flat", Map("owner" -> "a", "tier" -> "gold"))
     // patch only the name: dims/index_type/metadata untouched
     db.updateLibrary(1L, name = Some("alpha2"))
-    // patch only metadata: merges latest-wins over the stored dict
-    db.updateLibrary(1L, metadata = Map("tier" -> "silver", "region" -> "eu"))
+    // patch with a metadata dict: REPLACES the stored dict wholesale
+    // (reference $set semantics — keys absent from the patch disappear)
+    db.updateLibrary(1L, metadata = Some(Map("tier" -> "silver", "region" -> "eu")))
     val r = db.listLibraries().collect().head
     assert(r.getString(1) === "alpha2")
     assert(r.getInt(2) === 8)
     assert(r.getString(3) === "flat")
     assert(r.getAs[Map[String, String]]("metadata") ===
-      Map("owner" -> "a", "tier" -> "silver", "region" -> "eu"))
+      Map("tier" -> "silver", "region" -> "eu"),
+      "a supplied metadata dict must replace, not merge")
+    // an empty supplied dict CLEARS; None leaves the dict untouched
+    db.updateLibrary(1L, metadata = Some(Map.empty))
+    assert(db.listLibraries().collect().head
+      .getAs[Map[String, String]]("metadata") === Map.empty)
+    db.updateLibrary(1L, name = Some("alpha2b")) // metadata = None
+    assert(db.listLibraries().collect().head
+      .getAs[Map[String, String]]("metadata") === Map.empty)
     // a full upsert REPLACES the metadata dict (create == reference PUT)
     db.createLibrary(1L, "alpha3", 8, "flat", Map("fresh" -> "1"))
     assert(db.listLibraries().collect().head.getAs[Map[String, String]]("metadata") ===
@@ -69,6 +78,35 @@ class GraftDbSpec extends GraftSuite {
     assert(db.listLibraries().count() === 0)
   }
 
+  test("legacy-store compat: logs written WITHOUT a metadata column still open") {
+    // a pre-round-9 store: lib + doc logs carry no metadata column at all —
+    // the compat read path synthesizes it (empty dict on upserts, NULL =
+    // untouched on patches) instead of failing on an unresolved column
+    val root = Files.createTempDirectory("graftdb-legacy").toString
+    import spark.implicits._
+    Seq((0L, "upsert", 1L, Option("oldlib"), Option(8), Option("flat")),
+        (1L, "patch", 1L, Option("oldlib2"), Option.empty[Int], Option.empty[String]))
+      .toDF("seq", "op", "library_id", "name", "dims", "index_type")
+      .write.parquet(s"$root/libraries_log")
+    Seq((2L, "upsert", 1L, 5L, Option("t")), (3L, "patch", 1L, 5L, Option("t2")))
+      .toDF("seq", "op", "library_id", "doc_id", "title")
+      .write.parquet(s"$root/documents_log")
+    val db = new GraftDb(spark, root)
+    val lib = db.listLibraries().collect().head
+    assert(lib.getString(1) === "oldlib2" && lib.getInt(2) === 8)
+    assert(lib.getAs[Map[String, String]]("metadata") === Map.empty)
+    val doc = db.listDocuments(1L).collect().head
+    assert(doc.getString(2) === "t2")
+    assert(doc.getAs[Map[String, String]]("metadata") === Map.empty)
+    // new-code mutations append fine next to the legacy rows
+    db.updateLibrary(1L, metadata = Some(Map("migrated" -> "yes")))
+    assert(db.listLibraries().collect().head
+      .getAs[Map[String, String]]("metadata") === Map("migrated" -> "yes"))
+    // compaction rewrites the store at the new schema
+    db.compact()
+    assert(db.listLibraries().collect().head.getString(1) === "oldlib2")
+  }
+
   test("document entity CRUD: create/list, partial update merges, delete cascades, lib-delete masks") {
     val db = freshDb()
     db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
@@ -77,9 +115,10 @@ class GraftDbSpec extends GraftSuite {
     db.upsertChunks(corpus.take(4).map { case (id, text, emb) => (1L, 10L, id, text, emb) })
     assert(db.listDocuments(1L).collect().map(_.getLong(1)).toSeq === Seq(10L, 11L))
 
-    // partial update: title only, then metadata only — both survive
+    // partial update: title only (metadata untouched), then metadata only
+    // (title untouched, dict replaced)
     db.updateDocument(1L, 10L, title = Some("introduction"))
-    db.updateDocument(1L, 10L, metadata = Map("lang" -> "de", "status" -> "ok"))
+    db.updateDocument(1L, 10L, metadata = Some(Map("lang" -> "de", "status" -> "ok")))
     val d = db.getDocument(1L, 10L).collect().head
     assert(d.getString(2) === "introduction")
     assert(d.getAs[Map[String, String]]("metadata") === Map("lang" -> "de", "status" -> "ok"))

@@ -799,8 +799,8 @@ class StreamingMultiBatchSpec extends GraftSuite {
     db.createDocument(1L, 1L, "one")
     db.createDocument(1L, 2L, "two", Map("x" -> "old"))
     db.updateDocument(1L, 0L, title = Some("zero2"))
-    db.updateDocument(1L, 0L, metadata = Map("b" -> "3", "c" -> "4"))
-    db.updateDocument(1L, 2L, metadata = Map("x" -> "new"))
+    db.updateDocument(1L, 0L, metadata = Some(Map("b" -> "3", "c" -> "4")))
+    db.updateDocument(1L, 2L, metadata = Some(Map("x" -> "new")))
     db.deleteDocument(1L, 1L)
     db.createDocument(1L, 1L, "one reborn", Map("r" -> "1")) // revive
     db.updateDocument(1L, 1L, title = Some("one reborn 2"))
