@@ -525,6 +525,97 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** f9: EPOCH MIXING — the data-mix step every LLM pretraining run
+    * executes between curation and tokenization (the Pile / LLaMA recipe:
+    * each source gets a target share of the token budget, sources below
+    * their share are UPSAMPLED — seen for more than one epoch — and
+    * sources above it are downsampled). t18 balances DOC counts down to
+    * the smallest class; this is the production shape: TOKEN-denominated
+    * targets, fractional epoch factors, and both directions at once.
+    *
+    * Mechanics, all exact integer / fixed-point so the query hash-gates:
+    * per-source token mass S and the corpus total T reduce in one pass;
+    * the target share is a deterministic weight over the source id
+    * (`(n%4+1)·200` basis points — sums to exactly 10000 over the 20
+    * sources, standing in for the mixture-weights config a real run
+    * reads); the epoch factor r = T·share/S is carried in Q4 fixed point;
+    * every document emits `floor(r)` copies plus one more iff
+    * `h60('mix:'||doc_id) % 10⁴ < frac(r)` — per-DOCUMENT deterministic
+    * Bernoulli, the same device as t6's split, so the realized token
+    * share concentrates on the target without any RNG state. Emission is
+    * a map-side `explode(sequence(1, n_copies))` — no shuffle until the
+    * accounting agg.
+    *
+    * Scale shape: two scans of a 3-column projection (one to price the
+    * mix, one to emit), a 20-row rate table broadcast back (hinted — a
+    * group-by over the fixed `source` domain, audit-provably bounded),
+    * and two partial aggs. No window, no driver state; at 100 TB the
+    * emitted stream feeds the tokenizer directly. Overflow-safe to
+    * ~9·10¹⁴ corpus tokens (T·10⁴ must stay under 2⁶³). */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val perSrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("target_bp",
+        (substring(col("source"), 4, 10).cast("long") % 4L + 1L) * 200L)
+    val total = d.agg(sum(col("n_tok")).as("t_tokens"))
+    val rates = perSrc.crossJoin(broadcast(total))
+      .withColumn("rate_q4",
+        expr("(t_tokens * target_bp div 10000) * 10000 div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_bp"), col("rate_q4"))
+    val emitted = d.join(broadcast(rates.select(col("source"), col("rate_q4"))), Seq("source"))
+      .withColumn("n_copies",
+        expr("rate_q4 div 10000") +
+          when(Dedup.h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000L
+            < col("rate_q4") % 10000L, 1L).otherwise(0L))
+      // sequence(1, 0) counts DOWN in Spark — guard the zero-copy docs out
+      .filter(col("n_copies") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_copies"))))
+    val eSrc = emitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_emitted_docs"), sum(col("n_tok")).as("n_emitted_tokens"))
+    val eTot = eSrc.agg(sum(col("n_emitted_tokens")).as("e_total"))
+    rates.join(eSrc, Seq("source"), "left")
+      .crossJoin(broadcast(eTot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_bp"),
+        col("rate_q4"),
+        coalesce(col("n_emitted_docs"), lit(0L)).as("n_emitted_docs"),
+        coalesce(col("n_emitted_tokens"), lit(0L)).as("n_emitted_tokens"),
+        expr("coalesce(n_emitted_tokens, 0) * 10000 div e_total").as("achieved_bp"))
+      .orderBy("source")
+  }
+
+  /** DuckDB replay of [[epochMix]] — same fixed-point arithmetic, same
+    * h60 Bernoulli, emission via `unnest(generate_series(1, n))` (empty
+    * when n = 0, matching the Spark-side guard). */
+  def epochMixOracle(): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       |ps AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |              (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 200 AS target_bp
+       |       FROM d GROUP BY source),
+       |tt AS (SELECT sum(n_tok)::BIGINT AS t_tokens FROM d),
+       |r AS (SELECT ps.source, ps.n_docs, ps.n_tokens, ps.target_bp,
+       |             ((tt.t_tokens * ps.target_bp) // 10000) * 10000 // ps.n_tokens AS rate_q4
+       |      FROM ps, tt),
+       |nc AS (SELECT d.source, d.doc_id, d.n_tok,
+       |              r.rate_q4 // 10000 +
+       |              CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |                        % 10000 < r.rate_q4 % 10000 THEN 1 ELSE 0 END AS n_copies
+       |       FROM d JOIN r USING (source)),
+       |em AS (SELECT source, n_tok, unnest(generate_series(1, n_copies)) AS epoch FROM nc),
+       |es AS (SELECT source, count(*)::BIGINT AS n_emitted_docs,
+       |              sum(n_tok)::BIGINT AS n_emitted_tokens FROM em GROUP BY source),
+       |et AS (SELECT sum(n_emitted_tokens)::BIGINT AS e_total FROM es)
+       |SELECT r.source, r.n_docs, r.n_tokens, r.target_bp, r.rate_q4,
+       |       coalesce(es.n_emitted_docs, 0)::BIGINT AS n_emitted_docs,
+       |       coalesce(es.n_emitted_tokens, 0)::BIGINT AS n_emitted_tokens,
+       |       (coalesce(es.n_emitted_tokens, 0) * 10000) // et.e_total AS achieved_bp
+       |FROM r LEFT JOIN es USING (source), et ORDER BY source""".stripMargin
+
   /** From-scratch DuckDB replay: both clusterings via transitive closure
     * (base-only pairs ≡ full pair set restricted to base endpoints — band
     * membership is per-doc, so restriction commutes with candidate

@@ -952,6 +952,57 @@ object Streams {
       }
   }
 
+  /** One ingestion offer for the s23 quota gate: `seq` is the per-source
+    * arrival order (an ingestion queue's offset). */
+  case class QuotaOffer(seq: Long, source: String, doc_id: Long, n_tok: Long)
+
+  /** s23 per-source state: tokens admitted so far + offers seen. */
+  case class QuotaState(admittedToks: Long, nSeen: Long)
+
+  /** One admission decision; `cum_toks` is the admitted-token total AFTER
+    * this decision (unchanged on a reject). */
+  case class QuotaDecision(source: String, doc_id: Long, seq: Long,
+                           admitted: Boolean, cum_toks: Long, n_seen: Long)
+
+  /** s23: STREAMING TOKEN-QUOTA ADMISSION — the ingestion-side twin of
+    * f9's batch mix: documents arrive continuously per source and each
+    * source may admit at most `quotaToks` tokens into the release;
+    * first-come-first-served, the offer that crosses the line is admitted
+    * (budgets are soft caps — a document is never split), everything
+    * after is rejected. Admission is inherently order-SENSITIVE (it is a
+    * quota race), so unlike s22's order-robust fold this gate sorts by
+    * `seq` WITHIN each batch and documents the cross-batch contract: the
+    * feed delivers each source's offers in seq order (an ingestion
+    * queue's per-partition guarantee — source is the partition key).
+    * State per source is two longs — bounded by the SOURCE domain, not
+    * the corpus. Append mode: every offer emits exactly one decision.
+    * Spec: multi-batch feed ≡ a batch window-cumsum replay, with
+    * admit→reject flips crossing batch boundaries (state carried). */
+  def quotaStateful(spark: SparkSession,
+                    offers: org.apache.spark.sql.Dataset[QuotaOffer],
+                    quotaToks: Long
+                   ): org.apache.spark.sql.Dataset[QuotaDecision] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    offers
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, it, state: GroupState[QuotaState]) =>
+          val prev = state.getOption.getOrElse(QuotaState(0L, 0L))
+          var cum = prev.admittedToks
+          var n = prev.nSeen
+          val out = it.toSeq.sortBy(_.seq).map { o =>
+            n += 1
+            val admit = cum < quotaToks
+            if (admit) cum += o.n_tok
+            QuotaDecision(src, o.doc_id, o.seq, admit, cum, n)
+          }
+          state.update(QuotaState(cum, n))
+          out.iterator
+      }
+  }
+
   /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
     * aggregation — the windowed-aggregate twin of
     * [[sessionizeStatefulFrom]]. The state store merges overlapping

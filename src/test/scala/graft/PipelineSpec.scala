@@ -282,4 +282,48 @@ class PipelineSpec extends GraftSuite {
     assert(out.map(_.getAs[Long]("n_near_kept")).sum === keptIds.size.toLong)
     assert(expectDropped > 0, "containment stage is vacuous on this corpus")
   }
+
+  test("f9: mix targets sum to 10000 bp; both up- and down-sampling occur; achieved tracks target") {
+    val out = run("f9_epoch_mix").collect()
+    assert(out.map(_.getAs[Long]("target_bp")).sum === 10000L, "weights must be a partition of the budget")
+    assert(out.map(_.getAs[Long]("achieved_bp")).sum <= 10000L) // floor division per source
+    val up = out.filter(r => r.getAs[Long]("rate_q4") > 10000L)
+    val down = out.filter(r => r.getAs[Long]("rate_q4") < 10000L)
+    assert(up.nonEmpty && down.nonEmpty, "mix must exercise both directions on this corpus")
+    // upsampled sources emit MORE doc-instances than they hold, downsampled fewer
+    assert(up.forall(r => r.getAs[Long]("n_emitted_docs") >= r.getAs[Long]("n_docs")),
+      "an upsampled source emitted fewer instances than it holds")
+    assert(down.forall(r => r.getAs[Long]("n_emitted_docs") <= r.getAs[Long]("n_docs")),
+      "a downsampled source emitted more instances than it holds")
+    // the realized share tracks the target up to per-DOCUMENT Bernoulli
+    // noise (emission is whole documents — the fractional epoch is a coin
+    // per doc, so a source wobbles by O(√n_docs) documents' worth of
+    // basis points). The EXACT values are the oracle hash gate's job;
+    // this bound only catches gross breakage — a rate or hash off by 2×
+    // overshoots half the target, dwarfing the noise term at any SF
+    val totalToks = out.map(_.getAs[Long]("n_tokens")).sum
+    val maxDocTok = graft.sources.Tables.documents(spark, sf)
+      .select(max(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val docBp = maxDocTok * 10000L / totalToks + 1L
+    out.foreach { r =>
+      val (t, a) = (r.getAs[Long]("target_bp"), r.getAs[Long]("achieved_bp"))
+      val noise = math.round(3.0 * math.sqrt(r.getAs[Long]("n_docs").toDouble)) * docBp
+      assert(math.abs(a - t) <= t / 2 + noise,
+        s"source ${r.getString(0)}: achieved $a bp vs target $t bp (noise bound $noise)")
+    }
+  }
+
+  test("e14: retention matrix — offset 0 is 100% by construction, rows never exceed cohort") {
+    val out = run("e14_retention_cohorts").collect()
+    val cohorts = out.map(_.getAs[Long]("cohort_day")).distinct
+    assert(cohorts.length > 1, "single cohort — matrix degenerate on this corpus")
+    out.filter(_.getAs[Long]("day_offset") === 0L).foreach { r =>
+      assert(r.getAs[Long]("retention_q4") === 10000L,
+        "a user's first purchase day is itself an active day")
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Long]("day_offset") >= 0L)
+    }
+  }
 }

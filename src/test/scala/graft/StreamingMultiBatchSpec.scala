@@ -787,6 +787,49 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s23 token-quota admission: multi-batch stream == FCFS replica, flips cross batch boundaries") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic offers: 3 sources x 10 offers, varied token sizes
+    val offers = for (src <- 0 until 3; seq <- 1 to 10) yield
+      Streams.QuotaOffer(seq.toLong, s"src$src", src * 100L + seq,
+        ((seq * 7 + src) % 13 + 1).toLong)
+    val quota = 30L
+    // FCFS replica: admit while admitted-so-far < quota (soft cap)
+    val replica = offers.groupBy(_.source).flatMap { case (_, os) =>
+      var cum = 0L; var n = 0L
+      os.sortBy(_.seq).map { o =>
+        n += 1
+        val admit = cum < quota
+        if (admit) cum += o.n_tok
+        Streams.QuotaDecision(o.source, o.doc_id, o.seq, admit, cum, n)
+      }
+    }.toSet
+    assert(replica.exists(_.admitted) && replica.exists(!_.admitted),
+      "quota must split the feed — scenario vacuous")
+    // every source admits early and rejects late, and at least one
+    // source's first reject lands in batch 2+ (state must carry)
+    val firstRejects = replica.filter(!_.admitted).groupBy(_.source)
+      .map { case (s, ds) => s -> ds.map(_.seq).min }
+    assert(firstRejects.size === 3 && firstRejects.values.exists(_ >= 5),
+      s"tune quota: first rejects at $firstRejects")
+
+    val stream = MemoryStream[Streams.QuotaOffer]
+    val q = Streams.quotaStateful(spark, stream.toDS(), quota)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_quota").start()
+    try {
+      // in-seq-order batches per source (the ingestion-queue contract)
+      Seq(1 to 4, 5 to 7, 8 to 10).foreach { r =>
+        stream.addData(offers.filter(o => r.contains(o.seq.toInt)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("graft_mb_quota")
+        .as[Streams.QuotaDecision].collect().toSet
+      assert(streamed === replica,
+        s"quota gate diverged: missing=${(replica -- streamed).take(5)} extra=${(streamed -- replica).take(5)}")
+    } finally q.stop()
+  }
+
   test("s22 document changelog tail: shuffled patch batches == GraftDb.documents() fold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // drive the REAL facade's document entity through the order-sensitive
