@@ -928,6 +928,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d24: EVAL-LEAKAGE report — d9's overlap check pointed the OTHER way
+    * (GPT-3 appendix C reports both directions): for each BENCHMARK
+    * document, the share of its distinct n-grams found anywhere on the
+    * TRAINING side — the number that labels an eval score clean or
+    * dirty. d9 scores training docs against the (small) benchmark gram
+    * set; here the membership side is the CORPUS-sized training gram
+    * set, so nothing is broadcast by promise: bench grams and train
+    * grams meet in a gram-keyed LEFT SEMI join — both sides hash by
+    * gram, the train side carries no per-doc state through the join,
+    * and AQE broadcasts the bench side at test scale where it measures
+    * tiny. Exact integer share in Q4 fixed point + the dirty flag at
+    * the reporting threshold. */
+  def evalLeakage(spark: SparkSession, dir: String, n: Int = 5,
+                  benchMod: Long = 37L, dirtyQ4: Long = 1000L): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once (HOF-inline trap)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n))) END"))).as("gram"))
+    val train = grams.filter(col("doc_id") % benchMod =!= 0L).select(col("gram"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0L)
+    val leaked = bench.join(train, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leak_q4", expr("n_leaked * 10000 div n_grams"))
+      .withColumn("dirty", col("leak_q4") >= dirtyQ4)
+      .orderBy("doc_id")
+  }
+
+  def evalLeakageOracle(n: Int = 5, benchMod: Long = 37L, dirtyQ4: Long = 1000L): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_distinct([array_to_string(w[i:i+${n - 1}], ' ')
+       |                                   for i in generate_series(1, len(w) - ${n - 1})])) AS gram
+       |      FROM w WHERE len(w) >= $n),
+       |t AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod <> 0),
+       |b AS (SELECT doc_id, gram FROM g WHERE doc_id % $benchMod = 0),
+       |lk AS (SELECT b.doc_id, count(*)::BIGINT AS n_leaked
+       |       FROM b JOIN t ON b.gram = t.gram GROUP BY b.doc_id),
+       |ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM b GROUP BY doc_id)
+       |SELECT ng.doc_id, ng.n_grams, coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
+       |       (coalesce(lk.n_leaked, 0) * 10000) // ng.n_grams AS leak_q4,
+       |       (coalesce(lk.n_leaked, 0) * 10000) // ng.n_grams >= $dirtyQ4 AS dirty
+       |FROM ng LEFT JOIN lk USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** d10: Bloom-filter decontamination — the same train/eval overlap check
     * as [[decontaminate]] (d9), but with the benchmark n-gram set compressed
     * into a FIXED-SIZE bitset instead of broadcast as strings. At 100 TB the

@@ -991,6 +991,68 @@ object Relational {
        |ORDER BY n_lines DESC, suppkey
        |LIMIT $limit""".stripMargin
 
+  /** q23: PIVOT — the day × event-type activity matrix as a WIDE table
+    * (the report/BI shape; q12's cube is the long twin). The pivot
+    * values are the EXPLICIT fixed event taxonomy: an implicit
+    * `pivot("event_type")` first runs a distinct-collect JOB to discover
+    * the columns — a corpus scan spent on schema inference, and
+    * non-deterministic output schema if a new type appears — while the
+    * explicit list keeps the whole thing one pass (Catalyst compiles it
+    * to the same conditional-aggregate form the oracle spells out, so
+    * this also documents that `pivot` costs nothing over CASE WHEN).
+    * Missing cells are true zeros (a day with no errors had zero
+    * errors), made explicit with na.fill. */
+  def q23PivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("day") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  val q23Oracle: String =
+    """SELECT floor(epoch_ms(ts) / 86400000)::BIGINT AS day,
+      |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+      |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+      |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+      |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+      |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** q24: SET OPERATORS — INTERSECT / EXCEPT with their ANSI DISTINCT
+    * semantics, the segmentation query shape at (user, day) grain:
+    * "days a user both purchased AND clicked, with no error that day" —
+    * at user grain every segment saturates on this corpus (every user
+    * has every type; the spec guards against that vacuity). Catalyst
+    * rewrites INTERSECT → left-semi and EXCEPT → left-anti over
+    * aggregated distinct sides — three equi-joins co-partitioned on the
+    * (user_id, day) pair, no state beyond the per-type pair sets.
+    * INTERSECT binds tighter than EXCEPT in both engines (SQL standard),
+    * matching the method-chain order exactly. */
+  def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"),
+        col("event_type"))
+    def days(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("day"))
+    days("purchase").intersect(days("click")).except(days("error"))
+      .orderBy("user_id", "day")
+  }
+
+  val q24Oracle: String =
+    """WITH e AS (SELECT user_id, floor(epoch_ms(ts) / 86400000)::BIGINT AS day,
+      |                  event_type FROM events)
+      |SELECT user_id, day FROM e WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id, day FROM e WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id, day FROM e WHERE event_type = 'error'
+      |ORDER BY user_id, day""".stripMargin
+
   val q19Oracle: String =
     """WITH e AS (
       |  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS grp,

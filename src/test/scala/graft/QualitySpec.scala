@@ -37,6 +37,60 @@ class QualitySpec extends GraftSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSet === expected.toSet)
   }
 
+  test("d24: eval leakage matches a driver-side reverse intersection; both verdicts occur") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainGrams = docs.collect { case (id, t) if id % 37 != 0 => grams(t, 5) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val out = Dedup.evalLeakage(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 37 == 0, s"training doc $id leaked into the benchmark report")
+      val g = grams(docs(id), 5)
+      assert(r.getAs[Long]("n_grams") === g.size.toLong, s"doc $id n_grams")
+      assert(r.getAs[Long]("n_leaked") === g.count(trainGrams.contains).toLong, s"doc $id n_leaked")
+      assert(r.getAs[Boolean]("dirty") === (r.getAs[Long]("leak_q4") >= 1000L))
+    }
+    // every scorable benchmark doc reports — a silent absence hides dirt
+    val expected = docs.collect { case (id, t) if id % 37 == 0 && grams(t, 5).nonEmpty => id }
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected.toSet)
+  }
+
+  test("q23: pivot matrix == the long groupBy recompute; row sums equal event count") {
+    val out = run("q23_pivot_daily").collect()
+    val types = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+    val long = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.expr("(ts div 1000000) div 86400000").as("day"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val day = r.getAs[Long]("day")
+      types.foreach { c =>
+        assert(r.getAs[Long](c) === long.getOrElse((day, c.stripPrefix("n_")), 0L),
+          s"day $day cell $c")
+      }
+    }
+    assert(out.map(r => types.map(r.getAs[Long](_)).sum).sum ===
+      Tables.events(spark, sf).count(), "pivot cells must partition the event count")
+  }
+
+  test("q24: set ops — segment is proper (non-empty, strictly inside the intersect)") {
+    val rows = run("q24_set_ops").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.nonEmpty, "segment empty — set-op chain vacuous")
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val ev = Tables.events(spark, sf)
+      .select(c("user_id"), e("(ts div 1000000) div 86400000").as("day"), c("event_type"))
+    def days(t: String) = ev.filter(c("event_type") === t)
+      .select("user_id", "day").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (days("purchase") & days("click")) -- days("error")
+    assert(rows === expect, "set-op chain diverged from the driver set algebra")
+    assert(expect.size < (days("purchase") & days("click")).size,
+      "EXCEPT removed nothing — scenario vacuous")
+  }
+
   test("d10: bloom screen never misses a d9 hit and matches its gram counts") {
     val exact = Dedup.decontaminate(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit")))
