@@ -126,6 +126,7 @@ object BroadcastAudit {
     * literal (`doc_id % 10` has ≤ 10 values). */
   private def domainBounded(e: Expression, cb: AttributeSet): Boolean = e match {
     case _ if e.references.subsetOf(cb) => true
+    case a: org.apache.spark.sql.catalyst.expressions.Alias => domainBounded(a.child, cb)
     case c: Cast => domainBounded(c.child, cb)
     case c: CaseWhen =>
       c.branches.forall { case (_, v) => domainBounded(v, cb) } &&

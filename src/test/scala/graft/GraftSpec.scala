@@ -75,6 +75,44 @@ class ContractSpec extends GraftSuite {
     assert(offenders.isEmpty,
       s"SF-proportional broadcast hints in:\n${offenders.mkString("\n\n")}")
   }
+
+  test("BroadcastAudit positive controls: the gate actually flags unbounded hints") {
+    // the zero-violation assertion above is only half a gate — these
+    // prove the audit has TEETH, pinning the r9/r10 rule set: corpus
+    // scans, equality-literal filters, and corpus-keyed group-bys must
+    // flag; limits, key-range slices, fixed-domain group-bys, and
+    // literal-valued CASE keys must pass
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def flags(df: org.apache.spark.sql.DataFrame): Boolean =
+      tools.BroadcastAudit.violations(df).nonEmpty
+    // 1. raw corpus side → flagged
+    assert(flags(emb.join(broadcast(docs), Seq("doc_id"))), "corpus hint passed")
+    // 2. equality-literal filter keeps a FRACTION, not a count → flagged
+    assert(flags(emb.join(broadcast(docs.filter(col("lang") === "en")), Seq("doc_id"))),
+      "segment-filter hint passed")
+    // 3. corpus-keyed group-by is not a reducer (the r10 ADVICE finding) → flagged
+    assert(flags(emb.join(broadcast(
+      docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))), Seq("doc_id"))),
+      "corpus-keyed aggregate hint passed")
+    // 4. key-range slice → allowed
+    assert(!flags(emb.join(broadcast(docs.filter(col("doc_id") < 8)), Seq("doc_id"))),
+      "key-range slice flagged")
+    // 5. limit → allowed
+    assert(!flags(emb.join(broadcast(docs.limit(8)), Seq("doc_id"))), "limit flagged")
+    // 6. fixed-domain group-by (lang) joined back → allowed
+    assert(!flags(docs.join(broadcast(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))), Seq("lang"))),
+      "fixed-domain aggregate flagged")
+    // 7. literal-valued CASE grouping key → allowed
+    assert(!flags(docs.join(broadcast(
+      docs.select(expr("CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END").as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .withColumnRenamed("split", "lang")), Seq("lang"))),
+      "literal-CASE aggregate flagged")
+  }
 }
 
 /** Degenerate-document totality: the text/dedup kernels must stay
