@@ -655,6 +655,41 @@ object Persist {
     } finally emb.unpersist()
   }
 
+  /** v44: SHARD-PARALLEL index construction + merged serving — how a
+    * 100 TB IVF index is actually built: the centroid matrix trains ONCE
+    * (on a sample at scale — v8b's lever; the session registry here, so
+    * v14/v14b/v44 share one training run), then each corpus shard builds
+    * ITS OWN cluster-partitioned list artifact as an independent job —
+    * per-vector assignment needs no cross-shard coordination, a failed
+    * shard retries alone, and a corpus delta rebuilds one shard artifact
+    * instead of the index (p7's tombstone story composes per shard).
+    * Serving reads the UNION of shard roots through the same per-cluster
+    * partition pruning as the monolithic layout ([[probedListsSearchMulti]]
+    * — cluster_id partitions every shard, so a probe prunes within each
+    * shard independently). Result ≡ the monolithic build BY CONSTRUCTION
+    * (assignment commutes with sharding), and that equivalence IS the
+    * gate: the oracle is v14b's monolithic trained-search replay,
+    * unchanged. Spec additionally proves the shard artifacts partition
+    * the corpus and the merged scan prunes to the probed clusters. */
+  def shardedBuildSearch(spark: SparkSession, dir: String, k: Int = 10,
+                         nQueries: Int = 8, iters: Int = 5,
+                         nShards: Int = 2): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mat = Ivf.trainedCentroidsFor(spark, dir, iters)
+      val paths = (0 until nShards).map { s =>
+        val p = tablePath(spark, s"graft_idx_ivf_shard$s")
+        Sinks.writePartitioned(
+          Ivf.assignToMat(emb.filter(col("vec_id") % nShards === s), mat)
+            .select(col("vec_id"), col("embedding"), col("cluster_id")),
+          p, "cluster_id")
+        p
+      }
+      probedListsSearchMulti(spark, emb, paths, mat, k, nQueries)
+    } finally emb.unpersist()
+  }
+
   /** Probe-pruned serving tail over hive-partitioned trained lists at
     * `path`: the collected Q×Probes pairs prune the scan to the probed
     * cluster DIRECTORIES, broadcast-join back to their queries, exact
@@ -665,7 +700,18 @@ object Persist {
     * probed directories. */
   private[graft] def probedListsSearch(spark: SparkSession, emb: DataFrame, path: String,
                                        mat: Array[(Long, Array[Double])],
-                                       k: Int = 10, nQueries: Int = 8): DataFrame = {
+                                       k: Int = 10, nQueries: Int = 8): DataFrame =
+    probedListsSearchMulti(spark, emb, Seq(path), mat, k, nQueries)
+
+  /** Probe-pruned serving over ONE OR MANY list artifacts — the multi-path
+    * form is v44's merged-shard read: every root is partitioned by
+    * cluster_id, so the probe's partition pruning applies within each
+    * shard independently and the union costs nothing beyond the extra
+    * file listings. */
+  private[graft] def probedListsSearchMulti(spark: SparkSession, emb: DataFrame,
+                                            paths: Seq[String],
+                                            mat: Array[(Long, Array[Double])],
+                                            k: Int = 10, nQueries: Int = 8): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probePairs = Ivf.probesFor(queries, mat, spark).collect()
@@ -673,7 +719,13 @@ object Persist {
     val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
     val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
 
-    val scored = spark.read.parquet(path)
+    // multi-root partition discovery needs the common parent as basePath
+    // (otherwise Spark rejects the sibling roots as conflicting layouts)
+    val reader =
+      if (paths.size > 1)
+        spark.read.option("basePath", paths.head.take(paths.head.lastIndexOf('/')))
+      else spark.read
+    val scored = reader.parquet(paths: _*)
       .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
       .join(broadcast(probeDf), Seq("cluster_id"))
       .join(broadcast(queries), Seq("qid"))

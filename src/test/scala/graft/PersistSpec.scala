@@ -63,6 +63,32 @@ class PersistSpec extends GraftSuite {
       s"trained lists do not partition-prune:\n${plan.take(600)}")
   }
 
+  test("v44: sharded build == monolithic; shards partition the corpus; merged read prunes") {
+    val sharded = rows(Persist.shardedBuildSearch(spark, sf))
+    val mono = rows(Ivf.searchTrained(spark, sf))
+    assert(sharded === mono,
+      "merged-shard serving diverged from the monolithic trained search")
+    assert(sharded.nonEmpty)
+    // the shard artifacts partition the corpus exactly: disjoint, complete
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val s0 = spark.read.parquet(s"$wh/graft_idx_ivf_shard0").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val s1 = spark.read.parquet(s"$wh/graft_idx_ivf_shard1").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((s0 & s1).isEmpty, "shard artifacts overlap")
+    assert((s0 | s1).size.toLong ===
+      graft.sources.Tables.embeddings(spark, sf).count(), "shard union incomplete")
+    assert(s0.forall(_ % 2 == 0) && s1.forall(_ % 2 == 1), "shard keying broken")
+    // the merged multi-root read still partition-prunes per shard
+    val probed = spark.read.option("basePath", wh)
+      .parquet(s"$wh/graft_idx_ivf_shard0", s"$wh/graft_idx_ivf_shard1")
+      .filter(col("cluster_id").isin(1L, 3L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"merged shard read does not partition-prune:\n${plan.take(600)}")
+  }
+
   test("v19c: trained IVFADC survives persistence — round-trip == in-flight v19b") {
     val roundTrip = rows(IvfPq.trainedPersistSearch(spark, sf))
     val fresh = rows(IvfPq.searchTrained(spark, sf))
