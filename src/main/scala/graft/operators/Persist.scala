@@ -663,10 +663,14 @@ object Persist {
     * per-vector assignment needs no cross-shard coordination, a failed
     * shard retries alone, and a corpus delta rebuilds one shard artifact
     * instead of the index (p7's tombstone story composes per shard).
-    * Serving reads the UNION of shard roots through the same per-cluster
-    * partition pruning as the monolithic layout ([[probedListsSearchMulti]]
-    * — cluster_id partitions every shard, so a probe prunes within each
-    * shard independently). Result ≡ the monolithic build BY CONSTRUCTION
+    * The shard artifacts live under ONE parent root with `shard` as a
+    * leading partition column — `graft_idx_ivf_sharded/shard=N/
+    * cluster_id=M/` — so serving is a single scan of the parent with
+    * uniform partition depth: a probe's cluster_id predicate prunes
+    * directories within every shard independently, and `shard` is a
+    * free queryable column (per-shard audits, targeted rebuild reads)
+    * rather than a path convention. Result ≡ the monolithic build BY
+    * CONSTRUCTION
     * (assignment commutes with sharding), and that equivalence IS the
     * gate: the oracle is v14b's monolithic trained-search replay,
     * unchanged. Spec additionally proves the shard artifacts partition
@@ -678,15 +682,15 @@ object Persist {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     try {
       val mat = Ivf.trainedCentroidsFor(spark, dir, iters)
-      val paths = (0 until nShards).map { s =>
-        val p = tablePath(spark, s"graft_idx_ivf_shard$s")
+      val parent = tablePath(spark, "graft_idx_ivf_sharded")
+      dropIndexTable(spark, "graft_idx_ivf_sharded") // clear stale shard dirs
+      (0 until nShards).foreach { s =>
         Sinks.writePartitioned(
           Ivf.assignToMat(emb.filter(col("vec_id") % nShards === s), mat)
             .select(col("vec_id"), col("embedding"), col("cluster_id")),
-          p, "cluster_id")
-        p
+          s"$parent/shard=$s", "cluster_id")
       }
-      probedListsSearchMulti(spark, emb, paths, mat, k, nQueries)
+      probedListsSearch(spark, emb, parent, mat, k, nQueries)
     } finally emb.unpersist()
   }
 
@@ -696,22 +700,12 @@ object Persist {
     * cosine rerank. Shared by v14b and the streaming IVF ingest path
     * ([[graft.streaming.Streams.ivfIngestStream]]'s lists serve through
     * this identical plan) — however the lists were produced (one batch
-    * build or continuous micro-batch appends), reads only ever touch
+    * build, continuous micro-batch appends, or v44's per-shard parallel
+    * jobs under a `shard=N` partition level), reads only ever touch
     * probed directories. */
   private[graft] def probedListsSearch(spark: SparkSession, emb: DataFrame, path: String,
                                        mat: Array[(Long, Array[Double])],
-                                       k: Int = 10, nQueries: Int = 8): DataFrame =
-    probedListsSearchMulti(spark, emb, Seq(path), mat, k, nQueries)
-
-  /** Probe-pruned serving over ONE OR MANY list artifacts — the multi-path
-    * form is v44's merged-shard read: every root is partitioned by
-    * cluster_id, so the probe's partition pruning applies within each
-    * shard independently and the union costs nothing beyond the extra
-    * file listings. */
-  private[graft] def probedListsSearchMulti(spark: SparkSession, emb: DataFrame,
-                                            paths: Seq[String],
-                                            mat: Array[(Long, Array[Double])],
-                                            k: Int = 10, nQueries: Int = 8): DataFrame = {
+                                       k: Int = 10, nQueries: Int = 8): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probePairs = Ivf.probesFor(queries, mat, spark).collect()
@@ -719,13 +713,7 @@ object Persist {
     val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
     val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
 
-    // multi-root partition discovery needs the common parent as basePath
-    // (otherwise Spark rejects the sibling roots as conflicting layouts)
-    val reader =
-      if (paths.size > 1)
-        spark.read.option("basePath", paths.head.take(paths.head.lastIndexOf('/')))
-      else spark.read
-    val scored = reader.parquet(paths: _*)
+    val scored = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
       .join(broadcast(probeDf), Seq("cluster_id"))
       .join(broadcast(queries), Seq("qid"))

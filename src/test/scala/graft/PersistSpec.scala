@@ -69,20 +69,21 @@ class PersistSpec extends GraftSuite {
     assert(sharded === mono,
       "merged-shard serving diverged from the monolithic trained search")
     assert(sharded.nonEmpty)
-    // the shard artifacts partition the corpus exactly: disjoint, complete
+    // the shard partitions split the corpus exactly: disjoint, complete —
+    // `shard` is a real partition column of the single parent root, so the
+    // audit is one scan grouped by it, not per-path reads
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val s0 = spark.read.parquet(s"$wh/graft_idx_ivf_shard0").select("vec_id")
+    val shardedLists = spark.read.parquet(s"$wh/graft_idx_ivf_sharded")
+    val s0 = shardedLists.filter(col("shard") === 0).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val s1 = spark.read.parquet(s"$wh/graft_idx_ivf_shard1").select("vec_id")
+    val s1 = shardedLists.filter(col("shard") === 1).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert((s0 & s1).isEmpty, "shard artifacts overlap")
     assert((s0 | s1).size.toLong ===
       graft.sources.Tables.embeddings(spark, sf).count(), "shard union incomplete")
     assert(s0.forall(_ % 2 == 0) && s1.forall(_ % 2 == 1), "shard keying broken")
-    // the merged multi-root read still partition-prunes per shard
-    val probed = spark.read.option("basePath", wh)
-      .parquet(s"$wh/graft_idx_ivf_shard0", s"$wh/graft_idx_ivf_shard1")
-      .filter(col("cluster_id").isin(1L, 3L))
+    // the merged read partition-prunes on cluster_id within every shard
+    val probed = shardedLists.filter(col("cluster_id").isin(1L, 3L))
     probed.collect()
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
