@@ -58,22 +58,38 @@ import graft.operators.{Ivf, Knn, Lsh}
   * local path (tests).
   */
 object GraftDb {
+  /** Changelog generation written by THIS release. Rows carry it so a
+    * fold can tell which patch semantics the writer intended: generation
+    * ≤ 1 rows (no `log_v` column in their files — surfaced as NULL by the
+    * mergeSchema read) were written when a supplied patch dict meant
+    * MERGE-latest-wins; generation 2 rows mean wholesale `$set` replace
+    * (the reference's semantics). The fold dispatches PER ROW, so a log
+    * spanning both generations replays each mutation under the rule its
+    * writer meant — no migration pass, no silent reinterpretation. */
+  val LogV = 2
+
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
-    * delete_doc (doc-level rows carry chunk_id = -1). */
+    * delete_doc (doc-level rows carry chunk_id = -1). Chunks carry an
+    * arbitrary metadata dict (reference: app/core/models.py:16) — chunk
+    * ops are whole-record upserts (no patch), so no per-row versioning
+    * is needed: a NULL dict (pre-metadata files) reads as empty. */
   final case class ChunkOp(seq: Long, op: String, library_id: Long, doc_id: Long,
-                           chunk_id: Long, text: String, embedding: Array[Float])
+                           chunk_id: Long, text: String, embedding: Array[Float],
+                           metadata: Map[String, String])
 
   /** One library-changelog record. `op` ∈ upsert | patch | delete; patch
     * rows carry None for untouched fields — including metadata, where
     * None means "dict untouched" and Some(m) means "dict replaced by m"
-    * (the reference's `$set` semantics). */
+    * (the reference's `$set` semantics; merge for pre-[[LogV]]-2 rows). */
   final case class LibOp(seq: Long, op: String, library_id: Long,
                          name: Option[String], dims: Option[Int],
-                         index_type: Option[String], metadata: Option[Map[String, String]])
+                         index_type: Option[String], metadata: Option[Map[String, String]],
+                         log_v: Int = LogV)
 
   /** One document-changelog record. `op` ∈ upsert | patch | delete. */
   final case class DocOp(seq: Long, op: String, library_id: Long, doc_id: Long,
-                         title: Option[String], metadata: Option[Map[String, String]])
+                         title: Option[String], metadata: Option[Map[String, String]],
+                         log_v: Int = LogV)
 }
 
 final class GraftDb(spark: SparkSession, val root: String) {
@@ -94,9 +110,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * a new session continues where the last stopped (the reference's
     * rebuild-on-startup, minus the rebuild). */
   private var seq: Long = {
+    // coalesce: an EXISTING but empty log (a compacted store that held no
+    // rows of this entity) aggregates max(seq) to NULL, not to no-row
     def maxSeq(path: String): Long =
       if (!Files.exists(Paths.get(path))) -1L
-      else spark.read.parquet(path).agg(max(col("seq"))).head().getLong(0)
+      else spark.read.parquet(path)
+        .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0)
     Seq(libPath, chunkPath, docPath).map(maxSeq).max + 1
   }
   private def nextSeq(): Long = { val s = seq; seq += 1; s }
@@ -117,25 +136,41 @@ final class GraftDb(spark: SparkSession, val root: String) {
       spark.read.option("mergeSchema", mergeSchema).parquet(path)
     else Seq.empty[T].toDF()
 
-  /** Compat read for stores written before the metadata column existed
-    * (pre-round-9 logs): the log is footer-MERGED on read (new-code
-    * appends land next to legacy files, and without mergeSchema parquet
-    * would resolve to whichever file's schema it sampled — silently
-    * dropping the column), then normalized: a NULL dict on an upsert
-    * (legacy row) becomes the empty dict, a NULL on a patch stays NULL
-    * (= untouched). Compaction then persists the new schema. */
+  /** Compat read for stores written by earlier generations: the log is
+    * footer-MERGED on read (new-code appends land next to legacy files,
+    * and without mergeSchema parquet would resolve to whichever file's
+    * schema it sampled — silently dropping columns), then normalized: a
+    * NULL dict on an upsert (pre-metadata row) becomes the empty dict, a
+    * NULL on a patch stays NULL (= untouched), and rows from files
+    * without `log_v` keep it NULL — the fold's signal to replay that
+    * patch under its generation's MERGE rule (see [[GraftDb.LogV]]).
+    * Compaction then persists the current schema. */
   private def withMetaCompat(df: DataFrame): DataFrame = {
-    val withCol =
+    val withMeta =
       if (df.columns.contains("metadata")) df
       else df.withColumn("metadata", lit(null).cast("map<string,string>"))
-    withCol.withColumn("metadata",
+    val withV =
+      if (withMeta.columns.contains("log_v")) withMeta
+      else withMeta.withColumn("log_v", lit(null).cast("int"))
+    withV.withColumn("metadata",
       when(col("op") === "upsert",
         coalesce(col("metadata"), map().cast("map<string,string>")))
         .otherwise(col("metadata")))
   }
 
+  /** Chunk-log compat: pre-metadata files surface a NULL dict → empty on
+    * the surviving upserts (delete rows never reach the snapshot). */
+  private def withChunkMetaCompat(df: DataFrame): DataFrame = {
+    val withMeta =
+      if (df.columns.contains("metadata")) df
+      else df.withColumn("metadata", lit(null).cast("map<string,string>"))
+    withMeta.withColumn("metadata",
+      coalesce(col("metadata"), map().cast("map<string,string>")))
+  }
+
   private def libLog: DataFrame = withMetaCompat(logOrEmpty[LibOp](libPath, mergeSchema = true))
-  private def chunkLog: DataFrame = logOrEmpty[ChunkOp](chunkPath)
+  private def chunkLog: DataFrame =
+    withChunkMetaCompat(logOrEmpty[ChunkOp](chunkPath, mergeSchema = true))
   private def docLog: DataFrame = withMetaCompat(logOrEmpty[DocOp](docPath, mergeSchema = true))
 
   // ---- snapshot memo -------------------------------------------------------
@@ -174,6 +209,22 @@ final class GraftDb(spark: SparkSession, val root: String) {
     when(l.getField("seq") < r.getField("seq"), lit(-1))
       .when(l.getField("seq") > r.getField("seq"), lit(1))
       .otherwise(lit(0))
+
+  /** metadata union, NEW keys win — the generation-1 patch rule
+    * (map_concat alone throws on duplicate keys under the default dedup
+    * policy, so the overlap is filtered out of the old side first). */
+  private def mergeMeta(old: Column, nw: Column): Column =
+    map_concat(map_filter(old, (k, _) => !map_contains_key(nw, k)), nw)
+
+  /** Patch-row metadata fold, dispatched on the ROW's generation: NULL
+    * dict = untouched (all generations); a supplied dict MERGES for
+    * pre-versioning rows (their writer's semantics — re-reading an old
+    * log must not retroactively clear keys the writer meant to keep) and
+    * REPLACES for [[GraftDb.LogV]]-2 rows (the reference's `$set`). */
+  private def metaPatch(acc: Column, patch: Column, v: Column): Column =
+    when(patch.isNull, acc)
+      .when(v.isNull, mergeMeta(acc, patch))
+      .otherwise(patch)
 
   // ---- library CRUD (vector_db.py:105-151, models.py:26-30) ---------------
 
@@ -216,7 +267,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .groupBy(col("library_id"))
       .agg(array_sort(
         collect_list(struct(col("seq"), col("op"), col("name"), col("dims"),
-          col("index_type"), col("metadata"))), bySeq _).as("ops"))
+          col("index_type"), col("metadata"), col("log_v"))), bySeq _).as("ops"))
       .select(col("library_id"), aggregate(col("ops"), init, (acc, o) =>
         when(o.getField("op") === "delete",
           struct(lit(false).as("live"), acc.getField("name").as("name"),
@@ -231,7 +282,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
             coalesce(o.getField("name"), acc.getField("name")).as("name"),
             coalesce(o.getField("dims"), acc.getField("dims")).as("dims"),
             coalesce(o.getField("index_type"), acc.getField("index_type")).as("index_type"),
-            coalesce(o.getField("metadata"), acc.getField("metadata")).as("metadata")))
+            metaPatch(acc.getField("metadata"), o.getField("metadata"),
+              o.getField("log_v")).as("metadata")))
           .otherwise(acc))).as("s"))
       .filter(col("s.live"))
       .select(col("library_id"), col("s.name").as("name"), col("s.dims").as("dims"),
@@ -263,7 +315,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
   def deleteDocument(libId: Long, docId: Long): Unit = {
     val s = nextSeq()
     appendDocs(Seq(DocOp(s, "delete", libId, docId, None, None)))
-    appendChunks(Seq(ChunkOp(nextSeq(), "delete_doc", libId, docId, -1L, "", Array.empty)))
+    appendChunks(Seq(ChunkOp(nextSeq(), "delete_doc", libId, docId, -1L, "",
+      Array.empty, Map.empty)))
   }
 
   /** Live documents: library tombstones mask every doc-log row OLDER than
@@ -290,8 +343,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
       .groupBy(col("library_id"), col("doc_id"))
       .agg(array_sort(
-        collect_list(struct(col("seq"), col("op"), col("title"), col("metadata"))),
-        bySeq _).as("ops"))
+        collect_list(struct(col("seq"), col("op"), col("title"), col("metadata"),
+          col("log_v"))), bySeq _).as("ops"))
       .select(col("library_id"), col("doc_id"), aggregate(col("ops"), init, (acc, o) =>
         when(o.getField("op") === "delete",
           struct(lit(false).as("live"), acc.getField("title").as("title"),
@@ -302,7 +355,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .otherwise(when(acc.getField("live"),
           struct(lit(true).as("live"),
             coalesce(o.getField("title"), acc.getField("title")).as("title"),
-            coalesce(o.getField("metadata"), acc.getField("metadata")).as("metadata")))
+            metaPatch(acc.getField("metadata"), o.getField("metadata"),
+              o.getField("log_v")).as("metadata")))
           .otherwise(acc))).as("s"))
       .filter(col("s.live"))
       .select(col("library_id"), col("doc_id"), col("s.title").as("title"),
@@ -311,28 +365,41 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   // ---- chunk CRUD (vector_db.py:153-247) ----------------------------------
 
-  def upsertChunks(rows: Seq[(Long, Long, Long, String, Array[Float])]): Unit = {
+  def upsertChunks(rows: Seq[(Long, Long, Long, String, Array[Float])]): Unit =
+    upsertChunksMeta(rows.map { case (lib, doc, chunk, text, emb) =>
+      (lib, doc, chunk, text, emb, Map.empty[String, String]) })
+
+  /** Chunk upsert WITH the per-chunk metadata dict (reference:
+    * app/core/models.py:16 — `Chunk.metadata` is an arbitrary dict, and
+    * `SearchQuery.metadata_filters` filters on it, models.py:48 /
+    * vector_db.py:249). An upsert replaces the whole chunk record
+    * including its dict — chunks have no patch op. */
+  def upsertChunksMeta(
+      rows: Seq[(Long, Long, Long, String, Array[Float], Map[String, String])]): Unit = {
     // dim validation at the door (reference: vector_db.py:258 raises on a
     // mismatched vector) — one snapshot lookup per library in the batch
     rows.groupBy(_._1).foreach { case (libId, libRows) =>
       val dims = libRecord(libId).getAs[Int]("dims")
-      libRows.foreach { case (_, _, chunkId, _, emb) =>
+      libRows.foreach { case (_, _, chunkId, _, emb, _) =>
         require(emb.length == dims,
           s"chunk $chunkId embedding has ${emb.length} dims, library $libId declares $dims")
       }
     }
-    appendChunks(rows.map { case (lib, doc, chunk, text, emb) =>
-      ChunkOp(nextSeq(), "upsert", lib, doc, chunk, text, emb)
+    appendChunks(rows.map { case (lib, doc, chunk, text, emb, meta) =>
+      ChunkOp(nextSeq(), "upsert", lib, doc, chunk, text, emb, meta)
     })
   }
   def addChunk(libId: Long, docId: Long, chunkId: Long, text: String,
-               embedding: Array[Float]): Unit =
-    upsertChunks(Seq((libId, docId, chunkId, text, embedding)))
+               embedding: Array[Float],
+               metadata: Map[String, String] = Map.empty): Unit =
+    upsertChunksMeta(Seq((libId, docId, chunkId, text, embedding, metadata)))
   def updateChunk(libId: Long, docId: Long, chunkId: Long, text: String,
-                  embedding: Array[Float]): Unit =
-    upsertChunks(Seq((libId, docId, chunkId, text, embedding)))
+                  embedding: Array[Float],
+                  metadata: Map[String, String] = Map.empty): Unit =
+    upsertChunksMeta(Seq((libId, docId, chunkId, text, embedding, metadata)))
   def deleteChunk(libId: Long, docId: Long, chunkId: Long): Unit =
-    appendChunks(Seq(ChunkOp(nextSeq(), "delete_chunk", libId, docId, chunkId, "", Array.empty)))
+    appendChunks(Seq(ChunkOp(nextSeq(), "delete_chunk", libId, docId, chunkId, "",
+      Array.empty, Map.empty)))
 
   /** The live chunk snapshot, MERGE-ON-READ:
     * 1. latest op per (library, chunk) — one partial agg, survivors must
@@ -344,12 +411,19 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *    the library must currently exist. */
   def chunks(): DataFrame = memoSnapshot("chunks") {
     val log = chunkLog
+    // max_by on the (globally unique) seq, not max(struct(…)): the struct
+    // now carries the metadata MAP, which is not an orderable type — the
+    // ordering key must stay scalar
     val latest = log.filter(col("op").isin("upsert", "delete_chunk"))
       .groupBy(col("library_id"), col("chunk_id"))
-      .agg(max(struct(col("seq"), col("op"), col("doc_id"), col("text"), col("embedding"))).as("s"))
-      .select(col("library_id"), col("chunk_id"), col("s.seq").as("seq"),
+      .agg(
+        max_by(struct(col("op"), col("doc_id"), col("text"), col("embedding"),
+          col("metadata")), col("seq")).as("s"),
+        max(col("seq")).as("seq"))
+      .select(col("library_id"), col("chunk_id"), col("seq"),
         col("s.op").as("op"), col("s.doc_id").as("doc_id"),
-        col("s.text").as("text"), col("s.embedding").as("embedding"))
+        col("s.text").as("text"), col("s.embedding").as("embedding"),
+        col("s.metadata").as("metadata"))
       .filter(col("op") === "upsert").drop("op")
     val docTombs = log.filter(col("op") === "delete_doc")
       .groupBy(col("library_id"), col("doc_id")).agg(max(col("seq")).as("doc_tomb"))
@@ -363,7 +437,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .join(libTombs, Seq("library_id"), "left")
       .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
       .join(listLibraries().select(col("library_id")), Seq("library_id"))
-      .select(col("library_id"), col("doc_id"), col("chunk_id"), col("text"), col("embedding"))
+      .select(col("library_id"), col("doc_id"), col("chunk_id"), col("text"),
+        col("embedding"), col("metadata"))
   }
 
   def listChunks(libId: Long): DataFrame =
@@ -424,14 +499,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private[graft] def writeCompactSnapshots(keep: Column = lit(true)): Unit = {
     chunks().filter(keep)
       .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
-        col("doc_id"), col("chunk_id"), col("text"), col("embedding"))
+        col("doc_id"), col("chunk_id"), col("text"), col("embedding"), col("metadata"))
       .write.mode("overwrite").parquet(s"${chunkPath}_compacting")
+    // compacted rows are whole-record upserts under the CURRENT
+    // generation's schema — future appends merge against log_v = LogV
     listLibraries().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
-        col("name"), col("dims"), col("index_type"), col("metadata"))
+        col("name"), col("dims"), col("index_type"), col("metadata"),
+        lit(LogV).as("log_v"))
       .write.mode("overwrite").parquet(s"${libPath}_compacting")
     documents().filter(keep)
       .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
-        col("doc_id"), col("title"), col("metadata"))
+        col("doc_id"), col("title"), col("metadata"), lit(LogV).as("log_v"))
       .write.mode("overwrite").parquet(s"${docPath}_compacting")
     fs.create(new Path(compactMarker), true).close()
   }
@@ -504,8 +582,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
                 metadataFilter: Option[Column] = None): DataFrame = {
     val lib = libRecord(libId)
     val indexType = lib.getAs[String]("index_type")
+    // `metadata` rides the candidate slice so `metadataFilter` can
+    // reference the chunk dict (reference: SearchQuery.metadata_filters,
+    // models.py:48 → vector_db.py:249 filter-then-score) — e.g.
+    // col("metadata")("source") === "web"
     val base = listChunks(libId)
-      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"), col("text"))
+      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
+        col("text"), col("metadata"))
     val snap = metadataFilter.fold(base)(base.filter)
     val emb = snap.select(col("vec_id"), col("embedding"))
     val qs = queries.select(col("qid"), col("qvec"))
@@ -539,10 +622,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
       // the snapshot — the snapshot is the SF-proportional relation and
       // must never be a broadcast; inner ≡ left because every hit id
       // comes from the snapshot itself (the v15 rule)
-      snap.select(col("vec_id"), col("doc_id"), col("text"))
+      snap.select(col("vec_id"), col("doc_id"), col("text"), col("metadata"))
         .join(broadcast(hits), Seq("vec_id"))
         .select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"),
-          col("doc_id"), col("text"))
+          col("doc_id"), col("text"), col("metadata"))
         .orderBy("qid", "rank")
   }
 
@@ -579,11 +662,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
     searchAll(libId, qdf, k, includeChunk).drop("qid").orderBy("rank")
   }
 
-  // ---- stats (vector_db.py stats surface) ---------------------------------
+  // ---- stats (operations.py:53 stats surface) -----------------------------
 
-  def stats(libId: Long): DataFrame =
+  /** Per-library stats with INDEX metadata alongside the counts — the
+    * reference's stats endpoint reports the library record and index
+    * state (type, declared dims, trained or not), not counts alone
+    * (app/api/routes/operations.py:53). `trained` reflects whether a
+    * [[trainIndex]] artifact exists for the library — the serving-path
+    * dispatch bit ([[searchAll]]'s untrained-ivf degradation). */
+  def stats(libId: Long): DataFrame = {
+    val lib = libRecord(libId)
     listChunks(libId).agg(
       countDistinct(col("doc_id")).as("n_docs"),
       count(lit(1)).as("n_chunks"),
       sum(length(col("text"))).as("n_chars"))
+      .select(
+        lit(libId).as("library_id"),
+        lit(lib.getAs[String]("name")).as("name"),
+        lit(lib.getAs[Int]("dims")).as("dims"),
+        lit(lib.getAs[String]("index_type")).as("index_type"),
+        lit(trainedMat(libId).isDefined).as("trained"),
+        col("n_docs"), col("n_chunks"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+  }
 }

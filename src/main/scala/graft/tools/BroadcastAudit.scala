@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, CaseWhen, Cast, Expression, LessThan, LessThanOrEqual, Literal, Pmod, Remainder}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, CaseWhen, Cast, Expression, LessThan, LessThanOrEqual, Literal, Pmod, Remainder}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -78,13 +78,34 @@ object BroadcastAudit {
     case _ => false
   }
 
-  /** key-range slice: `<` / `<=` against a literal keeps a constant
-    * number of ids (the workload convention `vec_id < nQueries`);
-    * attribute EQUALITY against a literal is proportional (a segment
-    * filter keeps a constant FRACTION) and deliberately does not count. */
-  private def hasRangeCond(c: Expression): Boolean = c.exists {
-    case LessThan(_, _: Literal) => true
-    case LessThanOrEqual(_, _: Literal) => true
+  /** Columns that are ROW KEYS of the relations they filter (dense ids
+    * assigned per row), so `key < N` keeps ≤ N ROWS at any SF. A range on
+    * anything else bounds nothing: a MEASURE column (`n_tok < 100`) or a
+    * shared key (`cluster_id < 8`) keeps a corpus FRACTION — constant
+    * share, not constant count. */
+  private val RowKeyColumns = Set("vec_id", "doc_id", "qid", "chunk_id")
+
+  /** key-range slice: a TOP-LEVEL CONJUNCT `rowkey < lit` / `<= lit`
+    * keeps a constant number of ids (the workload convention
+    * `vec_id < nQueries`). Two deliberate exclusions (each was a hole):
+    * a range inside an OR branch bounds nothing (`id < 8 OR lang='en'`
+    * admits the whole segment), and attribute EQUALITY against a literal
+    * is proportional (a segment filter keeps a constant FRACTION). */
+  private def hasRangeCond(c: Expression): Boolean =
+    topConjuncts(c).exists {
+      case LessThan(l, _: Literal) => isRowKey(l)
+      case LessThanOrEqual(l, _: Literal) => isRowKey(l)
+      case _ => false
+    }
+
+  private def topConjuncts(c: Expression): Seq[Expression] = c match {
+    case And(l, r) => topConjuncts(l) ++ topConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def isRowKey(e: Expression): Boolean = e match {
+    case a: Attribute => RowKeyColumns.contains(a.name)
+    case c: Cast => isRowKey(c.child)
     case _ => false
   }
 

@@ -306,7 +306,7 @@ class GraftDbSpec extends GraftSuite {
     val db = freshDb()
     db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
     db.upsertChunks(corpus.take(20).map { case (id, text, emb) => (1L, id / 10, id, text, emb) })
-    assert(db.stats(1L).head().getLong(1) === 20L)
+    assert(db.stats(1L).head().getAs[Long]("n_chunks") === 20L)
 
     // flat search == driver-side exact kNN over the same snapshot
     val q = corpus(3)._3
@@ -325,7 +325,7 @@ class GraftDbSpec extends GraftSuite {
     // chunk delete
     db.deleteChunk(1L, corpus(5)._1 / 10, corpus(5)._1)
     assert(db.getChunk(1L, corpus(5)._1).count() === 0)
-    assert(db.stats(1L).head().getLong(1) === 19L)
+    assert(db.stats(1L).head().getAs[Long]("n_chunks") === 19L)
 
     // document cascade: doc 0 holds ids 0..9 → minus already-deleted 5
     db.deleteDocument(1L, 0L)
@@ -407,5 +407,124 @@ class GraftDbSpec extends GraftSuite {
     val db2 = new GraftDb(spark, root) // fresh facade, same storage
     db2.deleteChunk(1L, 0L, 1L) // must sequence AFTER db1's upsert
     assert(db2.chunks().count() === 0, "restored sequence did not order after prior writes")
+  }
+
+  test("chunk metadata dict: filtered searchAll per index family (models.py:16/:48)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "flat", dims, "flat")
+    db.createLibrary(2L, "lsh", dims, "lsh")
+    db.createLibrary(3L, "ivf", dims, "ivf")
+    def src(id: Long) = if (id % 2 == 0) "web" else "books"
+    Seq(1L, 2L, 3L).foreach { lib =>
+      db.upsertChunksMeta(corpus.take(24).map { case (id, t, e) =>
+        (lib, id / 10, id, t, e, Map("source" -> src(id), "crawl" -> "2026-01")) })
+    }
+    db.trainIndex(3L, kCentroids = 4, iters = 1)
+    // the snapshot exposes the dict
+    val metas = db.listChunks(1L).select(col("chunk_id"), col("metadata")("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(metas.forall { case (id, v) => v === src(id) })
+    // query an IN-FILTER (even-id / web) vector: the LSH arm finds
+    // candidates by bucket collision, and the self-bucket guarantees a
+    // non-vacuous hit set only if the query itself survives the filter
+    val q = corpus(2)._3
+    assert(corpus(2)._1 % 2 == 0, "test premise: corpus(2) must be an even id")
+    val filt = Some(col("metadata")("source") === "web")
+    // flat arm: filtered search == brute-force kNN over the web-only subset
+    val flatHits = db.search(1L, q, k = 5, metadataFilter = filt).collect()
+    assert(flatHits.nonEmpty && flatHits.forall(_.getLong(1) % 2 == 0),
+      "a filtered-out (books) candidate surfaced")
+    val want = corpus.take(24).filter(_._1 % 2 == 0)
+      .map { case (id, _, e) => id -> cosine(e, q) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1)
+    assert(flatHits.map(_.getLong(1)).toSeq === want.toSeq)
+    // lsh + ivf arms: filter restricts candidates BEFORE scoring — no
+    // books id can appear no matter how it scores
+    Seq(2L, 3L).foreach { lib =>
+      val hits = db.search(lib, q, k = 5, metadataFilter = filt).collect()
+      assert(hits.nonEmpty && hits.forall(_.getLong(1) % 2 == 0),
+        s"library $lib leaked a filtered-out candidate")
+    }
+    // includeChunk carries the dict in the payload
+    val withChunk = db.search(1L, q, k = 3, includeChunk = true, metadataFilter = filt)
+    assert(withChunk.columns.contains("metadata"))
+    assert(withChunk.collect().forall(_.getAs[Map[String, String]]("metadata")("source") === "web"))
+  }
+
+  test("pre-metadata chunk log opens and searches; new appends carry the dict (compat)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftdb").toString
+    val dims = corpus.head._3.length
+    // a store written before ChunkOp had `metadata`: old-schema rows direct
+    Seq((0L, "upsert", 1L, 0L, corpus(0)._1, corpus(0)._2, corpus(0)._3),
+        (1L, "upsert", 1L, 0L, corpus(1)._1, corpus(1)._2, corpus(1)._3))
+      .toDF("seq", "op", "library_id", "doc_id", "chunk_id", "text", "embedding")
+      .write.parquet(s"$root/chunks_log")
+    Seq((2L, "upsert", 1L, Some("lib"), Some(dims), Some("flat")))
+      .toDF("seq", "op", "library_id", "name", "dims", "index_type")
+      .write.parquet(s"$root/libraries_log")
+    val db = new GraftDb(spark, root)
+    // legacy rows read as the empty dict, and the snapshot/search work
+    assert(db.listChunks(1L).collect()
+      .forall(_.getAs[Map[String, String]]("metadata").isEmpty))
+    assert(db.search(1L, corpus(0)._3, k = 1).head().getLong(1) === corpus(0)._1)
+    // a new-code append lands NEXT TO the legacy files and keeps its dict
+    db.addChunk(1L, 0L, 999L, "tagged", corpus(2)._3, Map("source" -> "web"))
+    val m = db.getChunk(1L, 999L).head().getAs[Map[String, String]]("metadata")
+    assert(m === Map("source" -> "web"))
+    // filtered search over the mixed log: only the tagged chunk matches
+    val hits = db.search(1L, corpus(2)._3, k = 5,
+      metadataFilter = Some(col("metadata")("source") === "web")).collect()
+    assert(hits.map(_.getLong(1)).toSeq === Seq(999L))
+  }
+
+  test("metadata fold dispatches per row generation: old patches MERGE, new patches REPLACE") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftdb").toString
+    // generation-1 store: metadata non-optional, NO log_v column, and its
+    // writer's patch semantics were merge-latest-wins
+    Seq((0L, "upsert", 1L, Some("lib"), Some(8), Some("flat"), Map("a" -> "1", "b" -> "1")),
+        (1L, "patch", 1L, None: Option[String], None: Option[Int], None: Option[String],
+          Map("b" -> "2", "c" -> "2")))
+      .toDF("seq", "op", "library_id", "name", "dims", "index_type", "metadata")
+      .write.parquet(s"$root/libraries_log")
+    val db = new GraftDb(spark, root)
+    // the old patch row must fold under ITS generation's rule: merged,
+    // not reinterpreted as a wholesale $set (which would drop "a")
+    val merged = db.listLibraries().head().getAs[Map[String, String]]("metadata")
+    assert(merged === Map("a" -> "1", "b" -> "2", "c" -> "2"),
+      s"pre-versioning patch row lost the merge semantics: $merged")
+    // a CURRENT-generation patch $set-replaces wholesale
+    db.updateLibrary(1L, metadata = Some(Map("z" -> "9")))
+    assert(db.listLibraries().head().getAs[Map[String, String]]("metadata")
+      === Map("z" -> "9"))
+    // and compaction persists the folded state under the current schema —
+    // re-open reads it back unchanged
+    db.compact()
+    val db2 = new GraftDb(spark, root)
+    assert(db2.listLibraries().head().getAs[Map[String, String]]("metadata")
+      === Map("z" -> "9"))
+  }
+
+  test("stats reports the library + index state beside the counts (operations.py:53)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "prod", dims, "ivf")
+    db.upsertChunks(corpus.take(12).map { case (id, t, e) => (1L, id / 10, id, t, e) })
+    val before = db.stats(1L).head()
+    assert(before.getAs[String]("name") === "prod")
+    assert(before.getAs[Int]("dims") === dims)
+    assert(before.getAs[String]("index_type") === "ivf")
+    assert(!before.getAs[Boolean]("trained"), "untrained library reports trained")
+    assert(before.getAs[Long]("n_chunks") === 12L)
+    assert(before.getAs[Long]("n_docs") === corpus.take(12).map(_._1 / 10).distinct.length.toLong)
+    db.trainIndex(1L, kCentroids = 4, iters = 1)
+    assert(db.stats(1L).head().getAs[Boolean]("trained"),
+      "trainIndex artifact not reflected in stats")
+    // an empty library still answers with zero counts, not nulls
+    db.createLibrary(2L, "empty", dims, "flat")
+    val empty = db.stats(2L).head()
+    assert(empty.getAs[Long]("n_chunks") === 0L && empty.getAs[Long]("n_chars") === 0L)
   }
 }

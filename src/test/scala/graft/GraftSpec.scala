@@ -112,6 +112,19 @@ class ContractSpec extends GraftSuite {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .withColumnRenamed("split", "lang")), Seq("lang"))),
       "literal-CASE aggregate flagged")
+    // 8. range inside an OR branch admits the whole segment → flagged
+    //    (the r10 ADVICE hole: c.exists matched the `<` anywhere)
+    assert(flags(emb.join(broadcast(
+      docs.filter(col("doc_id") < 8 || col("lang") === "en")), Seq("doc_id"))),
+      "OR'd range hint passed")
+    // 9. range on a MEASURE column keeps a corpus fraction → flagged
+    assert(flags(emb.join(broadcast(docs.filter(col("n_chars") < 100)), Seq("doc_id"))),
+      "measure-range hint passed")
+    // 10. …but a row-key range AND'd with a segment filter still bounds
+    //     (the conjunct keeps ≤ 8 rows regardless of the other term)
+    assert(!flags(emb.join(broadcast(
+      docs.filter(col("doc_id") < 8 && col("lang") === "en")), Seq("doc_id"))),
+      "conjunct key-range flagged")
   }
 }
 
