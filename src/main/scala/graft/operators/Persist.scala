@@ -273,6 +273,110 @@ object Persist {
        |       FROM p)
        |SELECT * FROM ba UNION ALL SELECT * FROM la ORDER BY artifact""".stripMargin
 
+  /** p13: the purge proof extended to the PRODUCT-QUANTIZER artifacts —
+    * the last standing per-vector derived data ([[purgeProofIndexed]]
+    * covers IVF lists + binary words; this covers the coded families'
+    * two artifacts): after the purge rewrite, the PQ CODEBOOK is rebuilt
+    * from the K lowest SURVIVING ids (so even the model parameters derive
+    * from post-purge data — a purged vector must not live on as a
+    * codebook row, the right-to-be-forgotten leak v19c's artifact would
+    * otherwise have), the surviving corpus is re-encoded, the M per-
+    * subspace cells PACKED into one bigint per vector (4 bits/cell — the
+    * v19c packed-row shape), both persisted, RE-READ FROM DISK and
+    * audited with p11's inverted-predicate recipe: row count, purged ids
+    * still present (must be 0 in both artifacts), order-independent
+    * `bit_xor` content checksum the oracle recomputes from the base
+    * table with the tombstone predicate inverted. Packed codes are
+    * integers, so the checksum covers the encode math transitively. At
+    * 100 TB: one filtered rewrite + a broadcast-codebook encode (128
+    * tiny rows) + bounded-output audit aggregates. */
+  def purgeProofCoded(spark: SparkSession, dir: String, mod: Long = 7L): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def tomb(c: Column): Column =
+      Dedup.h60(concat(lit("del:"), c.cast("string"))) % mod === 0L
+    val basePath = tablePath(spark, "graft_purged_pq_base")
+    emb.filter(!tomb(col("vec_id"))).write.mode("overwrite").parquet(basePath)
+    val corpus = spark.read.parquet(basePath)
+
+    // codebook SOURCE ids: the Pq.K lowest surviving ids, cell = rank —
+    // driver state is 16 longs (the artifact's own bound)
+    val cbIds: Array[Long] = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(Pq.K).collect().map(_.getLong(0))
+    val cellOf = cbIds.sorted.zipWithIndex.toMap
+    val cbPath = tablePath(spark, "graft_purged_pq_codebook")
+    val subAll = corpus
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(Pq.M - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * Pq.Sub + 1, lit(Pq.Sub)).as("sv"))
+    val cellMap = typedLit(cellOf.map { case (id, cell) => id -> cell.toLong })
+    subAll.filter(col("vec_id").isin(cbIds: _*))
+      .select(col("m"), element_at(cellMap, col("vec_id")).as("cell"),
+        col("vec_id").as("src_id"), col("sv").as("cv"))
+      .write.mode("overwrite").parquet(cbPath)
+    val codebook = spark.read.parquet(cbPath)
+
+    // encode survivors against the re-read codebook: argmin-L2 per
+    // subspace (ties to the lowest cell), cells packed 4 bits each
+    val codesPath = tablePath(spark, "graft_purged_pq_codes")
+    subAll
+      .join(broadcast(codebook.select(col("m"), col("cell"), col("cv"))), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(Graft.l2(col("sv"), col("cv")).as("d"), col("cell")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"),
+        expr("shiftleft(cast(best.cell as bigint), cast(4 * m as int))").as("part"))
+      .groupBy(col("vec_id")).agg(sum(col("part")).as("packed"))
+      .write.mode("overwrite").parquet(codesPath)
+    val codes = spark.read.parquet(codesPath)
+
+    val cbAudit = codebook
+      .select(col("src_id"), Dedup.h60(concat_ws(":",
+        lit("chk"), col("m"), col("cell"), col("src_id"))).as("hc"))
+      .groupBy(lit("pq_codebook").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("src_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    val codesAudit = codes
+      .select(col("vec_id"), Dedup.h60(concat_ws(":",
+        lit("chk"), col("vec_id"), col("packed"))).as("hc"))
+      .groupBy(lit("pq_codes").as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(tomb(col("vec_id")), 1L).otherwise(0L)).as("n_purged_remaining"),
+        expr("bit_xor(hc)").as("checksum"))
+    cbAudit.unionAll(codesAudit).orderBy("artifact")
+  }
+
+  def purgeProofCodedOracle(mod: Long = 7L): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |      WHERE NOT ((CAST('0x' || substr(md5('del:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) % $mod = 0)),
+       |cb AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |       FROM e ORDER BY vec_id LIMIT ${Pq.K}),
+       |em AS (SELECT vec_id, v, unnest([i for i in generate_series(0, ${Pq.M - 1})]) AS m FROM e),
+       |sub AS (SELECT vec_id, m, v[(${Pq.Sub}*m+1):(${Pq.Sub}*m+${Pq.Sub})] AS sv FROM em),
+       |cent AS (SELECT s.m, b.cell, s.vec_id AS src_id, s.sv AS cv
+       |         FROM sub s JOIN cb b USING (vec_id)),
+       |dist AS (SELECT s.vec_id, s.m, c.cell, list_distance(s.sv, c.cv) AS d
+       |         FROM sub s JOIN cent c USING (m)),
+       |code AS (SELECT vec_id, m, cell FROM (
+       |           SELECT vec_id, m, cell,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+       |           FROM dist) WHERE rn = 1),
+       |packed AS (SELECT vec_id, sum(cell * (1::BIGINT << (4 * m)))::BIGINT AS packed
+       |           FROM code GROUP BY vec_id),
+       |cba AS (SELECT 'pq_codebook' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |               bit_xor(CAST('0x' || substr(md5('chk:' || CAST(m AS VARCHAR) || ':' ||
+       |                 CAST(cell AS VARCHAR) || ':' || CAST(src_id AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |        FROM cent),
+       |cda AS (SELECT 'pq_codes' AS artifact, count(*)::BIGINT AS n_rows, 0::BIGINT AS n_purged_remaining,
+       |               bit_xor(CAST('0x' || substr(md5('chk:' || CAST(vec_id AS VARCHAR) || ':' ||
+       |                 CAST(packed AS VARCHAR)), 1, 15) AS BIGINT))::BIGINT AS checksum
+       |        FROM packed)
+       |SELECT * FROM cba UNION ALL SELECT * FROM cda ORDER BY artifact""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)
@@ -993,6 +1097,50 @@ object Persist {
   /** Same semantics as the transient build — the artifact is a layout, not
     * a result change. */
   def binaryPersistSearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
+    Knn.binaryHammingSearchOracle(k, r, nQueries)
+
+  /** v45: v44's SHARD-PARALLEL construction applied to the BINARY family —
+    * the two 100 TB levers composed on one artifact: v36's float-free
+    * 24-byte sign-word rows (32× candidate-scan compression) × v44's
+    * coordination-free per-shard builds (sign-packing is per-row map-only
+    * work, so each shard's job is independent; a failed shard retries
+    * alone, a corpus delta rebuilds one shard artifact). Shards live
+    * under ONE parent root with `shard` as the partition column
+    * (`graft_idx_binary_sharded/shard=N/` — the corrected v44 layout),
+    * so merged serving is a single uniform-depth scan and `shard` is a
+    * free queryable column for per-shard audits/rebuild targeting.
+    * Result ≡ the monolithic v36 artifact BY CONSTRUCTION (packing
+    * commutes with sharding); oracle = v35's Hamming replay unchanged.
+    * Spec: ≡ persisted v36, shards disjoint+complete by the keying rule,
+    * merged candidate scan still reads ONLY the three bigints. */
+  def shardedBinaryBuildSearch(spark: SparkSession, dir: String, k: Int = 10,
+                               r: Int = 40, nQueries: Int = 8,
+                               nShards: Int = 2): DataFrame = {
+    graft.Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val parent = tablePath(spark, "graft_idx_binary_sharded")
+    dropIndexTable(spark, "graft_idx_binary_sharded") // clear stale shard dirs
+    (0 until nShards).foreach { s =>
+      emb.filter(col("vec_id") % nShards === s)
+        .select(col("vec_id"),
+          Knn.signWordExpr("embedding", 0).as("w0"),
+          Knn.signWordExpr("embedding", 1).as("w1"))
+        .write.mode("overwrite").parquet(s"$parent/shard=$s")
+    }
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qwords = queries.select(col("qid"),
+      Knn.signWordExpr("qvec", 0).as("qw0"), Knn.signWordExpr("qvec", 1).as("qw1"))
+    val approx = spark.read.parquet(parent)
+      .select(col("vec_id"), col("w0"), col("w1")) // drop the shard column pre-join
+      .crossJoin(broadcast(qwords))
+      .withColumn("score",
+        -(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("double")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.exactRefine(approx, emb, queries, "cosine", r, k)
+  }
+
+  def shardedBinaryBuildSearchOracle(k: Int = 10, r: Int = 40, nQueries: Int = 8): String =
     Knn.binaryHammingSearchOracle(k, r, nQueries)
 
   /** v38: IVF × BINARY — the two big scan levers stacked on one artifact,

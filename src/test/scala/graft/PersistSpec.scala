@@ -90,6 +90,63 @@ class PersistSpec extends GraftSuite {
       s"merged shard read does not partition-prune:\n${plan.take(600)}")
   }
 
+  test("v45: sharded binary build == persisted v36; shards partition; scan stays float-free") {
+    val sharded = rows(Persist.shardedBinaryBuildSearch(spark, sf))
+    val mono = rows(Persist.binaryPersistSearch(spark, sf))
+    assert(sharded === mono,
+      "merged-shard binary serving diverged from the monolithic artifact")
+    assert(sharded.nonEmpty)
+    // shard partitions split the corpus exactly (even/odd keying)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val lists = spark.read.parquet(s"$wh/graft_idx_binary_sharded")
+    val s0 = lists.filter(col("shard") === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val s1 = lists.filter(col("shard") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((s0 & s1).isEmpty, "binary shard artifacts overlap")
+    assert((s0 | s1).size.toLong ===
+      graft.sources.Tables.embeddings(spark, sf).count(), "binary shard union incomplete")
+    assert(s0.forall(_ % 2 == 0) && s1.forall(_ % 2 == 1), "binary shard keying broken")
+    // the merged candidate scan reads ONLY the three bigints (v36's claim
+    // must survive the sharded layout — shard is a partition column, not
+    // a data column, so the data ReadSchema is unchanged)
+    val df = Persist.shardedBinaryBuildSearch(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = plan.linesIterator.zipWithIndex.toSeq
+    val locLines = lines.filter(_._1.contains("graft_idx_binary_sharded")).map(_._2)
+    assert(locLines.nonEmpty, "no scan of the sharded binary artifact in the plan")
+    locLines.foreach { i =>
+      val window = lines.slice(i, i + 6).map(_._1).mkString("\n")
+      assert(window.contains("ReadSchema: struct<vec_id:bigint,w0:bigint,w1:bigint>"),
+        s"sharded artifact scan reads more than the sign words:\n$window")
+    }
+  }
+
+  test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
+    val audit = Persist.purgeProofCoded(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // no purged id survives in EITHER artifact — codebook rows included
+    // (model parameters must not leak a purged vector)
+    assert(audit("pq_codebook")._2 === 0L, "purged id survives as a codebook row")
+    assert(audit("pq_codes")._2 === 0L, "purged id survives in the code table")
+    // codebook is exactly M x K rows; codes are one row per survivor
+    assert(audit("pq_codebook")._1 ===
+      (graft.operators.Pq.M * graft.operators.Pq.K).toLong)
+    val nEmb = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(audit("pq_codes")._1 < nEmb, "nothing was purged (vacuous proof)")
+    assert(audit("pq_codes")._1 > 0L)
+    // the persisted code table is one packed bigint per vector with every
+    // 4-bit cell < K
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val codes = spark.read.parquet(s"$wh/graft_purged_pq_codes")
+    assert(codes.count() === codes.select("vec_id").distinct().count())
+    val maxCell = codes.select(greatest((0 until graft.operators.Pq.M).map(m =>
+      expr(s"shiftright(packed, ${4 * m}) % 16")): _*).as("mx"))
+      .agg(max(col("mx"))).head().getLong(0)
+    assert(maxCell < graft.operators.Pq.K.toLong, "a packed cell exceeds the codebook size")
+  }
+
   test("v19c: trained IVFADC survives persistence — round-trip == in-flight v19b") {
     val roundTrip = rows(IvfPq.trainedPersistSearch(spark, sf))
     val fresh = rows(IvfPq.searchTrained(spark, sf))
