@@ -377,6 +377,52 @@ object Persist {
        |        FROM packed)
        |SELECT * FROM cba UNION ALL SELECT * FROM cda ORDER BY artifact""".stripMargin
 
+  /** p14: SMALL-FILES COMPACTION with a content-invariance proof — the
+    * lakehouse maintenance operation 100 TB tables live or die by: a
+    * micro-batch/streaming writer fragments a table into thousands of
+    * KB-sized files, and every later scan pays per-file open/footer/task
+    * overhead until a compaction rewrites the data into target-sized
+    * files. Here the fragmented state is produced deliberately
+    * (`repartition(nFragments)` — the many-small-writers stand-in), the
+    * compaction is a shuffle-FREE `coalesce(nTarget)` rewrite (read +
+    * concatenate, never a redistribution — compaction must not pay a
+    * corpus shuffle), and the GATE is content invariance: both
+    * generations are RE-READ FROM DISK and audited with the f7 manifest
+    * recipe (row count, distinct keys, order-independent `bit_xor`
+    * content checksum over id+payload). The oracle computes the same
+    * triple from the base table — fragmented ≡ compacted ≡ source proves
+    * the rewrite moved bytes, not data. File counts are physical-layout
+    * facts the oracle cannot see; the spec asserts them (≥ nFragments
+    * before, ≤ nTarget after). */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+                        nFragments: Int = 64, nTarget: Int = 4): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val fragPath = tablePath(spark, "graft_frag_corpus")
+    docs.repartition(nFragments).write.mode("overwrite").parquet(fragPath)
+    val frag = spark.read.parquet(fragPath)
+    val compPath = tablePath(spark, "graft_compacted_corpus")
+    frag.coalesce(nTarget).write.mode("overwrite").parquet(compPath)
+    val comp = spark.read.parquet(compPath)
+
+    def audit(df: DataFrame, name: String): DataFrame = df
+      .select(col("doc_id"),
+        Dedup.h60(concat_ws(":", lit("chk"), col("doc_id"), col("text"))).as("hc"))
+      .groupBy(lit(name).as("artifact")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        expr("bit_xor(hc)").as("checksum"))
+    audit(comp, "compacted").unionAll(audit(frag, "fragmented")).orderBy("artifact")
+  }
+
+  def compactSmallFilesOracle(): String =
+    """WITH s AS (SELECT count(*)::BIGINT AS n_rows, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |                  bit_xor(CAST('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT))::BIGINT AS checksum
+      |           FROM documents),
+      |a AS (SELECT 'compacted' AS artifact UNION ALL SELECT 'fragmented')
+      |SELECT a.artifact, s.n_rows, s.n_docs, s.checksum
+      |FROM a CROSS JOIN s ORDER BY artifact""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

@@ -651,4 +651,90 @@ object Pipeline {
        |       sum(CASE WHEN NOT is_delta AND kept_before AND NOT kept_after THEN 1 ELSE 0 END)::BIGINT AS n_evicted,
        |       sum(CASE WHEN is_delta AND kept_after THEN 1 ELSE 0 END)::BIGINT AS n_delta_kept
        |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** f10: CURRICULUM PHASES — the data-ORDERING step between curation and
+    * training (curriculum learning: schedule low-quality/easy data early,
+    * highest-quality data for the final phase; the complement of f9's
+    * WHO-gets-sampled mix, this decides WHEN data is seen). Documents are
+    * assigned to 4 phases by the EXACT corpus quality quartiles, and the
+    * output is the training-schedule artifact: per phase, document count,
+    * token budget, exact fixed-point token share, and the quality bounds.
+    *
+    * The thresholds use t22's bounded-histogram quantile machinery: the
+    * 4-dp quality score has a ≤~11k-value domain at ANY corpus size, so
+    * one partial-agg groupBy + a driver walk yields the three
+    * quantile_cont values exactly (q9-verified bit-parity formula); phase
+    * assignment is then a map-only CASE against three broadcast literals
+    * and the schedule is one partial agg. At 100 TB: two scans (histogram
+    * + assignment — deliberately no corpus cache), one ≤11k-row shuffle,
+    * 4 rows out. */
+  def curriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    def scored: DataFrame = Text.qualityFrame(Tables.documents(spark, dir))
+      .withColumn("q4", expr("cast(floor(quality * 10000 + 0.5) as bigint)"))
+      .select(col("doc_id"), col("n_tok"), col("q4"))
+    val hist: Array[(Long, Long)] = scored.groupBy(col("q4"))
+      .agg(count(lit(1)).as("n")).orderBy("q4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    require(n > 0, "empty corpus - curriculum undefined")
+    def valueAt(pos: Long): Long = {
+      var c = 0L
+      hist.collectFirst { case (v, cnt) if { c += cnt; c > pos } => v }.get
+    }
+    def quantile(p: Double): Double = {
+      val h = (n - 1).toDouble * p
+      val lo = math.floor(h).toLong
+      val hi = math.ceil(h).toLong
+      if (lo == hi) valueAt(lo).toDouble
+      else {
+        val frac = h - lo
+        valueAt(lo).toDouble * (1.0 - frac) + valueAt(hi).toDouble * frac
+      }
+    }
+    val (t25, t50, t75) = (quantile(0.25), quantile(0.5), quantile(0.75))
+    val phased = scored.withColumn("phase",
+      when(col("q4").cast("double") < t25, 0L)
+        .when(col("q4").cast("double") < t50, 1L)
+        .when(col("q4").cast("double") < t75, 2L)
+        .otherwise(3L))
+    val totals = phased.agg(sum(col("n_tok")).as("total_toks"))
+    phased.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("q4")).as("min_q4"), max(col("q4")).as("max_q4"))
+      .crossJoin(broadcast(totals)) // 1-row total: bounded by construction
+      .select(col("phase"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div total_toks").as("token_share_q4"),
+        col("min_q4"), col("max_q4"))
+      .orderBy("phase")
+  }
+
+  def curriculumPhasesOracle(): String = {
+    val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |         len(list_intersect(list_distinct(string_split(text, ' ')), [$allStops]))::BIGINT AS stop_hits
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tok,
+       |         floor((0.5 * (n_uniq::DOUBLE / n_tok::DOUBLE)
+       |              + 0.3 * least((length(text)::DOUBLE / n_tok::DOUBLE) / 10.0, 1.0)
+       |              + 0.2 * (stop_hits::DOUBLE / n_uniq::DOUBLE)) * 10000 + 0.5)::BIGINT AS q4
+       |  FROM t),
+       |b AS (SELECT quantile_cont(q4, 0.25) AS t25, quantile_cont(q4, 0.5) AS t50,
+       |             quantile_cont(q4, 0.75) AS t75 FROM q),
+       |ph AS (SELECT doc_id, n_tok, q4,
+       |              CASE WHEN q4::DOUBLE < b.t25 THEN 0
+       |                   WHEN q4::DOUBLE < b.t50 THEN 1
+       |                   WHEN q4::DOUBLE < b.t75 THEN 2 ELSE 3 END::BIGINT AS phase
+       |       FROM q, b),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS tt FROM q)
+       |SELECT phase, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       (sum(n_tok)::BIGINT * 10000) // tot.tt AS token_share_q4,
+       |       min(q4) AS min_q4, max(q4) AS max_q4
+       |FROM ph, tot GROUP BY phase, tot.tt ORDER BY phase""".stripMargin
+  }
 }

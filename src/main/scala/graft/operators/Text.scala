@@ -1279,6 +1279,49 @@ object Text {
     * t14/t23 established) and quantized q9 BEFORE any further use —
     * never a float reduction. At 100 TB: one scan, one term-keyed
     * shuffle of combined counts, K output rows. */
+  /** t27: WITHIN-DOCUMENT word-distribution ENTROPY — the lexical-
+    * diversity screen that separates genuinely varied prose from
+    * templated/repetitive text at a finer grain than t15's duplicate-line
+    * ratio (a doc can repeat no LINE yet cycle a tiny vocabulary — low
+    * entropy catches it; CCNet/Gopher-style stacks threshold exactly this
+    * family of signals). H = −Σ p·ln p over the doc's term frequencies.
+    *
+    * Hash-stability discipline (the t23 recipe): each term's contribution
+    * −p·ln(p) is computed per-VALUE (IEEE-identical in both engines — the
+    * t14 libm-ln parity) and quantized to 6-dp fixed point BEFORE the
+    * per-doc reduction, which is then an exact integer sum; output at
+    * 4 dp. Shape (2 shuffles, scale-safe): tokens collapse to
+    * (doc, term, tf) pairs, the doc-total rides a doc-partitioned window
+    * over the PAIR table (bounded by per-doc distinct terms, not corpus),
+    * and the closing doc aggregate reuses that partitioning — no third
+    * exchange. At 100 TB: one scan, two pair-table shuffles, one row per
+    * document out. */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dt = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val p = col("tf").cast("double") / col("n").cast("double")
+    dt.withColumn("n", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("cq6", floor(-p * log(p) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("cq6")).as("sum_q6"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        floor(col("sum_q6").cast("double") / 100.0 + 0.5).cast("long").as("entropy_q4"))
+      .orderBy("doc_id")
+  }
+
+  val docEntropyOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |wn AS (SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS n FROM dt),
+      |cq AS (SELECT doc_id, n,
+      |              floor(-(tf::DOUBLE / n::DOUBLE) * ln(tf::DOUBLE / n::DOUBLE) * 1000000 + 0.5)::BIGINT AS cq6
+      |       FROM wn)
+      |SELECT doc_id, max(n) AS n_tokens, count(*)::BIGINT AS n_types,
+      |       floor(sum(cq6)::DOUBLE / 100.0 + 0.5)::BIGINT AS entropy_q4
+      |FROM cq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def termDrift(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select((col("lang") === "en").as("in_a"),

@@ -326,4 +326,87 @@ class PipelineSpec extends GraftSuite {
       assert(r.getAs[Long]("day_offset") >= 0L)
     }
   }
+
+  test("e15: DAU<=WAU<=MAU; DAU matches a direct per-day distinct; WAU == 7-day union") {
+    val out = run("e15_active_users").collect()
+    assert(out.length > 1, "need multiple days for a rolling metric")
+    out.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      assert(r.getAs[Long]("wau") <= r.getAs[Long]("mau"))
+    }
+    // driver recompute from raw events
+    val pairs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    out.foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert(r.getAs[Long]("dau") === byDay(d).size.toLong, s"dau mismatch on day $d")
+      val wauUsers = (0L to 6L).flatMap(off => byDay.getOrElse(d - off, Set.empty)).toSet
+      assert(r.getAs[Long]("wau") === wauUsers.size.toLong, s"wau mismatch on day $d")
+    }
+  }
+
+  test("t27: entropy is zero for a constant doc, maximal-bounded, and matches a driver recompute") {
+    val out = run("t27_doc_entropy").collect()
+    assert(out.nonEmpty)
+    // H <= ln(n_types): uniform is maximal (1 ulp of q4 slack for the
+    // per-term quantization)
+    out.foreach { r =>
+      val bound = math.floor(math.log(r.getAs[Long]("n_types").toDouble) * 1e4 + 0.5) + 1
+      assert(r.getAs[Long]("entropy_q4") <= bound.toLong,
+        s"doc ${r.getAs[Long]("doc_id")} entropy exceeds ln(n_types)")
+      assert(r.getAs[Long]("entropy_q4") >= 0L)
+    }
+    // driver recompute on the 5 smallest doc ids (quantization replayed)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val tf = text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = tf.values.sum.toDouble
+      val sumQ6 = tf.values.map { c =>
+        val p = c.toDouble / n
+        math.floor(-p * math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      val want = math.floor(sumQ6.toDouble / 100.0 + 0.5).toLong
+      val got = out.find(_.getAs[Long]("doc_id") == id).get
+      assert(got.getAs[Long]("entropy_q4") === want, s"doc $id entropy mismatch")
+      assert(got.getAs[Long]("n_types") === tf.size.toLong)
+    }
+  }
+
+  test("f10: phases partition the corpus; token shares sum to 10000-ish; quality bands ordered") {
+    val out = run("f10_curriculum").collect().sortBy(_.getAs[Long]("phase"))
+    assert(out.length === 4, "expected 4 curriculum phases")
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs, "phases do not partition the corpus")
+    // integer floor-division shares under-count by < 1 ulp each
+    val shares = out.map(_.getAs[Long]("token_share_q4")).sum
+    assert(shares > 10000L - 4 && shares <= 10000L, s"token shares sum to $shares")
+    // phase quality bands are disjoint and ascending
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_q4") <= b.getAs[Long]("min_q4"),
+        "phase quality bands overlap or are unordered")
+    }
+    out.foreach(r => assert(r.getAs[Long]("n_docs") > 0L, "empty phase"))
+  }
+
+  test("p14: compaction preserves content exactly and actually merges the files") {
+    val out = run("p14_compact_files").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("fragmented") === out("compacted"),
+      "compaction changed the table contents")
+    // physical layout: many files became few
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def nParts(t: String): Int = {
+      val files = new java.io.File(s"$wh/$t").listFiles()
+      assert(files != null, s"warehouse table $wh/$t not found on local disk")
+      files.count(f => f.getName.startsWith("part-"))
+    }
+    assert(nParts("graft_frag_corpus") >= 32,
+      s"fragmented table is not fragmented: ${nParts("graft_frag_corpus")} files")
+    assert(nParts("graft_compacted_corpus") <= 4,
+      s"compacted table still fragmented: ${nParts("graft_compacted_corpus")} files")
+  }
 }
