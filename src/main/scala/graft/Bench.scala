@@ -222,9 +222,11 @@ object Bench {
     // the 90+-query suite outgrew full names in round 6, and emitting a
     // tier that is known not to fit just to "degrade" from it printed
     // scary warnings on every healthy run. Short names hold ~150 queries
-    // of headroom; one fallback tier (1 dp) guards suite growth past
-    // that, and only if BOTH overflow does the run fail loudly — a hard
-    // require would trade a coarser artifact for NO artifact.
+    // at 2 dp and ~185 at 1 dp; past that (round 11) the top-K tiers
+    // keep the slowest queries individually and summarize the fast tail
+    // (see topKLine). Only if every tier overflows does the run fail
+    // loudly — a hard require would trade a coarser artifact for NO
+    // artifact.
     // sf as basename ("sf0.1") — the full dir is in BENCH_DETAIL.json and
     // the driver records the sf itself; 16 fewer bytes of path buys one
     // more query at 2 dp
@@ -246,9 +248,34 @@ object Bench {
     // driver window is 2000 chars; sbt's trailing "[success] ..." line
     // consumes ~77 — 1920 leaves a few bytes of slack
     val budget = 1920
+    // Tier 3: the full flat map structurally outgrew the driver's 2000-char
+    // stdout window at ~190 queries (199 × ~10 B of entry > the ~1845 B the
+    // fixed fields leave), so the last tier keeps the SLOWEST K queries —
+    // where per-query fidelity matters — individually, force-includes any
+    // failure sentinel (-1 must never be summarized away), and collapses
+    // the fast tail into self-describing aggregate fields (`fast_n`
+    // queries, each ≤ `fast_max` s, summing to `fast_total` s). No silent
+    // cap: the note names the companion artifact, and BENCH_DETAIL.json
+    // (committed) carries full-precision reps for EVERY query regardless
+    // of tier.
+    def topKLine(k: Int): String = {
+      val (fails, ok) = results.partition(_._2 < 0)
+      val (slow, fast) = ok.sortBy(-_._2).splitAt(math.max(k - fails.length, 0))
+      val inc = (fails ++ slow).sortBy(_._1)
+      val qs = inc.map { case (n, v) => "\"" + shortKeys(n) + "\":" + d1t(v) }
+        .mkString("{", ",", "}")
+      val fastTotal = fast.map(_._2).sum
+      val fastMax = fast.headOption.map(_._2).getOrElse(0.0)
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
+        s""""fast_n":${fast.length},"fast_total":${d2t(fastTotal)},"fast_max":${d2t(fastMax)},""" +
+        s""""note":"slowest ${inc.length} shown; ${fast.length} fastest summarized, full detail in BENCH_DETAIL.json",""" +
+        s""""sf":"$sfName"}"""
+    }
     val tiers: Seq[(String, () => String)] = Seq(
       "short names 2dp" -> (() => contractLine(d2t, shortKeys)),
-      "short names 1dp" -> (() => contractLine(d1t, shortKeys)))
+      "short names 1dp" -> (() => contractLine(d1t, shortKeys)),
+      "top-140 1dp + fast summary" -> (() => topKLine(140)),
+      "top-100 1dp + fast summary" -> (() => topKLine(100)))
     val line = tiers.view
       .map { case (label, mk) =>
         val l = mk()

@@ -780,6 +780,46 @@ object Dedup {
     * never joined, shuffled, or rescanned; d12 costs d3 plus a map-only
     * pass over the (edge-sized) pair list. This is exactly why the split
     * rule is a content-stable hash and not an RNG or a lookup table. */
+  /** d25: CROSS-SOURCE DUPLICATION MATRIX — near-dup pairs aggregated by
+    * the (source, source) cell they connect: the data-card view that tells
+    * a curation team WHICH feeds duplicate each other (two crawls of the
+    * same sites, a dataset re-released inside another, mirror domains)
+    * versus which duplication is internal (diagonal cells). Decides real
+    * actions: drop a feed wholesale vs dedup within it. Built ON the d3
+    * banded candidate pairs (never all-pairs): the edge-sized pair set
+    * joins `documents` for both endpoints' sources — id-keyed shuffle
+    * joins, nothing broadcast by promise (the d24 rule: pair and corpus
+    * sides are both corpus-proportional) — then one cell aggregate.
+    * Cells are canonicalized (least, greatest) so the matrix is
+    * upper-triangular including the diagonal. Mean Jaccard per cell is
+    * exact fixed-point: per-pair q4 quantization BEFORE the sum, integer
+    * division after (never a float reduction). Output bounded by
+    * |sources|² at any corpus size. */
+  def crossSourceDup(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir, tau)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"),
+        floor(col("jaccard") * 1e4 + 0.5).cast("long").as("jq4"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jq4) div count(1)").as("mean_jaccard_q4"))
+      .orderBy("source_x", "source_y")
+  }
+
+  def crossSourceDupOracle(tau: Double = 0.5): String =
+    s"""WITH prs AS (SELECT doc_a, doc_b, jaccard FROM (${minhashLshOracle(tau)})),
+       |j AS (SELECT least(da.source, db.source) AS source_x,
+       |             greatest(da.source, db.source) AS source_y,
+       |             floor(p.jaccard * 10000 + 0.5)::BIGINT AS jq4
+       |      FROM prs p JOIN documents da ON p.doc_a = da.doc_id
+       |                 JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT source_x, source_y, count(*)::BIGINT AS n_pairs,
+       |       sum(jq4)::BIGINT // count(*)::BIGINT AS mean_jaccard_q4
+       |FROM j GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
+
   def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     minhashLsh(spark, dir, tau)
       .withColumn("split_a", Text.splitLabel(col("doc_a")))

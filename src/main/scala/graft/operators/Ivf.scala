@@ -476,6 +476,53 @@ object Ivf {
        |       min_vec, max_vec
        |FROM g, t ORDER BY cluster_id""".stripMargin
 
+  /** v47: CENTROID DRIFT — the assignment MIGRATION MATRIX between two
+    * index generations (the model as trained, iters=3, vs the refreshed
+    * model, iters=5), the retrain-DECISION report that closes v41's loop:
+    * v41 says the shares drifted, this says what a retrain would actually
+    * move — (from, to, n) cells, so an operator reads both the volume
+    * (off-diagonal mass = rows to re-shard at 100 TB, each a physical
+    * partition move of the inverted lists) and the structure (one cell
+    * splitting vs mass reshuffling everywhere). ONE corpus scan: both
+    * nearest-centroid assignments ride the same projection against two
+    * broadcast K×d literal matrices (map-only, no join between the two
+    * generations' assignments — the row never leaves its partition), then
+    * one partial agg bounded by K² cells at any corpus size. The two
+    * models come from the session's trained registry; deterministic
+    * Lloyd's makes iteration 3 an exact prefix of the 5-iteration chain,
+    * so the oracle replays ONE training chain and reads its c3 AND c5
+    * states. min_vec per cell is the drill-in exemplar. */
+  def centroidDrift(spark: SparkSession, dir: String,
+                    oldIters: Int = 3, newIters: Int = 5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val oldMat = trainedCentroidsFor(spark, dir, oldIters)
+    val newMat = trainedCentroidsFor(spark, dir, newIters)
+    def cvecs(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._2.toSeq).toSeq)
+    def cids(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._1).toSeq)
+    emb
+      .withColumn("nco", Graft.nearestCentroid(col("embedding"), cvecs(oldMat)))
+      .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(newMat)))
+      .select(col("vec_id"),
+        element_at(cids(oldMat), col("nco.idx") + 1).as("from_cid"),
+        element_at(cids(newMat), col("ncn.idx") + 1).as("to_cid"))
+      .groupBy(col("from_cid"), col("to_cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy("from_cid", "to_cid")
+  }
+
+  def centroidDriftOracle(oldIters: Int = 3, newIters: Int = 5): String =
+    s"""${trainCtes(newIters)}
+       |ao AS (SELECT vec_id, cid AS from_cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c$oldIters c) WHERE rn = 1)
+       |SELECT ao.from_cid, a.cluster_id AS to_cid,
+       |       count(*)::BIGINT AS n_vecs, min(ao.vec_id) AS min_vec
+       |FROM ao JOIN assigned a USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** v34: the nprobe TUNING SWEEP — the recall-vs-cost curve an operator
     * actually reads before fixing an IVF deployment's probe count, as one
     * gated query: recall@k of the trained index at nprobe ∈ {1,2,4,8}

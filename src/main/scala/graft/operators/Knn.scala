@@ -612,6 +612,57 @@ object Knn {
       .orderBy("qid", "rank")
   }
 
+  /** v46: kNN MAJORITY-VOTE CLASSIFICATION — the vector engine serving as
+    * a weak labeler: each query point takes the label its k nearest
+    * (cosine) neighbors vote for, the workhorse of auto-labeling /
+    * label-propagation passes over a training corpus (classify unlabeled
+    * docs by their embedded neighbors; audit existing labels by whether
+    * the neighborhood agrees). Self-match is EXCLUDED — voting for your
+    * own label is the classic leak that makes every eval perfect.
+    * Plan: the v1 scan-and-TopK partial-agg shape (corpus never
+    * shuffled), then the Q·k winner rows broadcast back into one more
+    * corpus scan to pick up neighbor labels, and the vote is a Q·L-row
+    * aggregate — everything after the scan is bounded by queries ×
+    * labels, not the corpus. Ties break deterministically: most votes,
+    * then smallest label. `top_rank` (the best rank among the winning
+    * label's voters) rides along as extra hash surface. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 10,
+                  nQueries: Int = 16): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = scoreAll(emb.select(col("vec_id"), col("embedding")), queries, "cosine")
+      .filter(col("vec_id") =!= col("qid"))
+    val top = topkPerQuery(scored, "cosine", k)
+    val votes = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(top.select(col("qid"), col("rank"), col("vec_id"))), Seq("vec_id"))
+      .groupBy(col("qid"), col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("top_rank"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(byVotes)).filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("n_votes"), col("top_rank"))
+      .orderBy("qid")
+  }
+
+  def knnClassifyOracle(k: Int = 10, nQueries: Int = 16): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s),
+       |t AS (SELECT qid, vec_id, rank FROM r WHERE rank <= $k),
+       |v AS (SELECT t.qid, e.label::BIGINT AS label, count(*)::BIGINT AS n_votes,
+       |             min(t.rank)::BIGINT AS top_rank
+       |      FROM t JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |w AS (SELECT qid, label, n_votes, top_rank,
+       |             row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS rn
+       |      FROM v)
+       |SELECT qid, label AS pred_label, n_votes, top_rank FROM w WHERE rn = 1 ORDER BY qid""".stripMargin
+
   /** Oracle SQL (DuckDB) mirroring [[flatSearch]] / [[knnJoin]]. */
   def oracleFlat(metric: String, k: Int = 10, nQueries: Int = 8,
                  excludeSelf: Boolean = false): String = {

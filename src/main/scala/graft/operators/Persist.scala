@@ -423,6 +423,104 @@ object Persist {
       |SELECT a.artifact, s.n_rows, s.n_docs, s.checksum
       |FROM a CROSS JOIN s ORDER BY artifact""".stripMargin
 
+  /** p15: TABLE-STATISTICS COLLECTION (ANALYZE) — the per-column
+    * row-count / null-count / NDV / min / max profile every cost-based
+    * planner and data-quality monitor reads before touching a 100 TB
+    * table (join-order choice, broadcast decisions, zone-map sanity,
+    * schema-drift alerts all start here). One corpus scan: the five
+    * numeric columns unpivot map-side into (column, value) rows — 5× row
+    * amplification of a 2-field row, no shuffle — then ONE groupBy(column)
+    * computes all five stats; a single `countDistinct` per group keeps the
+    * plan Expand-free (the q19 lesson — multi-distinct over separate
+    * columns in one wide aggregate is the shape that triples the scan).
+    * Values quantize to 4-dp fixed point BEFORE distinct/min/max, so the
+    * NDV is over the q4 domain and every stat hash-gates exactly. Exact
+    * NDV is the ANALYZE semantics; t13's HLL sketch is this operator's
+    * approximate twin when a pass over the distinct domain is too dear. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    statsUnpivot(Tables.lineitem(spark, dir))
+      .groupBy(col("cname"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
+        countDistinct(col("vq4")).as("n_distinct"),
+        min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
+      .orderBy("cname")
+  }
+
+  def tableStatsOracle(): String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS cname, floor($c::DOUBLE * 10000 + 0.5)::BIGINT AS vq4 FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH u AS ($arms)
+       |SELECT cname, count(*)::BIGINT AS n_rows,
+       |       (count(*) - count(vq4))::BIGINT AS n_nulls,
+       |       count(DISTINCT vq4)::BIGINT AS n_distinct,
+       |       min(vq4) AS min_q4, max(vq4) AS max_q4
+       |FROM u GROUP BY 1 ORDER BY cname""".stripMargin
+  }
+
+  /** The p15 unpivot: the five lineitem numerics as (cname, vq4) rows,
+    * values quantized to 4-dp fixed point per VALUE (map-side, no
+    * shuffle) so every downstream stat is exact-integer. */
+  private def statsUnpivot(li: DataFrame): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val arms = cols.map(c => struct(lit(c).as("cname"),
+      floor(col(c).cast("double") * 1e4 + 0.5).cast("long").as("vq4")))
+    li.select(explode(array(arms: _*)).as("u"))
+      .select(col("u.cname").as("cname"), col("u.vq4").as("vq4"))
+  }
+
+  /** p16: INCREMENTAL ANALYZE — p15's stats maintained WITHOUT rescanning
+    * the whole table, the only way statistics stay fresh at 100 TB (a new
+    * generation lands nightly; re-profiling 100 TB to absorb a 100 GB
+    * delta is the anti-pattern). Each generation (the p8 even/odd
+    * doc-split rule) computes and PERSISTS two mergeable artifacts:
+    * per-column scalar stats (rows / nulls / min / max — merge = sum,
+    * sum, min, max) and the exact DISTINCT-VALUE DOMAIN table (merge =
+    * union-distinct; exact NDV is NOT mergeable from counts alone — the
+    * domain table is the price of exactness, edge-sized state, and t13's
+    * HLL register file is the constant-state approximate twin). The
+    * refresh then reads ONLY the artifacts back from disk — never the
+    * base table — and merges: one |columns|-group aggregate over 2·|cols|
+    * scalar rows plus one distinct-count over the unioned domains (the
+    * merge shuffle is domain-sized, not corpus-sized). Gate: the merged
+    * profile must equal p15's from-scratch scan BIT-FOR-BIT — same
+    * schema, same oracle — so a hash-green row proves incremental ≡
+    * full-rescan. Spec adds the physical facts the oracle can't see:
+    * generations partition the table, and the domain tables genuinely
+    * overlap (the union-distinct merge is not a concat). */
+  def statsMerge(spark: SparkSession, dir: String): DataFrame = {
+    Graft.init(spark)
+    val li = Tables.lineitem(spark, dir)
+    (0 to 1).foreach { g =>
+      val u = statsUnpivot(li.filter(pmod(col("l_orderkey"), lit(2)) === g))
+      u.groupBy(col("cname"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
+          min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
+        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_scalar_g$g"))
+      u.select(col("cname"), col("vq4")).distinct()
+        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_domain_g$g"))
+    }
+    val scalar = spark.read.parquet(tablePath(spark, "graft_stats_scalar_g0"))
+      .unionByName(spark.read.parquet(tablePath(spark, "graft_stats_scalar_g1")))
+      .groupBy(col("cname"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_q4")).as("min_q4"), max(col("max_q4")).as("max_q4"))
+    val ndv = spark.read.parquet(tablePath(spark, "graft_stats_domain_g0"))
+      .unionByName(spark.read.parquet(tablePath(spark, "graft_stats_domain_g1")))
+      .groupBy(col("cname"))
+      .agg(countDistinct(col("vq4")).as("n_distinct"))
+    scalar.join(ndv, Seq("cname"))
+      .select(col("cname"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_q4"), col("max_q4"))
+      .orderBy("cname")
+  }
+
+  /** Incremental ≡ from-scratch: the oracle IS p15's. */
+  def statsMergeOracle(): String = tableStatsOracle()
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

@@ -1053,6 +1053,99 @@ object Relational {
       |SELECT user_id, day FROM e WHERE event_type = 'error'
       |ORDER BY user_id, day""".stripMargin
 
+  /** q25: GROUPING SETS — the multi-grain report (per nation×year, per
+    * nation, per year, grand total) in ONE pass, the form a reporting
+    * layer actually requests (q12's CUBE is the power-set special case;
+    * explicit sets are what you write when the power set is 2ⁿ grains of
+    * mostly-unwanted output). Catalyst compiles the four sets into one
+    * Expand(×4)+aggregate — one corpus scan instead of four queries, and
+    * the expansion factor is |sets|, chosen, not 2ⁿ. Dims broadcast.
+    * Rollup-ness is re-derived from slot nullness (the base has no NULL
+    * grouping values, so nullness ≡ rolled-up) and emitted as an
+    * engine-independent bitmask `gid`; rolled slots coalesce to sentinel
+    * values so the output carries no NULLs and the sort is total. */
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+    base.groupingSets(
+        Seq(Seq(col("n_name"), col("o_year")), Seq(col("n_name")), Seq(col("o_year")), Seq.empty),
+        col("n_name"), col("o_year"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        (when(col("n_name").isNull, 2L).otherwise(0L) +
+          when(col("o_year").isNull, 1L).otherwise(0L)).as("gid"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        col("revenue"), col("n_orders"))
+      .orderBy("gid", "n_name", "o_year")
+  }
+
+  val q25Oracle: String =
+    """WITH base AS (
+      |  SELECT n_name, year(o_orderdate)::BIGINT AS o_year, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (SELECT n_name, o_year,
+      |             round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |      FROM base
+      |      GROUP BY GROUPING SETS ((n_name, o_year), (n_name), (o_year), ()))
+      |SELECT (CASE WHEN n_name IS NULL THEN 2 ELSE 0 END
+      |        + CASE WHEN o_year IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid,
+      |       coalesce(n_name, 'ALL') AS n_name,
+      |       coalesce(o_year, -1)::BIGINT AS o_year,
+      |       revenue, n_orders
+      |FROM g ORDER BY gid, n_name, o_year""".stripMargin
+
+  /** q26: RANGE-frame window — the trailing CALENDAR-interval aggregate
+    * (peak 7-day customer spend, the whale/fraud-detection staple) that a
+    * ROWS frame cannot express: order days are sparse per customer, so
+    * "last 7 rows" silently reaches back weeks while `RANGE BETWEEN 6
+    * PRECEDING AND CURRENT ROW` over the epoch-day key bounds the frame
+    * by VALUE distance (`n_active_days` ≤ 7 is the spec's proof the
+    * engine applied value- not row-distance). Money is the v20
+    * fixed-point recipe (per-row cents before any sum). Shape: ONE
+    * exchange total — an explicit `repartition(custkey)` that BOTH the
+    * (custkey, day) pre-aggregate (hash on a key subset satisfies the
+    * clustered requirement) and the customer-partitioned window reuse;
+    * `orderBy(...).limit(20)` folds to TakeOrdered, no global sort. The
+    * window key is `o_custkey` — corpus-spread high cardinality, the e14
+    * audit convention — and the frame holds ≤ 7 day-rows per customer at
+    * any corpus size. */
+  def q26RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .repartition(col("custkey"))
+      .groupBy(col("custkey"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("day")).rangeBetween(-6, 0)
+    daily.select(col("custkey"), col("day"), col("day_cents"),
+        sum(col("day_cents")).over(w).as("trail7_cents"),
+        count(lit(1)).over(w).as("n_active_days"))
+      .orderBy(col("trail7_cents").desc, col("custkey"), col("day"))
+      .limit(20)
+  }
+
+  val q26Oracle: String =
+    """WITH d AS (SELECT o_custkey AS custkey,
+      |                  floor(epoch_ms(o_orderdate) / 86400000)::BIGINT AS day,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders),
+      |g AS (SELECT custkey, day, sum(cents)::BIGINT AS day_cents FROM d GROUP BY 1, 2),
+      |w AS (SELECT custkey, day, day_cents,
+      |             sum(day_cents) OVER (PARTITION BY custkey ORDER BY day
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS trail7_cents,
+      |             count(*) OVER (PARTITION BY custkey ORDER BY day
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS n_active_days
+      |      FROM g)
+      |SELECT custkey, day, day_cents, trail7_cents, n_active_days
+      |FROM w ORDER BY trail7_cents DESC, custkey, day LIMIT 20""".stripMargin
+
   val q19Oracle: String =
     """WITH e AS (
       |  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS grp,

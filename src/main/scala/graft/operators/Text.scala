@@ -1265,6 +1265,79 @@ object Text {
        |       floor(-(sum_q6::DOUBLE) / n_tokens::DOUBLE / 100.0 + 0.5)::BIGINT <= $keepNllQ4 AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** t28: BIGRAM-LM perplexity scoring — t23's unigram NLL upgraded to the
+    * next model class a curation stack actually deploys (CCNet's quality
+    * buckets come from a real LM; the bigram interpolation is the cheapest
+    * model that sees word ORDER, separating fluent prose from bag-of-words
+    * gibberish that unigram NLL scores identically). Per bigram token
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T (Jelinek–Mercer
+    * interpolation; every scored bigram is observed, so the backoff term
+    * handles skew, not zeros), per-doc NLL = −Σ ln p / n_bigrams.
+    *
+    * Determinism (the t23 recipe): all counts exact integers; each
+    * bigram's ln(p) computed per-VALUE from the same double expression
+    * shape in both engines (libm-ln parity) and quantized q6 BEFORE the
+    * per-doc reduction — an exact integer sum; output q4. Shape: one
+    * tokenize pass, bigrams via lead() over a doc-partitioned window
+    * (doc_id is high-cardinality — corpus-spread), bigram/unigram count
+    * tables key-partitioned by gram (the standard LM-count shuffle), the
+    * doc×model join co-keyed on the bigram. At 100 TB every shuffle is
+    * gram- or doc-keyed; the model is a table, never driver state.
+    * Single-token docs have no bigrams and drop out (both engines). */
+  def bigramLm(spark: SparkSession, dir: String, lambda: Double = 0.7): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+      .localCheckpoint() // two consumers: bigram counts, doc-bigram tf
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val c1 = tok.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("t"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val model = c2
+      .join(c1.select(col("term").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(c1.select(col("term").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(total)) // 1-row total: bounded by construction
+      .select(col("w1"), col("w2"),
+        floor(log(lit(lambda) * (col("c2").cast("double") / col("c1a").cast("double")) +
+          lit(1.0 - lambda) * (col("c1b").cast("double") / col("t").cast("double"))) * 1e6 + 0.5)
+          .cast("long").as("lq"))
+    bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("lq") * col("tf")).as("sum_q6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(-col("sum_q6").cast("double") / col("n_bigrams").cast("double") / 100.0 + 0.5)
+          .cast("long").as("nll_q4"))
+      .orderBy("doc_id")
+  }
+
+  def bigramLmOracle(lambda: Double = 0.7): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+       |                              for i in generate_series(1, len(w) - 1)], recursive := true)
+       |       FROM w),
+       |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+       |c1 AS (SELECT term, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(c1)::BIGINT AS t FROM c1),
+       |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+       |m AS (SELECT c2.w1, c2.w2,
+       |             floor(ln($lambda * (c2.c2::DOUBLE / ua.c1::DOUBLE)
+       |                      + ${1.0 - lambda} * (ub.c1::DOUBLE / tot.t::DOUBLE)) * 1000000 + 0.5)::BIGINT AS lq
+       |      FROM c2 JOIN c1 ua ON c2.w1 = ua.term
+       |              JOIN c1 ub ON c2.w2 = ub.term
+       |              CROSS JOIN tot),
+       |db AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+       |d AS (SELECT db.doc_id, sum(db.tf)::BIGINT AS n_bigrams,
+       |             sum(m.lq * db.tf)::BIGINT AS sum_q6
+       |      FROM db JOIN m ON db.w1 = m.w1 AND db.w2 = m.w2 GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |       floor(-(sum_q6::DOUBLE) / n_bigrams::DOUBLE / 100.0 + 0.5)::BIGINT AS nll_q4
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** t25: TERM-DISTRIBUTION DRIFT between two corpus slices — the
     * domain-shift monitor a training-data pipeline runs between crawls
     * (slice A = the `en` documents, slice B = everything else, standing

@@ -409,4 +409,186 @@ class PipelineSpec extends GraftSuite {
     assert(nParts("graft_compacted_corpus") <= 4,
       s"compacted table still fragmented: ${nParts("graft_compacted_corpus")} files")
   }
+
+  test("e16: growth accounting satisfies the DAU identities and all classes occur") {
+    val out = run("e16_growth_accounting").collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))).toMap
+    assert(out.size > 1)
+    // driver DAU recompute from raw events
+    val pairs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dau = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val minDay = out.keys.min
+    out.foreach { case (d, (nw, ret, res, ch)) =>
+      assert(nw + ret + res === dau.getOrElse(d, 0L),
+        s"day $d: classes do not sum to DAU")
+      if (d > minDay)
+        assert(ch === dau.getOrElse(d - 1, 0L) - ret,
+          s"day $d: churn != dau(d-1) - retained(d)")
+    }
+    // first observed day is all-new
+    assert(out(minDay)._1 === dau(minDay) && out(minDay)._2 === 0L && out(minDay)._3 === 0L)
+    // non-vacuous: every lifecycle class occurs somewhere
+    assert(out.values.exists(_._1 > 0) && out.values.exists(_._2 > 0) &&
+      out.values.exists(_._3 > 0) && out.values.exists(_._4 > 0),
+      "a lifecycle class never occurs — the gate would be vacuous")
+  }
+
+  test("v46: knn classification matches a driver recompute and is non-degenerate") {
+    val out = run("v46_knn_classify").collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("n_votes"), r.getAs[Long]("top_rank"))).toMap
+    assert(out.size === 16)
+    out.values.foreach { case (_, votes, topRank) =>
+      assert(votes >= 1L && votes <= 10L); assert(topRank >= 1L && topRank <= 10L)
+    }
+    // full driver recompute (exact, including tie-breaks)
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    all.filter(_._1 < 16).foreach { case (qid, qv, _) =>
+      val top = all.filter(_._1 != qid)
+        .map { case (id, v, lab) => (id, cos(qv, v), lab) }
+        .sortBy { case (id, s, _) => (-s, id) }.take(10).zipWithIndex
+      val votes = top.groupBy(_._1._3).view
+        .mapValues(g => (g.size.toLong, g.map(_._2 + 1).min.toLong)).toMap
+      val (lab, (n, tr)) = votes.toSeq.sortBy { case (l, (n, _)) => (-n, l) }.head
+      assert(out(qid) === ((lab, n, tr)), s"qid $qid classification mismatch")
+    }
+    assert(out.values.map(_._1).toSet.size > 1, "all queries predicted one label — degenerate")
+  }
+
+  test("t28: bigram NLL matches a full driver model recompute on sampled docs") {
+    val out = run("t28_bigram_lm").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_q4"))).toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    // corpus model, exactly as the operator builds it
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1) }
+    val c1 = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = c1.values.sum.toDouble
+    val c2 = toks.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    toks.take(5).foreach { case (id, w) =>
+      val bgs = w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      if (bgs.nonEmpty) {
+        val sumQ6 = bgs.map { case (w1, w2) =>
+          val p = 0.7 * (c2((w1, w2)).toDouble / c1(w1).toDouble) +
+            0.3 * (c1(w2).toDouble / total)
+          math.floor(math.log(p) * 1e6 + 0.5).toLong
+        }.sum
+        val want = math.floor(-sumQ6.toDouble / bgs.length.toDouble / 100.0 + 0.5).toLong
+        assert(out(id) === ((bgs.length.toLong, want)), s"doc $id bigram NLL mismatch")
+      } else assert(!out.contains(id), s"doc $id has no bigrams but appears in output")
+    }
+    assert(out.nonEmpty && out.values.forall(_._2 > 0L))
+  }
+
+  test("d25: cross-source matrix is canonical and partitions the d3 pair set") {
+    val out = run("d25_cross_source_dup").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("source_x") <= r.getAs[String]("source_y"), "cell not canonical")
+      val mj = r.getAs[Long]("mean_jaccard_q4")
+      assert(mj >= 5000L && mj <= 10000L, s"mean jaccard $mj outside [tau, 1]")
+    }
+    val nPairs = run("d3_dedup_minhash_lsh").count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "matrix cells do not partition the candidate pair set")
+    assert(out.length > 1, "single cell — cross-source structure degenerate")
+  }
+
+  test("p15: stats rows cover every column with consistent counts") {
+    val out = run("p15_table_stats").collect()
+      .map(r => r.getAs[String]("cname") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("min_q4"), r.getAs[Long]("max_q4"))).toMap
+    assert(out.keySet === Set("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val n = graft.sources.Tables.lineitem(spark, sf).count()
+    out.foreach { case (c, (rows, nulls, ndv, mn, mx)) =>
+      assert(rows === n, s"$c row count")
+      assert(nulls === 0L, s"$c nulls")
+      assert(ndv >= 1L && ndv <= rows, s"$c ndv")
+      assert(mn <= mx, s"$c min>max")
+    }
+    val ok = graft.sources.Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    assert(out("l_orderkey")._3 === ok, "l_orderkey NDV mismatch")
+  }
+
+  test("q26: RANGE frame bounds by calendar distance; driver window recompute") {
+    val out = run("q26_range_frame").collect()
+    assert(out.length === 20)
+    // value-distance frame: never more than 7 day-rows, and some window
+    // genuinely spans multiple active days (non-vacuous frame)
+    assert(out.forall(_.getAs[Long]("n_active_days") <= 7L))
+    assert(out.exists(_.getAs[Long]("n_active_days") > 1L))
+    // output ordered by trailing spend descending
+    val spends = out.map(_.getAs[Long]("trail7_cents")).toSeq
+    assert(spends === spends.sortBy(-_))
+    // full driver recompute of the winning customer's window
+    val top = out.head
+    val ck = top.getAs[Long]("custkey")
+    val day = top.getAs[Long]("day")
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_custkey") === ck)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("c"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("c")).toMap
+    val expect = daily.filter { case (d, _) => d >= day - 6 && d <= day }.values.sum
+    assert(top.getAs[Long]("trail7_cents") === expect,
+      s"trailing window for custkey=$ck day=$day diverges from driver recompute")
+    val expectDays = daily.keys.count(d => d >= day - 6 && d <= day).toLong
+    assert(top.getAs[Long]("n_active_days") === expectDays)
+  }
+
+  test("p16: incremental stats merge ≡ from-scratch ANALYZE; generations partition and overlap") {
+    val merged = graft.operators.Persist.statsMerge(spark, sf).collect()
+    val scratch = graft.operators.Persist.tableStats(spark, sf).collect()
+    assert(merged.map(_.toSeq).toSeq === scratch.map(_.toSeq).toSeq,
+      "merged artifact stats must equal the full-rescan profile bit-for-bit")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // scalar artifacts partition the unpivoted table exactly
+    val s0 = spark.read.parquet(s"$wh/graft_stats_scalar_g0")
+    val s1 = spark.read.parquet(s"$wh/graft_stats_scalar_g1")
+    val totalRows = s0.unionByName(s1).agg(sum("n_rows")).head.getLong(0)
+    val nLi = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(totalRows === 5L * nLi, "generation scalar stats must partition the 5-column unpivot")
+    // the union-distinct NDV merge is not a concat: domains genuinely overlap
+    val d0 = spark.read.parquet(s"$wh/graft_stats_domain_g0")
+    val d1 = spark.read.parquet(s"$wh/graft_stats_domain_g1")
+    assert(d0.join(d1, Seq("cname", "vq4")).count() > 0,
+      "generation domains must share values or the merge proves nothing")
+  }
+
+  test("q25: grand total and per-grain sums reconcile across grouping sets") {
+    val out = run("q25_grouping_sets").collect()
+    val byGid = out.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L))
+    val cell = byGid(0L)
+    val totalOrders = byGid(3L).head.getAs[Long]("n_orders")
+    assert(cell.map(_.getAs[Long]("n_orders")).sum === totalOrders)
+    // each single-column grain also partitions the order set
+    assert(byGid(1L).map(_.getAs[Long]("n_orders")).sum === totalOrders)
+    assert(byGid(2L).map(_.getAs[Long]("n_orders")).sum === totalOrders)
+    val cellRev = cell.map(_.getAs[Double]("revenue")).sum
+    val totalRev = byGid(3L).head.getAs[Double]("revenue")
+    assert(math.abs(cellRev - totalRev) < 0.5, "revenue does not reconcile")
+    // sentinel discipline: rolled slots carry sentinels exactly per gid
+    out.foreach { r =>
+      val gid = r.getAs[Long]("gid")
+      assert((r.getAs[String]("n_name") == "ALL") === (gid >= 2L))
+      assert((r.getAs[Long]("o_year") == -1L) === (gid % 2L === 1L))
+    }
+  }
 }

@@ -165,4 +165,18 @@ class RecallSpec extends GraftSuite {
       assert(r.getAs[Long]("n_vecs") > 0L)
     }
   }
+
+  test("v47: drift matrix partitions the corpus; stayed and moved mass both exist") {
+    val rows = graft.operators.Ivf.centroidDrift(spark, sf).collect()
+    val nCorpus = graft.sources.Tables.embeddings(spark, sf).count()
+    val k = graft.operators.Ivf.K
+    assert(rows.nonEmpty && rows.length <= k * k, "cells bounded by K²")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === nCorpus,
+      "migration cells must partition the corpus exactly")
+    val (stay, move) = rows.partition(r =>
+      r.getAs[Long]("from_cid") === r.getAs[Long]("to_cid"))
+    assert(stay.map(_.getAs[Long]("n_vecs")).sum > 0L, "no vector kept its cluster")
+    assert(move.map(_.getAs[Long]("n_vecs")).sum > 0L,
+      "refresh moved nothing — drift report is vacuous on this corpus")
+  }
 }
