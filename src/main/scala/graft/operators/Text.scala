@@ -1500,4 +1500,38 @@ object Text {
        |SELECT doc_id, n_moji, n_repl, (n_moji + n_repl) > 0 AS damaged
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** t29: BPE MERGE CANDIDATES — the first iteration of byte-pair-encoding
+    * tokenizer training (Sennrich 2016), the step that precedes every
+    * "train a tokenizer on the corpus" job: the top adjacent-symbol pairs
+    * by corpus frequency, which IS the merge table's first entry and the
+    * candidate list for the next. The 100 TB trick is structural: pair
+    * counting rides the VOCABULARY table (word, freq), never the corpus —
+    * one corpus tokenize collapses to word frequencies (sublinear row
+    * count), then the position explode and pair aggregate touch only
+    * vocab-sized data; iteration 2..N would re-run the same vocab-sized
+    * loop with merged symbols, corpus untouched. Exact integer counts
+    * throughout; ties by pair text so top-20 is total-ordered. Two
+    * shuffles (word agg, pair agg), both map-side-combined. */
+  def bpePairs(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
+  def bpePairsOracle(topN: Int = 20): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |v AS (SELECT word, count(*)::BIGINT AS freq FROM w
+       |      WHERE length(word) >= 2 GROUP BY 1),
+       |p AS (SELECT substr(word, i, 2) AS pair, freq
+       |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)),
+       |g AS (SELECT pair, sum(freq)::BIGINT AS n FROM p GROUP BY 1)
+       |SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT $topN""".stripMargin
 }

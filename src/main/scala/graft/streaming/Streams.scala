@@ -1003,6 +1003,62 @@ object Streams {
       }
   }
 
+  /** One user-activity observation for the s24 growth classifier:
+    * a (user, epoch-day) pair, already collapsed to daily grain. */
+  case class ActivityDay(user_id: Long, day: Long)
+
+  /** s24 per-user state: the last day this user was seen active.
+    * One long per user — bounded by the USER domain. */
+  case class GrowthState(lastDay: Long)
+
+  /** One growth classification; `gap` = days since the previous active
+    * day (0 for a brand-new user). */
+  case class GrowthClassRow(user_id: Long, day: Long, cls: String, gap: Long)
+
+  /** s24: STREAMING GROWTH ACCOUNTING — the ingestion-side twin of e16's
+    * batch decomposition: every (user, day) activity is classified the
+    * moment it arrives as `new` (first ever), `retained` (active the
+    * previous day too), or `resurrected` (returned after ≥1 dark day),
+    * with exactly e16's lag rule, so live dashboards see the class mix
+    * without waiting for the nightly batch. CHURN is deliberately NOT
+    * emitted here: churn is attributed to a day on which the user did
+    * NOT appear — a retrospective fact the batch job (e16) owns; a
+    * stream could only approximate it with wall-clock timeouts, which
+    * would make the operator nondeterministic and untestable. State per
+    * user is ONE long (last active day) — bounded by the user domain,
+    * never the event volume. Same cross-batch ordering contract as s23:
+    * the feed delivers each user's days in order (user is the partition
+    * key); within a batch days are sorted and de-duplicated, and a
+    * day ≤ lastDay is a late duplicate, dropped. Append mode: each
+    * first-activity-of-a-day emits exactly one classification. */
+  def growthStateful(spark: SparkSession,
+                     activity: org.apache.spark.sql.Dataset[ActivityDay]
+                    ): org.apache.spark.sql.Dataset[GrowthClassRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    activity
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GrowthState, GrowthClassRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[GrowthState]) =>
+          var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+          val out = it.map(_.day).toSeq.distinct.sorted.flatMap { d =>
+            if (d <= last) None // late duplicate of an already-classified day
+            else {
+              val cls =
+                if (last == Long.MinValue) "new"
+                else if (d == last + 1L) "retained"
+                else "resurrected"
+              val gap = if (last == Long.MinValue) 0L else d - last
+              last = d
+              Some(GrowthClassRow(uid, d, cls, gap))
+            }
+          }
+          state.update(GrowthState(last))
+          out.iterator
+      }
+  }
+
   /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
     * aggregation — the windowed-aggregate twin of
     * [[sessionizeStatefulFrom]]. The state store merges overlapping

@@ -571,6 +571,40 @@ class PipelineSpec extends GraftSuite {
       "generation domains must share values or the merge proves nothing")
   }
 
+  test("t29: BPE pair counts match a full driver recompute over the vocabulary") {
+    val out = run("t29_bpe_pairs").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(out.length === 20)
+    // driver recompute: vocab freqs, then adjacent char-pair counts
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(out.toSeq === expect, "top-20 merge candidates diverge from driver recompute")
+  }
+
+  test("e17: gap quantiles are ordered, and n_gaps = events - users exactly") {
+    val r = run("e17_gap_quantiles").head()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_gaps") === nEvents - nUsers,
+      "every event except each user's first contributes exactly one gap")
+    val (p50, p90, p99) = (r.getAs[Long]("p50_q4"), r.getAs[Long]("p90_q4"),
+      r.getAs[Long]("p99_q4"))
+    assert(p50 <= p90 && p90 <= p99, "quantiles must be monotone")
+    assert(p99 <= r.getAs[Long]("max_s") * 10000L, "p99 bounded by the max gap")
+    assert(p50 > 0L, "degenerate zero median — corpus gaps all sub-second?")
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))

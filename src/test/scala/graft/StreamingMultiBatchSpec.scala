@@ -830,6 +830,53 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s24 growth classes: multi-batch stream == e16 lag-rule replica, state crosses batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic histories exercising all three classes, with gaps and
+    // same-day duplicates: user 0 daily (retained chain), user 1 every
+    // 3rd day (resurrections), user 2 one burst then a long gap
+    val pairs: Seq[Streams.ActivityDay] =
+      ((1 to 9).map(d => Streams.ActivityDay(0L, d.toLong)) ++
+        Seq(1, 4, 7).map(d => Streams.ActivityDay(1L, d.toLong)) ++
+        Seq(2, 3, 9).map(d => Streams.ActivityDay(2L, d.toLong)) ++
+        Seq(Streams.ActivityDay(0L, 5L), Streams.ActivityDay(1L, 4L))) // dups
+    // e16's lag rule, replayed per user over the de-duplicated history
+    val replica = pairs.map(p => (p.user_id, p.day)).distinct
+      .groupBy(_._1).flatMap { case (u, ps) =>
+        val days = ps.map(_._2).sorted
+        days.zip(Long.MinValue +: days.dropRight(1)).map { case (d, prev) =>
+          val cls = if (prev == Long.MinValue) "new"
+                    else if (d == prev + 1L) "retained" else "resurrected"
+          val gap = if (prev == Long.MinValue) 0L else d - prev
+          Streams.GrowthClassRow(u, d, cls, gap)
+        }
+      }.toSet
+    assert(Set("new", "retained", "resurrected").subsetOf(replica.map(_.cls)),
+      "scenario must exercise all three classes")
+
+    val stream = MemoryStream[Streams.ActivityDay]
+    val q = Streams.growthStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_growth").start()
+    try {
+      // per-user in-day-order batches (the ingestion-queue contract);
+      // the split at day 4/5 puts retained AND resurrected classifications
+      // in batch 2+ — the state must carry across batches
+      Seq(1 to 4, 5 to 7, 8 to 9).foreach { r =>
+        stream.addData(pairs.filter(p => r.contains(p.day.toInt)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("graft_mb_growth")
+        .as[Streams.GrowthClassRow].collect().toSet
+      assert(streamed === replica,
+        s"growth classes diverged: missing=${(replica -- streamed).take(5)} " +
+          s"extra=${(streamed -- replica).take(5)}")
+      // non-vacuous boundary: user 0 day 5 is retained and arrives in batch 2
+      assert(streamed.contains(Streams.GrowthClassRow(0L, 5L, "retained", 1L)))
+      assert(streamed.contains(Streams.GrowthClassRow(1L, 7L, "resurrected", 3L)))
+    } finally q.stop()
+  }
+
   test("s22 document changelog tail: shuffled patch batches == GraftDb.documents() fold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // drive the REAL facade's document entity through the order-sensitive
