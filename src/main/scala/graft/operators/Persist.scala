@@ -521,6 +521,81 @@ object Persist {
   /** Incremental ≡ from-scratch: the oracle IS p15's. */
   def statsMergeOracle(): String = tableStatsOracle()
 
+  /** p17: MANIFEST DIFF between two corpus GENERATIONS — the export-audit
+    * that answers "what did last night's run actually change" at the
+    * SHARD level, reading manifests (shard-count-sized) instead of data:
+    * c10 diffs at row grain by scanning the log; this is its lakehouse
+    * twin for published artifacts, where re-reading two 100 TB exports to
+    * compare them is the anti-pattern and two shard-local aggregates + a
+    * 16-row join is the job. Generations are deterministic edits of the
+    * corpus (range-sharded so changes LOCALIZE — the reason file-level
+    * diffs are useful at all): gen1 drops the first shard's id range
+    * (that shard reads `added` in gen2), gen2 drops the last shard's
+    * (`removed`) and rewrites shard 5's text (`changed`); the other 13
+    * shards must read `same`. Both generations are WRITTEN shard-
+    * partitioned and manifests computed by RE-READING the files (the f7
+    * discipline — the audit chain starts at storage); per shard: row
+    * count + the order-independent `bit_xor` content checksum, so `same`
+    * is a content claim, not a count claim. The oracle recomputes both
+    * manifests from the base table with the same edit predicates. */
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16").as("w")).head.getLong(0)
+    def sharded(df: DataFrame): DataFrame =
+      df.withColumn("shard", expr(s"doc_id div $w"))
+    val gen1 = sharded(docs.filter(col("doc_id") >= w))
+    val gen2 = sharded(docs.filter(col("doc_id") < 15L * w))
+      .withColumn("text", when(expr(s"doc_id div $w") === 5L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    def persist(df: DataFrame, name: String): DataFrame = {
+      val p = tablePath(spark, name)
+      df.write.mode("overwrite").partitionBy("shard").parquet(p)
+      spark.read.parquet(p)
+    }
+    // partition discovery types the `shard` directory column INT — re-cast
+    // to the oracle's BIGINT before it reaches output schema
+    def manifest(df: DataFrame, pre: String): DataFrame = df
+      .select(col("shard").cast("long").as("shard"),
+        Dedup.h60(concat_ws(":", lit("chk"), col("doc_id"), col("text"))).as("hc"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as(s"n_$pre"), expr("bit_xor(hc)").as(s"chk_$pre"))
+    val m1 = manifest(persist(gen1, "graft_gen1_corpus"), "g1")
+    val m2 = manifest(persist(gen2, "graft_gen2_corpus"), "g2")
+    m1.join(m2, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("n_g1").isNull, "added")
+          .when(col("n_g2").isNull, "removed")
+          .when(col("chk_g1") === col("chk_g2"), "same")
+          .otherwise("changed").as("status"),
+        coalesce(col("n_g1"), lit(0L)).as("n_g1"),
+        coalesce(col("n_g2"), lit(0L)).as("n_g2"),
+        coalesce(col("chk_g1"), lit(0L)).as("chk_g1"),
+        coalesce(col("chk_g2"), lit(0L)).as("chk_g2"))
+      .orderBy("shard")
+  }
+
+  def manifestDiffOracle(): String =
+    """WITH b AS (SELECT ((max(doc_id) + 16) // 16)::BIGINT AS w FROM documents),
+      |d AS (SELECT doc_id, text, (doc_id // b.w)::BIGINT AS shard FROM documents, b),
+      |g1 AS (SELECT shard, count(*)::BIGINT AS n_g1,
+      |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT))::BIGINT AS chk_g1
+      |       FROM d, b WHERE doc_id >= b.w GROUP BY 1),
+      |d2 AS (SELECT doc_id, CASE WHEN shard = 5 THEN text || ' v2' ELSE text END AS text, shard
+      |       FROM d, b WHERE doc_id < 15 * b.w),
+      |g2 AS (SELECT shard, count(*)::BIGINT AS n_g2,
+      |              bit_xor(CAST('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT))::BIGINT AS chk_g2
+      |       FROM d2 GROUP BY 1)
+      |SELECT coalesce(g1.shard, g2.shard) AS shard,
+      |       CASE WHEN g1.shard IS NULL THEN 'added'
+      |            WHEN g2.shard IS NULL THEN 'removed'
+      |            WHEN g1.chk_g1 = g2.chk_g2 THEN 'same'
+      |            ELSE 'changed' END AS status,
+      |       coalesce(n_g1, 0)::BIGINT AS n_g1, coalesce(n_g2, 0)::BIGINT AS n_g2,
+      |       coalesce(chk_g1, 0)::BIGINT AS chk_g1, coalesce(chk_g2, 0)::BIGINT AS chk_g2
+      |FROM g1 FULL OUTER JOIN g2 ON g1.shard = g2.shard
+      |ORDER BY shard""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

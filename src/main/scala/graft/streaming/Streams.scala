@@ -1059,6 +1059,71 @@ object Streams {
       }
   }
 
+  /** One ingestion offer for the s25 dedup gate: `shard` is the routing
+    * key (content-hash mod shard count — the partitioner's job upstream),
+    * `seq` the per-shard arrival order. */
+  case class DedupOffer(seq: Long, shard: Long, content: String)
+
+  /** s25 per-shard state: a FIXED 8 KiB Bloom bitset (1024 longs) + the
+    * offer counter — bounded by design at shards × 8 KiB whatever the
+    * stream's length. */
+  case class DedupGateState(words: Array[Long], nSeen: Long)
+
+  /** One admission decision; `content_h` is the 60-bit content hash. */
+  case class DedupDecision(shard: Long, seq: Long, content_h: Long,
+                           admitted: Boolean, n_seen: Long)
+
+  /** The repo's h60 (hex-MD5 prefix → 60-bit long), computed JVM-side for
+    * stateful operators that hash inside `flatMapGroupsWithState`. */
+  private[graft] def h60jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** s25: STREAMING DEDUP ADMISSION — exact dedup's ingestion gate (d1 is
+    * the batch sweep): the first arrival of a content wins, every later
+    * copy is rejected AT THE DOOR, so duplicates never reach storage or
+    * the index build. The 100 TB problem is state: remembering every seen
+    * content is corpus-sized, so the gate keeps d10's device instead — a
+    * FIXED 8 KiB Bloom bitset per shard (k=4 bit probes per content),
+    * giving bounded state at a documented false-positive cost: an FP
+    * REJECTS a genuinely new document (never admits a duplicate — the
+    * gate errs on the dedup side), at rate (1−e^(−kn/m))^k, ~0.24% at
+    * n=4096 contents per 65536-bit shard; production sizes shards so n/m
+    * stays there, and the batch sweep (d1) remains the exact backstop.
+    * Upstream routes by content-hash mod shards, so all copies of one
+    * content hit the same shard's bitset — admission is globally correct,
+    * not per-partition-lucky. Same in-seq per-key delivery contract as
+    * s23. Append mode: one decision per offer. */
+  def dedupStateful(spark: SparkSession,
+                    offers: org.apache.spark.sql.Dataset[DedupOffer],
+                    mBits: Int = 1 << 16, k: Int = 4
+                   ): org.apache.spark.sql.Dataset[DedupDecision] = {
+    require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    offers
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[DedupGateState, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[DedupGateState]) =>
+          val prev = state.getOption.getOrElse(
+            DedupGateState(Array.fill(mBits / 64)(0L), 0L))
+          val words = prev.words.clone()
+          var n = prev.nSeen
+          val out = it.toSeq.sortBy(_.seq).map { o =>
+            n += 1
+            val pos = (0 until k).map(j => (h60jvm(s"sdup$j:${o.content}") % mBits).toInt)
+            val dup = pos.forall(p => ((words(p >> 6) >>> (p & 63)) & 1L) == 1L)
+            if (!dup) pos.foreach(p => words(p >> 6) |= 1L << (p & 63))
+            DedupDecision(shard, o.seq, h60jvm(o.content), !dup, n)
+          }
+          state.update(DedupGateState(words, n))
+          out.iterator
+      }
+  }
+
   /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
     * aggregation — the windowed-aggregate twin of
     * [[sessionizeStatefulFrom]]. The state store merges overlapping

@@ -605,6 +605,28 @@ class PipelineSpec extends GraftSuite {
     assert(p50 > 0L, "degenerate zero median — corpus gaps all sub-second?")
   }
 
+  test("p17: manifest diff localizes the edits; physical layouts match the manifests") {
+    val out = run("p17_manifest_diff").collect()
+    val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus === Map("same" -> 13, "added" -> 1, "removed" -> 1, "changed" -> 1),
+      s"diff must localize to the three edited shards, got $byStatus")
+    // the change is text-only: same row count, different checksum
+    val ch = out.find(_.getAs[String]("status") == "changed").get
+    assert(ch.getAs[Long]("n_g1") === ch.getAs[Long]("n_g2"))
+    assert(ch.getAs[Long]("chk_g1") !== ch.getAs[Long]("chk_g2"))
+    // physical fact the oracle can't see: the generation dirs hold exactly
+    // the manifest's shard partitions
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def shardDirs(t: String): Set[Long] =
+      new java.io.File(s"$wh/$t").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(_.getName.stripPrefix("shard=").toLong).toSet
+    assert(shardDirs("graft_gen1_corpus") ===
+      out.filter(_.getAs[Long]("n_g1") > 0L).map(_.getAs[Long]("shard")).toSet)
+    assert(shardDirs("graft_gen2_corpus") ===
+      out.filter(_.getAs[Long]("n_g2") > 0L).map(_.getAs[Long]("shard")).toSet)
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))

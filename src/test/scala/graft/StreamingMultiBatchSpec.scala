@@ -877,6 +877,56 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s25 dedup admission: first arrival wins across batches, bitset state carries") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 2 shards, 10 distinct contents, duplicates planted within batch 1
+    // (seq 3 dups seq 1) and ACROSS batches (seq 8/9 dup batch-1 admits)
+    val contents = (0 until 10).map(i => s"doc body ${i % 5} shard ${i / 5}")
+    val offers = Seq(
+      Streams.DedupOffer(1L, 0L, contents(0)), Streams.DedupOffer(2L, 0L, contents(1)),
+      Streams.DedupOffer(3L, 0L, contents(0)), // within-batch dup
+      Streams.DedupOffer(4L, 0L, contents(2)),
+      Streams.DedupOffer(1L, 1L, contents(5)), Streams.DedupOffer(2L, 1L, contents(6)),
+      // batch 2+
+      Streams.DedupOffer(5L, 0L, contents(3)),
+      Streams.DedupOffer(8L, 0L, contents(1)), // cross-batch dup
+      Streams.DedupOffer(3L, 1L, contents(5)), // cross-batch dup
+      Streams.DedupOffer(4L, 1L, contents(7)),
+      Streams.DedupOffer(9L, 0L, contents(2)), // batch 3 dup of batch 1
+      Streams.DedupOffer(10L, 0L, contents(4)))
+    // sequential replica with the same Bloom fold (exact at this scale)
+    val replica = offers.groupBy(_.shard).flatMap { case (sh, os) =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      var n = 0L
+      os.sortBy(_.seq).map { o =>
+        n += 1
+        val dup = !seen.add(o.content)
+        Streams.DedupDecision(sh, o.seq, Streams.h60jvm(o.content), !dup, n)
+      }
+    }.toSet
+    val stream = MemoryStream[Streams.DedupOffer]
+    val q = Streams.dedupStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_dedup").start()
+    try {
+      Seq(1 to 4, 5 to 8, 9 to 10).foreach { r =>
+        stream.addData(offers.filter(o => r.contains(o.seq.toInt)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("graft_mb_dedup")
+        .as[Streams.DedupDecision].collect().toSet
+      assert(streamed === replica,
+        s"dedup gate diverged: missing=${(replica -- streamed).take(5)} " +
+          s"extra=${(streamed -- replica).take(5)}")
+      // the cross-batch duplicates were rejected in a LATER batch than
+      // their first occurrence — the bitset state must have carried
+      assert(!streamed.find(d => d.shard == 0L && d.seq == 8L).get.admitted)
+      assert(!streamed.find(d => d.shard == 1L && d.seq == 3L).get.admitted)
+      // every distinct content admitted exactly once (no FP at this scale)
+      assert(streamed.count(_.admitted) === offers.map(_.content).distinct.size)
+    } finally q.stop()
+  }
+
   test("s22 document changelog tail: shuffled patch batches == GraftDb.documents() fold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // drive the REAL facade's document entity through the order-sensitive
