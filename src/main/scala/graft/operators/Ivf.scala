@@ -523,6 +523,59 @@ object Ivf {
        |FROM ao JOIN assigned a USING (vec_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** v48: EMBEDDING OOD SCREEN — the bottom-p% of the corpus by
+    * similarity to its own nearest trained centroid, the embedding-QA
+    * review queue every ingestion pipeline runs (zeroed vectors, junk
+    * payloads, embeddings from the WRONG MODEL all land far from every
+    * centroid of the right model's space). Budget-based, not absolute:
+    * an absolute cosine threshold is corpus- and model-dependent, so the
+    * screen flags a FIXED SHARE (the human-review budget) via the exact
+    * quantile machinery — sim quantizes Q4, its ≤20001-value histogram
+    * folds any corpus into one bounded aggregate, and the driver walk
+    * reproduces DuckDB's quantile_cont bit-for-bit (the t22/q9 formula).
+    * One map-only assignment scan against the memoized trained matrix +
+    * two bounded aggregates; output K rows. Per-cluster flag counts also
+    * localize the damage (one cluster absorbing all flags = a junk
+    * SOURCE, uniform flags = a noise floor). */
+  def embeddingOod(spark: SparkSession, dir: String, iters: Int = 5,
+                   p: Double = 0.05): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = assignToMat(emb, trainedCentroidsFor(spark, dir, iters))
+      .select(col("vec_id"), col("cluster_id"),
+        expr("cast(floor(sim * 10000 + 0.5) as bigint)").as("sim_q4"))
+      .localCheckpoint() // histogram pass + final agg share one assignment
+    val hist: Array[(Long, Long)] = assigned.groupBy(col("sim_q4"))
+      .agg(count(lit(1)).as("n")).orderBy("sim_q4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    def valueAt(pos: Long): Long = {
+      var c = 0L
+      hist.collectFirst { case (v, cnt) if { c += cnt; c > pos } => v }.get
+    }
+    val h = (n - 1).toDouble * p
+    val (lo, hi) = (math.floor(h).toLong, math.ceil(h).toLong)
+    val tau =
+      if (lo == hi) valueAt(lo).toDouble
+      else valueAt(lo).toDouble * (1.0 - (h - lo)) + valueAt(hi).toDouble * (h - lo)
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("sim_q4").cast("double") < tau, 1L).otherwise(0L)).as("n_flagged"),
+        min(col("sim_q4")).as("min_sim_q4"))
+      .withColumn("tau_q4", round(lit(tau), 4))
+      .orderBy("cluster_id")
+  }
+
+  def embeddingOodOracle(iters: Int = 5, p: Double = 0.05): String =
+    s"""${trainCtes(iters)}
+       |aq AS (SELECT vec_id, cluster_id, floor(sim * 10000 + 0.5)::BIGINT AS sim_q4
+       |       FROM assigned),
+       |t AS (SELECT quantile_cont(sim_q4, $p) AS tau FROM aq)
+       |SELECT cluster_id, count(*)::BIGINT AS n_vecs,
+       |       sum(CASE WHEN sim_q4::DOUBLE < t.tau THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |       min(sim_q4) AS min_sim_q4, round(t.tau, 4) AS tau_q4
+       |FROM aq, t GROUP BY cluster_id, t.tau ORDER BY cluster_id""".stripMargin
+
   /** v34: the nprobe TUNING SWEEP — the recall-vs-cost curve an operator
     * actually reads before fixing an IVF deployment's probe count, as one
     * gated query: recall@k of the trained index at nprobe ∈ {1,2,4,8}

@@ -179,4 +179,24 @@ class RecallSpec extends GraftSuite {
     assert(move.map(_.getAs[Long]("n_vecs")).sum > 0L,
       "refresh moved nothing — drift report is vacuous on this corpus")
   }
+
+  test("v48: OOD screen flags ~p of the corpus, exactly the lowest-sim vectors") {
+    val rows = graft.operators.Ivf.embeddingOod(spark, sf).collect()
+    val nCorpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === nCorpus,
+      "per-cluster counts must partition the corpus")
+    val flagged = rows.map(_.getAs[Long]("n_flagged")).sum
+    assert(flagged > 0L, "review queue empty — screen vacuous")
+    // budget discipline: never more than p of the corpus (strict-below a
+    // quantile threshold), and not degenerately tiny
+    assert(flagged <= (nCorpus * 0.05).ceil.toLong, s"over budget: $flagged")
+    assert(flagged >= (nCorpus * 0.03).floor.toLong, s"far under budget: $flagged")
+    // every cluster's min is below its own flag count's implied threshold
+    val tau = rows.head.getAs[Double]("tau_q4")
+    rows.foreach { r =>
+      val hasFlags = r.getAs[Long]("n_flagged") > 0L
+      assert(hasFlags === (r.getAs[Long]("min_sim_q4").toDouble < tau),
+        s"cluster ${r.getAs[Long]("cluster_id")} flag/min inconsistency")
+    }
+  }
 }
