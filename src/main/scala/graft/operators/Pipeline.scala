@@ -737,4 +737,71 @@ object Pipeline {
        |       min(q4) AS min_q4, max(q4) AS max_q4
        |FROM ph, tot GROUP BY phase, tot.tt ORDER BY phase""".stripMargin
   }
+
+  /** f11: the per-source DATA CARD — the release-notes table every
+    * published dataset ships (docs, tokens, language spread, quality
+    * spread incl. the exact median): the summary a consumer reads before
+    * training and the row a curation run appends to its changelog. ONE
+    * corpus tokenize (t2's quality formula, single-sourced from
+    * [[Text.qualityFrame]]) feeds both passes off a checkpointed
+    * projection: the card aggregate (count/sum/distinct-lang/min/max —
+    * all partial-agg) and the per-source exact median via the bounded
+    * (source × q4-domain) histogram + the t22/q9 driver walk ≡ DuckDB's
+    * per-group quantile_cont. Medians come back as a |sources|-row
+    * broadcast join. Output bounded by the source domain at any corpus
+    * size. */
+  def sourceCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val scored = Text.qualityFrame(Tables.documents(spark, dir))
+      .select(col("source"), col("lang"), col("n_tok"),
+        expr("cast(floor(quality * 10000 + 0.5) as bigint)").as("q4"))
+      .localCheckpoint() // histogram pass + card aggregate share one scan
+    val bySource = scored.groupBy(col("source"), col("q4"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    val medRows = bySource.toSeq.map { case (src, rows) =>
+      val h = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val n = h.map(_._2).sum
+      def valueAt(pos: Long): Long = {
+        var c = 0L
+        h.collectFirst { case (v, cnt) if { c += cnt; c > pos } => v }.get
+      }
+      val hh = (n - 1).toDouble * 0.5
+      val (lo, hi) = (math.floor(hh).toLong, math.ceil(hh).toLong)
+      val med = if (lo == hi) valueAt(lo).toDouble
+        else valueAt(lo).toDouble * (1.0 - (hh - lo)) + valueAt(hi).toDouble * (hh - lo)
+      (src, med)
+    }
+    import spark.implicits._
+    val meds = medRows.toDF("source", "med")
+      .select(col("source"), round(col("med"), 4).as("p50_q4"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("q4")).as("min_q4"), max(col("q4")).as("max_q4"))
+      .join(broadcast(meds), Seq("source")) // |sources|-row side: bounded
+      .orderBy("source")
+  }
+
+  def sourceCardOracle(): String = {
+    val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source, lang, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |         len(list_intersect(list_distinct(string_split(text, ' ')), [$allStops]))::BIGINT AS stop_hits
+       |  FROM documents),
+       |q AS (
+       |  SELECT source, lang, n_tok,
+       |         floor((0.5 * (n_uniq::DOUBLE / n_tok::DOUBLE)
+       |              + 0.3 * least((length(text)::DOUBLE / n_tok::DOUBLE) / 10.0, 1.0)
+       |              + 0.2 * (stop_hits::DOUBLE / n_uniq::DOUBLE)) * 10000 + 0.5)::BIGINT AS q4
+       |  FROM t)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       count(DISTINCT lang)::BIGINT AS n_langs,
+       |       min(q4) AS min_q4, max(q4) AS max_q4,
+       |       round(quantile_cont(q4, 0.5), 4) AS p50_q4
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
 }

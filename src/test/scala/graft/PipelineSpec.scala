@@ -627,6 +627,46 @@ class PipelineSpec extends GraftSuite {
       out.filter(_.getAs[Long]("n_g2") > 0L).map(_.getAs[Long]("shard")).toSet)
   }
 
+  test("f11: source card reconciles with the corpus; median matches a driver recompute") {
+    val out = run("f11_source_card").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count(),
+      "card rows must partition the corpus by source")
+    out.foreach { r =>
+      val (mn, mx, p50) = (r.getAs[Long]("min_q4"), r.getAs[Long]("max_q4"),
+        r.getAs[Double]("p50_q4"))
+      assert(mn.toDouble <= p50 && p50 <= mx.toDouble,
+        s"median outside [min,max] for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+    // exact driver recompute of the first source's median
+    val src = out.head.getAs[String]("source")
+    val q4s = graft.operators.Text.qualityFrame(docs.filter(col("source") === src))
+      .select(expr("cast(floor(quality * 10000 + 0.5) as bigint)")).as[Long]
+      .collect().sorted.map(_.toDouble)
+    val h = (q4s.length - 1).toDouble * 0.5
+    val (lo, hi) = (math.floor(h).toInt, math.ceil(h).toInt)
+    val med = if (lo == hi) q4s(lo) else q4s(lo) * (1.0 - (h - lo)) + q4s(hi) * (h - lo)
+    assert(out.head.getAs[Double]("p50_q4") === math.floor(med * 10000d + 0.5d) / 10000d,
+      s"median diverges from driver recompute for $src")
+  }
+
+  test("e18: anomaly screen partitions the log; flags agree with the z threshold") {
+    val out = run("e18_anomaly_days").collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === nEvents,
+      "day counts must partition the event log")
+    out.foreach { r =>
+      val (z, fl) = (r.getAs[Long]("z_q4"), r.getAs[Boolean]("flagged"))
+      if (fl) assert(z >= 30000L, s"flagged day ${r.getAs[Long]("day")} below 3 MAD-sigmas")
+      else assert(z <= 30001L, s"unflagged day ${r.getAs[Long]("day")} far above threshold")
+    }
+    assert(out.count(_.getAs[Boolean]("flagged")) < out.length / 2,
+      "robust screen flagged most days — median/MAD broken")
+    assert(out.exists(_.getAs[Long]("z_q4") <= 10000L),
+      "no day near the median — z computation suspect")
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
