@@ -1526,6 +1526,63 @@ object Text {
       .limit(topN)
   }
 
+  /** t30: VOCABULARY GROWTH CURVE (Heaps' law, empirically) — new distinct
+    * terms per corpus decile and the cumulative vocabulary, the NOVELTY-
+    * SATURATION signal a data-acquisition loop reads: a flattening curve
+    * says more of the same feed no longer buys new language (stop buying
+    * it), a steep tail says the corpus is still discovering vocabulary.
+    * Deciles are id-order slices (ingestion order — the question is "what
+    * did the NEXT batch add"). Shape: one tokenize + ONE vocab-sized
+    * aggregate assigns each term its FIRST document (min doc_id — the
+    * order-free way to compute every prefix's distinct count at once:
+    * |vocab(prefix k)| ≡ |{terms: first_doc in deciles ≤ k}|, so ten
+    * prefix-distincts cost one agg, not ten scans), then a 10-row
+    * histogram + 10-row window. Per-decile doc counts ride a second
+    * map-only agg. All exact integers. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    def decile(c: String) = least(expr(s"$c * 10 div $span"), lit(9L))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val novelty = firstDoc
+      .groupBy(decile("first_doc").as("decile"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val docCounts = docs
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0) // 10-row window: driver-scale
+    novelty.join(docCounts, Seq("decile"), "full_outer")
+      .select(col("decile"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .withColumn("vocab_cum", sum(col("n_new_terms")).over(w))
+      .orderBy("decile")
+  }
+
+  def vocabGrowthOracle(): String =
+    """WITH b AS (SELECT max(doc_id) + 1 AS span FROM documents),
+      |f AS (SELECT term, min(doc_id) AS first_doc FROM (
+      |        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |      GROUP BY 1),
+      |nv AS (SELECT least((first_doc * 10) // b.span, 9)::BIGINT AS decile,
+      |              count(*)::BIGINT AS n_new_terms
+      |       FROM f, b GROUP BY 1),
+      |dc AS (SELECT least((doc_id * 10) // b.span, 9)::BIGINT AS decile,
+      |              count(*)::BIGINT AS n_docs
+      |       FROM documents, b GROUP BY 1)
+      |SELECT coalesce(nv.decile, dc.decile) AS decile,
+      |       coalesce(n_new_terms, 0)::BIGINT AS n_new_terms,
+      |       coalesce(n_docs, 0)::BIGINT AS n_docs,
+      |       sum(coalesce(n_new_terms, 0)) OVER (ORDER BY coalesce(nv.decile, dc.decile)
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_cum
+      |FROM nv FULL OUTER JOIN dc ON nv.decile = dc.decile
+      |ORDER BY decile""".stripMargin
+
   def bpePairsOracle(topN: Int = 20): String =
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |v AS (SELECT word, count(*)::BIGINT AS freq FROM w

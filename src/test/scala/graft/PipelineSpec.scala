@@ -667,6 +667,26 @@ class PipelineSpec extends GraftSuite {
       "no day near the median — z computation suspect")
   }
 
+  test("t30: vocabulary growth reconciles with direct prefix-distinct counts") {
+    val out = run("t30_vocab_growth").collect()
+    assert(out.length === 10)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count(),
+      "decile doc counts must partition the corpus")
+    // cumulative vocab at decile k == a DIRECT distinct count over the prefix
+    val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    Seq(0, 4, 9).foreach { k =>
+      // prefix = docs whose decile <= k, i.e. doc_id * 10 div span <= k
+      val direct = docs.filter(expr(s"least(doc_id * 10 div $span, 9) <= $k"))
+        .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+      assert(out(k).getAs[Long]("vocab_cum") === direct,
+        s"decile $k cumulative vocab diverges from direct prefix distinct")
+    }
+    // total vocabulary closes the curve
+    val vTotal = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(out.last.getAs[Long]("vocab_cum") === vTotal)
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
