@@ -956,6 +956,62 @@ object Relational {
     * instead of O(rows) correlated rescans (q10's argument, doubled).
     * Spec asserts zero surviving Subquery nodes in the executed plan and
     * cross-checks a driver recompute. Exact integer counts → hash-stable. */
+  /** q27: CORRELATED SCALAR-AGGREGATE SUBQUERY — "orders above their own
+    * nation's average", the whale-share report written the way analysts
+    * write it: a per-row comparison against a correlated aggregate. The
+    * decorrelation at stake is DIFFERENT from q20's EXISTS chain
+    * (semi/anti joins): a scalar-agg subquery must become an AGGREGATE +
+    * equi-JOIN (Catalyst's RewriteCorrelatedScalarSubquery) — the naive
+    * plan re-runs the average per ROW, O(n²) at any scale; the rewrite
+    * computes 25 nation averages once and joins. Spec asserts ZERO
+    * surviving Subquery nodes in the executed plan (the q19/q20
+    * convention) plus a window-based recompute. Exact-integer share_q4;
+    * the avg comparison is a count (a float boundary would need a price
+    * within one ulp of its nation mean). Output bounded by |nations|. */
+  def q27ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    spark.sql(
+      """WITH above AS (
+        |  SELECT c.c_nationkey
+        |  FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                          FROM g_orders o2
+        |                          JOIN g_customer c2 ON o2.o_custkey = c2.c_custkey
+        |                          WHERE c2.c_nationkey = c.c_nationkey)),
+        |per_nation AS (
+        |  SELECT c.c_nationkey, count(*) AS n_orders
+        |  FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey),
+        |ab AS (SELECT c_nationkey, count(*) AS n_above FROM above GROUP BY 1)
+        |SELECT n.n_name, ab.n_above, p.n_orders,
+        |       ab.n_above * 10000 DIV p.n_orders AS share_q4
+        |FROM ab JOIN per_nation p USING (c_nationkey)
+        |        JOIN g_nation n ON n.n_nationkey = ab.c_nationkey
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val q27Oracle: String =
+    """WITH above AS (
+      |  SELECT c.c_nationkey
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice)
+      |                          FROM orders o2
+      |                          JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+      |                          WHERE c2.c_nationkey = c.c_nationkey)),
+      |per_nation AS (
+      |  SELECT c.c_nationkey, count(*)::BIGINT AS n_orders
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_nationkey),
+      |ab AS (SELECT c_nationkey, count(*)::BIGINT AS n_above FROM above GROUP BY 1)
+      |SELECT n.n_name, ab.n_above, p.n_orders,
+      |       (ab.n_above * 10000) // p.n_orders AS share_q4
+      |FROM ab JOIN per_nation p USING (c_nationkey)
+      |        JOIN nation n ON n.n_nationkey = ab.c_nationkey
+      |ORDER BY n_name""".stripMargin
+
   def q20ExistsChain(spark: SparkSession, dir: String, limit: Int = 50): DataFrame = {
     graft.Graft.init(spark)
     Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")

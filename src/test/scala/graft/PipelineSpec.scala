@@ -687,6 +687,35 @@ class PipelineSpec extends GraftSuite {
     assert(out.last.getAs[Long]("vocab_cum") === vTotal)
   }
 
+  test("q27: scalar subquery fully decorrelated; window recompute agrees") {
+    val df = run("q27_scalar_subquery")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"),
+      s"correlated scalar subquery survived optimization:\n${plan.take(800)}")
+    val out = df.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_above") > 0L && r.getAs[Long]("n_above") < r.getAs[Long]("n_orders"),
+        s"degenerate above-average share for ${r.getAs[String]("n_name")}")
+    }
+    // independent recompute via a window average instead of a subquery
+    import org.apache.spark.sql.expressions.Window
+    val joined = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+    val win = joined.withColumn("nation_avg",
+        avg(col("o_totalprice")).over(Window.partitionBy(col("c_nationkey"))))
+      .filter(col("o_totalprice") > col("nation_avg"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_above"))
+      .collect().map(r => r.getAs[Long]("c_nationkey") -> r.getAs[Long]("n_above")).toMap
+    val nations = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Long]("n_nationkey")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_above") === win(nations(r.getAs[String]("n_name"))),
+        s"n_above diverges from window recompute for ${r.getAs[String]("n_name")}")
+    }
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
