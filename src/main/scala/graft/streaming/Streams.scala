@@ -1124,6 +1124,62 @@ object Streams {
       }
   }
 
+  /** s26 per-day state: m HLL registers + the observation counter —
+    * ~1 KiB per day whatever the user volume. */
+  case class HllDayState(regs: Array[Int], nSeen: Long)
+
+  /** One s26 emission: the day's EXACT-INTEGER sketch facts after this
+    * batch (`n_present` non-zero registers, `intsum` the 2^53-scaled
+    * harmonic denominator, `register_checksum` Σ reg·(bucket+1)) — the
+    * q11 estimate is one IEEE expression over these, so the stream ships
+    * no floats at all. */
+  case class HllDayStat(day: Long, n_seen: Long, n_present: Long,
+                        intsum: Long, register_checksum: Long)
+
+  /** s26: STREAMING CARDINALITY (live DAU) — per-day distinct users
+    * maintained as HYPERLOGLOG REGISTERS in stream state, q11's sketch
+    * run at ingestion: exact streaming distinct holds per-key state
+    * (corpus-sized, the thing state stores die of); the register fold is
+    * max-merge — COMMUTATIVE and idempotent — so unlike s23/s24/s25 this
+    * operator needs NO arrival-order contract at all (the spec feeds
+    * shuffled batches), duplicates are free, and state is m integers per
+    * day. Every batch re-emits the day's exact-integer sketch facts;
+    * the latest emission per day is the live readout, and the q11
+    * harmonic estimate is one downstream expression. Rank math is
+    * bit-identical to the batch hllRegisters (h60, bucket = h mod m,
+    * rho = 53 − bitlength(h div m)). */
+  def dauHllStateful(spark: SparkSession,
+                     activity: org.apache.spark.sql.Dataset[ActivityDay],
+                     p: Int = 8
+                    ): org.apache.spark.sql.Dataset[HllDayStat] = {
+    val m = 1 << p
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    activity
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[HllDayState, HllDayStat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (day, it, state: GroupState[HllDayState]) =>
+          val prev = state.getOption.getOrElse(HllDayState(Array.fill(m)(0), 0L))
+          val regs = prev.regs.clone()
+          var n = prev.nSeen
+          it.foreach { a =>
+            n += 1
+            val h = h60jvm(s"sdau:${a.user_id}")
+            val bucket = (h % m).toInt
+            val r = h / m
+            val rho = if (r == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(HllDayState(regs, n))
+          val present = regs.zipWithIndex.filter(_._1 > 0)
+          val intsum = present.map { case (reg, _) => 1L << (53 - reg) }.sum +
+            (m - present.length).toLong * (1L << 53)
+          val checksum = present.map { case (reg, b) => reg.toLong * (b + 1L) }.sum
+          Iterator.single(HllDayStat(day, n, present.length.toLong, intsum, checksum))
+      }
+  }
+
   /** s20: DECLARATIVE gap sessionization via the built-in `session_window`
     * aggregation — the windowed-aggregate twin of
     * [[sessionizeStatefulFrom]]. The state store merges overlapping

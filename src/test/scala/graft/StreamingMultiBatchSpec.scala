@@ -927,6 +927,58 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s26 streaming HLL DAU: shuffled batches converge to the exact batch registers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 256
+    // 2 days, overlapping user sets, heavy duplication; delivery SHUFFLED
+    // (the max-merge fold is order-robust — no arrival contract to honor)
+    val pairs = (for (u <- 0 until 120; d <- Seq(10L, 11L) if (u + d) % 3 != 0)
+      yield Streams.ActivityDay(u.toLong, d)) ++
+      (0 until 60).map(u => Streams.ActivityDay(u.toLong, 10L)) // replays
+    val shuffled = new scala.util.Random(7).shuffle(pairs)
+    // sequential driver replica of the register fold
+    def replica(ps: Seq[Streams.ActivityDay]): Map[Long, (Long, Long, Long)] =
+      ps.groupBy(_.day).map { case (day, as) =>
+        val regs = Array.fill(m)(0)
+        as.foreach { a =>
+          val h = Streams.h60jvm(s"sdau:${a.user_id}")
+          val b = (h % m).toInt
+          val r = h / m
+          val rho = if (r == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+          if (rho > regs(b)) regs(b) = rho
+        }
+        val present = regs.zipWithIndex.filter(_._1 > 0)
+        val intsum = present.map { case (reg, _) => 1L << (53 - reg) }.sum +
+          (m - present.length).toLong * (1L << 53)
+        day -> (present.length.toLong, intsum,
+          present.map { case (reg, b) => reg.toLong * (b + 1L) }.sum)
+      }
+    val expect = replica(pairs)
+
+    val stream = MemoryStream[Streams.ActivityDay]
+    val q = Streams.dauHllStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_hlldau").start()
+    try {
+      shuffled.grouped(100).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val rows = spark.table("graft_mb_hlldau")
+        .as[Streams.HllDayStat].collect()
+      // latest emission per day is the live readout
+      val last = rows.groupBy(_.day).map { case (d, rs) => d -> rs.maxBy(_.n_seen) }
+      assert(last.keySet === expect.keySet)
+      last.foreach { case (d, s) =>
+        val (np, is, ck) = expect(d)
+        assert((s.n_present, s.intsum, s.register_checksum) === ((np, is, ck)),
+          s"day $d sketch diverges from the sequential register fold")
+      }
+      // per-day n_seen is monotone across emissions (state accumulated)
+      rows.groupBy(_.day).foreach { case (d, rs) =>
+        assert(rs.map(_.n_seen).distinct.length === rs.length,
+          s"day $d re-emitted the same counter — state not advancing")
+      }
+    } finally q.stop()
+  }
+
   test("s22 document changelog tail: shuffled patch batches == GraftDb.documents() fold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // drive the REAL facade's document entity through the order-sensitive
