@@ -1012,6 +1012,51 @@ object Relational {
       |        JOIN nation n ON n.n_nationkey = ab.c_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** q28: SALTED LOW-CARDINALITY JOIN — the skew/parallelism fix for a
+    * shuffle join whose key has FEW values: joining a 100 TB fact on a
+    * 5-value key hashes the entire corpus into 5 reducer partitions (27
+    * of 32 tasks idle, 5 stragglers own the job; same pathology as one
+    * hot key). The fix is mechanical and semantic-free: the fact side
+    * salts with `h60(row_id) mod S`, the dim side EXPLODES ×S, the join
+    * key becomes (key, salt) — S× the dim rows (dims are tiny by
+    * definition here; S·|dim| ≪ corpus) buys S× the reduce parallelism,
+    * and the result is provably identical because every (key, salt) fact
+    * row meets exactly one dim copy. Broadcast is DISABLED via hint —
+    * at test scale AQE would broadcast the dim and hide the very shuffle
+    * this operator exists to shape; production runs this when the dim is
+    * too big to broadcast (else broadcast and salting is moot). Exact
+    * integer money math; oracle is the PLAIN join — the salt must be
+    * invisible. Spec: non-broadcast join with salt in the keys, ≡ the
+    * unsalted frame. */
+  def q28SaltedJoin(spark: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
+    graft.Graft.init(spark)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val fact = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
+        (Dedup.h60(concat(lit("salt:"), col("event_id").cast("string")))
+          % nSalts.toLong).as("salt"))
+    // fixed-taxonomy dim (the q23 convention — no discovery pass); rate is
+    // a deterministic function of the name so the oracle re-derives it
+    import spark.implicits._
+    val dim = types.toDF("event_type")
+      .withColumn("rate", (length(col("event_type")) * 7L).cast("long"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    fact.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc") * col("rate")).as("weighted_cents"))
+      .orderBy("event_type")
+  }
+
+  def q28Oracle(): String =
+    """WITH dim AS (SELECT t AS event_type, length(t) * 7 AS rate
+      |             FROM unnest(['click', 'error', 'purchase', 'signup', 'view']) AS u(t)),
+      |f AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS vc FROM events)
+      |SELECT f.event_type, count(*)::BIGINT AS n,
+      |       sum(f.vc * dim.rate)::BIGINT AS weighted_cents
+      |FROM f JOIN dim USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def q20ExistsChain(spark: SparkSession, dir: String, limit: Int = 50): DataFrame = {
     graft.Graft.init(spark)
     Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")

@@ -716,6 +716,29 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("q28: salted join is non-broadcast with salt in the keys, and salt-invisible") {
+    val df = run("q28_salted_join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "dim was broadcast — the shuffle this operator shapes never happened")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join:\n${plan.take(600)}")
+    assert(plan.contains("salt"), "salt column missing from the join")
+    // salting must be semantically invisible: ≡ the plain unsalted join
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    import spark.implicits._
+    val dim = types.toDF("event_type")
+      .withColumn("rate", (length(col("event_type")) * 7L).cast("long"))
+    val plain = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc") * col("rate")).as("weighted_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq === plain.toSeq, "salted result diverges from the plain join")
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
