@@ -401,6 +401,46 @@ final class GraftDb(spark: SparkSession, val root: String) {
     appendChunks(Seq(ChunkOp(nextSeq(), "delete_chunk", libId, docId, chunkId, "",
       Array.empty, Map.empty)))
 
+  /** PARTIAL chunk update (reference: app/api/routes/chunks.py:98 —
+    * PATCH applies only the SUPPLIED fields; a supplied metadata dict
+    * REPLACES the stored one, the `$set` rule, r10's document-patch
+    * alignment). The chunk must exist in this library (404 there,
+    * require here). The log stays upsert-only: the patch reads the live
+    * record, merges, and appends one full upsert — exactly the
+    * reference's read-merge-store (`svc.update_chunk` folds updates into
+    * the stored model), so the streaming tail (s19) and every snapshot
+    * rule are untouched. */
+  def patchChunk(libId: Long, chunkId: Long,
+                 text: Option[String] = None,
+                 embedding: Option[Array[Float]] = None,
+                 metadata: Option[Map[String, String]] = None): Unit = {
+    val cur = getChunk(libId, chunkId).collect()
+    require(cur.nonEmpty, s"chunk $chunkId not found in library $libId")
+    val r = cur.head
+    upsertChunksMeta(Seq((
+      libId,
+      r.getAs[Long]("doc_id"),
+      chunkId,
+      text.getOrElse(r.getAs[String]("text")),
+      embedding.getOrElse(r.getAs[scala.collection.Seq[Float]]("embedding").toArray),
+      metadata.getOrElse(r.getAs[Map[String, String]]("metadata")))))
+  }
+
+  /** BATCH chunk delete with validate-all-first atomic semantics
+    * (reference: app/api/routes/chunks.py:135 — every id is checked
+    * before the first delete, so one unknown id fails the whole request
+    * and NOTHING is deleted). One snapshot read validates the batch;
+    * one log append deletes it. */
+  def deleteChunksBatch(libId: Long, chunkIds: Seq[Long]): Unit = {
+    val live = listChunks(libId).select(col("chunk_id"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunkIds.foreach(cid =>
+      require(live.contains(cid), s"chunk $cid not found in library $libId"))
+    appendChunks(chunkIds.map(cid =>
+      ChunkOp(nextSeq(), "delete_chunk", libId, live(cid), cid, "",
+        Array.empty, Map.empty)))
+  }
+
   /** The live chunk snapshot, MERGE-ON-READ:
     * 1. latest op per (library, chunk) — one partial agg, survivors must
     *    be upserts (delete_chunk wins by seq and then drops out);

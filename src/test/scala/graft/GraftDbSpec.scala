@@ -527,4 +527,49 @@ class GraftDbSpec extends GraftSuite {
     val empty = db.stats(2L).head()
     assert(empty.getAs[Long]("n_chunks") === 0L && empty.getAs[Long]("n_chars") === 0L)
   }
+
+  test("chunk PATCH applies only supplied fields; metadata $set-replaces (chunks.py:98)") {
+    val db = freshDb()
+    db.createLibrary(1L, "lib", 4, "flat")
+    db.createDocument(1L, 10L, "doc")
+    db.addChunk(1L, 10L, 100L, "original", Array(1f, 0f, 0f, 0f),
+      Map("k" -> "v", "keep" -> "me"))
+    // text-only patch: embedding and metadata untouched
+    db.patchChunk(1L, 100L, text = Some("patched"))
+    var r = db.getChunk(1L, 100L).head()
+    assert(r.getAs[String]("text") === "patched")
+    assert(r.getAs[scala.collection.Seq[Float]]("embedding") === Seq(1f, 0f, 0f, 0f))
+    assert(r.getAs[Map[String, String]]("metadata") === Map("k" -> "v", "keep" -> "me"))
+    // metadata-only patch REPLACES the dict wholesale; text untouched
+    db.patchChunk(1L, 100L, metadata = Some(Map("k" -> "v2")))
+    r = db.getChunk(1L, 100L).head()
+    assert(r.getAs[String]("text") === "patched")
+    assert(r.getAs[Map[String, String]]("metadata") === Map("k" -> "v2"),
+      "a supplied metadata dict must replace, not merge")
+    // embedding-only patch; dims still validated at the door
+    db.patchChunk(1L, 100L, embedding = Some(Array(0f, 1f, 0f, 0f)))
+    assert(db.getChunk(1L, 100L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding") === Seq(0f, 1f, 0f, 0f))
+    intercept[IllegalArgumentException] {
+      db.patchChunk(1L, 100L, embedding = Some(Array(1f))) // wrong dims
+    }
+    intercept[IllegalArgumentException] {
+      db.patchChunk(1L, 999L, text = Some("x")) // 404 → require
+    }
+  }
+
+  test("batch chunk delete validates all ids first — one unknown id deletes nothing (chunks.py:135)") {
+    val db = freshDb()
+    db.createLibrary(1L, "lib", 4, "flat")
+    db.createDocument(1L, 10L, "doc")
+    (100L to 104L).foreach(c => db.addChunk(1L, 10L, c, s"c$c", Array(1f, 0f, 0f, 0f)))
+    intercept[IllegalArgumentException] {
+      db.deleteChunksBatch(1L, Seq(100L, 101L, 999L))
+    }
+    assert(db.listChunks(1L).count() === 5L,
+      "a failed batch delete must delete NOTHING (validate-all-first)")
+    db.deleteChunksBatch(1L, Seq(100L, 102L, 104L))
+    assert(db.listChunks(1L).collect().map(_.getAs[Long]("chunk_id")).sorted
+      === Array(101L, 103L))
+  }
 }
