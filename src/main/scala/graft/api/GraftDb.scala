@@ -702,6 +702,25 @@ final class GraftDb(spark: SparkSession, val root: String) {
     searchAll(libId, qdf, k, includeChunk).drop("qid").orderBy("rank")
   }
 
+  /** The `/embed` route as a facade method (app/api/routes/embed.py
+    * embed_texts): texts in, vectors out, with the route's request
+    * validation — an empty list and an over-limit batch are errors with
+    * the same boundaries (EMBED_MAX_TEXTS defaults to 128). The provider
+    * call is the documented deterministic stub (the searchText/v20
+    * embedder); swapping a real model in changes one expression. Runs as
+    * ONE map-only plan over the batch, not a per-text loop. */
+  def embedTexts(texts: Seq[String], maxTexts: Int = 128): DataFrame = {
+    require(texts.nonEmpty, "texts list cannot be empty")
+    require(texts.length <= maxTexts,
+      s"too many texts: ${texts.length} > $maxTexts")
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("text_idx", "text")
+      .select(col("text_idx"),
+        graft.operators.SearchText.stubEmbed(col("text"))
+          .cast("array<float>").as("embedding"))
+      .orderBy("text_idx")
+  }
+
   // ---- stats (operations.py:53 stats surface) -----------------------------
 
   /** Per-library stats with INDEX metadata alongside the counts — the

@@ -558,6 +558,24 @@ class GraftDbSpec extends GraftSuite {
     }
   }
 
+  test("embedTexts: the /embed route's validation + stub-embedder parity (embed.py)") {
+    val db = freshDb()
+    intercept[IllegalArgumentException] { db.embedTexts(Seq.empty) }
+    intercept[IllegalArgumentException] { db.embedTexts(Seq.fill(129)("x")) }
+    val out = db.embedTexts(Seq("hello world", "hello world", "other")).collect()
+    assert(out.length === 3)
+    val vecs = out.map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    assert(vecs.forall(_.length === graft.operators.SearchText.Dim))
+    assert(vecs(0) === vecs(1), "same text must embed identically (deterministic)")
+    assert(vecs(0) !== vecs(2), "different texts collide — stub degenerate")
+    // parity with the search path's embedder: searchText(text) self-scores 1.0
+    db.createLibrary(1L, "lib", graft.operators.SearchText.Dim, "flat")
+    db.createDocument(1L, 1L, "d")
+    db.addChunk(1L, 1L, 1L, "hello world", vecs(0).toArray)
+    val top = db.searchText(1L, "hello world", k = 1).collect().head
+    assert(top.getAs[Long]("chunk_id") === 1L)
+  }
+
   test("batch chunk delete validates all ids first — one unknown id deletes nothing (chunks.py:135)") {
     val db = freshDb()
     db.createLibrary(1L, "lib", 4, "flat")
