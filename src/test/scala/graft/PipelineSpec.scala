@@ -739,6 +739,31 @@ class PipelineSpec extends GraftSuite {
     assert(out.toSeq === plain.toSeq, "salted result diverges from the plain join")
   }
 
+  test("e19: OLS trend matches an exact driver regression per event type") {
+    val out = run("e19_activity_trend").collect()
+    assert(out.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000000) div 86400000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y")).collect()
+    val base = daily.map(_.getAs[Long]("day")).min
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = daily.filter(_.getAs[String]("event_type") == t)
+        .map(p => (p.getAs[Long]("day") - base, p.getAs[Long]("y")))
+      assert(r.getAs[Long]("n_days") === pts.length.toLong)
+      assert(pts.length > 1, s"$t has one day — slope undefined")
+      val (n, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getAs[Long]("slope_q6") === math.floor(slope * 1e6 + 0.5).toLong,
+        s"slope diverges for $t")
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(r.getAs[Long]("intercept_q4") === math.floor(icept * 1e4 + 0.5).toLong,
+        s"intercept diverges for $t")
+    }
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
