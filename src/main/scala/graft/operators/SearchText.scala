@@ -95,6 +95,64 @@ object SearchText {
       s" for i in generate_series(0, ${Dim - 1}) ]"
   }
 
+  /** v49: DOC-LEVEL MAX-SIM retrieval over CHUNK embeddings — the serving
+    * shape of every chunked RAG store: the index holds CHUNKS (long docs
+    * can't embed whole — the reference's data model IS chunks-in-docs,
+    * models.py), the product ranks DOCUMENTS, and the bridge is late
+    * max-pooling: doc score = max over its chunks' similarities (the
+    * single-vector degenerate of ColBERT-style late interaction).
+    * Pipeline: t9's window chunker → stub chunk embeddings (map-side, no
+    * shuffle — swap the real encoder in, plan unchanged) → cosine vs the
+    * broadcast query panel → ONE partial agg does BOTH poolings: groupBy
+    * (qid, doc) max-pools chunks, then the TopK partial agg cuts per-query
+    * winners — the corpus never sorts globally and never hits a few-
+    * partition window (qid has |Q| values; the v1 TopK shape avoids
+    * partitioning by it). Queries are the first windows of the first
+    * nQueries docs, so rank-1 self-retrieval is the spec's built-in
+    * ground truth. */
+  def docMaxSim(spark: SparkSession, dir: String, window: Int = 64,
+                stride: Int = 48, k: Int = 5, nQueries: Int = 4): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val chunks = Text.chunkFrame(docs, window, stride)
+      .select(col("doc_id"), stubEmbed(array_join(col("cw"), " ")).as("cvec"))
+    val queries = Text.chunkFrame(docs.filter(col("doc_id") < nQueries), window, stride)
+      .filter(col("chunk_idx") === 0L)
+      .select(col("doc_id").as("qid"), stubEmbed(array_join(col("cw"), " ")).as("qvec"))
+    val pooled = chunks.crossJoin(broadcast(queries))
+      .withColumn("sim", graft.Graft.cosine(col("cvec"), col("qvec")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(max(col("sim")).as("score"))
+    Knn.topkPerQuery(pooled, "cosine", k, idCol = "doc_id", outId = "doc_id")
+  }
+
+  def docMaxSimOracle(window: Int = 64, stride: Int = 48,
+                      k: Int = 5, nQueries: Int = 4): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' '))::BIGINT AS n_tok
+       |           FROM documents),
+       |nc AS (SELECT doc_id, w,
+       |              CASE WHEN n_tok <= $window THEN 1
+       |                   ELSE (n_tok - $window + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |       FROM w),
+       |x AS (SELECT doc_id, w,
+       |             unnest([i for i in generate_series(0, n_chunks - 1)]) AS chunk_idx
+       |      FROM nc),
+       |ct AS (SELECT doc_id, chunk_idx,
+       |              array_to_string(w[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)], ' ') AS ctext
+       |       FROM x),
+       |cv AS (SELECT doc_id, ${stubEmbedSql("ctext")} AS cvec FROM ct),
+       |q AS (SELECT doc_id AS qid, ${stubEmbedSql("ctext")} AS qvec
+       |      FROM ct WHERE doc_id < $nQueries AND chunk_idx = 0),
+       |pooled AS (SELECT q.qid, cv.doc_id,
+       |                  max(list_cosine_similarity(cv.cvec, q.qvec)) AS score
+       |           FROM cv CROSS JOIN q GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |      FROM pooled)
+       |SELECT qid, rank, doc_id, round(score, 4) AS score
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** v24: hybrid search — reciprocal-rank fusion (Cormack et al. 2009) of
     * the BM25 arm (t11) and the vector arm (v13's stub-embedded query →
     * cosine) for ONE query text, the lexical+semantic pattern every

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 /** Vector expressions + kNN semantics (reference behavior:
   * app/core/similarity_metrics.py, app/core/indexes/flat.py). */
 class VectorSpec extends GraftSuite {
+
+  test("v49: doc max-sim self-retrieves its query doc at rank 1; pooling is a true max") {
+    val out = run("v49_doc_maxsim").collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (q, rows) =>
+      val top = rows.minBy(_.getAs[Long]("rank"))
+      assert(top.getAs[Long]("doc_id") === q,
+        s"query $q (its own first window) must retrieve doc $q at rank 1")
+      assert(top.getAs[Double]("score") === 1.0, "self-window cosine must be exactly 1")
+      // scores non-increasing down the ranking
+      val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   import spark.implicits._
 
   private def scalar(exprStr: String): Any =
