@@ -521,6 +521,56 @@ object Persist {
   /** Incremental ≡ from-scratch: the oracle IS p15's. */
   def statsMergeOracle(): String = tableStatsOracle()
 
+  /** p18: TTL RETENTION — time-based expiry, the third face of the purge
+    * family (p11 deletes by ID, p12/p13 chase derived artifacts, this
+    * enforces the RETENTION POLICY every event log lives under: "keep N
+    * days"). The 100 TB property is WHERE the cutoff runs: the rewrite
+    * reads through [[Tables.eventsAfterMs]], whose predicate is pushed in
+    * the column's NATIVE type — row groups whose ts-max precedes the
+    * cutoff are never read, so enforcing retention costs what the young
+    * data costs, not a full-log scan. Cutoff = the log's midpoint
+    * (min+max)/2 ms — derived, so the oracle re-derives it. The retained
+    * artifact is WRITTEN and the audit RE-READS the files (p11
+    * discipline: rows + order-independent bit_xor checksum prove the
+    * disk holds exactly the intended survivors); the expired side is
+    * audited from the complement scan — retention deletes by NOT
+    * rewriting, there is nothing to read back, and the audit documents
+    * what was dropped. Boundary: the ms-cutoff is INCLUSIVE on the
+    * expired side at any sub-ms residue (the eventsUpToMs/AfterMs
+    * partition contract). */
+  def ttlRetention(spark: SparkSession, dir: String): DataFrame = {
+    Graft.init(spark)
+    val bounds = Tables.events(spark, dir)
+      .agg(expr("min(ts div 1000000)").as("lo"), expr("max(ts div 1000000)").as("hi"))
+      .head()
+    val cutoffMs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val path = tablePath(spark, "graft_events_retained")
+    Tables.eventsAfterMs(spark, dir, cutoffMs)
+      .write.mode("overwrite").parquet(path)
+    def audit(df: DataFrame, name: String): DataFrame = df
+      .select(Dedup.h60(concat_ws(":", lit("ttl"), col("event_id"),
+        col("user_id"))).as("hc"))
+      .groupBy(lit(name).as("artifact"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(hc)").as("checksum"))
+    audit(Tables.eventsUpToMs(spark, dir, cutoffMs), "expired")
+      .unionAll(audit(spark.read.parquet(path), "retained"))
+      .orderBy("artifact")
+  }
+
+  def ttlRetentionOracle(): String =
+    """WITH b AS (SELECT (min(epoch_ms(ts)::BIGINT) + max(epoch_ms(ts)::BIGINT)) // 2 AS cut
+      |           FROM events),
+      |h AS (SELECT epoch_ns(ts)::BIGINT AS ns,
+      |             CAST('0x' || substr(md5('ttl:' || CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hc
+      |      FROM events),
+      |ex AS (SELECT 'expired' AS artifact, count(*)::BIGINT AS n_rows,
+      |              bit_xor(hc)::BIGINT AS checksum
+      |       FROM h, b WHERE ns <= b.cut * 1000000 + 999999),
+      |re AS (SELECT 'retained' AS artifact, count(*)::BIGINT AS n_rows,
+      |              bit_xor(hc)::BIGINT AS checksum
+      |       FROM h, b WHERE ns > b.cut * 1000000 + 999999)
+      |SELECT * FROM ex UNION ALL SELECT * FROM re ORDER BY artifact""".stripMargin
+
   /** p17: MANIFEST DIFF between two corpus GENERATIONS — the export-audit
     * that answers "what did last night's run actually change" at the
     * SHARD level, reading manifests (shard-count-sized) instead of data:

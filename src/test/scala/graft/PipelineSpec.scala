@@ -764,6 +764,26 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("p18: retention partitions the log; no expired event survives on disk") {
+    val out = run("p18_ttl_retention").collect()
+      .map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(out("expired")._1 + out("retained")._1 === total,
+      "expired + retained must partition the event log exactly")
+    assert(out("expired")._1 > 0L && out("retained")._1 > 0L,
+      "midpoint cutoff must split a multi-day log — scenario vacuous otherwise")
+    // physical fact: the on-disk artifact holds no event at-or-before the cutoff
+    val ev = graft.sources.Tables.events(spark, sf)
+    val b = ev.agg(expr("min(ts div 1000000)").as("lo"), expr("max(ts div 1000000)").as("hi")).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val disk = spark.read.parquet(s"$wh/graft_events_retained")
+    assert(disk.count() === out("retained")._1, "audit rows must equal file rows")
+    assert(disk.filter(col("ts") <= cut * 1000000L + 999999L).count() === 0L,
+      "an expired event survived the rewrite")
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
