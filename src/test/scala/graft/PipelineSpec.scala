@@ -784,6 +784,29 @@ class PipelineSpec extends GraftSuite {
       "an expired event survived the rewrite")
   }
 
+  test("e20: concentration curve matches a brute-force sorted recompute") {
+    val out = run("e20_concentration").collect()
+    assert(out.length === 5)
+    // monotone: larger p covers more users and more events
+    val byPct = out.sortBy(_.getAs[Long]("pct"))
+    val covs = byPct.map(_.getAs[Long]("events_covered"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    // brute force: sort users by activity desc, take ceil(p%) of them
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c")).sortBy(-_)
+    val total = counts.sum
+    byPct.foreach { r =>
+      val nTop = (counts.length * r.getAs[Long]("pct") + 99) / 100
+      assert(r.getAs[Long]("n_top_users") === nTop)
+      assert(r.getAs[Long]("events_covered") === counts.take(nTop.toInt).sum,
+        s"coverage diverges at p=${r.getAs[Long]("pct")}")
+      assert(r.getAs[Long]("share_q4") === counts.take(nTop.toInt).sum * 10000L / total)
+    }
+    // the curve is genuinely concentrated: top 1% covers more than 1% of events
+    assert(byPct.head.getAs[Long]("share_q4") > 100L)
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
