@@ -146,6 +146,58 @@ object Dedup {
       |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** d26: DUPLICATION INFLATION — each source's EFFECTIVE token mass
+    * after global NEAR-dup dedup, the "what are we actually paying for"
+    * readout beside d25's who-duplicates-whom matrix: d25 says which
+    * feed pairs duplicate each other; this prices it — training cost and
+    * data value are TOKEN-denominated, so every redundant token is
+    * attributed GLOBALLY (a doc whose near-dup cluster a smaller id
+    * already represents is redundant mass wherever it lives — d7's
+    * min-id-keeper convention, and the CC label IS that min id, so
+    * redundancy is one predicate on the memoized label table, no keeper
+    * join). One edge-sized label read + one doc-keyed join + one
+    * source-grouped fold; share exact-integer Q4. At 100 TB this is the
+    * renewal-decision row per feed: a source at 40% redundant tokens is
+    * paying 1.7× per effective token. */
+  def dupInflation(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // converged CC labels are min-id roots: redundant ⇔ id ≠ label
+    val redundant = clusterLabelsFor(spark, dir, tau)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1L).as("is_dup"))
+    docs.join(redundant, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("is_dup") === 1L, col("n_tok")).otherwise(0L)).as("n_dup_tokens"))
+      .withColumn("dup_token_share_q4",
+        expr("n_dup_tokens * 10000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  def dupInflationOracle(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (${minhashLshOracle(tau)})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+       |red AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+       |d AS (SELECT source, doc_id,
+       |             len(string_split(text, ' '))::BIGINT AS n_tok
+       |      FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       sum(CASE WHEN red.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       |       sum(CASE WHEN red.doc_id IS NOT NULL THEN n_tok ELSE 0 END)::BIGINT AS n_dup_tokens,
+       |       (sum(CASE WHEN red.doc_id IS NOT NULL THEN n_tok ELSE 0 END) * 10000)
+       |         // sum(n_tok) AS dup_token_share_q4
+       |FROM d LEFT JOIN red USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** d2: 16 MinHash signature values per document over 3-word shingles. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(spark, dir)

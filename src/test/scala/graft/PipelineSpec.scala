@@ -807,6 +807,37 @@ class PipelineSpec extends GraftSuite {
     assert(byPct.head.getAs[Long]("share_q4") > 100L)
   }
 
+  test("d26: inflation reconciles with the corpus and the gated d7 cluster table") {
+    val out = run("d26_dup_inflation").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(out.exists(_.getAs[Long]("n_dup_docs") > 0L),
+      "no near-duplicates anywhere — inflation report vacuous")
+    // redundant set from the independently-gated d7 cluster table:
+    // non-min members of each cluster
+    val clusters = run("d7_dup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val redundant = clusters.filter { case (d, c) => d != c }.map(_._1).toSet
+    assert(redundant.nonEmpty)
+    val expect = docs.groupBy(_.getString(0)).map { case (src, ds) =>
+      val dups = ds.filter(d => redundant(d.getLong(1)))
+      src -> (ds.length.toLong, dups.length.toLong,
+        dups.map(_.getString(2).split(" ").length.toLong).sum)
+    }
+    out.foreach { r =>
+      val (nd, ndd, ndt) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_dup_docs") === ndd,
+        s"dup docs diverge for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_dup_tokens") === ndt,
+        s"dup tokens diverge for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("dup_token_share_q4") ===
+        ndt * 10000L / math.max(docs.filter(_.getString(0) == r.getAs[String]("source"))
+          .map(_.getString(2).split(" ").length.toLong).sum, 1L))
+    }
+  }
+
   test("q25: grand total and per-grain sums reconcile across grouping sets") {
     val out = run("q25_grouping_sets").collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
