@@ -193,8 +193,8 @@ object Dedup {
        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
        |       sum(CASE WHEN red.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
        |       sum(CASE WHEN red.doc_id IS NOT NULL THEN n_tok ELSE 0 END)::BIGINT AS n_dup_tokens,
-       |       (sum(CASE WHEN red.doc_id IS NOT NULL THEN n_tok ELSE 0 END) * 10000)
-       |         // sum(n_tok) AS dup_token_share_q4
+       |       ((sum(CASE WHEN red.doc_id IS NOT NULL THEN n_tok ELSE 0 END) * 10000)
+       |         // sum(n_tok))::BIGINT AS dup_token_share_q4
        |FROM d LEFT JOIN red USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 

@@ -103,7 +103,7 @@ object Relational {
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
     li.select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
-        rank().over(w).as("rnk"),
+        rank().over(w).cast("long").as("rnk"),
         round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_qty"))
       .orderBy(col("l_orderkey"), col("linenumber"))
   }
@@ -1219,7 +1219,10 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey").as("custkey"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        // timezone-FREE epoch day: date→timestamp casts read the session
+        // zone, so a non-UTC session would shift day buckets off the
+        // oracle's UTC epoch; datediff on DATEs never consults a zone
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .repartition(col("custkey"))
       .groupBy(col("custkey"), col("day"))

@@ -59,8 +59,8 @@ object SearchText {
     * engines — deterministic by construction, not by luck. */
   def embedTexts(spark: SparkSession, dir: String, limit: Long = 100): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") < limit)
-      .select(col("doc_id"), posexplode(stubEmbed(col("text"))).as(Seq("i", "val")))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), posexplode(stubEmbed(col("text"))).as(Seq("pos", "val")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
         floor(col("val") * 10000d + 0.5d).cast("long").as("val_q4"))
       .orderBy("doc_id", "i")
 
