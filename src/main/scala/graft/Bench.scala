@@ -271,23 +271,32 @@ object Bench {
         s""""note":"slowest ${inc.length} shown; ${fast.length} fastest summarized, full detail in BENCH_DETAIL.json",""" +
         s""""sf":"$sfName"}"""
     }
-    val tiers: Seq[(String, () => String)] = Seq(
-      "short names 2dp" -> (() => contractLine(d2t, shortKeys)),
-      "short names 1dp" -> (() => contractLine(d1t, shortKeys)),
-      "top-140 1dp + fast summary" -> (() => topKLine(140)),
-      "top-100 1dp + fast summary" -> (() => topKLine(100)))
-    val line = tiers.view
-      .map { case (label, mk) =>
-        val l = mk()
-        if (l.length >= budget)
-          System.err.println(s"[bench] $label contract line ${l.length} B > $budget — degrading")
-        l
-      }
+    // Tier selection is SELF-SIZING on bytes, not query count: the flat
+    // all-queries tiers are tried first (full fidelity while the suite is
+    // small enough), and past that the top-K tier binary-searches the
+    // LARGEST K whose line fits the budget — fidelity degrades by exactly
+    // one query per suite addition instead of in fixed 40-query cliffs,
+    // and a structurally-outgrown flat tier is expected, not a warning
+    // (the round-11 runs printed two scary "degrading" lines per healthy
+    // bench; the only loud path left is the impossible-fit failure).
+    val flat = Seq(contractLine(d2t, shortKeys), contractLine(d1t, shortKeys))
       .find(_.length < budget)
-    require(line.isDefined,
-      "bench contract line over the driver-capture budget at every degradation tier; " +
-        "shorten query names")
-    println(line.get)
+    val line = flat.getOrElse {
+      // topKLine length is monotone in k — max k with a fitting line
+      var lo = 0
+      var hi = results.size
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (topKLine(mid).length < budget) lo = mid else hi = mid - 1
+      }
+      require(topKLine(lo).length < budget,
+        "bench contract line over the driver-capture budget even with an empty " +
+          "query map; shorten query names")
+      System.err.println(s"[bench] contract tier: top-$lo + fast-tail summary " +
+        s"(${topKLine(lo).length} B / $budget B)")
+      topKLine(lo)
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -59,13 +59,15 @@ import graft.operators.{Ivf, Knn, Lsh}
   */
 object GraftDb {
   /** Changelog generation written by THIS release. Rows carry it so a
-    * fold can tell which patch semantics the writer intended: generation
-    * ≤ 1 rows (no `log_v` column in their files — surfaced as NULL by the
-    * mergeSchema read) were written when a supplied patch dict meant
-    * MERGE-latest-wins; generation 2 rows mean wholesale `$set` replace
-    * (the reference's semantics). The fold dispatches PER ROW, so a log
-    * spanning both generations replays each mutation under the rule its
-    * writer meant — no migration pass, no silent reinterpretation. */
+    * fold can tell which patch semantics the writer intended: rows
+    * stamped ≥ 2 mean wholesale `$set` replace (the reference's
+    * semantics). Rows WITHOUT the column (surfaced as NULL by the
+    * mergeSchema read) are ambiguous — TWO pre-versioning writers shipped
+    * that shape, one with merge-patch semantics and a later one with
+    * $set-replace — so NULL rows dispatch on the dict itself (empty →
+    * untouched, non-empty → replace; rationale at [[GraftDb#metaPatch]]).
+    * Compaction stamps every surviving row with the current generation,
+    * permanently retiring the ambiguity for that store. */
   val LogV = 2
 
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
@@ -80,7 +82,8 @@ object GraftDb {
   /** One library-changelog record. `op` ∈ upsert | patch | delete; patch
     * rows carry None for untouched fields — including metadata, where
     * None means "dict untouched" and Some(m) means "dict replaced by m"
-    * (the reference's `$set` semantics; merge for pre-[[LogV]]-2 rows). */
+    * (the reference's `$set` semantics; NULL-[[LogV]] rows dispatch on
+    * the dict — see [[GraftDb#metaPatch]]). */
   final case class LibOp(seq: Long, op: String, library_id: Long,
                          name: Option[String], dims: Option[Int],
                          index_type: Option[String], metadata: Option[Map[String, String]],
@@ -210,20 +213,27 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .when(l.getField("seq") > r.getField("seq"), lit(1))
       .otherwise(lit(0))
 
-  /** metadata union, NEW keys win — the generation-1 patch rule
-    * (map_concat alone throws on duplicate keys under the default dedup
-    * policy, so the overlap is filtered out of the old side first). */
-  private def mergeMeta(old: Column, nw: Column): Column =
-    map_concat(map_filter(old, (k, _) => !map_contains_key(nw, k)), nw)
-
-  /** Patch-row metadata fold, dispatched on the ROW's generation: NULL
-    * dict = untouched (all generations); a supplied dict MERGES for
-    * pre-versioning rows (their writer's semantics — re-reading an old
-    * log must not retroactively clear keys the writer meant to keep) and
-    * REPLACES for [[GraftDb.LogV]]-2 rows (the reference's `$set`). */
+  /** Patch-row metadata fold. NULL dict = untouched in every generation;
+    * a [[GraftDb.LogV]]-stamped dict REPLACES wholesale (the reference's
+    * `$set`). Rows WITHOUT `log_v` are ambiguous — two pre-versioning
+    * writers shipped the same file shape: the merge-era writer (patch
+    * dict merged, untouched = EMPTY dict, never NULL) and the later
+    * $set-era writer (replace, untouched = NULL). The dispatch resolves
+    * the overlap by the only decidable rule:
+    *   - empty dict → untouched. Exactly the merge-era writer's intent
+    *     (and a no-op under its merge rule anyway); the $set-era writer
+    *     never produced Some(empty) through this facade's API.
+    *   - non-empty dict → REPLACE, the most recent pre-versioning
+    *     semantics and the reference's. Merge-era non-empty patches —
+    *     written under the semantics bug the $set generation fixed —
+    *     replay under the corrected rule rather than resurrecting a
+    *     behavior no current writer has; the alternative (merge) silently
+    *     resurrects keys a $set-era replace intentionally dropped.
+    * Compaction stamps every surviving row with the current [[GraftDb.LogV]],
+    * so a compacted store never re-enters the ambiguous branch. */
   private def metaPatch(acc: Column, patch: Column, v: Column): Column =
     when(patch.isNull, acc)
-      .when(v.isNull, mergeMeta(acc, patch))
+      .when(v.isNull && size(patch) === 0, acc)
       .otherwise(patch)
 
   // ---- library CRUD (vector_db.py:105-151, models.py:26-30) ---------------
@@ -432,7 +442,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * and NOTHING is deleted). One snapshot read validates the batch;
     * one log append deletes it. */
   def deleteChunksBatch(libId: Long, chunkIds: Seq[Long]): Unit = {
-    val live = listChunks(libId).select(col("chunk_id"), col("doc_id")).collect()
+    // collect only the BATCH's rows, not the library's whole live set —
+    // the isin filter prunes before the driver sees anything, so driver
+    // memory is bounded by the request size, not the corpus
+    val live = listChunks(libId)
+      .filter(col("chunk_id").isin(chunkIds: _*))
+      .select(col("chunk_id"), col("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     chunkIds.foreach(cid =>
       require(live.contains(cid), s"chunk $cid not found in library $libId"))
@@ -449,8 +464,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *    the reference's sequential semantics);
     * 3. a library tombstone does the same two levels up (c8 cascade), and
     *    the library must currently exist. */
-  def chunks(): DataFrame = memoSnapshot("chunks") {
-    val log = chunkLog
+  def chunks(): DataFrame = memoSnapshot("chunks") { foldChunkLog(chunkLog) }
+
+  /** The chunk-log fold over an ARBITRARY slice of the log — the whole
+    * log for [[chunks]], the post-compaction delta for
+    * [[chunksEqFiltered]]'s base+delta split (sound on a slice because
+    * chunk ops are WHOLE records: any key's latest row in the slice is
+    * its current state, no older row needed). */
+  private def foldChunkLog(log: DataFrame): DataFrame = {
     // max_by on the (globally unique) seq, not max(struct(…)): the struct
     // now carries the metadata MAP, which is not an orderable type — the
     // ordering key must stay scalar
@@ -485,6 +506,73 @@ final class GraftDb(spark: SparkSession, val root: String) {
     chunks().filter(col("library_id") === libId).orderBy("chunk_id")
   def getChunk(libId: Long, chunkId: Long): DataFrame =
     chunks().filter(col("library_id") === libId && col("chunk_id") === chunkId)
+
+  // ---- metadata-filtered serving at pushdown quality -----------------------
+
+  /** Observed metadata-filter workload (bounded) — feeds compaction's
+    * hot-key promotion, so the store optimizes for the filters users
+    * actually run (the v16d evidence-not-hand-pick rule applied to the
+    * facade's own traffic). */
+  private val observedFilterKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def recordFilterWorkload(keys: Seq[String]): Unit =
+    if (observedFilterKeys.size < 4096) observedFilterKeys ++= keys
+
+  /** The live chunks of `libId` matching key=value metadata equalities
+    * (the reference's `metadata_filters` dict, app/core/models.py:48 →
+    * vector_db.py:249 filter-then-score) — served BASE+DELTA so the
+    * filter reaches the parquet reader on the dominant slice:
+    *   - BASE: the compacted snapshot rows (marked `compacted_base` and
+    *     tombstone-free by construction). A key compaction PROMOTED to a
+    *     typed `mk_<key>` column filters as a plain column equality —
+    *     row-group stats → PushedFilters — while cold keys filter the
+    *     map post-scan. Base rows masked by any post-compaction activity
+    *     (a chunk re-write, a doc tombstone, a library tombstone — all
+    *     delta seqs exceed the base's seq 0) leave via broadcast-sized
+    *     anti-joins.
+    *   - DELTA: post-compaction appends fold under the ordinary rule
+    *     (sound on the slice: chunk ops are whole records) and filter on
+    *     the map — the delta is maintenance-window-bounded, never the
+    *     corpus.
+    * A store never compacted by this generation has no base marker and
+    * serves entirely through the general fold — correct, just unpushed
+    * until its first compaction. At 100 TB this split is the difference
+    * between scanning lang-matching row groups of the compacted store
+    * and scanning (then folding) every byte of it. Caller must have
+    * validated the library exists ([[searchAll]]'s libRecord does). */
+  private[graft] def chunksEqFiltered(libId: Long, eq: Seq[(String, String)]): DataFrame = {
+    val outCols = Seq("library_id", "doc_id", "chunk_id", "text", "embedding", "metadata")
+    def mapFilter(df: DataFrame): DataFrame = eq.foldLeft(df) { case (d, (k, v)) =>
+      d.filter(element_at(col("metadata"), lit(k)) === v)
+    }
+    val log = chunkLog
+    if (!log.columns.contains("compacted_base"))
+      return mapFilter(chunks().filter(col("library_id") === libId))
+        .select(outCols.map(col): _*)
+    val promoted = log.columns.collect {
+      case c if c.startsWith("mk_") => c.stripPrefix("mk_")
+    }.toSet
+    val base = eq.foldLeft(
+      log.filter(col("compacted_base") === true && col("library_id") === libId)) {
+      case (df, (key, v)) =>
+        if (promoted.contains(key)) df.filter(col(s"mk_$key") === v) // pushed
+        else df.filter(element_at(col("metadata"), lit(key)) === v) // post-scan
+    }
+    val delta = log.filter(col("compacted_base").isNull && col("library_id") === libId)
+    val deltaChunkKeys = delta.filter(col("op").isin("upsert", "delete_chunk"))
+      .select(col("library_id"), col("chunk_id")).distinct()
+    val deltaDocTombs = delta.filter(col("op") === "delete_doc")
+      .select(col("library_id"), col("doc_id")).distinct()
+    val libTombs = libLog.filter(col("op") === "delete")
+      .select(col("library_id")).distinct()
+    val baseLive = base
+      .join(deltaChunkKeys, Seq("library_id", "chunk_id"), "left_anti")
+      .join(deltaDocTombs, Seq("library_id", "doc_id"), "left_anti")
+      .join(libTombs, Seq("library_id"), "left_anti")
+      .select(outCols.map(col): _*)
+    val deltaLive = mapFilter(foldChunkLog(delta).filter(col("library_id") === libId))
+      .select(outCols.map(col): _*)
+    baseLive.unionByName(deltaLive)
+  }
 
   // ---- index training / maintenance (vector_db.py:272-326) ----------------
 
@@ -537,9 +625,21 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * `keep` additionally filters the folded chunk/document state — the
     * purge path's exclusion predicate; plain compaction keeps all. */
   private[graft] def writeCompactSnapshots(keep: Column = lit(true)): Unit = {
+    // hot-key promotion from the OBSERVED filter workload: promoted map
+    // keys become typed `mk_<key>` columns in the compacted snapshot
+    // (parquet row-group stats → PushedFilters for the next serving
+    // epoch, [[chunksEqFiltered]]); `compacted_base` marks the rows as
+    // the tombstone-free base so serving can split base from delta. The
+    // fold and every existing reader select named columns, so the extra
+    // columns are invisible outside the pushdown path.
+    val promoted: Seq[String] =
+      if (observedFilterKeys.isEmpty) Seq.empty
+      else graft.operators.Persist.promoteHotKeys(chunks(), observedFilterKeys.toSeq)
+    val mkCols = promoted.map(k => element_at(col("metadata"), lit(k)).as(s"mk_$k"))
     chunks().filter(keep)
-      .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
-        col("doc_id"), col("chunk_id"), col("text"), col("embedding"), col("metadata"))
+      .select(Seq(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+        col("doc_id"), col("chunk_id"), col("text"), col("embedding"), col("metadata"),
+        lit(true).as("compacted_base")) ++ mkCols: _*)
       .write.mode("overwrite").parquet(s"${chunkPath}_compacting")
     // compacted rows are whole-record upserts under the CURRENT
     // generation's schema — future appends merge against log_v = LogV
@@ -619,14 +719,22 @@ final class GraftDb(spark: SparkSession, val root: String) {
   def searchAll(libId: Long, queries: DataFrame, k: Int = 10,
                 includeChunk: Boolean = false, nProbes: Int = 2,
                 nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
-                metadataFilter: Option[Column] = None): DataFrame = {
+                metadataFilter: Option[Column] = None,
+                metadataEq: Seq[(String, String)] = Seq.empty): DataFrame = {
     val lib = libRecord(libId)
     val indexType = lib.getAs[String]("index_type")
-    // `metadata` rides the candidate slice so `metadataFilter` can
-    // reference the chunk dict (reference: SearchQuery.metadata_filters,
-    // models.py:48 → vector_db.py:249 filter-then-score) — e.g.
-    // col("metadata")("source") === "web"
-    val base = listChunks(libId)
+    // `metadata` rides the candidate slice so the filters can reference
+    // the chunk dict (reference: SearchQuery.metadata_filters,
+    // models.py:48 → vector_db.py:249 filter-then-score). `metadataEq`
+    // is the reference's dict shape — key=value equalities — and routes
+    // through [[chunksEqFiltered]]'s base+delta pushdown; `metadataFilter`
+    // accepts an arbitrary Column (e.g. col("metadata")("source") ===
+    // "web") over the folded snapshot — correct for anything, unpushed.
+    recordFilterWorkload(metadataEq.map(_._1))
+    val base0 =
+      if (metadataEq.isEmpty) listChunks(libId)
+      else chunksEqFiltered(libId, metadataEq)
+    val base = base0
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
         col("text"), col("metadata"))
     val snap = metadataFilter.fold(base)(base.filter)
@@ -675,12 +783,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
   def search(libId: Long, query: Array[Float], k: Int = 10,
              includeChunk: Boolean = false, nProbes: Int = 2,
              nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
-             metadataFilter: Option[Column] = None): DataFrame = {
+             metadataFilter: Option[Column] = None,
+             metadataEq: Seq[(String, String)] = Seq.empty): DataFrame = {
     val dims = libRecord(libId).getAs[Int]("dims")
     require(query.length == dims,
       s"query has ${query.length} dims, library $libId declares $dims")
     searchAll(libId, Seq((0L, query)).toDF("qid", "qvec"), k, includeChunk,
-      nProbes, nTables, nBits, seed, metadataFilter)
+      nProbes, nTables, nBits, seed, metadataFilter, metadataEq)
       .drop("qid")
       .orderBy("rank")
   }

@@ -276,6 +276,69 @@ object IvfPq {
     } finally emb.unpersist()
   }
 
+  /** v50: SHARD-PARALLEL coded construction — v44/v45's recipe applied to
+    * the PQ family, completing coordination-free build across every
+    * persisted index family (hash lists, sign words, and now codes).
+    * Quantizers train ONCE on a sample-stable pass (the only global
+    * step; reference anchor: the train/add split in
+    * app/core/indexes/ivf.py:125-153 vs the per-vector rebuild walk in
+    * app/core/vector_db.py:272-292) — then per-vector encoding is pure
+    * map work (coarse assignment and per-subspace argmin read only the
+    * row and the broadcast codebooks), so it COMMUTES with sharding:
+    * each shard job encodes ITS vectors and writes packed code rows
+    * under one parent root with `shard` as the leading free partition
+    * column (`shard=N/cluster_id=M/`). At 100 TB that is 1000
+    * executor-local encode jobs with no shuffle and no coordination,
+    * restartable per shard, appendable for new feeds — while serving
+    * stays a SINGLE scan of the parent whose cluster_id predicate prunes
+    * directories inside every shard independently, feeding the identical
+    * prune-then-explode ADC + exact-refine tail as monolithic v19c.
+    * Result ≡ v19c BY CONSTRUCTION (train-once + map-only encode), and
+    * that equivalence is the gate: the oracle is v19c's trained replay,
+    * unchanged. IvfPqSpec additionally proves the shards partition the
+    * corpus and the merged scan prunes to probed cells. */
+  def shardedCodedBuildSearch(spark: SparkSession, dir: String, k: Int = 10,
+                              nQueries: Int = 8, iters: Int = 5,
+                              refine: Int = 32, nShards: Int = 2): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    try {
+      // ---- global step: train once (session registry, shared with v19b/c)
+      val (mat, rsub, cb) = trainedQuantizers(spark, dir, iters)
+
+      // ---- per-shard map-only encode under one parent root ----
+      val codesWide = encodeCodes(rsub, cb)
+        .groupBy(col("vec_id"), col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+        .select(col("vec_id"), col("cluster_id"),
+          expr("transform(mc, x -> x.code)").as("codes"))
+      val parent = Persist.tablePath(spark, "graft_idx_ivfpq_codes_sharded")
+      Persist.dropIndexTable(spark, "graft_idx_ivfpq_codes_sharded")
+      (0 until nShards).foreach { s =>
+        graft.sources.Sinks.writePartitioned(
+          codesWide.filter(col("vec_id") % nShards === s),
+          s"$parent/shard=$s", "cluster_id")
+      }
+
+      // ---- serve: ONE scan of the merged parent, probed cells only ----
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val probedCells = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+      val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+      val codes = spark.read.parquet(parent)
+        .filter(col("cluster_id").isin(probedCells: _*)) // prunes inside every shard
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("cluster_id"), col("pos").cast("long").as("m"),
+          col("col").as("code"))
+
+      adcFromCodes(spark, emb, mat, cb, codes, probeDf, k, queries, refine)
+    } finally emb.unpersist()
+  }
+
   def searchOracle(k: Int = 10, nQueries: Int = 8, refine: Int = 32,
                    queryPred: String = ""): String = {
     val K = Ivf.K; val M = Pq.M; val S = Pq.Sub; val P = Ivf.Probes

@@ -479,28 +479,86 @@ class GraftDbSpec extends GraftSuite {
     assert(hits.map(_.getLong(1)).toSeq === Seq(999L))
   }
 
-  test("metadata fold dispatches per row generation: old patches MERGE, new patches REPLACE") {
+  test("metadataEq search: compaction promotes the observed hot key to PushedFilters; delta stays correct") {
+    import spark.implicits._
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "lib", dims, "flat")
+    // chunks with a lang/source dict — lang on every row (promotable),
+    // source on every row too; the WORKLOAD below makes lang the hot key
+    db.upsertChunksMeta(corpus.take(30).map { case (id, t, e) =>
+      (1L, id / 10, id, t, e,
+        Map("lang" -> (if (id % 2 == 0) "en" else "de"), "source" -> s"s${id % 3}"))
+    })
+    val qdf = Seq((0L, corpus(0)._3)).toDF("qid", "qvec")
+    // observed workload: lang filtered repeatedly, source once — the
+    // promotion budget (evidence-based) must land on lang
+    (1 to 3).foreach(_ => db.searchAll(1L, qdf, k = 3,
+      metadataEq = Seq("lang" -> "en")).collect())
+    db.searchAll(1L, qdf, k = 3, metadataEq = Seq("source" -> "s0")).collect()
+    db.compact()
+    // pushed path == the arbitrary-Column path over the folded snapshot
+    val eqRows = db.searchAll(1L, qdf, k = 5, metadataEq = Seq("lang" -> "en"))
+    val viaMap = db.searchAll(1L, qdf, k = 5,
+      metadataFilter = Some(col("metadata")("lang") === "en"))
+    assert(eqRows.collect().toSeq === viaMap.collect().toSeq,
+      "pushdown-path results diverge from the folded-snapshot path")
+    // the promoted key reaches PushedFilters on the compacted-log scan
+    val plan = eqRows.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(_.contains("mk_lang")),
+      s"promoted key not pushed to the compacted-log scan:\n${pushedLines.mkString("\n")}")
+    // post-compaction DELTA: a new matching chunk appears, a deleted base
+    // chunk disappears, a tombstoned doc's base chunks vanish — the
+    // base+delta split must track all three without re-compacting
+    db.addChunk(1L, 99L, 999L, "fresh", corpus(0)._3, Map("lang" -> "en", "source" -> "s9"))
+    val liveEvenIds = corpus.take(30).map(_._1).filter(_ % 2 == 0)
+    val dropped = liveEvenIds.head
+    db.deleteChunk(1L, dropped / 10, dropped) // base row masked by delta delete
+    db.deleteDocument(1L, 2L)                 // doc tombstone masks its base chunks
+    val got = db.chunksEqFiltered(1L, Seq("lang" -> "en")).collect()
+      .map(_.getAs[Long]("chunk_id")).toSet
+    val want = (liveEvenIds.toSet - dropped)
+      .filterNot(id => id / 10 == 2L) + 999L
+    assert(got === want, s"base+delta serving wrong: got=$got want=$want")
+  }
+
+  test("NULL-log_v metadata patches: empty dict untouched, non-empty REPLACES (era dispatch)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graftdb").toString
-    // generation-1 store: metadata non-optional, NO log_v column, and its
-    // writer's patch semantics were merge-latest-wins
-    Seq((0L, "upsert", 1L, Some("lib"), Some(8), Some("flat"), Map("a" -> "1", "b" -> "1")),
-        (1L, "patch", 1L, None: Option[String], None: Option[Int], None: Option[String],
-          Map("b" -> "2", "c" -> "2")))
+    // Two pre-versioning writers shipped the SAME file shape (metadata
+    // column, no log_v): the merge-era writer (untouched = empty dict)
+    // and the later $set-era writer (replace; untouched = NULL). The
+    // fold's NULL-log_v rule must (a) not clear the dict on a merge-era
+    // untouched patch and (b) not resurrect keys a $set-era replace
+    // dropped. Both shapes in one log:
+    Seq((0L, "upsert", 1L, Some("lib"), Some(8), Some("flat"),
+          Some(Map("a" -> "1", "b" -> "1"))),
+        // merge-era untouched patch: EMPTY dict, must be a no-op
+        (1L, "patch", 1L, Some("lib2"), None: Option[Int], None: Option[String],
+          Some(Map.empty[String, String])),
+        // $set-era (round-10 shape) replace patch: non-empty, no log_v —
+        // the writer meant wholesale replace; "a"/"b" must NOT survive
+        (2L, "patch", 1L, None: Option[String], None: Option[Int], None: Option[String],
+          Some(Map("c" -> "2"))),
+        // $set-era untouched patch: NULL dict
+        (3L, "patch", 1L, Some("lib3"), None: Option[Int], None: Option[String],
+          None: Option[Map[String, String]]))
       .toDF("seq", "op", "library_id", "name", "dims", "index_type", "metadata")
       .write.parquet(s"$root/libraries_log")
     val db = new GraftDb(spark, root)
-    // the old patch row must fold under ITS generation's rule: merged,
-    // not reinterpreted as a wholesale $set (which would drop "a")
-    val merged = db.listLibraries().head().getAs[Map[String, String]]("metadata")
-    assert(merged === Map("a" -> "1", "b" -> "2", "c" -> "2"),
-      s"pre-versioning patch row lost the merge semantics: $merged")
+    val lib = db.listLibraries().head()
+    assert(lib.getAs[String]("name") === "lib3")
+    val folded = lib.getAs[Map[String, String]]("metadata")
+    assert(folded === Map("c" -> "2"),
+      s"NULL-log_v replace patch resurrected or lost keys: $folded")
     // a CURRENT-generation patch $set-replaces wholesale
     db.updateLibrary(1L, metadata = Some(Map("z" -> "9")))
     assert(db.listLibraries().head().getAs[Map[String, String]]("metadata")
       === Map("z" -> "9"))
-    // and compaction persists the folded state under the current schema —
-    // re-open reads it back unchanged
+    // and compaction persists the folded state stamped with the current
+    // log_v — re-open reads it back unchanged, ambiguity retired
     db.compact()
     val db2 = new GraftDb(spark, root)
     assert(db2.listLibraries().head().getAs[Map[String, String]]("metadata")

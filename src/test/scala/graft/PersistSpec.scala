@@ -123,6 +123,33 @@ class PersistSpec extends GraftSuite {
     }
   }
 
+  test("v50: sharded coded build == monolithic v19c; shards partition; merged read prunes") {
+    val sharded = rows(IvfPq.shardedCodedBuildSearch(spark, sf))
+    val mono = rows(IvfPq.trainedPersistSearch(spark, sf))
+    assert(sharded === mono,
+      "merged-shard coded serving diverged from the monolithic IVFPQ artifact")
+    assert(sharded.nonEmpty)
+    // shard partitions split the corpus exactly (even/odd keying), and the
+    // audit is one scan of the single parent root grouped by the free
+    // `shard` partition column
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val codes = spark.read.parquet(s"$wh/graft_idx_ivfpq_codes_sharded")
+    val s0 = codes.filter(col("shard") === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val s1 = codes.filter(col("shard") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((s0 & s1).isEmpty, "coded shard artifacts overlap")
+    assert((s0 | s1).size.toLong ===
+      graft.sources.Tables.embeddings(spark, sf).count(), "coded shard union incomplete")
+    assert(s0.forall(_ % 2 == 0) && s1.forall(_ % 2 == 1), "coded shard keying broken")
+    // the merged read partition-prunes on cluster_id within every shard
+    val probed = codes.filter(col("cluster_id").isin(1L, 3L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"merged coded shard read does not partition-prune:\n${plan.take(600)}")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
