@@ -682,4 +682,59 @@ object Knn {
        |      FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** v52: HARD-NEGATIVE MINING — the contrastive-training data step a
+    * similarity stack exists to feed: for each query doc, the top-k most
+    * similar docs that are NOT the doc itself and NOT its near-duplicates
+    * (d7's CC cluster-mates). Plain kNN mines FALSE negatives — a near-dup
+    * ranked #1 is the same content, and training against it as a negative
+    * teaches the encoder to separate identical text; excluding the
+    * cluster makes the mined set hard-but-genuinely-different, the
+    * in-batch-negatives recipe every embedding finetune uses. Exclusion
+    * is a doc-keyed LEFT join against the MEMOIZED label table (one
+    * edge-sized read, the d25/d26 convention) with the query panel's ≤Q
+    * labels broadcast — the scoring plan stays v1's single corpus scan.
+    * At 100 TB the label table is the already-maintained dedup artifact;
+    * the marginal cost of mining negatives over plain search is one
+    * small join. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10,
+                    nQueries: Int = 8, tau: Double = 0.5): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val labels = Dedup.clusterLabelsFor(spark, dir, tau)
+    val qLabels = labels.select(col("id").as("qid"), col("label").as("qlab"))
+      .filter(col("qid") < nQueries)
+    val scored = scoreAll(emb, queries, "cosine")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(labels.select(col("id").as("vec_id"), col("label").as("dlab")),
+        Seq("vec_id"), "left")
+      .join(broadcast(qLabels), Seq("qid"), "left")
+      .filter(col("dlab").isNull || col("qlab").isNull || col("dlab") =!= col("qlab"))
+      .select(col("qid"), col("vec_id"), col("score"))
+    topkPerQuery(scored, "cosine", k)
+  }
+
+  def hardNegativesOracle(k: Int = 10, nQueries: Int = 8, tau: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (${Dedup.minhashLshOracle(tau)})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |fs AS (SELECT s.qid, s.vec_id, s.score
+       |       FROM s LEFT JOIN lab dl ON s.vec_id = dl.id
+       |              LEFT JOIN lab ql ON s.qid = ql.id
+       |       WHERE dl.label IS NULL OR ql.label IS NULL OR dl.label <> ql.label),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM fs)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 }

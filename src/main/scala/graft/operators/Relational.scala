@@ -1166,6 +1166,9 @@ object Relational {
     * engine-independent bitmask `gid`; rolled slots coalesce to sentinel
     * values so the output carries no NULLs and the sort is total. */
   def q25GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    // year(TIMESTAMP_NTZ) is wall-clock (zone-free); init is for the
+    // session conventions, not correctness
+    graft.Graft.init(spark)
     val base = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -1217,11 +1220,14 @@ object Relational {
     * any corpus size. */
   def q26RangeFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.Graft.init(spark) // pins session tz UTC — belt for the braces below
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey").as("custkey"),
-        // timezone-FREE epoch day: date→timestamp casts read the session
-        // zone, so a non-UTC session would shift day buckets off the
-        // oracle's UTC epoch; datediff on DATEs never consults a zone
+        // timezone-FREE epoch day: o_orderdate reads as TIMESTAMP_NTZ
+        // (wall clock, no zone), and NTZ→DATE preserves the wall-clock
+        // date in ANY session zone — whereas the previous
+        // `unix_micros(cast(... as timestamp))` interpreted the wall
+        // clock in the session zone (the r11-advice hole)
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .repartition(col("custkey"))
@@ -1249,6 +1255,71 @@ object Relational {
       |      FROM g)
       |SELECT custkey, day, day_cents, trail7_cents, n_active_days
       |FROM w ORDER BY trail7_cents DESC, custkey, day LIMIT 20""".stripMargin
+
+  /** q29: DEEP MULTI-DIM JOIN — the TPC-H Q8 "national market share"
+    * shape, the 7-table star this suite's 2-4-table joins never price:
+    * fact (lineitem⋈orders, the one genuinely big-big shuffle) against
+    * four dimension arms (part-type filter, customer→nation→region
+    * market filter, supplier→nation focal flag). Join discipline per
+    * the r9 structural-broadcast rule: nation/region are FIXED-
+    * cardinality → explicit broadcast; part/customer/supplier scale
+    * with the corpus → no hint, AQE promotes them at runtime when their
+    * filtered sides measure small. The focal-nation share arrives as a
+    * LEFT join + conditional sum (one pass computes numerator and
+    * denominator — a share-by-filter formulation would scan the fact
+    * twice). Money is the v20 fixed-point recipe (per-row cents before
+    * any sum); year() over the timestamp under init-pinned UTC. */
+  def q29MarketShare(spark: SparkSession, dir: String, region: String = "ASIA",
+                     ptype: String = "PROMO", nation: String = "NATION_1"): DataFrame = {
+    graft.Graft.init(spark)
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+        .cast("long").as("cents"))
+    val selParts = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype).select(col("p_partkey"))
+    val ord = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val marketCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val focalSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nation)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), lit(1L).as("is_focal"))
+    li.join(selParts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"))
+      .join(focalSupp, col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("o_year"))
+      .agg(sum(col("cents")).as("total_cents"),
+        sum(when(col("is_focal") === 1L, col("cents")).otherwise(0L)).as("nation_cents"))
+      .select(col("o_year"), col("total_cents"), col("nation_cents"),
+        expr("nation_cents * 10000 div total_cents").as("share_q4"))
+      .orderBy("o_year")
+  }
+
+  def q29Oracle(region: String = "ASIA", ptype: String = "PROMO",
+                nation: String = "NATION_1"): String =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |                   floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)::BIGINT AS cents
+       |            FROM lineitem),
+       |sel AS (SELECT li.cents, year(o_orderdate)::BIGINT AS o_year, li.l_suppkey
+       |        FROM li JOIN part ON l_partkey = p_partkey AND p_type = '$ptype'
+       |               JOIN orders ON l_orderkey = o_orderkey
+       |               JOIN customer ON o_custkey = c_custkey
+       |               JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |               JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '$region'),
+       |f AS (SELECT s_suppkey FROM supplier
+       |      JOIN nation sn ON s_nationkey = sn.n_nationkey AND sn.n_name = '$nation')
+       |SELECT o_year, sum(cents)::BIGINT AS total_cents,
+       |       sum(CASE WHEN f.s_suppkey IS NOT NULL THEN cents ELSE 0 END)::BIGINT AS nation_cents,
+       |       ((sum(CASE WHEN f.s_suppkey IS NOT NULL THEN cents ELSE 0 END) * 10000)
+       |         // sum(cents))::BIGINT AS share_q4
+       |FROM sel LEFT JOIN f ON sel.l_suppkey = f.s_suppkey
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
 
   val q19Oracle: String =
     """WITH e AS (

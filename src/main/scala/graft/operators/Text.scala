@@ -1591,4 +1591,58 @@ object Text {
        |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)),
        |g AS (SELECT pair, sum(freq)::BIGINT AS n FROM p GROUP BY 1)
        |SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT $topN""".stripMargin
+
+  /** t31: REPEATED-TOKEN RUNS — the stutter screen (max consecutive-
+    * same-token run per doc, rolled up per source): degenerate repetition
+    * ("batch batch batch …") is the classic generation/scrape artifact
+    * every LLM-corpus quality filter screens for, and it is invisible to
+    * the ORDER-BLIND repetition signals (t15's duplicate-token fraction
+    * and t27's entropy score a stuttered doc exactly like its shuffled
+    * twin; t15's top-bigram coverage fires on "a b a b" alternation but
+    * not on a lone burst). Runs are gaps-and-
+    * islands over TOKEN POSITIONS: island id = pos − row_number within
+    * (doc, token) — constant inside a consecutive run, distinct across
+    * runs, exact integers throughout. Shape at 100 TB: the window and
+    * both downstream aggregates are all doc-keyed, so ONE corpus
+    * exchange (doc_id is the corpus-spread high-cardinality key) feeds
+    * the whole pipeline; the final source rollup shuffles one row per
+    * (source, doc) reduced to one per source. */
+  def repeatRuns(spark: SparkSession, dir: String, minRun: Int = 3): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+      .repartition(col("doc_id"))
+    val byTok = Window.partitionBy(col("doc_id"), col("t")).orderBy(col("i"))
+    val perDoc = toks
+      .withColumn("grp", col("i") - row_number().over(byTok))
+      .groupBy(col("doc_id"), col("source"), col("t"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("run")).as("max_run"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_run") >= minRun, 1L).otherwise(0L)).as("n_stutter"),
+        max(col("max_run")).as("worst_run"))
+      .select(col("source"), col("n_docs"), col("n_stutter"),
+        expr("n_stutter * 10000 div n_docs").as("stutter_share_q4"),
+        col("worst_run"))
+      .orderBy("source")
+  }
+
+  def repeatRunsOracle(minRun: Int = 3): String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(w) AS t,
+       |               generate_subscripts(w, 1) AS i FROM w),
+       |r AS (SELECT doc_id, source, t, i,
+       |             i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
+       |      FROM tok),
+       |runs AS (SELECT doc_id, source, count(*)::BIGINT AS run
+       |         FROM r GROUP BY doc_id, source, t, grp),
+       |d AS (SELECT doc_id, source, max(run) AS max_run FROM runs GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN max_run >= $minRun THEN 1 ELSE 0 END)::BIGINT AS n_stutter,
+       |       ((sum(CASE WHEN max_run >= $minRun THEN 1 ELSE 0 END) * 10000)
+       |         // count(*))::BIGINT AS stutter_share_q4,
+       |       max(max_run) AS worst_run
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 }
