@@ -646,6 +646,81 @@ object Persist {
       |FROM g1 FULL OUTER JOIN g2 ON g1.shard = g2.shard
       |ORDER BY shard""".stripMargin
 
+  /** p19: TIME-TRAVEL READ over COPY-ON-WRITE generations — the
+    * snapshot-isolation mechanism (Iceberg/Delta's) p17's diff audits
+    * from the outside: a new generation REWRITES ONLY ITS CHANGED SHARDS
+    * under the same parent (`gen=G/shard=N/`) and publishes a SNAPSHOT
+    * MANIFEST (shard → source generation, shard-count-sized) mapping
+    * every shard of the logical snapshot to the physical generation that
+    * last wrote it; a reader pins a snapshot by resolving its manifest
+    * to static (gen, shard-set) predicates — partition-pruned at
+    * file-listing time, no data copied, both snapshots live. At 100 TB
+    * this is the difference between last night's run rewriting one
+    * changed shard (1/16 of the corpus here) and re-exporting
+    * everything — while yesterday's readers keep a consistent corpus.
+    * Generations are p17's deterministic edits (shard 5's text
+    * rewritten, shard 15 dropped); the gated output reads BOTH snapshots
+    * through their manifests and emits per-snapshot shard/row counts +
+    * the order-independent content checksum, which the oracle recomputes
+    * from the base table under the same edit predicates — so the gate
+    * proves the manifest-resolved physical layout reconstructs each
+    * logical snapshot bit-for-bit. Spec additionally proves the gen-2
+    * write touched ONLY the one changed shard and the pinned read
+    * partition-prunes. */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16").as("w")).head.getLong(0)
+    val sharded = docs.withColumn("shard", expr(s"doc_id div $w"))
+    val parent = tablePath(spark, "graft_cow_corpus")
+    dropIndexTable(spark, "graft_cow_corpus")
+    // gen 1: the full corpus; gen 2: ONLY the rewritten shard's files
+    Sinks.writePartitioned(sharded, s"$parent/gen=1", "shard")
+    Sinks.writePartitioned(
+      sharded.filter(col("shard") === 5L)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      s"$parent/gen=2", "shard")
+    // snapshot manifests: shard → source generation (shard-count-sized)
+    import spark.implicits._
+    val shards = (0L to 15L).toSeq
+    val manifest =
+      (shards.map(s => (1L, s, 1L)) ++
+        shards.filterNot(s => s == 5L || s == 15L).map(s => (2L, s, 1L)) :+
+        ((2L, 5L, 2L)))
+        .toDF("snap_gen", "shard", "src_gen")
+    val manPath = tablePath(spark, "graft_cow_manifest")
+    manifest.coalesce(1).write.mode("overwrite").parquet(manPath)
+    // pinned reads: manifest rows → static (gen, shard-set) predicates
+    def asOf(g: Long): DataFrame = {
+      val rows = spark.read.parquet(manPath).filter(col("snap_gen") === g)
+        .select(col("src_gen"), col("shard")).collect() // bounded: shard count
+      rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (sg, rs) =>
+        spark.read.parquet(parent)
+          .filter(col("gen") === sg &&
+            col("shard").isin(rs.map(_.getLong(1)).toIndexedSeq: _*))
+      }.reduce(_ unionByName _)
+    }
+    Seq(1L, 2L).map { g =>
+      asOf(g).select(lit(g).as("gen"), col("shard"), col("doc_id"),
+          Dedup.h60(concat_ws(":", lit("chk"), col("doc_id"), col("text"))).as("hc"))
+        .groupBy(col("gen"))
+        .agg(countDistinct(col("shard")).as("n_shards"),
+          count(lit(1)).as("n_docs"), expr("bit_xor(hc)").as("chk"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
+  def timeTravelReadOracle(): String =
+    """WITH b AS (SELECT ((max(doc_id) + 16) // 16)::BIGINT AS w FROM documents),
+      |d AS (SELECT doc_id, text, (doc_id // b.w)::BIGINT AS shard FROM documents, b),
+      |g1 AS (SELECT 1::BIGINT AS gen, shard, doc_id, text FROM d),
+      |g2 AS (SELECT 2::BIGINT AS gen, shard, doc_id,
+      |              CASE WHEN shard = 5 THEN text || ' v2' ELSE text END AS text
+      |       FROM d WHERE shard <> 15),
+      |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      |SELECT gen, count(DISTINCT shard)::BIGINT AS n_shards, count(*)::BIGINT AS n_docs,
+      |       bit_xor(CAST('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT))::BIGINT AS chk
+      |FROM u GROUP BY gen ORDER BY gen""".stripMargin
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)
@@ -1153,6 +1228,117 @@ object Persist {
       .select(col("qid"), col("vec_id"), col("score"))
 
     Knn.topkPerQuery(scored, "cosine", k)
+  }
+
+  /** v51: SELECTIVITY-ADAPTIVE filtered search — the pre-filter /
+    * post-filter STRATEGY SWITCH every production vector store runs
+    * (Milvus/Vespa/pgvector all dispatch on filter selectivity): a
+    * highly-selective metadata filter makes brute-force-over-survivors
+    * cheaper AND exact (scan the few matching rows, skip the index
+    * entirely), while a broad filter keeps the index probe and drops
+    * non-matching candidates post-scan. The decision input is the
+    * p15-style per-filter match counts (one bounded agg: m+1 longs of
+    * driver state — at 100 TB this reads the maintained stats artifact,
+    * not the corpus) combined under independence; the threshold compare
+    * is EXACT integer cross-multiplication (`thrDen·Πcᵢ ≤ nᵐ`, i.e.
+    * estimated selectivity ≤ 1/thrDen), so no float boundary can flip
+    * the branch between engines. Both branches are individually
+    * oracle-gated (v51 selective → pre-filter exact, v51b broad →
+    * post-filter IVF), and the emitted `strategy` column makes the
+    * decision part of the gated contract, not a hidden heuristic. */
+  def adaptiveFilteredSearch(spark: SparkSession, dir: String,
+                             filters: Seq[(String, String)] =
+                               Seq("lang" -> "de", "source" -> "src7"),
+                             k: Int = 10, nQueries: Int = 8,
+                             thrDen: Long = 50L): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aggs = count(lit(1)).as("n") +: filters.zipWithIndex.map { case ((c, v), i) =>
+      sum(when(col(c) === v, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head() // m+1 longs: bounded
+    val n = row.getAs[Long]("n")
+    val selective =
+      thrDen * filters.indices.map(i => row.getAs[Long](s"c$i")).product <=
+        filters.indices.map(_ => n).product
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val matchIds = filters.foldLeft(docs) { case (d, (c, v)) => d.filter(col(c) === v) }
+      .select(col("doc_id").as("vec_id"))
+    val hits =
+      if (selective) {
+        // PRE-FILTER EXACT: score only the survivors — no index at all
+        Knn.topkPerQuery(
+          Knn.scoreAll(emb.join(matchIds, Seq("vec_id")), queries, "cosine"),
+          "cosine", k)
+      } else {
+        // POST-FILTER IVF: probe-pruned candidates, filter after the scan
+        val mat = Ivf.collectCentroids(emb.filter(col("vec_id") < Ivf.K)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+        val probePairs = Ivf.probesFor(queries, mat, spark).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+        val scored = Ivf.assignToMat(emb, mat)
+          .select(col("vec_id"), col("embedding"), col("cluster_id"))
+          .join(matchIds, Seq("vec_id"))
+          .join(broadcast(probeDf), Seq("cluster_id"))
+          .join(broadcast(queries), Seq("qid"))
+          .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("score"))
+        Knn.topkPerQuery(scored, "cosine", k)
+      }
+    hits.withColumn("strategy",
+      lit(if (selective) "prefilter_exact" else "postfilter_ivf"))
+  }
+
+  def adaptiveFilteredSearchOracle(filters: Seq[(String, String)] =
+                                     Seq("lang" -> "de", "source" -> "src7"),
+                                   k: Int = 10, nQueries: Int = 8,
+                                   thrDen: Long = 50L): String = {
+    val m = filters.length
+    val cSums = filters.zipWithIndex.map { case ((c, v), i) =>
+      s"sum(CASE WHEN $c = '$v' THEN 1 ELSE 0 END) AS c$i"
+    }.mkString(", ")
+    val prod = filters.indices.map(i => s"c$i").mkString(" * ")
+    val nPow = Seq.fill(m)("n").mkString(" * ")
+    val wherePred = filters.map { case (c, v) => s"$c = '$v'" }.mkString(" AND ")
+    s"""WITH dec AS (SELECT count(*) AS n, $cSums FROM documents),
+       |flag AS (SELECT ($thrDen * $prod <= $nPow) AS selective FROM dec),
+       |md AS (SELECT doc_id FROM documents WHERE $wherePred),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |pre_s AS (SELECT q.qid, e.vec_id,
+       |                 list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |          FROM embeddings e JOIN md ON e.vec_id = md.doc_id CROSS JOIN q
+       |          WHERE (SELECT selective FROM flag)),
+       |pre_r AS (SELECT qid, vec_id, score,
+       |                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |          FROM pre_s),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < ${Ivf.K}),
+       |probe_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |            FROM q CROSS JOIN c WHERE NOT (SELECT selective FROM flag)),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM probe_s)
+       |  WHERE rn <= ${Ivf.Probes}),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c WHERE NOT (SELECT selective FROM flag)),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM assign_s)
+       |  WHERE rn = 1),
+       |post_s AS (SELECT p.qid, a.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM assigned a JOIN probes p ON a.cluster_id = p.cid
+       |                JOIN md ON a.vec_id = md.doc_id
+       |                JOIN embeddings e ON a.vec_id = e.vec_id
+       |                JOIN q ON p.qid = q.qid),
+       |post_r AS (SELECT qid, vec_id, score,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |           FROM post_s),
+       |u AS (SELECT * FROM pre_r UNION ALL SELECT * FROM post_r)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score,
+       |       CASE WHEN (SELECT selective FROM flag)
+       |            THEN 'prefilter_exact' ELSE 'postfilter_ivf' END AS strategy
+       |FROM u WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   def metadataFilteredIvfSearchOracle(lang: String = "en", source: String = "src7",

@@ -1059,6 +1059,52 @@ object Streams {
       }
   }
 
+  /** s27 per-user state: last active day + current-run length + best-run
+    * length — THREE longs per user, bounded by the user domain. */
+  case class StreakState(lastDay: Long, curRun: Long, bestRun: Long)
+
+  /** One live streak emission: the user's run state as of `day`. */
+  case class StreakRow(user_id: Long, day: Long, cur_run: Long, best_run: Long)
+
+  /** s27: STREAMING STREAK MAINTENANCE — e21's ingestion-side twin: the
+    * per-user consecutive-day run counter updated the moment a (user,
+    * day) activity arrives, so the "current streak: N days" product
+    * surface reads live state instead of waiting for the nightly
+    * gaps-and-islands batch. The fold is e21's island rule expressed
+    * incrementally: day == last+1 extends the run, any larger gap resets
+    * it to 1, and best-run is the running max — after any prefix of the
+    * feed, (cur_run, best_run) equal what e21's batch window computes on
+    * the same prefix (spec: multi-batch parity against the batch
+    * replica, state crossing batch boundaries). Same ordering contract
+    * as s23/s24: the feed delivers each user's days in order (user is
+    * the partition key); within a batch days are de-duplicated and
+    * sorted, a day ≤ lastDay is a late duplicate, dropped. State is
+    * THREE longs per user — bounded by the user domain, never event
+    * volume. Update mode emits one row per newly-absorbed day. */
+  def streakStateful(spark: SparkSession,
+                     activity: org.apache.spark.sql.Dataset[ActivityDay]
+                    ): org.apache.spark.sql.Dataset[StreakRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    activity
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[StreakState]) =>
+          var st = state.getOption.getOrElse(StreakState(Long.MinValue, 0L, 0L))
+          val out = it.map(_.day).toSeq.distinct.sorted.flatMap { d =>
+            if (d <= st.lastDay) None // late duplicate
+            else {
+              val cur = if (d == st.lastDay + 1L) st.curRun + 1L else 1L
+              st = StreakState(d, cur, math.max(st.bestRun, cur))
+              Some(StreakRow(uid, d, st.curRun, st.bestRun))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One ingestion offer for the s25 dedup gate: `shard` is the routing
     * key (content-hash mod shard count — the partitioner's job upstream),
     * `seq` the per-shard arrival order. */

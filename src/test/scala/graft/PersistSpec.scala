@@ -150,6 +150,29 @@ class PersistSpec extends GraftSuite {
       s"merged coded shard read does not partition-prune:\n${plan.take(600)}")
   }
 
+  test("p19: COW generation writes only the changed shard; pinned read prunes") {
+    val out = Persist.timeTravelRead(spark, sf).collect()
+    assert(out.length === 2)
+    val byGen = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // gen1 = full corpus (16 shards); gen2 = 15 shards (one dropped), and
+    // the rewritten shard means the checksums must differ
+    assert(byGen(1L)._1 === 16L && byGen(2L)._1 === 15L)
+    assert(out(0).getLong(3) !== out(1).getLong(3), "gen checksums identical")
+    // the PHYSICAL gen-2 write is one shard's files, not a corpus rewrite
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val gen2Dirs = Option(new java.io.File(s"$wh/graft_cow_corpus/gen=2").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    assert(gen2Dirs === Seq("shard=5"), s"gen-2 wrote more than the changed shard: $gen2Dirs")
+    // a pinned read resolves the manifest to static predicates — the scan
+    // partition-prunes on (gen, shard)
+    val pinned = spark.read.parquet(s"$wh/graft_cow_corpus")
+      .filter(col("gen") === 1L && col("shard").isin(0L, 1L, 2L))
+    pinned.collect()
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"pinned snapshot read does not partition-prune:\n${plan.take(600)}")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -877,6 +877,54 @@ class StreamingMultiBatchSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("s27 streaks: multi-batch stream == e21 island-rule replica, runs cross batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic histories: user 0 one unbroken 9-day run (the run
+    // must EXTEND across all three batches), user 1 two runs split by a
+    // gap (best must remember run 1 after the reset), user 2 isolated
+    // days (every run length 1), plus same-day duplicates
+    val pairs: Seq[Streams.ActivityDay] =
+      ((1 to 9).map(d => Streams.ActivityDay(0L, d.toLong)) ++
+        Seq(1, 2, 3, 7, 8).map(d => Streams.ActivityDay(1L, d.toLong)) ++
+        Seq(2, 5, 9).map(d => Streams.ActivityDay(2L, d.toLong)) ++
+        Seq(Streams.ActivityDay(0L, 6L), Streams.ActivityDay(1L, 2L))) // dups
+    // e21's island rule replayed incrementally per user
+    val replica = pairs.map(p => (p.user_id, p.day)).distinct
+      .groupBy(_._1).flatMap { case (u, ps) =>
+        val days = ps.map(_._2).sorted
+        var last = Long.MinValue; var cur = 0L; var best = 0L
+        days.map { d =>
+          cur = if (d == last + 1L) cur + 1L else 1L
+          best = math.max(best, cur); last = d
+          Streams.StreakRow(u, d, cur, best)
+        }
+      }.toSet
+
+    val stream = MemoryStream[Streams.ActivityDay]
+    val q = Streams.streakStateful(spark, stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mb_streaks").start()
+    try {
+      // batch split at 4/5 and 7/8: user 0's run must extend across both
+      // boundaries, user 1's second run must start in batch 3 with best
+      // carried from batch 1
+      Seq(1 to 4, 5 to 7, 8 to 9).foreach { r =>
+        stream.addData(pairs.filter(p => r.contains(p.day.toInt)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("graft_mb_streaks")
+        .as[Streams.StreakRow].collect().toSet
+      assert(streamed === replica,
+        s"streaks diverged: missing=${(replica -- streamed).take(5)} " +
+          s"extra=${(streamed -- replica).take(5)}")
+      // non-vacuous boundaries: user 0's day-9 run is 9 (grown across all
+      // batches); user 1's day-8 run is 2 with best 3 from the first run
+      assert(streamed.contains(Streams.StreakRow(0L, 9L, 9L, 9L)))
+      assert(streamed.contains(Streams.StreakRow(1L, 8L, 2L, 3L)))
+      assert(streamed.contains(Streams.StreakRow(2L, 9L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("s25 dedup admission: first arrival wins across batches, bitset state carries") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 2 shards, 10 distinct contents, duplicates planted within batch 1
