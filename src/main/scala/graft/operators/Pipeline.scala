@@ -783,6 +783,82 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** f12: TOKEN-BUDGET WATERFILL — the allocation solver between f9's
+    * "sample at these rates" and f11's "here is what each source holds":
+    * given a global token budget (90% of the corpus here, derived
+    * exactly — high enough that the near-uniform test sources split into
+    * BOTH regimes: the smallest taken whole, the rest capped), allocate it across sources by WATER-FILLING — every
+    * source gets min(available, L) for the unique integer level L that
+    * spends the budget — the standard answer when target weights are
+    * "as uniform as the data allows" rather than f9's fixed mixture
+    * (small sources are taken whole, large ones capped at the common
+    * level, no source starved by a proportional rule). The cut is found
+    * CLOSED-FORM on the avail-sorted prefix sums (for each candidate
+    * "first k sources taken whole": L = (B − P_k) div (n − k), valid
+    * iff a_k ≤ L < a_{k+1} — exactly one row passes), so both engines
+    * compute the identical exact-integer level with no iteration and no
+    * float. The whole solve runs on the SOURCE table — one corpus-scan
+    * token count, then window ops over a source-domain-bounded relation
+    * (~dozens of rows at any corpus size); the unspent remainder
+    * (B − Σ alloc < n, by construction) is reported, not silently
+    * redistributed. */
+  def budgetWaterfill(spark: SparkSession, dir: String,
+                      budgetNum: Long = 9L, budgetDen: Long = 10L): DataFrame = {
+    val byAvail = Window.orderBy(col("avail"), col("source"))
+    val src = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+    // source-domain-bounded from here on: unpartitioned windows over ~20
+    // rows are deliberate (the WindowExec warning does not apply)
+    val ord = src
+      .withColumn("rn", row_number().over(byAvail))
+      .withColumn("pfx_prev",
+        sum(col("avail")).over(byAvail.rowsBetween(Window.unboundedPreceding, 0))
+          - col("avail"))
+      .withColumn("a_prev", lag(col("avail"), 1).over(byAvail))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("avail")).over(Window.partitionBy()))
+      .withColumn("budget", expr(s"total * $budgetNum div $budgetDen"))
+    val level = ord
+      .withColumn("lk", expr("(budget - pfx_prev) div (n - rn + 1)"))
+      .withColumn("valid",
+        (col("a_prev").isNull || col("a_prev") <= col("lk")) && col("lk") < col("avail"))
+      .select(
+        when(max(when(col("valid"), col("lk"))).isNull, max(col("avail")))
+          .otherwise(max(when(col("valid"), col("lk")))).as("level"),
+        first(col("budget")).as("budget"))
+    src.crossJoin(broadcast(level)) // 1-row level: bounded by construction
+      .select(col("source"), col("avail"),
+        least(col("avail"), col("level")).as("alloc"),
+        col("level"), col("budget"),
+        expr("least(avail, level) * 10000 div avail").as("fill_q4"))
+      .orderBy("source")
+  }
+
+  def budgetWaterfillOracle(budgetNum: Long = 9L, budgetDen: Long = 10L): String =
+    s"""WITH src AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS avail
+       |             FROM documents GROUP BY source),
+       |g AS (SELECT sum(avail)::BIGINT AS total,
+       |             (sum(avail) * $budgetNum // $budgetDen)::BIGINT AS budget,
+       |             count(*)::BIGINT AS n FROM src),
+       |ord AS (SELECT source, avail,
+       |               row_number() OVER (ORDER BY avail, source) AS rn,
+       |               (sum(avail) OVER (ORDER BY avail, source ROWS UNBOUNDED PRECEDING)
+       |                 - avail)::BIGINT AS pfx_prev,
+       |               lag(avail) OVER (ORDER BY avail, source) AS a_prev
+       |        FROM src),
+       |lv AS (SELECT ((g.budget - o.pfx_prev) // (g.n - o.rn + 1))::BIGINT AS lk,
+       |              (o.a_prev IS NULL OR o.a_prev <= (g.budget - o.pfx_prev) // (g.n - o.rn + 1))
+       |                AND (g.budget - o.pfx_prev) // (g.n - o.rn + 1) < o.avail AS valid
+       |       FROM ord o, g),
+       |level AS (SELECT coalesce(max(CASE WHEN valid THEN lk END),
+       |                          (SELECT max(avail) FROM src))::BIGINT AS level FROM lv)
+       |SELECT s.source, s.avail,
+       |       least(s.avail, level.level)::BIGINT AS alloc,
+       |       level.level, g.budget,
+       |       (least(s.avail, level.level) * 10000 // s.avail)::BIGINT AS fill_q4
+       |FROM src s, level, g ORDER BY s.source""".stripMargin
+
   def sourceCardOracle(): String = {
     val allStops = Text.StopWords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")
