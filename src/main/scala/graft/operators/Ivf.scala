@@ -934,4 +934,88 @@ object Ivf {
        |  SELECT vec_id, cid, sim, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
        |  FROM assign_s) WHERE rn = 1),""".stripMargin
   }
+
+  /** v53: ADAPTIVE PROBE BUDGET — per-query nprobe chosen by CANDIDATE
+    * MASS instead of a fixed count (the production IVF tuning answer to
+    * skewed inverted lists: a fixed nprobe=4 reads 4 tiny lists for one
+    * query and 4 huge ones for another — recall and cost both swing).
+    * Each query probes the SMALLEST prefix of its similarity-ranked
+    * centroids whose cumulative LIST SIZE reaches the budget (corpus/5,
+    * derived exactly), so every query scans a comparable candidate
+    * volume and n_probed varies per query with the lists it happens to
+    * rank first. The decision runs on INDEX METADATA — the K-row size
+    * table joined to the Q×K ranking, a bounded relation — never the
+    * corpus; the serving tail is the standard probe-pruned scan. The
+    * emitted `n_probed` column puts the per-query decision inside the
+    * hash gate. (Reference anchor: the fixed `nprobe` constant in
+    * app/core/indexes/ivf.py — this is its workload-robust replacement.) */
+  def adaptiveProbeSearch(spark: SparkSession, dir: String, k: Int = 10,
+                          nQueries: Int = 8, budgetDen: Long = 5L): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = collectCentroids(centroidsFixed(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val budget = emb.count() / budgetDen // one long of driver state
+
+    // the same centroid frame + cosine probesFor uses — bit-identical sims
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mat.toSeq.map { case (id, v) => Row(id, v.toSeq) }, 1),
+      schema)
+    val bySim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cluster_id"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("sim", Graft.cosine(col("qvec"), col("cvec")))
+      .select(col("qid"), col("cid").as("cluster_id"), col("sim"))
+      .join(broadcast(sizes), Seq("cluster_id"))
+      .withColumn("cum", sum(col("csize")).over(
+        bySim.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") - col("csize") < budget) // minimal covering prefix
+      .select(col("qid"), col("cluster_id"))
+    val nProbes = probes.groupBy(col("qid")).agg(count(lit(1)).as("n_probed"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
+      .select(col("qid"), col("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k)
+      .join(broadcast(nProbes), Seq("qid"))
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"), col("n_probed"))
+      .orderBy("qid", "rank")
+  }
+
+  def adaptiveProbeSearchOracle(k: Int = 10, nQueries: Int = 8,
+                                budgetDen: Long = 5L): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |b AS (SELECT (count(*) // $budgetDen)::BIGINT AS budget FROM embeddings),
+       |assign_s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+       |             FROM embeddings e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM assign_s) WHERE rn = 1),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM assigned GROUP BY 1),
+       |r AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS sim FROM q CROSS JOIN c),
+       |pr AS (SELECT r.qid, r.cid, sz.csize,
+       |              sum(sz.csize) OVER (PARTITION BY r.qid ORDER BY r.sim DESC, r.cid
+       |                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |       FROM r JOIN sz ON r.cid = sz.cluster_id),
+       |probes AS (SELECT qid, cid FROM pr, b WHERE cum - csize < b.budget),
+       |np AS (SELECT qid, count(*)::BIGINT AS n_probed FROM probes GROUP BY 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |rk AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |       FROM scored)
+       |SELECT rk.qid, rk.rank, rk.vec_id, round(rk.score, 4) AS score, np.n_probed
+       |FROM rk JOIN np ON rk.qid = np.qid WHERE rk.rank <= $k ORDER BY rk.qid, rk.rank""".stripMargin
 }

@@ -721,6 +721,113 @@ object Persist {
       |       bit_xor(CAST('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT))::BIGINT AS chk
       |FROM u GROUP BY gen ORDER BY gen""".stripMargin
 
+  /** p20: BLOOM FILE-SKIPPING — the data-skipping index a lakehouse keeps
+    * for NON-partition keys (Iceberg bloom filters, Delta file stats):
+    * the corpus shards on doc_id, but a lineage/dedup lookup arrives by
+    * CONTENT FINGERPRINT — uncorrelated with the layout, so partition
+    * pruning is useless and min/max row-group stats are useless too (a
+    * hash fills each shard's full range). Per shard, ONE 1024-bit Bloom
+    * bitset over the fingerprints (an 8-long sidecar row, the s25
+    * bitset fold reused for storage) is computed IN the shard write's
+    * aggregate and persisted beside the data; a probe resolves its
+    * fingerprints against the sidecar (shard-count-sized driver read) to
+    * a static shard IN-list, and scans only candidate shards. Bloom
+    * false positives can only ADD a scanned shard — never change the
+    * result — so the gate (probe fingerprints of known docs + one absent
+    * fingerprint → located rows) is replayed by the oracle WITHOUT the
+    * bloom, from the base table: the sidecar is provably pure pruning.
+    * At 100 TB this turns a by-content point lookup from a corpus scan
+    * into reading ~FP-rate × shards. Spec: the probe's candidate set is
+    * a strict subset of the shards and contains every true home. */
+  def bloomSkippingLookup(spark: SparkSession, dir: String,
+                          probeIds: Seq[Long] = Seq(7L, 123L, 456L),
+                          nBits: Int = 1024, nHash: Int = 4): DataFrame = {
+    Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16").as("w")).head.getLong(0)
+    val fp = Dedup.h60(concat_ws(":", lit("skip"), col("text")))
+    val sharded = docs
+      .withColumn("shard", expr(s"doc_id div $w"))
+      .withColumn("fp", fp)
+    val path = tablePath(spark, "graft_skip_corpus")
+    Sinks.writePartitioned(sharded, path, "shard")
+    // sidecar: per shard, OR-fold each fingerprint's nHash bit positions
+    // into 16 64-bit words — per-row word columns, then one partial agg
+    // (bit_or) → 16 longs per shard
+    def posSql(j: Int): String =
+      s"pmod(CAST(conv(substring(md5(concat_ws(':', 'skipb$j', CAST(fp AS STRING))), 1, 15), 16, 10) AS BIGINT), $nBits)"
+    val rowWords = (0 until nBits / 64).foldLeft(
+      spark.read.parquet(path).select(col("shard").cast("long").as("shard"), col("fp"))) {
+      case (df, wd) =>
+        val bits = (0 until nHash).map { j =>
+          s"(CASE WHEN ${posSql(j)} div 64 = $wd " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${posSql(j)} % 64 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" | ")
+        df.withColumn(s"w$wd", expr(bits))
+    }
+    val sidecar = rowWords.groupBy(col("shard"))
+      .agg(expr("bit_or(w0)").as("w0"),
+        (1 until nBits / 64).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
+    val sidePath = tablePath(spark, "graft_skip_sidecar")
+    sidecar.coalesce(1).write.mode("overwrite").parquet(sidePath)
+
+    // probe set: fingerprints of known docs + one absent fingerprint —
+    // derived from the base table so the oracle can re-derive it
+    val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"), fp.as("pfp"))
+      .unionByName(spark.range(1).select(lit(-1L).as("probe_id"),
+        Dedup.h60(lit("skip:absent-probe")).as("pfp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // ≤4 rows: bounded
+
+    // resolve each probe against the sidecar (shard-count-sized read)
+    val side = spark.read.parquet(sidePath).collect()
+      .map(r => r.getLong(0) -> (0 until nBits / 64).map(i => r.getLong(i + 1)).toArray)
+    val candShards = probes.flatMap { case (_, pfp) =>
+      side.collect { case (s, ws) if bloomMightContain(ws, pfp, nBits, nHash) => s }
+    }.distinct.sorted.toIndexedSeq
+
+    val probeDf = spark.createDataFrame(probes.toSeq).toDF("probe_id", "pfp")
+    val found = spark.read.parquet(path)
+      .filter(col("shard").isin(candShards: _*)) // the skipped scan
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("fp"))
+      .join(broadcast(probeDf), col("fp") === col("pfp"))
+      .select(col("probe_id"), col("doc_id"), col("shard"))
+    // absent probes must surface as an explicit miss row, not silence
+    probeDf.select(col("probe_id")).join(found, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        coalesce(col("shard"), lit(-1L)).as("shard"))
+      .orderBy("probe_id", "doc_id")
+  }
+
+  /** The sidecar membership test — JVM twin of the write-side bit fold
+    * (shared with PersistSpec's pruning audit). */
+  private[graft] def bloomMightContain(words: Array[Long], pfp: Long,
+                                       nBits: Int = 1024, nHash: Int = 4): Boolean =
+    (0 until nHash).forall { j =>
+      val pos = (graft.streaming.Streams.h60jvm(s"skipb$j:$pfp") % nBits).toInt
+      (words(pos / 64) & (1L << (pos % 64))) != 0L
+    }
+
+  def bloomSkippingLookupOracle(probeIds: Seq[Long] = Seq(7L, 123L, 456L)): String = {
+    val ids = probeIds.mkString(", ")
+    s"""WITH b AS (SELECT ((max(doc_id) + 16) // 16)::BIGINT AS w FROM documents),
+       |d AS (SELECT doc_id, (doc_id // b.w)::BIGINT AS shard,
+       |             CAST('0x' || substr(md5('skip:' || text), 1, 15) AS BIGINT) AS fp
+       |      FROM documents, b),
+       |probes AS (SELECT doc_id AS probe_id, fp AS pfp FROM d WHERE doc_id IN ($ids)
+       |           UNION ALL
+       |           SELECT -1, CAST('0x' || substr(md5('skip:absent-probe'), 1, 15) AS BIGINT)),
+       |f AS (SELECT p.probe_id, d.doc_id, d.shard
+       |      FROM probes p JOIN d ON d.fp = p.pfp)
+       |SELECT p.probe_id,
+       |       coalesce(f.doc_id, -1)::BIGINT AS doc_id,
+       |       coalesce(f.shard, -1)::BIGINT AS shard
+       |FROM probes p LEFT JOIN f ON p.probe_id = f.probe_id
+       |ORDER BY p.probe_id, doc_id""".stripMargin
+  }
+
   def minhashPersistPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     Graft.init(spark)
     val sig = Dedup.minhash(spark, dir)

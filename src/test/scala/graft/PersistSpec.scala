@@ -173,6 +173,32 @@ class PersistSpec extends GraftSuite {
       s"pinned snapshot read does not partition-prune:\n${plan.take(600)}")
   }
 
+  test("p20: bloom sidecar prunes the by-content lookup to a shard subset with every home") {
+    val out = Persist.bloomSkippingLookup(spark, sf).collect()
+    // known probes found exactly; the absent probe is an explicit miss row
+    val misses = out.filter(_.getLong(0) === -1L)
+    assert(misses.length === 1 && misses.head.getLong(1) === -1L)
+    val found = out.filter(_.getLong(0) >= 0L)
+    assert(found.map(_.getLong(0)).toSet === Set(7L, 123L, 456L))
+    assert(found.forall(r => r.getLong(0) === r.getLong(1)), "probe found a wrong doc")
+    // recompute the candidate set from the PERSISTED sidecar: it must be
+    // a strict subset of the shard domain and contain every true home —
+    // i.e. the skipping is real pruning, never a correctness mechanism
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val side = spark.read.parquet(s"$wh/graft_skip_sidecar").collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toArray)
+    assert(side.length === 16, s"expected 16 shard sidecar rows, got ${side.length}")
+    val fps = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(7L, 123L, 456L)).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        graft.streaming.Streams.h60jvm(s"skip:${r.getString(1)}")).toMap
+    val cand = fps.values.flatMap(pfp =>
+      side.collect { case (s, ws) if Persist.bloomMightContain(ws, pfp) => s }).toSet
+    val homes = found.map(_.getLong(2)).toSet
+    assert(homes.subsetOf(cand), s"a true home shard was bloom-pruned: $homes vs $cand")
+    assert(cand.size < 16, s"sidecar pruned nothing (all ${cand.size} shards candidates)")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
