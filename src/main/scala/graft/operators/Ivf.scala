@@ -957,7 +957,13 @@ object Ivf {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
-    val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    // list sizes are index METADATA: K longs collected beside the centroid
+    // matrix itself (the broadcast-audit convention — a literal map is
+    // structurally bounded where an aggregate-over-the-corpus subtree,
+    // however K-rowed its output, cannot be proven so)
+    val sizeMap: Map[Long, Long] = assigned
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val budget = emb.count() / budgetDen // one long of driver state
 
     // the same centroid frame + cosine probesFor uses — bit-identical sims
@@ -972,7 +978,7 @@ object Ivf {
     val probes = queries.crossJoin(broadcast(centDf))
       .withColumn("sim", Graft.cosine(col("qvec"), col("cvec")))
       .select(col("qid"), col("cid").as("cluster_id"), col("sim"))
-      .join(broadcast(sizes), Seq("cluster_id"))
+      .withColumn("csize", element_at(typedLit(sizeMap), col("cluster_id")))
       .withColumn("cum", sum(col("csize")).over(
         bySim.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .filter(col("cum") - col("csize") < budget) // minimal covering prefix
