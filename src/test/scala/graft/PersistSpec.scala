@@ -199,6 +199,25 @@ class PersistSpec extends GraftSuite {
     assert(cand.size < 16, s"sidecar pruned nothing (all ${cand.size} shards candidates)")
   }
 
+  test("v51: the selectivity switch picks structurally different plans per branch") {
+    // selective default (lang=de ∧ source=src7, est. <2%): pre-filter
+    // exact — the plan must not build the centroid machinery at all
+    val sel = Persist.adaptiveFilteredSearch(spark, sf)
+    val selRows = sel.collect()
+    assert(selRows.nonEmpty &&
+      selRows.forall(_.getAs[String]("strategy") === "prefilter_exact"))
+    val selPlan = sel.queryExecution.optimizedPlan.toString
+    assert(!selPlan.contains("graft_nearest_centroid"),
+      "selective branch built an index probe it should have skipped")
+    // broad filter (lang=en, ~44%): post-filter IVF — probe machinery present
+    val broad = Persist.adaptiveFilteredSearch(spark, sf, filters = Seq("lang" -> "en"))
+    val broadRows = broad.collect()
+    assert(broadRows.nonEmpty &&
+      broadRows.forall(_.getAs[String]("strategy") === "postfilter_ivf"))
+    assert(broad.queryExecution.optimizedPlan.toString.contains("graft_nearest_centroid"),
+      "broad branch skipped the index it should have probed")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -858,4 +858,38 @@ class PipelineSpec extends GraftSuite {
       assert((r.getAs[Long]("o_year") == -1L) === (gid % 2L === 1L))
     }
   }
+
+  test("f12 waterfill cut rule: unique valid cut, conservation, budget-monotone (400 random cases)") {
+    // the closed form the Spark op and its oracle both transcribe,
+    // checked as pure math against brute force over random avail sets
+    def level(a0: Seq[Long], budget: Long): Long = {
+      val a = a0.sorted
+      val n = a.length
+      if (a.sum <= budget) a.max
+      else {
+        val valid = (1 to n).flatMap { rn =>
+          val pfxPrev = a.take(rn - 1).sum
+          val lk = (budget - pfxPrev) / (n - rn + 1)
+          val ok = (rn == 1 || a(rn - 2) <= lk) && lk < a(rn - 1)
+          if (ok) Some(lk) else None
+        }
+        assert(valid.size === 1, s"cut not unique for avails=$a budget=$budget: $valid")
+        valid.head
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 400) {
+      val a = Seq.fill(1 + rnd.nextInt(12))(1L + rnd.nextInt(500).toLong)
+      val b = rnd.nextInt((a.sum * 12 / 10 + 1).toInt).toLong
+      val l = level(a, b)
+      val alloc = a.map(math.min(_, l))
+      if (a.sum <= b) assert(alloc === a)
+      else {
+        assert(alloc.sum <= b, s"overspent: $alloc vs $b")
+        assert(b - alloc.sum < a.length, s"leftover >= n: ${b - alloc.sum}")
+      }
+      // water level can only rise with budget
+      assert(level(a, b + 1 + rnd.nextInt(100)) >= l)
+    }
+  }
 }

@@ -199,4 +199,23 @@ class RecallSpec extends GraftSuite {
         s"cluster ${r.getAs[Long]("cluster_id")} flag/min inconsistency")
     }
   }
+
+  test("v53: n_probed varies per query, grows with budget, self-hit first") {
+    def npOf(budgetDen: Long): (Map[Long, Long], Array[org.apache.spark.sql.Row]) = {
+      val rows = graft.operators.Ivf.adaptiveProbeSearch(spark, sf, budgetDen = budgetDen).collect()
+      (rows.map(r => r.getLong(0) -> r.getLong(4)).toMap, rows)
+    }
+    val (np5, rows) = npOf(5L)
+    // adaptive, not a constant nprobe in disguise
+    assert(np5.values.toSet.size >= 2, s"n_probed constant across queries: $np5")
+    // every query's rank-1 is itself (probed lists always contain the
+    // query's own cluster: its nearest centroid ranks first)
+    rows.filter(_.getLong(1) === 1L).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), s"self-hit not rank 1: $r")
+    }
+    // a larger candidate budget can only probe MORE lists per query
+    val (np2, _) = npOf(2L)
+    np5.foreach { case (qid, n) => assert(np2(qid) >= n, s"budget grew, probes shrank for $qid") }
+    assert(np2.exists { case (qid, n) => n > np5(qid) }, "larger budget changed nothing")
+  }
 }
