@@ -222,4 +222,68 @@ object SearchText {
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
        |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** v54: DELTA RE-EMBEDDING — embedding maintenance between corpus
+    * generations: when last night's run rewrote ONE shard's text (p17's
+    * generation edits), only THOSE documents re-encode; everyone else's
+    * vector is REUSED from the persisted gen-1 embedding store. At
+    * 100 TB the encoder is the cost (GPU-months for a full corpus pass)
+    * and this is the only sane refresh: recompute ∝ changed bytes, reuse
+    * ∝ everything else — the embedding-store twin of p19's
+    * copy-on-write. The op builds the gen-1 store (one stub-embed pass,
+    * persisted — the standing artifact), derives gen 2 (shard 5's text
+    * rewritten, shard 15 dropped), re-encodes ONLY shard 5, and serves
+    * gen 2 as recomputed ∪ reused-by-join; the gate folds the SERVED
+    * vectors (first-dim Q4 per doc, order-independent checksum) per
+    * (shard, status), which the oracle replays by embedding gen-2's text
+    * from scratch — so the hash proves the reuse join serves vectors
+    * bit-identical to recomputation (doubles round-trip parquet
+    * bit-exactly), while the `status` column proves only the changed
+    * shard paid the encoder. */
+  def embedDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16").as("w")).head.getLong(0)
+    val sharded = docs.withColumn("shard", expr(s"doc_id div $w"))
+    // the gen-1 embedding store: the persisted standing artifact
+    val storePath = Persist.tablePath(spark, "graft_embed_store_gen1")
+    sharded.select(col("doc_id"), stubEmbed(col("text")).as("embedding"))
+      .write.mode("overwrite").parquet(storePath)
+    // gen 2: shard 5 rewritten, shard 15 dropped (p17's edit predicates)
+    val gen2 = sharded.filter(col("shard") =!= 15L)
+      .withColumn("text2", when(col("shard") === 5L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val recomputed = gen2.filter(col("shard") === 5L)
+      .select(col("doc_id"), col("shard"),
+        stubEmbed(col("text2")).as("embedding"), lit("recomputed").as("status"))
+    val reused = gen2.filter(col("shard") =!= 5L)
+      .select(col("doc_id"), col("shard"))
+      .join(spark.read.parquet(storePath), Seq("doc_id")) // reuse, never re-encode
+      .select(col("doc_id"), col("shard"), col("embedding"),
+        lit("reused").as("status"))
+    recomputed.unionByName(reused)
+      .select(col("shard"), col("status"), col("doc_id"),
+        floor(element_at(col("embedding"), 1) * 10000d + 0.5d).cast("long").as("val_q4"))
+      .withColumn("hc", graft.operators.Dedup.h60(
+        concat_ws(":", lit("emb"), col("doc_id"), col("val_q4"))))
+      .groupBy(col("shard"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(hc)").as("chk"))
+      .orderBy("shard", "status")
+  }
+
+  def embedDeltaOracle(): String =
+    s"""WITH b AS (SELECT ((max(doc_id) + 16) // 16)::BIGINT AS w FROM documents),
+       |d AS (SELECT doc_id, text, (doc_id // b.w)::BIGINT AS shard FROM documents, b),
+       |g2 AS (SELECT doc_id, shard,
+       |              CASE WHEN shard = 5 THEN text || ' v2' ELSE text END AS text2,
+       |              CASE WHEN shard = 5 THEN 'recomputed' ELSE 'reused' END AS status
+       |       FROM d WHERE shard <> 15),
+       |e AS (SELECT doc_id, shard, status,
+       |             floor((${stubEmbedSql("text2")})[1] * 10000 + 0.5)::BIGINT AS val_q4
+       |      FROM g2),
+       |h AS (SELECT shard, status,
+       |             CAST('0x' || substr(md5('emb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(val_q4 AS VARCHAR)), 1, 15) AS BIGINT) AS hc
+       |      FROM e)
+       |SELECT shard, status, count(*)::BIGINT AS n_docs, bit_xor(hc)::BIGINT AS chk
+       |FROM h GROUP BY shard, status ORDER BY shard, status""".stripMargin
 }

@@ -1645,4 +1645,59 @@ object Text {
        |         // count(*))::BIGINT AS stutter_share_q4,
        |       max(max_run) AS worst_run
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** t32: SEQUENCE-LEVEL DEDUP — exact dedup at the TRAINING-CHUNK grain
+    * (t9's 64-token windows), the step that runs AFTER chunking and that
+    * doc-level dedup (d1) structurally cannot do: two near-identical
+    * docs that survive doc dedup still feed the model the same 64-token
+    * sequences, and repeated sequences are what memorization studies
+    * actually count. One hash per chunk (the t4/f3 fingerprint), keeper
+    * = first (doc, chunk_idx) per hash by row_number — exactly d1's
+    * lowest-id convention lifted to the chunk key — rolled up per
+    * source. Shape: the chunk explode is map-side, ONE shuffle on the
+    * chunk hash (high cardinality, corpus-spread), a doc-keyed source
+    * join, and a source-domain fold. At 100 TB this is the pass
+    * RefinedWeb/FineWeb run over the packed sequences, priced at one
+    * hash shuffle — never an all-pairs anything. */
+  def sequenceDedup(spark: SparkSession, dir: String,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    graft.Graft.init(spark)
+    val docs = Tables.documents(spark, dir)
+    val byHash = Window.partitionBy(col("chunk_h"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunkFrame(docs.select(col("doc_id"), col("text")), window, stride)
+      .select(col("doc_id"), col("chunk_idx"),
+        Dedup.h60(array_join(col("cw"), " ")).as("chunk_h"))
+      .withColumn("rn", row_number().over(byHash))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 10000 div n_chunks").as("dup_share_q4"))
+      .orderBy("source")
+  }
+
+  def sequenceDedupOracle(window: Int = 64, stride: Int = 48): String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' '))::BIGINT AS n_tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, w,
+       |             CASE WHEN n_tok <= $window THEN 1
+       |                  ELSE (n_tok - $window + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |      FROM w),
+       |x AS (SELECT doc_id, source, w,
+       |             unnest([i for i in generate_series(0, n_chunks - 1)]) AS chunk_idx
+       |      FROM c),
+       |h AS (SELECT doc_id, source, chunk_idx,
+       |             CAST('0x' || substr(md5(array_to_string(
+       |               w[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)], ' ')), 1, 15) AS BIGINT) AS chunk_h
+       |      FROM x),
+       |r AS (SELECT source, chunk_h,
+       |             row_number() OVER (PARTITION BY chunk_h ORDER BY doc_id, chunk_idx) AS rn
+       |      FROM h)
+       |SELECT source, count(*)::BIGINT AS n_chunks,
+       |       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |       ((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS dup_share_q4
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
 }
