@@ -112,6 +112,9 @@ final class GraftDb(spark: SparkSession, val root: String) {
   /** One monotonic sequence shared by ALL logs, restored from storage so
     * a new session continues where the last stopped (the reference's
     * rebuild-on-startup, minus the rebuild). */
+  /** One-time flag for [[withMetaCompat]]'s legacy-patch audit probe. */
+  private var warnedLegacyPatch = false
+
   private var seq: Long = {
     // coalesce: an EXISTING but empty log (a compacted store that held no
     // rows of this entity) aggregates max(seq) to NULL, not to no-row
@@ -145,9 +148,11 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * schema it sampled — silently dropping columns), then normalized: a
     * NULL dict on an upsert (pre-metadata row) becomes the empty dict, a
     * NULL on a patch stays NULL (= untouched), and rows from files
-    * without `log_v` keep it NULL — the fold's signal to replay that
-    * patch under its generation's MERGE rule (see [[GraftDb.LogV]]).
-    * Compaction then persists the current schema. */
+    * without `log_v` keep it NULL — the fold's signal to DISPATCH that
+    * patch on the dict itself (empty → untouched, non-empty → wholesale
+    * `$set` replace; rationale at [[metaPatch]]). Compaction then
+    * persists the current schema, retiring the NULL branch for the
+    * store. */
   private def withMetaCompat(df: DataFrame): DataFrame = {
     val withMeta =
       if (df.columns.contains("metadata")) df
@@ -155,6 +160,25 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val withV =
       if (withMeta.columns.contains("log_v")) withMeta
       else withMeta.withColumn("log_v", lit(null).cast("int"))
+    // one-time audit for operators of pre-versioning stores: a NULL-log_v
+    // NON-EMPTY patch dict now replays as $set replace (it was a merge in
+    // the merge-era release) — surface that the reinterpretation applies
+    // to this store rather than changing folded metadata silently. The
+    // probe runs at most once per session and ONLY when the log's files
+    // actually lack `log_v` (current-generation stores skip it for free).
+    if (!withMeta.columns.contains("log_v") && !warnedLegacyPatch) {
+      warnedLegacyPatch = true
+      val hasLegacyPatch = !withV
+        .filter(col("op") === "patch" && col("metadata").isNotNull &&
+          size(col("metadata")) > 0)
+        .limit(1).isEmpty
+      if (hasLegacyPatch)
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftDb]).warn(
+          s"store $root contains pre-versioning (log_v-less) non-empty " +
+            "metadata patches; they replay under $set-replace semantics " +
+            "(keys absent from the patch are dropped, not merged) — " +
+            "compact() stamps the store and retires this branch")
+    }
     withV.withColumn("metadata",
       when(col("op") === "upsert",
         coalesce(col("metadata"), map().cast("map<string,string>")))

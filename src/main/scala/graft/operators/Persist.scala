@@ -680,13 +680,18 @@ object Persist {
       sharded.filter(col("shard") === 5L)
         .withColumn("text", concat(col("text"), lit(" v2"))),
       s"$parent/gen=2", "shard")
-    // snapshot manifests: shard → source generation (shard-count-sized)
+    // snapshot manifests: shard → source generation (shard-count-sized).
+    // The shard domain is DERIVED from the data (occupancy depends on max
+    // doc_id — (max+16) div 16 leaves top shards empty at some corpus
+    // sizes), so the manifest never lists a directory that was not written
     import spark.implicits._
-    val shards = (0L to 15L).toSeq
+    val shards = sharded.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq // bounded: ≤16 shard ids
+    val gen2Rewritten = shards.filter(_ == 5L).map(s => (2L, s, 2L))
     val manifest =
       (shards.map(s => (1L, s, 1L)) ++
-        shards.filterNot(s => s == 5L || s == 15L).map(s => (2L, s, 1L)) :+
-        ((2L, 5L, 2L)))
+        shards.filterNot(s => s == 5L || s == 15L).map(s => (2L, s, 1L)) ++
+        gen2Rewritten)
         .toDF("snap_gen", "shard", "src_gen")
     val manPath = tablePath(spark, "graft_cow_manifest")
     manifest.coalesce(1).write.mode("overwrite").parquet(manPath)
@@ -1366,9 +1371,13 @@ object Persist {
     }
     val row = docs.agg(aggs.head, aggs.tail: _*).head() // m+1 longs: bounded
     val n = row.getAs[Long]("n")
+    // exact arbitrary-precision cross-multiplication: Long would wrap
+    // silently past 2^63 (≥3 filters × large corpora) while the oracle's
+    // HUGEINT promotes — BigInt keeps the branch bit-identical on any
+    // input the oracle's 128-bit arithmetic can represent (and beyond)
     val selective =
-      thrDen * filters.indices.map(i => row.getAs[Long](s"c$i")).product <=
-        filters.indices.map(_ => n).product
+      BigInt(thrDen) * filters.indices.map(i => BigInt(row.getAs[Long](s"c$i"))).product <=
+        BigInt(n).pow(filters.length)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val matchIds = filters.foldLeft(docs) { case (d, (c, v)) => d.filter(col(c) === v) }

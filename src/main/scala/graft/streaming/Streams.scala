@@ -1078,9 +1078,12 @@ object Streams {
     * replica, state crossing batch boundaries). Same ordering contract
     * as s23/s24: the feed delivers each user's days in order (user is
     * the partition key); within a batch days are de-duplicated and
-    * sorted, a day ≤ lastDay is a late duplicate, dropped. State is
-    * THREE longs per user — bounded by the user domain, never event
-    * volume. Update mode emits one row per newly-absorbed day. */
+    * sorted. ANY day ≤ lastDay is dropped — a late duplicate, but also a
+    * genuinely-new EARLIER day, which the s23/s24 in-order delivery
+    * contract says cannot arrive (and which the incremental fold could
+    * not absorb without replaying the run). State is THREE longs per
+    * user — bounded by the user domain, never event volume. Append mode
+    * emits one row per newly-absorbed day. */
   def streakStateful(spark: SparkSession,
                      activity: org.apache.spark.sql.Dataset[ActivityDay]
                     ): org.apache.spark.sql.Dataset[StreakRow] = {

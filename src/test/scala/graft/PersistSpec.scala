@@ -154,9 +154,15 @@ class PersistSpec extends GraftSuite {
     val out = Persist.timeTravelRead(spark, sf).collect()
     assert(out.length === 2)
     val byGen = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // gen1 = full corpus (16 shards); gen2 = 15 shards (one dropped), and
-    // the rewritten shard means the checksums must differ
-    assert(byGen(1L)._1 === 16L && byGen(2L)._1 === 15L)
+    // shard domain derived from the data (occupancy depends on max doc_id):
+    // gen1 = every occupied shard; gen2 drops shard 15, rewrites shard 5 —
+    // so the checksums must differ
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16")).head.getLong(0)
+    val occupied = docs.select(expr(s"doc_id div $w").as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(byGen(1L)._1 === occupied.size.toLong &&
+      byGen(2L)._1 === (occupied - 15L).size.toLong)
     assert(out(0).getLong(3) !== out(1).getLong(3), "gen checksums identical")
     // the PHYSICAL gen-2 write is one shard's files, not a corpus rewrite
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -187,7 +193,13 @@ class PersistSpec extends GraftSuite {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val side = spark.read.parquet(s"$wh/graft_skip_sidecar").collect()
       .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toArray)
-    assert(side.length === 16, s"expected 16 shard sidecar rows, got ${side.length}")
+    // one sidecar row per OCCUPIED shard (the domain is data-derived)
+    val docsAll = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val wWidth = docsAll.agg(expr("(max(doc_id) + 16) div 16")).head.getLong(0)
+    val nOccupied = docsAll.select(expr(s"doc_id div $wWidth").as("shard"))
+      .distinct().count()
+    assert(side.length.toLong === nOccupied,
+      s"expected $nOccupied shard sidecar rows, got ${side.length}")
     val fps = graft.sources.Tables.documents(spark, sf)
       .filter(col("doc_id").isin(7L, 123L, 456L)).select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
@@ -196,7 +208,7 @@ class PersistSpec extends GraftSuite {
       side.collect { case (s, ws) if Persist.bloomMightContain(ws, pfp) => s }).toSet
     val homes = found.map(_.getLong(2)).toSet
     assert(homes.subsetOf(cand), s"a true home shard was bloom-pruned: $homes vs $cand")
-    assert(cand.size < 16, s"sidecar pruned nothing (all ${cand.size} shards candidates)")
+    assert(cand.size < side.length, s"sidecar pruned nothing (all ${cand.size} shards candidates)")
   }
 
   test("v51: the selectivity switch picks structurally different plans per branch") {

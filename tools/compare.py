@@ -55,7 +55,9 @@ def norm_type(t):
         return "string"
     if s == "large_binary":
         return "binary"
-    s = s.replace("large_list<", "list<").replace("large_string", "string")
+    s = (s.replace("large_list<", "list<")
+         .replace("large_string", "string")
+         .replace("large_binary", "binary"))
     return s
 
 
