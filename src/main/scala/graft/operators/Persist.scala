@@ -1342,6 +1342,46 @@ object Persist {
     Knn.topkPerQuery(scored, "cosine", k)
   }
 
+  /** The v51 stats artifact: per-(column, value) frequencies of the
+    * documents' categorical filter columns — the ANALYZE-family artifact
+    * (p15's profile, p16's incremental merge) the adaptive-serving
+    * decision reads INSTEAD of the corpus. ONE unpivot scan + one
+    * groupBy at build/refresh time (the maintenance job — at 100 TB
+    * refreshed by p16's merge rule: per-generation frequency tables sum);
+    * the artifact is value-domain-sized (|langs| + |sources| rows here —
+    * a high-cardinality column would cap to a top-K histogram, the
+    * standard CBO compromise). Returns the artifact path. */
+  private[graft] def writeFilterStatsArtifact(spark: SparkSession, docs: DataFrame,
+                                              cols: Seq[String]): String = {
+    val arms = cols.map(c => struct(lit(c).as("cname"), col(c).cast("string").as("v")))
+    val path = tablePath(spark, "graft_stats_filterfreq")
+    docs.select(explode(array(arms: _*)).as("u"))
+      .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The v51 decision inputs — total row count + per-filter match counts
+    * (m+1 longs) — computed ENTIRELY from the persisted stats artifact:
+    * the subtree's only file scan is `graft_stats_filterfreq`
+    * (spec-asserted), never the documents table. `n` is the sum of one
+    * column's frequency rows (every document contributes exactly one
+    * value per column — including a NULL group — so the sum is the
+    * exact row count). */
+  private[graft] def v51DecisionInputs(spark: SparkSession,
+                                       filters: Seq[(String, String)]): DataFrame = {
+    val stats = spark.read.parquet(tablePath(spark, "graft_stats_filterfreq"))
+    val aggs =
+      coalesce(sum(when(col("cname") === filters.head._1, col("cnt"))
+        .otherwise(0L)), lit(0L)).as("n") +:
+        filters.zipWithIndex.map { case ((c, v), i) =>
+          coalesce(sum(when(col("cname") === c && col("v") === v, col("cnt"))
+            .otherwise(0L)), lit(0L)).as(s"c$i")
+        }
+    stats.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** v51: SELECTIVITY-ADAPTIVE filtered search — the pre-filter /
     * post-filter STRATEGY SWITCH every production vector store runs
     * (Milvus/Vespa/pgvector all dispatch on filter selectivity): a
@@ -1349,15 +1389,17 @@ object Persist {
     * cheaper AND exact (scan the few matching rows, skip the index
     * entirely), while a broad filter keeps the index probe and drops
     * non-matching candidates post-scan. The decision input is the
-    * p15-style per-filter match counts (one bounded agg: m+1 longs of
-    * driver state — at 100 TB this reads the maintained stats artifact,
-    * not the corpus) combined under independence; the threshold compare
-    * is EXACT integer cross-multiplication (`thrDen·Πcᵢ ≤ nᵐ`, i.e.
-    * estimated selectivity ≤ 1/thrDen), so no float boundary can flip
-    * the branch between engines. Both branches are individually
-    * oracle-gated (v51 selective → pre-filter exact, v51b broad →
-    * post-filter IVF), and the emitted `strategy` column makes the
-    * decision part of the gated contract, not a hidden heuristic. */
+    * per-filter match counts READ FROM THE PERSISTED STATS ARTIFACT
+    * ([[writeFilterStatsArtifact]] — the p15/p16 ANALYZE family; the
+    * refresh here doubles as the maintenance job, and the decision
+    * subtree provably scans only the artifact, m+1 longs of driver
+    * state) combined under independence; the threshold compare is EXACT
+    * arbitrary-precision cross-multiplication (`thrDen·Πcᵢ ≤ nᵐ`, i.e.
+    * estimated selectivity ≤ 1/thrDen), so no float boundary or Long
+    * wrap can flip the branch between engines. Both branches are
+    * individually oracle-gated (v51 selective → pre-filter exact, v51b
+    * broad → post-filter IVF), and the emitted `strategy` column makes
+    * the decision part of the gated contract, not a hidden heuristic. */
   def adaptiveFilteredSearch(spark: SparkSession, dir: String,
                              filters: Seq[(String, String)] =
                                Seq("lang" -> "de", "source" -> "src7"),
@@ -1366,10 +1408,10 @@ object Persist {
     Graft.init(spark)
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val aggs = count(lit(1)).as("n") +: filters.zipWithIndex.map { case ((c, v), i) =>
-      sum(when(col(c) === v, 1L).otherwise(0L)).as(s"c$i")
-    }
-    val row = docs.agg(aggs.head, aggs.tail: _*).head() // m+1 longs: bounded
+    // maintenance: build/refresh the stats artifact (ONE scan); the
+    // decision below reads the ARTIFACT, never the corpus
+    writeFilterStatsArtifact(spark, docs, filters.map(_._1).distinct)
+    val row = v51DecisionInputs(spark, filters).head() // m+1 longs: bounded
     val n = row.getAs[Long]("n")
     // exact arbitrary-precision cross-multiplication: Long would wrap
     // silently past 2^63 (≥3 filters × large corpora) while the oracle's

@@ -230,6 +230,30 @@ class PersistSpec extends GraftSuite {
       "broad branch skipped the index it should have probed")
   }
 
+  test("v51: the strategy decision reads ONLY the stats artifact, never the corpus") {
+    val filters = Seq("lang" -> "de", "source" -> "src7")
+    // refresh the artifact (the maintenance job), then build the decision
+    // subtree exactly as the operator does
+    Persist.writeFilterStatsArtifact(spark,
+      graft.sources.Tables.documents(spark, sf), filters.map(_._1))
+    val dec = Persist.v51DecisionInputs(spark, filters)
+    val row = dec.head()
+    // decision inputs from the artifact ≡ recomputing from the corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(row.getAs[Long]("n") === docs.count())
+    assert(row.getAs[Long]("c0") ===
+      docs.filter(col("lang") === "de").count())
+    assert(row.getAs[Long]("c1") ===
+      docs.filter(col("source") === "src7").count())
+    // the 100 TB contract, in the EXECUTED plan: the decision subtree's
+    // only file scan is the stats artifact — no documents read anywhere
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stats_filterfreq"),
+      s"decision does not scan the stats artifact:\n${plan.take(600)}")
+    assert(!plan.contains("documents"),
+      s"decision subtree scans the corpus:\n${plan.take(600)}")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
