@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Graft
-import graft.sources.Tables
+import graft.sources.{Sinks, Tables}
 
 /** IVF (inverted-file) index — Spark re-expression of the reference's
   * FAISS-style IVF (reference: app/core/indexes/ivf.py:8-193).
@@ -935,37 +935,59 @@ object Ivf {
        |  FROM assign_s) WHERE rn = 1),""".stripMargin
   }
 
+  /** The v53 size sidecar — the persisted K-row (cluster_id, csize)
+    * table written BESIDE the inverted lists by the build (one partial
+    * agg over the just-written artifact, so sidecar ≡ lists by
+    * construction). This is the index metadata the adaptive probe budget
+    * reads at query time; the streaming ingest path maintains the same
+    * metadata incrementally ([[graft.streaming.Streams.ivfIngestStream]]
+    * appends per-batch increments whose SUM-fold equals this table). */
+  private[graft] def v53SizeSidecar(spark: SparkSession): DataFrame =
+    spark.read.parquet(Persist.tablePath(spark, "graft_idx_ivf_adaptive_sizes"))
+
   /** v53: ADAPTIVE PROBE BUDGET — per-query nprobe chosen by CANDIDATE
     * MASS instead of a fixed count (the production IVF tuning answer to
     * skewed inverted lists: a fixed nprobe=4 reads 4 tiny lists for one
     * query and 4 huge ones for another — recall and cost both swing).
     * Each query probes the SMALLEST prefix of its similarity-ranked
     * centroids whose cumulative LIST SIZE reaches the budget (corpus/5,
-    * derived exactly), so every query scans a comparable candidate
-    * volume and n_probed varies per query with the lists it happens to
-    * rank first. The decision runs on INDEX METADATA — the K-row size
-    * table joined to the Q×K ranking, a bounded relation — never the
-    * corpus; the serving tail is the standard probe-pruned scan. The
-    * emitted `n_probed` column puts the per-query decision inside the
-    * hash gate. (Reference anchor: the fixed `nprobe` constant in
+    * derived exactly as Σcsize/5 from the sidecar), so every query scans
+    * a comparable candidate volume and n_probed varies per query with
+    * the lists it happens to rank first. The decision runs ENTIRELY on
+    * persisted INDEX METADATA — the K-row size sidecar the build wrote
+    * beside the lists ([[v53SizeSidecar]]; spec-asserted: the decision's
+    * only file scan is the sidecar, never the corpus or the lists) —
+    * and the serving tail is the standard probe-pruned scan of the
+    * PERSISTED lists (partition directories, file-listing-time pruning).
+    * The emitted `n_probed` column puts the per-query decision inside
+    * the hash gate. (Reference anchor: the fixed `nprobe` constant in
     * app/core/indexes/ivf.py — this is its workload-robust replacement.) */
   def adaptiveProbeSearch(spark: SparkSession, dir: String, k: Int = 10,
                           nQueries: Int = 8, budgetDen: Long = 5L): DataFrame = {
     Graft.init(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val mat = collectCentroids(centroidsFixed(spark, dir))
+    // BUILD: persisted inverted lists + the size sidecar (one partial agg
+    // over the written artifact — the only corpus scans in this operator;
+    // at 100 TB this phase is the nightly index job, not the query path)
+    val listsPath = Persist.tablePath(spark, "graft_idx_ivf_adaptive")
+    Sinks.writePartitioned(
+      assignToMat(emb, mat).select(col("vec_id"), col("embedding"), col("cluster_id")),
+      listsPath, "cluster_id")
+    spark.read.parquet(listsPath)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Persist.tablePath(spark, "graft_idx_ivf_adaptive_sizes"))
+
+    // DECISION: index metadata only — K sidecar rows of driver state;
+    // corpus size is their sum (every vector lives in exactly one list)
+    val sizeMap: Map[Long, Long] = v53SizeSidecar(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budget = sizeMap.values.sum / budgetDen // one long of driver state
+
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val assigned = assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
-    // list sizes are index METADATA: K longs collected beside the centroid
-    // matrix itself (the broadcast-audit convention — a literal map is
-    // structurally bounded where an aggregate-over-the-corpus subtree,
-    // however K-rowed its output, cannot be proven so)
-    val sizeMap: Map[Long, Long] = assigned
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val budget = emb.count() / budgetDen // one long of driver state
-
     // the same centroid frame + cosine probesFor uses — bit-identical sims
     val schema = StructType(Seq(
       StructField("cid", LongType, nullable = false),
@@ -975,7 +997,7 @@ object Ivf {
       schema)
     val bySim = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cluster_id"))
-    val probes = queries.crossJoin(broadcast(centDf))
+    val probePairs = queries.crossJoin(broadcast(centDf))
       .withColumn("sim", Graft.cosine(col("qvec"), col("cvec")))
       .select(col("qid"), col("cid").as("cluster_id"), col("sim"))
       .withColumn("csize", element_at(typedLit(sizeMap), col("cluster_id")))
@@ -983,11 +1005,18 @@ object Ivf {
         bySim.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .filter(col("cum") - col("csize") < budget) // minimal covering prefix
       .select(col("qid"), col("cluster_id"))
-    val nProbes = probes.groupBy(col("qid")).agg(count(lit(1)).as("n_probed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // Q×nprobe: bounded
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+    val nProbes = spark.createDataFrame(
+      probePairs.groupBy(_._1).map { case (q, ps) => (q, ps.length.toLong) }.toSeq)
+      .toDF("qid", "n_probed")
 
-    val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
-      .select(col("qid"), col("vec_id"))
-      .join(emb, Seq("vec_id"))
+    // SERVE: probe-pruned scan of the persisted lists — the static IN
+    // prunes list DIRECTORIES at file-listing time (v44's serving shape)
+    val scored = spark.read.parquet(listsPath)
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .join(broadcast(probeDf), Seq("cluster_id"))
       .join(broadcast(queries), Seq("qid"))
       .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
       .select(col("qid"), col("vec_id"), col("score"))

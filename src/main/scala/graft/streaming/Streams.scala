@@ -646,10 +646,24 @@ object Streams {
         !s.table(commits).filter(col("batch_id") === batchId).isEmpty
       if (!alreadyCommitted) {
         val mat = graft.operators.Ivf.trainedCentroidsFor(s, dir, iters)
+        val wh = s.conf.get("spark.sql.warehouse.dir")
         graft.operators.Ivf.assignToMat(batch, mat)
           .select(col("vec_id"), col("embedding"), col("cluster_id"))
           .write.mode("append").partitionBy("cluster_id")
-          .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table)
+          .parquet(wh + "/" + table)
+        // size-sidecar maintenance: per-batch (cluster_id, csize)
+        // INCREMENT rows appended beside the lists — the reader SUM-folds
+        // them ([[ivfSizeState]]), so the per-cluster size metadata the
+        // adaptive probe budget (v53) reads stays fresh without ever
+        // scanning the lists. Written inside the same commit guard as the
+        // list append: an at-least-once replay that duplicates list rows
+        // duplicates the matching increments, keeping sidecar ≡ lists
+        // under every failure the commit-log caveat admits. The second
+        // assignment pass is over the MICRO-BATCH, not the corpus.
+        graft.operators.Ivf.assignToMat(batch, mat)
+          .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+          .agg(count(lit(1)).as("csize"))
+          .write.mode("append").parquet(wh + "/" + table + "_sizes")
         s.range(1).select(lit(batchId).as("batch_id"))
           .write.mode("append").format("parquet").saveAsTable(commits)
       }
@@ -659,6 +673,16 @@ object Streams {
       .foreachBatch(writeBatch)
       .start()
   }
+
+  /** The SUM-fold over [[ivfIngestStream]]'s size-sidecar increments: the
+    * current per-cluster list sizes, K rows, derived purely from sidecar
+    * metadata (never the lists). Equals a fresh `groupBy(cluster_id)`
+    * count over the streamed lists bit-for-bit (spec-gated) — the
+    * streaming twin of the batch build's v53 sidecar. */
+  def ivfSizeState(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(spark.conf.get("spark.sql.warehouse.dir") + "/" + table + "_sizes")
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("csize")).as("csize"))
 
   /** Streaming upsert → LIVE INDEX maintenance — u1's update_chunk→index→
     * search semantics (reference: app/core/vector_db.py:220-236) as

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit}
+
 /** ANN quality: approximate indexes must actually retrieve neighbors —
   * a silent candidate-generation bug (empty buckets, wrong probe ids)
   * passes row-count checks but collapses recall. Floors pinned from
@@ -217,5 +219,35 @@ class RecallSpec extends GraftSuite {
     val (np2, _) = npOf(2L)
     np5.foreach { case (qid, n) => assert(np2(qid) >= n, s"budget grew, probes shrank for $qid") }
     assert(np2.exists { case (qid, n) => n > np5(qid) }, "larger budget changed nothing")
+  }
+
+  test("v53: probe-budget decision reads ONLY the size sidecar; serving prunes the persisted lists") {
+    val served = graft.operators.Ivf.adaptiveProbeSearch(spark, sf)
+    served.collect() // build lists + sidecar, decide, serve
+    // the decision's input frame scans the sidecar and nothing else — the
+    // 100 TB contract in the executed plan, not prose (note: the lists
+    // path is a PREFIX of the sidecar path, so exclusion checks the
+    // slash-terminated directory form)
+    val side = graft.operators.Ivf.v53SizeSidecar(spark)
+    side.collect()
+    val sidePlan = side.queryExecution.executedPlan.toString
+    assert(sidePlan.contains("graft_idx_ivf_adaptive_sizes"),
+      s"decision does not scan the sidecar:\n${sidePlan.take(600)}")
+    assert(!sidePlan.contains("embeddings") &&
+      !sidePlan.contains("graft_idx_ivf_adaptive/"),
+      s"decision subtree scans the corpus or the lists:\n${sidePlan.take(600)}")
+    // sidecar ≡ lists by construction: one row per cluster, exact counts
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fromLists = spark.read.parquet(s"$wh/graft_idx_ivf_adaptive")
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromSide = side.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromSide === fromLists, "size sidecar diverges from the lists")
+    // the serving tail partition-prunes the persisted lists to the probed
+    // cluster directories
+    val servePlan = served.queryExecution.executedPlan.toString
+    assert(servePlan.contains("PartitionFilters") && servePlan.contains("cluster_id"),
+      s"v53 serving does not partition-prune:\n${servePlan.take(600)}")
   }
 }

@@ -274,6 +274,22 @@ class StreamingMultiBatchSpec extends GraftSuite {
     assert(spark.read.parquet(path).count() === rowsBefore,
       "replayed micro-batch double-appended despite the batchId commit log")
 
+    // size-sidecar maintenance: the SUM-fold of the per-batch increments
+    // equals a fresh groupBy count over the streamed lists bit-for-bit —
+    // including across the replay (skipped batches append no increments),
+    // so v53-style probe budgeting can read sizes without touching lists
+    val sizeState = Streams.ivfSizeState(spark, table)
+    val gotSizes = sizeState.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantSizes = spark.read.parquet(path)
+      .groupBy($"cluster_id".cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSizes === wantSizes, "streamed size sidecar diverges from the lists")
+    // and the fold itself never scans the lists — metadata stays metadata
+    val sizePlan = sizeState.queryExecution.executedPlan.toString
+    assert(sizePlan.contains(s"${table}_sizes") && !sizePlan.contains(s"$table/"),
+      s"size fold scans the lists:\n${sizePlan.take(600)}")
+
     // compaction: new generation has identical content (pruned search
     // bit-equal) in fewer files per cluster directory
     def parquetFiles(p: String): Long = {
