@@ -109,21 +109,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   recoverPendingCompact()
 
-  /** One monotonic sequence shared by ALL logs, restored from storage so
-    * a new session continues where the last stopped (the reference's
-    * rebuild-on-startup, minus the rebuild). */
   /** One-time flag for [[withMetaCompat]]'s legacy-patch audit probe. */
   private var warnedLegacyPatch = false
 
-  private var seq: Long = {
-    // coalesce: an EXISTING but empty log (a compacted store that held no
-    // rows of this entity) aggregates max(seq) to NULL, not to no-row
-    def maxSeq(path: String): Long =
-      if (!Files.exists(Paths.get(path))) -1L
-      else spark.read.parquet(path)
-        .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0)
-    Seq(libPath, chunkPath, docPath).map(maxSeq).max + 1
-  }
+  /** Max seq in one log file set; -1 for a missing path or an EXISTING
+    * but empty log (a compacted store that held no rows of this entity
+    * aggregates max(seq) to NULL, not to no-row — hence the coalesce). */
+  private def maxSeqOf(path: String): Long =
+    if (!Files.exists(Paths.get(path))) -1L
+    else spark.read.parquet(path)
+      .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0)
+
+  /** One monotonic sequence shared by ALL logs, restored from storage so
+    * a new session continues where the last stopped (the reference's
+    * rebuild-on-startup, minus the rebuild). GLOBALLY monotonic across
+    * compactions and reopens: compacted base rows carry seq =
+    * watermark−1, so a reopened store never reissues a sequence an
+    * archived generation already used — [[asOf]]'s prefix order stays
+    * total over the whole history. */
+  private var seq: Long =
+    Seq(libPath, chunkPath, docPath).map(maxSeqOf).max + 1
   private def nextSeq(): Long = { val s = seq; seq += 1; s }
 
   private def appendLib(rows: Seq[LibOp]): Unit = {
@@ -292,12 +297,18 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * whole record, patch merges, delete kills (a later upsert revives).
     * The fold is a Catalyst `aggregate` over the per-id sorted op array:
     * one partial agg + a map-only fold, no window, no driver loop. */
-  def listLibraries(): DataFrame = memoSnapshot("libs") {
+  def listLibraries(): DataFrame = memoSnapshot("libs") { foldLibLog(libLog) }
+
+  /** The library-log fold over an ARBITRARY slice — the whole log for
+    * [[listLibraries]], a seq-prefix of an archived generation for
+    * [[asOf]] (sound on a prefix: the fold replays ops in seq order, so
+    * truncating the tail yields exactly the earlier state). */
+  private def foldLibLog(log: DataFrame): DataFrame = {
     val init = struct(
       lit(false).as("live"), lit(null).cast("string").as("name"),
       lit(null).cast("int").as("dims"), lit(null).cast("string").as("index_type"),
       map().cast("map<string,string>").as("metadata"))
-    libLog
+    log
       .groupBy(col("library_id"))
       .agg(array_sort(
         collect_list(struct(col("seq"), col("op"), col("name"), col("dims"),
@@ -495,7 +506,16 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * [[chunksEqFiltered]]'s base+delta split (sound on a slice because
     * chunk ops are WHOLE records: any key's latest row in the slice is
     * its current state, no older row needed). */
-  private def foldChunkLog(log: DataFrame): DataFrame = {
+  private def foldChunkLog(log: DataFrame): DataFrame =
+    foldChunkLogWith(log, libLog, listLibraries())
+
+  /** [[foldChunkLog]] with the LIBRARY log slice and its folded live set
+    * as parameters — the live log + the memoized [[listLibraries]] for
+    * current reads, the matching generation's seq-prefix + its own fold
+    * for [[asOf]] (a pinned read must see the tombstones and library
+    * set of ITS OWN epoch, not today's). */
+  private def foldChunkLogWith(log: DataFrame, libs: DataFrame,
+                               liveLibs: DataFrame): DataFrame = {
     // max_by on the (globally unique) seq, not max(struct(…)): the struct
     // now carries the metadata MAP, which is not an orderable type — the
     // ordering key must stay scalar
@@ -512,7 +532,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .filter(col("op") === "upsert").drop("op")
     val docTombs = log.filter(col("op") === "delete_doc")
       .groupBy(col("library_id"), col("doc_id")).agg(max(col("seq")).as("doc_tomb"))
-    val libTombs = libLog.filter(col("op") === "delete")
+    val libTombs = libs.filter(col("op") === "delete")
       .groupBy(col("library_id")).agg(max(col("seq")).as("lib_tomb"))
     latest
       // unhinted for the same reason as [[documents]]'s tombstone join:
@@ -521,7 +541,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .filter(col("doc_tomb").isNull || col("seq") > col("doc_tomb"))
       .join(libTombs, Seq("library_id"), "left")
       .filter(col("lib_tomb").isNull || col("seq") > col("lib_tomb"))
-      .join(listLibraries().select(col("library_id")), Seq("library_id"))
+      .join(liveLibs.select(col("library_id")), Seq("library_id"))
       .select(col("library_id"), col("doc_id"), col("chunk_id"), col("text"),
         col("embedding"), col("metadata"))
   }
@@ -631,13 +651,22 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *
     * CRASH SAFETY: all snapshots are first written to `*_compacting` temp
     * dirs, then a commit marker is created, then each live log is swapped
-    * via delete+rename, then the marker is removed. A crash before the
-    * marker leaves the old logs intact (stray temps are discarded on the
-    * next open); a crash after it is completed by [[recoverPendingCompact]]
-    * on the next open — readers never observe one folded log with the
-    * others unfolded. Fully distributed: snapshot → temp dir → rename, no
-    * driver collect; single-writer maintenance window, like the
-    * reference's startup rebuild. */
+    * via archive-rename+rename, then the marker is removed. A crash before
+    * the marker leaves the old logs intact (stray temps are discarded on
+    * the next open); a crash after it is completed by
+    * [[recoverPendingCompact]] on the next open — readers never observe
+    * one folded log with the others unfolded. Fully distributed:
+    * snapshot → temp dir → rename, no driver collect; single-writer
+    * maintenance window, like the reference's startup rebuild.
+    *
+    * COPY-ON-WRITE TIME TRAVEL (p19's recipe): the pre-compaction logs
+    * are not deleted — they are RENAMED (no bytes copied) into
+    * `archive/gen=<watermark>/`, one generation per compaction, and
+    * [[asOf]] serves any historical sequence by routing to the one
+    * generation whose logs cover it. Old generations cost exactly the
+    * log bytes they always held; a retention job may delete the oldest
+    * directories to bound history, which only narrows how far back
+    * [[asOf]] reaches. */
   def compact(): Unit = {
     writeCompactSnapshots()
     completeCompactSwap()
@@ -660,19 +689,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
       if (observedFilterKeys.isEmpty) Seq.empty
       else graft.operators.Persist.promoteHotKeys(chunks(), observedFilterKeys.toSeq)
     val mkCols = promoted.map(k => element_at(col("metadata"), lit(k)).as(s"mk_$k"))
+    // base rows carry seq = watermark−1 ("the state as of the last folded
+    // op"), NOT 0: [[asOf]]'s prefix filter then admits a base exactly
+    // when its generation routing does, and a reopened store's restored
+    // counter continues PAST every archived sequence instead of reissuing
+    // one (fold order within the live epoch is unchanged — every delta
+    // seq still exceeds the base's)
+    val baseSeq = seq - 1
     chunks().filter(keep)
-      .select(Seq(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+      .select(Seq(lit(baseSeq).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("chunk_id"), col("text"), col("embedding"), col("metadata"),
         lit(true).as("compacted_base")) ++ mkCols: _*)
       .write.mode("overwrite").parquet(s"${chunkPath}_compacting")
     // compacted rows are whole-record upserts under the CURRENT
     // generation's schema — future appends merge against log_v = LogV
-    listLibraries().select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+    listLibraries().select(lit(baseSeq).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("name"), col("dims"), col("index_type"), col("metadata"),
         lit(LogV).as("log_v"))
       .write.mode("overwrite").parquet(s"${libPath}_compacting")
     documents().filter(keep)
-      .select(lit(0L).as("seq"), lit("upsert").as("op"), col("library_id"),
+      .select(lit(baseSeq).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("title"), col("metadata"), lit(LogV).as("log_v"))
       .write.mode("overwrite").parquet(s"${docPath}_compacting")
     fs.create(new Path(compactMarker), true).close()
@@ -685,31 +721,102 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * (library, document) — its chunks, its entity record, and the
     * tombstones that referenced it — through the same crash-safe
     * temp-snapshot + commit-marker + rename swap as [[compact]], then
-    * returns an audit computed by RE-READING the rewritten files: rows
-    * still mentioning the document per log, zero on success — deletion
-    * evidenced from storage, not from the query path. Every other
-    * document's state is bit-identical before and after (compaction
-    * invariance, spec-proven). */
+    * SCRUBS every archived time-travel generation of the same rows
+    * (right-to-be-forgotten outranks [[asOf]]; every other document's
+    * history survives the scrub untouched). Returns an audit computed by
+    * RE-READING the rewritten files: rows still mentioning the document
+    * per live log AND summed across the archives, zero on success —
+    * deletion evidenced from storage, not from the query path. A crash
+    * between the swap and the scrub can leave archive rows behind; the
+    * audit exposes them and RE-RUNNING the purge is idempotent and
+    * completes the scrub. Every other document's state is bit-identical
+    * before and after (compaction invariance, spec-proven). */
   def purgeDocument(libId: Long, docId: Long): DataFrame = {
     val target = col("library_id") === libId && col("doc_id") === docId
     writeCompactSnapshots(keep = !target)
     completeCompactSwap()
-    val audits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
+    scrubArchives(target)
+    val liveAudits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
       case (name, log) =>
         log.filter(target)
           .agg(count(lit(1)).as("n_remaining"))
           .select(lit(name).as("log"), col("n_remaining"))
     }
-    audits.reduce(_ unionAll _).orderBy("log")
+    val archAudits = Seq("chunks_log", "documents_log").map { name =>
+      val remaining = archivedWatermarks.map { w =>
+        val p = s"$root/archive/gen=$w/$name"
+        if (!Files.exists(Paths.get(p))) 0L
+        else spark.read.option("mergeSchema", "true").parquet(p)
+          .filter(target).count()
+      }.sum
+      spark.range(1).select(lit(s"archive:$name").as("log"),
+        lit(remaining).as("n_remaining"))
+    }
+    (liveAudits ++ archAudits).reduce(_ unionAll _).orderBy("log")
   }
 
-  /** Phase 2: swap every log for its temp snapshot, drop the marker. */
+  /** Rewrite every archived generation's chunk/document logs WITHOUT the
+    * target rows (seqs of all surviving rows preserved — history shifts
+    * for no one else). Per-generation cost is that generation's log
+    * bytes; at 100 TB a purge pays for the history it erases, which is
+    * the GDPR deal. Write-to-temp + rename per log, so a reader never
+    * sees a half-written archive. */
+  private def scrubArchives(target: Column): Unit =
+    archivedWatermarks.foreach { w =>
+      Seq("chunks_log", "documents_log").foreach { name =>
+        val p = s"$root/archive/gen=$w/$name"
+        if (Files.exists(Paths.get(p))) {
+          val src = spark.read.option("mergeSchema", "true").parquet(p)
+          // probe before rewriting: generations the target never touched
+          // keep their original files byte-for-byte (and the probe is a
+          // pushed point predicate, row-group-stat cheap)
+          if (!src.filter(target).isEmpty) {
+            val tmp = new Path(p + "_scrubbing")
+            src.filter(!target)
+              .write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(new Path(p), true)
+            fs.rename(tmp, new Path(p))
+          }
+        }
+      }
+    }
+
+  /** Phase 2: swap every log for its temp snapshot, drop the marker.
+    *
+    * COPY-ON-WRITE ARCHIVE (p19's generation recipe): unless the marker
+    * says `noarchive` (a purge), the pre-swap live logs are RENAMED —
+    * never copied — into `archive/gen=<watermark>/`, where the watermark
+    * is the next-unused sequence derived from the live logs themselves
+    * (so a crash-recovery replay computes the same value the session
+    * would have). [[asOf]] routes a pinned read to the one generation
+    * whose logs cover it. A re-compaction with NO intervening ops would
+    * reproduce an existing watermark — it archives nothing (the existing
+    * generation already covers that history; the redundant once-folded
+    * copy would otherwise SHADOW the op-level log and break prefix
+    * reads). */
   private[graft] def completeCompactSwap(): Unit = {
+    // watermark = next-unused sequence, derived from the logs themselves
+    // so a crash-recovery replay computes the SAME value the session
+    // would have (base rows carry watermark−1, so the computation is
+    // idempotent across a partially completed swap)
+    val watermark = Seq(libPath, chunkPath, docPath).map(maxSeqOf).max + 1
+    val genDir = new Path(s"$root/archive/gen=$watermark")
     Seq(chunkPath, libPath, docPath).foreach { live =>
       val tmp = new Path(s"${live}_compacting")
       if (fs.exists(tmp)) {
         val livePath = new Path(live)
-        if (fs.exists(livePath)) fs.delete(livePath, true)
+        if (fs.exists(livePath)) {
+          val dest = new Path(genDir, livePath.getName)
+          // archive per LOG, not per generation: a crash between two
+          // renames must not flip the surviving logs to delete — only a
+          // log this generation ALREADY archived (a re-compaction with no
+          // intervening ops, whose once-folded copy would shadow the
+          // op-level history) is dropped instead of archived
+          if (watermark > 0 && !fs.exists(dest)) {
+            fs.mkdirs(genDir)
+            fs.rename(livePath, dest)
+          } else fs.delete(livePath, true)
+        }
         fs.rename(tmp, livePath)
       }
     }
@@ -726,6 +833,50 @@ final class GraftDb(spark: SparkSession, val root: String) {
       val tmp = new Path(s"${live}_compacting")
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+  }
+
+  // ---- time travel (p19's COW generations on the facade) -------------------
+
+  /** The archived generation watermarks, ascending — one directory
+    * listing, generation-count-sized driver state (the facade's manifest:
+    * the directory NAME is the watermark, so the manifest can never
+    * disagree with the layout). */
+  private[graft] def archivedWatermarks: Seq[Long] = {
+    val dir = new Path(s"$root/archive")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+      .sorted
+  }
+
+  /** TIME-TRAVEL READ: the chunk snapshot as of sequence `s` (inclusive)
+    * — p19's manifest-pinned copy-on-write read on the facade. Routing:
+    * the one generation whose logs COVER `s` is the smallest archived
+    * watermark > s (that archive holds the op-level rows of its epoch
+    * plus its predecessor's base), else the live logs. The pinned read
+    * is the ordinary merge-on-read fold over that slice filtered to
+    * `seq ≤ s`, with the library tombstones and library set OF THE SAME
+    * EPOCH — so it equals replaying the op-log prefix ≤ s from scratch
+    * (spec-gated, before and after compactions), and stays readable
+    * after any number of later compactions because archived bytes are
+    * renamed, never rewritten. Base rows carry seq = watermark−1, so
+    * the prefix filter admits a base exactly when the routing does.
+    * History destroyed by [[purgeDocument]] is destroyed here too —
+    * right-to-be-forgotten outranks time travel (the scrub keeps every
+    * OTHER document's history intact). Reference anchor: the startup
+    * rebuild-from-storage (vector_db.py:272-292) generalized from
+    * "latest state" to "state at any retained sequence". */
+  def asOf(s: Long): DataFrame = {
+    val (chunkSrc, libSrc) = archivedWatermarks.find(_ > s) match {
+      case Some(w) =>
+        val gen = s"$root/archive/gen=$w"
+        (withChunkMetaCompat(logOrEmpty[ChunkOp](s"$gen/chunks_log", mergeSchema = true)),
+          withMetaCompat(logOrEmpty[LibOp](s"$gen/libraries_log", mergeSchema = true)))
+      case None => (chunkLog, libLog)
+    }
+    val libSlice = libSrc.filter(col("seq") <= s)
+    foldChunkLogWith(chunkSrc.filter(col("seq") <= s), libSlice, foldLibLog(libSlice))
+      .orderBy("library_id", "doc_id", "chunk_id")
   }
 
   // ---- search (vector_db.py:249-270) --------------------------------------

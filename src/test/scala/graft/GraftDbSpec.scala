@@ -272,7 +272,8 @@ class GraftDbSpec extends GraftSuite {
 
     val audit = db.purgeDocument(1L, 1L).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L))
+    assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L,
+      "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L))
     // storage-level proof: the raw parquet files carry no trace of doc 1
     assert(spark.read.parquet(s"${db.root}/chunks_log")
       .filter(col("doc_id") === 1L).count() === 0L)
@@ -288,6 +289,61 @@ class GraftDbSpec extends GraftSuite {
       "purge disturbed surviving documents")
     assert(db.getDocument(1L, 0L).count() === 1L)
     assert(db.listChunks(1L).filter(col("doc_id") === 1L).count() === 0L)
+  }
+
+  test("asOf: pinned reads == prefix replay across compactions, reopens, and purges") {
+    val root = Files.createTempDirectory("graftdb").toString
+    val db = new GraftDb(spark, root)
+    val dims = corpus.head._3.length
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String, Seq[Float])] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getSeq[Float](4))).toSet
+    // record the TRUE prefix states as history happens: the live snapshot
+    // after op s IS the replay of the prefix ≤ s
+    val want = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, String, Seq[Float])]]
+    db.createLibrary(1L, "lib", dims, "flat") // seq 0
+    db.upsertChunks(corpus.take(6).map { case (id, t, e) => (1L, id, id, t, e) }) // 1..6
+    want(6L) = snap(db.chunks())
+    db.deleteChunk(1L, corpus(2)._1, corpus(2)._1) // seq 7
+    want(7L) = snap(db.chunks())
+
+    db.compact() // archives the op-level epoch as gen=8
+    assert(db.archivedWatermarks === Seq(8L), "first compaction archived no generation")
+    assert(snap(db.asOf(6L)) === want(6L), "pre-compaction pin diverged (archive route)")
+    assert(snap(db.asOf(7L)) === want(7L), "pre-compaction pin diverged (archive route)")
+
+    db.upsertChunks(corpus.slice(6, 8).map { case (id, t, e) => (1L, id, id, t, e) }) // 8..9
+    want(9L) = snap(db.chunks())
+    db.upsertChunks(Seq((1L, corpus(1)._1, corpus(1)._1, "rewritten text", corpus(1)._3))) // 10
+    want(10L) = snap(db.chunks())
+    assert(snap(db.asOf(9L)) === want(9L), "live-epoch pin diverged (base seq = watermark-1)")
+
+    db.compact() // second generation: gen=11
+    assert(db.archivedWatermarks === Seq(8L, 11L))
+    want.foreach { case (s, w) =>
+      assert(snap(db.asOf(s)) === w, s"pin $s diverged after the second compaction")
+    }
+
+    // a reopened store continues the GLOBAL sequence (no reuse of archived
+    // seqs) and serves every retained pin identically
+    val db2 = new GraftDb(spark, root)
+    db2.upsertChunks(Seq((1L, corpus(8)._1, corpus(8)._1, "post-reopen", corpus(8)._3))) // 11
+    want.foreach { case (s, w) =>
+      assert(snap(db2.asOf(s)) === w, s"pin $s diverged after reopen + append")
+    }
+    assert(snap(db2.asOf(Long.MaxValue)) === snap(db2.chunks()),
+      "an unbounded pin must equal the live snapshot")
+
+    // right-to-be-forgotten outranks time travel: the purged document
+    // vanishes from EVERY pin; everyone else's history is untouched
+    val purgedDoc = corpus(3)._1 // doc 3: lives in every pin
+    val audit = db2.purgeDocument(1L, purgedDoc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.values.forall(_ === 0L), s"purge left rows behind: $audit")
+    want.foreach { case (s, w) =>
+      assert(snap(db2.asOf(s)) === w.filterNot(_._2 == purgedDoc),
+        s"pin $s retains purged-document history")
+    }
   }
 
   test("snapshot memo: same derived frame between mutations, fresh one after") {
