@@ -105,6 +105,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private val chunkPath = s"$root/chunks_log"
   private val docPath = s"$root/documents_log"
   private val compactMarker = s"$root/_compact_commit"
+  private val embedStorePath = s"$root/embed_store"
   private def centroidPath(libId: Long) = s"$root/centroids/lib=$libId"
 
   recoverPendingCompact()
@@ -434,6 +435,27 @@ final class GraftDb(spark: SparkSession, val root: String) {
       ChunkOp(nextSeq(), "upsert", lib, doc, chunk, text, emb, meta)
     })
   }
+  /** TEXT-ONLY chunk add — the embedding is DERIVED by the facade's own
+    * encoder (the deterministic stub standing in for the provider call,
+    * exactly as [[searchText]]/[[embedTexts]] document) instead of
+    * caller-supplied: the log row carries an EMPTY vector as the
+    * derived-marker, serving fills it from the persisted
+    * derived-embedding store (or encodes on read for the
+    * not-yet-compacted delta — bounded by the maintenance window), and
+    * [[compact]] maintains the store under v54's DELTA discipline: only
+    * text-CHANGED chunks pay the encoder, everyone else's vector is
+    * reused bit-identically ([[embedAudit]] is the receipt). Requires
+    * the library's declared dims to match the encoder's output dim. */
+  def addChunkText(libId: Long, docId: Long, chunkId: Long, text: String,
+                   metadata: Map[String, String] = Map.empty): Unit = {
+    val dims = libRecord(libId).getAs[Int]("dims")
+    require(dims == graft.operators.SearchText.Dim,
+      s"addChunkText serves ${graft.operators.SearchText.Dim}-dim libraries; " +
+        s"library $libId declares $dims")
+    appendChunks(Seq(ChunkOp(nextSeq(), "upsert", libId, docId, chunkId, text,
+      Array.empty, metadata)))
+  }
+
   def addChunk(libId: Long, docId: Long, chunkId: Long, text: String,
                embedding: Array[Float],
                metadata: Map[String, String] = Map.empty): Unit =
@@ -499,7 +521,41 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *    the reference's sequential semantics);
     * 3. a library tombstone does the same two levels up (c8 cascade), and
     *    the library must currently exist. */
-  def chunks(): DataFrame = memoSnapshot("chunks") { foldChunkLog(chunkLog) }
+  def chunks(): DataFrame = memoSnapshot("chunks") { fillDerived(foldChunkLog(chunkLog)) }
+
+  /** Fill DERIVED embeddings (empty vector = [[addChunkText]]'s marker)
+    * on a folded chunk frame: reuse the persisted derived-embedding
+    * store's vector when the (library, chunk, text-fingerprint) key
+    * matches — the store invariant is vector ≡ stub(text) bit-for-bit,
+    * so a hit can never serve a stale text's vector — and encode on
+    * read for misses (the not-yet-compacted delta, or a historical
+    * [[asOf]] text version the store no longer carries). Provided
+    * embeddings pass through untouched. */
+  private def fillDerived(df: DataFrame,
+                          store: Option[DataFrame] = None): DataFrame = {
+    val stub = graft.operators.SearchText.stubEmbed(col("text")).cast("array<float>")
+    val src = store.orElse(
+      if (Files.exists(Paths.get(embedStorePath)))
+        Some(spark.read.parquet(embedStorePath))
+      else None)
+    src match {
+      case None =>
+        df.withColumn("embedding",
+          when(size(col("embedding")) === 0, stub).otherwise(col("embedding")))
+      case Some(st) =>
+        df.withColumn("__th", graft.operators.Dedup.h60(col("text")))
+          .join(st.select(col("library_id"), col("chunk_id"),
+            col("text_h").as("__th"), col("embedding").as("__store_emb")),
+            Seq("library_id", "chunk_id", "__th"), "left")
+          .withColumn("embedding",
+            when(size(col("embedding")) === 0, coalesce(col("__store_emb"), stub))
+              .otherwise(col("embedding")))
+          // the using-join moves its keys first — restore the fold's
+          // column order (positional readers depend on it)
+          .select(col("library_id"), col("doc_id"), col("chunk_id"),
+            col("text"), col("embedding"), col("metadata"))
+    }
+  }
 
   /** The chunk-log fold over an ARBITRARY slice of the log — the whole
     * log for [[chunks]], the post-compaction delta for
@@ -608,12 +664,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .select(col("library_id"), col("doc_id")).distinct()
     val libTombs = libLog.filter(col("op") === "delete")
       .select(col("library_id")).distinct()
-    val baseLive = base
+    val baseLive = fillDerived(base
       .join(deltaChunkKeys, Seq("library_id", "chunk_id"), "left_anti")
       .join(deltaDocTombs, Seq("library_id", "doc_id"), "left_anti")
       .join(libTombs, Seq("library_id"), "left_anti")
-      .select(outCols.map(col): _*)
-    val deltaLive = mapFilter(foldChunkLog(delta).filter(col("library_id") === libId))
+      .select(outCols.map(col): _*))
+    val deltaLive = mapFilter(fillDerived(foldChunkLog(delta))
+      .filter(col("library_id") === libId))
       .select(outCols.map(col): _*)
     baseLive.unionByName(deltaLive)
   }
@@ -672,6 +729,20 @@ final class GraftDb(spark: SparkSession, val root: String) {
     completeCompactSwap()
   }
 
+  /** Who paid the encoder at the last [[compact]]: per-status row counts
+    * of the persisted derived-embedding store (`recomputed` = the text
+    * was new or changed since the previous store generation; `reused` =
+    * the vector was carried over bit-identically — the v54 receipt that
+    * recompute cost ∝ changed bytes, which at 100 TB is the difference
+    * between GPU-hours and GPU-months per refresh). Empty before a
+    * text-only store's first compaction. */
+  def embedAudit(): DataFrame =
+    if (!Files.exists(Paths.get(embedStorePath)))
+      Seq.empty[(String, Long)].toDF("status", "n_chunks")
+    else spark.read.parquet(embedStorePath)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_chunks"))
+      .orderBy("status")
+
   private def fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Phase 1: temp snapshots for all three logs + the commit marker.
@@ -689,14 +760,45 @@ final class GraftDb(spark: SparkSession, val root: String) {
       if (observedFilterKeys.isEmpty) Seq.empty
       else graft.operators.Persist.promoteHotKeys(chunks(), observedFilterKeys.toSeq)
     val mkCols = promoted.map(k => element_at(col("metadata"), lit(k)).as(s"mk_$k"))
+    // ---- v54 delta re-embedding: refresh the derived-embedding store —
+    // live DERIVED chunks (empty-vector marker) whose (library, chunk,
+    // text-fingerprint) key already exists in the previous store REUSE
+    // that vector bit-identically; only new/changed texts run the
+    // encoder. `status` persists who paid ([[embedAudit]]'s receipt);
+    // deleted/purged chunks simply drop out of the live set, so the
+    // store never retains a vector the snapshot no longer serves (the
+    // p12 chase-derived-artifacts discipline).
+    val rawLive = foldChunkLog(chunkLog).filter(keep)
+    val stub = graft.operators.SearchText.stubEmbed(col("text")).cast("array<float>")
+    val oldStore =
+      if (Files.exists(Paths.get(embedStorePath)))
+        spark.read.parquet(embedStorePath)
+          .select(col("library_id"), col("chunk_id"), col("text_h"),
+            col("embedding").as("__prev"))
+      else Seq.empty[(Long, Long, Long, Array[Float])]
+        .toDF("library_id", "chunk_id", "text_h", "__prev")
+    rawLive.filter(size(col("embedding")) === 0)
+      .select(col("library_id"), col("chunk_id"), col("text"),
+        graft.operators.Dedup.h60(col("text")).as("text_h"))
+      .join(oldStore, Seq("library_id", "chunk_id", "text_h"), "left")
+      .select(col("library_id"), col("chunk_id"), col("text_h"),
+        coalesce(col("__prev"), stub).as("embedding"),
+        when(col("__prev").isNotNull, lit("reused"))
+          .otherwise(lit("recomputed")).as("status"))
+      .write.mode("overwrite").parquet(s"${embedStorePath}_compacting")
     // base rows carry seq = watermark−1 ("the state as of the last folded
     // op"), NOT 0: [[asOf]]'s prefix filter then admits a base exactly
     // when its generation routing does, and a reopened store's restored
     // counter continues PAST every archived sequence instead of reissuing
     // one (fold order within the live epoch is unchanged — every delta
-    // seq still exceeds the base's)
+    // seq still exceeds the base's). Derived chunks keep their
+    // EMPTY-vector marker through compaction — the refreshed store stays
+    // the ONE home of their vectors (text log and vector store split, as
+    // a real pipeline splits them) and serving fills on read, so every
+    // future refresh sees the full derived population and its reuse
+    // accounting stays complete.
     val baseSeq = seq - 1
-    chunks().filter(keep)
+    rawLive
       .select(Seq(lit(baseSeq).as("seq"), lit("upsert").as("op"), col("library_id"),
         col("doc_id"), col("chunk_id"), col("text"), col("embedding"), col("metadata"),
         lit(true).as("compacted_base")) ++ mkCols: _*)
@@ -820,6 +922,16 @@ final class GraftDb(spark: SparkSession, val root: String) {
         fs.rename(tmp, livePath)
       }
     }
+    // the derived-embedding store swaps inside the same marker window but
+    // is REPLACED, never archived: it is a derived artifact whose history
+    // is reconstructible from the archived text logs (fillDerived's
+    // encode-on-read covers any asOf miss)
+    val storeTmp = new Path(s"${embedStorePath}_compacting")
+    if (fs.exists(storeTmp)) {
+      val storeLive = new Path(embedStorePath)
+      if (fs.exists(storeLive)) fs.delete(storeLive, true)
+      fs.rename(storeTmp, storeLive)
+    }
     fs.delete(new Path(compactMarker), false)
     invalidateSnapshots()
   }
@@ -829,7 +941,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * contract), or discard stray temps from one that died mid-write. */
   private def recoverPendingCompact(): Unit = {
     if (fs.exists(new Path(compactMarker))) completeCompactSwap()
-    else Seq(chunkPath, libPath, docPath).foreach { live =>
+    else Seq(chunkPath, libPath, docPath, embedStorePath).foreach { live =>
       val tmp = new Path(s"${live}_compacting")
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
@@ -875,7 +987,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case None => (chunkLog, libLog)
     }
     val libSlice = libSrc.filter(col("seq") <= s)
-    foldChunkLogWith(chunkSrc.filter(col("seq") <= s), libSlice, foldLibLog(libSlice))
+    fillDerived(
+      foldChunkLogWith(chunkSrc.filter(col("seq") <= s), libSlice, foldLibLog(libSlice)))
       .orderBy("library_id", "doc_id", "chunk_id")
   }
 

@@ -346,6 +346,57 @@ class GraftDbSpec extends GraftSuite {
     }
   }
 
+  test("delta re-embedding: compaction reuses unchanged texts' vectors bit-identically; only changes pay the encoder") {
+    val dim = graft.operators.SearchText.Dim
+    val db = freshDb()
+    db.createLibrary(1L, "txt", dim, "flat")
+    (0L until 8L).foreach(i => db.addChunkText(1L, i, i, s"document number $i"))
+    // pre-compaction delta serves via encode-on-read: vectors present,
+    // searchable, dim-correct
+    assert(db.chunks().collect().forall(_.getSeq[Float](4).length === dim))
+    val preHit = db.searchText(1L, "document number 3", k = 1).collect().head
+    assert(preHit.getLong(1) === 3L, "encode-on-read delta did not find the self-hit")
+
+    db.compact() // first store build: everyone encodes
+    val a1 = db.embedAudit().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1 === Map("recomputed" -> 8L))
+    val storeBefore = spark.read.parquet(s"${db.root}/embed_store")
+      .collect().map(r => r.getAs[Long]("chunk_id") -> r.getSeq[Float](3)).toMap
+
+    // epoch 2: two texts change, one re-adds IDENTICAL text, one chunk
+    // deleted, four untouched
+    db.addChunkText(1L, 0L, 0L, "document number 0 EDITED")
+    db.addChunkText(1L, 1L, 1L, "document number 1 EDITED")
+    db.addChunkText(1L, 2L, 2L, "document number 2") // same text re-added
+    db.deleteChunk(1L, 7L, 7L)
+    db.compact()
+    val a2 = db.embedAudit().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 7 live derived chunks: ONLY the two text changes paid the encoder —
+    // the same-text re-add and the four untouched chunks all reused
+    assert(a2 === Map("recomputed" -> 2L, "reused" -> 5L), s"encoder receipt wrong: $a2")
+    // reused vectors are BIT-IDENTICAL to the previous store generation
+    val storeAfter = spark.read.parquet(s"${db.root}/embed_store").collect()
+      .map(r => r.getAs[Long]("chunk_id") ->
+        (r.getSeq[Float](3), r.getAs[String]("status"))).toMap
+    (2L to 6L).foreach { c =>
+      assert(storeAfter(c)._2 === "reused" && storeAfter(c)._1 === storeBefore(c),
+        s"chunk $c reuse is not bit-identical")
+    }
+
+    // post-compact search ≡ a from-scratch FULL re-embed build over the
+    // same final texts (reuse is a cost optimization, never a semantic)
+    val db2 = freshDb()
+    db2.createLibrary(1L, "txt", dim, "flat")
+    db2.addChunkText(1L, 0L, 0L, "document number 0 EDITED")
+    db2.addChunkText(1L, 1L, 1L, "document number 1 EDITED")
+    (2L until 7L).foreach(i => db2.addChunkText(1L, i, i, s"document number $i"))
+    db2.compact()
+    def hits(d: GraftDb) = d.searchText(1L, "document number 4", k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hits(db) === hits(db2),
+      "delta-refreshed store diverged from a full re-embed build")
+  }
+
   test("snapshot memo: same derived frame between mutations, fresh one after") {
     val db = freshDb()
     db.createLibrary(1L, "lib", corpus.head._3.length, "flat")
