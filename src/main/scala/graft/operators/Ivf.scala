@@ -1053,4 +1053,153 @@ object Ivf {
        |       FROM scored)
        |SELECT rk.qid, rk.rank, rk.vec_id, round(rk.score, 4) AS score, np.n_probed
        |FROM rk JOIN np ON rk.qid = np.qid WHERE rk.rank <= $k ORDER BY rk.qid, rk.rank""".stripMargin
+
+  /** The v55 decision inputs — off-diagonal drift mass, the old index's
+    * largest inverted list, total vectors (three longs) — computed
+    * ENTIRELY from the persisted retrain report (the K²-bounded
+    * migration matrix [[retrainDecisionSearch]] writes): the subtree's
+    * only file scan is `graft_retrain_report` (spec-asserted), never
+    * the corpus. Row marginals of the migration matrix ARE the old
+    * index's occupancy (v41's signal), so one artifact feeds both
+    * criteria. */
+  private[graft] def v55DecisionInputs(spark: SparkSession): DataFrame = {
+    val marg = spark.read.parquet(Persist.tablePath(spark, "graft_retrain_report"))
+      .groupBy(col("from_cid"))
+      .agg(sum(col("n_vecs")).as("list_sz"),
+        sum(when(col("from_cid") =!= col("to_cid"), col("n_vecs"))
+          .otherwise(0L)).as("off"))
+    marg.agg(
+      coalesce(sum(col("off")), lit(0L)).as("off_diag"),
+      coalesce(max(col("list_sz")), lit(0L)).as("max_list"),
+      coalesce(sum(col("list_sz")), lit(0L)).as("n_total"))
+  }
+
+  /** v55: RETRAIN-OR-KEEP — the index-maintenance decision loop every
+    * production ANN deployment runs, composing the two health signals
+    * this engine already monitors (v47's centroid-drift migration
+    * matrix, v41's occupancy skew) into a GATED rebuild trigger. The
+    * monitoring job — ONE map-only corpus scan carrying both
+    * generations' assignments against two broadcast K×d literals, one
+    * K²-bounded partial agg — PERSISTS the retrain report; the DECISION
+    * then reads three longs from that artifact (never the corpus: the
+    * v51/v53 artifact discipline applied to index maintenance,
+    * spec-asserted) and retrains iff
+    *   off_diag·driftDen ≥ n_total  (assignment churn ≥ 1/driftDen), or
+    *   max_list·occDen ≥ n_total   (one list holds ≥ 1/occDen of all) —
+    * EXACT arbitrary-precision integer compares, so both engines take
+    * the same branch at every SF. On RETRAIN the v44 shard-parallel
+    * rebuild runs with the refreshed matrix (independent per-shard
+    * map-only jobs under one parent root — at 100 TB the rebuild is the
+    * decision's whole COST, which is why it must be gated) and serving
+    * is the probe-pruned scan of the new lists, ≡ a fresh monolithic
+    * train by construction — the oracle replays exactly that; on KEEP
+    * serving stays on the old model. The decision AND its three inputs
+    * ride every output row, inside the hash gate. (Reference anchor:
+    * the unconditional rebuild-on-startup walk, vector_db.py:272-292 —
+    * this is its measured, gated replacement.) */
+  def retrainDecisionSearch(spark: SparkSession, dir: String, k: Int = 10,
+                            nQueries: Int = 8, oldIters: Int = 3,
+                            newIters: Int = 5, driftDen: Long = 60L,
+                            occDen: Long = 4L, nShards: Int = 2): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val oldMat = trainedCentroidsFor(spark, dir, oldIters)
+    val newMat = trainedCentroidsFor(spark, dir, newIters)
+    // MONITORING: persist the drift report (v47's matrix; row marginals
+    // are the old index's occupancy) — the nightly job, not the query path
+    def cvecs(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._2.toSeq).toSeq)
+    def cids(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._1).toSeq)
+    emb
+      .withColumn("nco", Graft.nearestCentroid(col("embedding"), cvecs(oldMat)))
+      .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(newMat)))
+      .select(
+        element_at(cids(oldMat), col("nco.idx") + 1).as("from_cid"),
+        element_at(cids(newMat), col("ncn.idx") + 1).as("to_cid"))
+      .groupBy(col("from_cid"), col("to_cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Persist.tablePath(spark, "graft_retrain_report"))
+    // DECISION: three longs of driver state from the artifact
+    val r = v55DecisionInputs(spark).head()
+    val (offDiag, maxList, total) =
+      (r.getAs[Long]("off_diag"), r.getAs[Long]("max_list"), r.getAs[Long]("n_total"))
+    val retrain =
+      BigInt(offDiag) * BigInt(driftDen) >= BigInt(total) ||
+        BigInt(maxList) * BigInt(occDen) >= BigInt(total)
+    val hits =
+      if (retrain) {
+        // v44 sharded rebuild with the refreshed matrix, probe-pruned serve
+        val parent = Persist.tablePath(spark, "graft_idx_ivf_retrained")
+        Persist.dropIndexTable(spark, "graft_idx_ivf_retrained")
+        (0 until nShards).foreach { s =>
+          graft.sources.Sinks.writePartitioned(
+            assignToMat(emb.filter(col("vec_id") % nShards === s), newMat)
+              .select(col("vec_id"), col("embedding"), col("cluster_id")),
+            s"$parent/shard=$s", "cluster_id")
+        }
+        Persist.probedListsSearch(spark, emb, parent, newMat, k, nQueries)
+      } else {
+        // keep: serve the standing old-model index (v14's plan shape)
+        val queries = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = assignToMat(emb, oldMat).select(col("vec_id"), col("cluster_id"))
+          .join(broadcast(probesFor(queries, oldMat, spark)), Seq("cluster_id"))
+          .select(col("qid"), col("vec_id"))
+          .join(emb, Seq("vec_id"))
+          .join(broadcast(queries), Seq("qid"))
+          .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("score"))
+        Knn.topkPerQuery(scored, "cosine", k)
+      }
+    hits
+      .withColumn("decision", lit(if (retrain) "retrain" else "keep"))
+      .withColumn("off_diag", lit(offDiag))
+      .withColumn("max_list", lit(maxList))
+      .withColumn("n_total", lit(total))
+  }
+
+  def retrainDecisionSearchOracle(k: Int = 10, nQueries: Int = 8,
+                                  oldIters: Int = 3, newIters: Int = 5,
+                                  driftDen: Long = 60L, occDen: Long = 4L): String =
+    s"""${trainCtes(newIters)}
+       |ao AS (SELECT vec_id, cid AS from_cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c$oldIters c) WHERE rn = 1),
+       |mig AS (SELECT ao.from_cid, a.cluster_id AS to_cid, count(*)::BIGINT AS n_vecs
+       |        FROM ao JOIN assigned a USING (vec_id) GROUP BY 1, 2),
+       |marg AS (SELECT from_cid, sum(n_vecs)::BIGINT AS list_sz,
+       |                sum(CASE WHEN from_cid <> to_cid THEN n_vecs ELSE 0 END)::BIGINT AS off
+       |         FROM mig GROUP BY 1),
+       |dec AS (SELECT sum(off)::BIGINT AS off_diag, max(list_sz)::BIGINT AS max_list,
+       |               sum(list_sz)::BIGINT AS n_total FROM marg),
+       |flag AS (SELECT (off_diag * $driftDen >= n_total OR max_list * $occDen >= n_total) AS retrain
+       |         FROM dec),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < $nQueries),
+       |rp_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |         FROM q CROSS JOIN c$newIters c WHERE (SELECT retrain FROM flag)),
+       |rp AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM rp_s)
+       |  WHERE rn <= $Probes),
+       |rs AS (SELECT p.qid, a.vec_id, list_cosine_similarity(e.v, q.qvec) AS score
+       |       FROM assigned a JOIN rp p ON a.cluster_id = p.cid
+       |            JOIN e ON a.vec_id = e.vec_id JOIN q ON p.qid = q.qid),
+       |rr AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM rs),
+       |kp_s AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |         FROM q CROSS JOIN c$oldIters c WHERE NOT (SELECT retrain FROM flag)),
+       |kp AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM kp_s)
+       |  WHERE rn <= $Probes),
+       |ks AS (SELECT p.qid, ao.vec_id, list_cosine_similarity(e.v, q.qvec) AS score
+       |       FROM ao JOIN kp p ON ao.from_cid = p.cid
+       |            JOIN e ON ao.vec_id = e.vec_id JOIN q ON p.qid = q.qid),
+       |kr AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM ks),
+       |u AS (SELECT * FROM rr UNION ALL SELECT * FROM kr)
+       |SELECT u.qid, u.rank, u.vec_id, round(u.score, 4) AS score,
+       |       CASE WHEN (SELECT retrain FROM flag) THEN 'retrain' ELSE 'keep' END AS decision,
+       |       dec.off_diag, dec.max_list, dec.n_total
+       |FROM u, dec WHERE u.rank <= $k ORDER BY u.qid, u.rank""".stripMargin
 }

@@ -250,4 +250,39 @@ class RecallSpec extends GraftSuite {
     assert(servePlan.contains("PartitionFilters") && servePlan.contains("cluster_id"),
       s"v53 serving does not partition-prune:\n${servePlan.take(600)}")
   }
+
+  test("v55: artifact-only decision; retrain == fresh new-model train; keep == old model") {
+    def ids(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // default thresholds RETRAIN on this corpus (drift ~2-9% >= 1/60)
+    val rt = graft.operators.Ivf.retrainDecisionSearch(spark, sf)
+    val rtRows = rt.collect()
+    assert(rtRows.nonEmpty && rtRows.forall(_.getAs[String]("decision") === "retrain"))
+    // the decision subtree's only file scan is the persisted report —
+    // the v51/v53 artifact discipline applied to index maintenance
+    val dec = graft.operators.Ivf.v55DecisionInputs(spark)
+    dec.collect()
+    val decPlan = dec.queryExecution.executedPlan.toString
+    assert(decPlan.contains("graft_retrain_report"),
+      s"decision does not scan the report:\n${decPlan.take(600)}")
+    assert(!decPlan.contains("embeddings"),
+      s"decision subtree scans the corpus:\n${decPlan.take(600)}")
+    // retrain serve == a fresh MONOLITHIC new-model trained search (the
+    // sharded rebuild's equivalence-by-construction, executed)
+    assert(ids(rtRows) ===
+      ids(graft.operators.Ivf.searchTrained(spark, sf, iters = 5).collect()),
+      "retrained sharded serve diverged from the monolithic new-model train")
+    // the rebuild is the v44 shard-parallel artifact
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val shards = Option(new java.io.File(s"$wh/graft_idx_ivf_retrained").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).sorted
+    assert(shards.toSeq === Seq("shard=0", "shard=1"), s"rebuild not sharded: ${shards.toSeq}")
+    // lax thresholds KEEP, serving the old model unchanged
+    val kpRows = graft.operators.Ivf
+      .retrainDecisionSearch(spark, sf, driftDen = 2L, occDen = 2L).collect()
+    assert(kpRows.nonEmpty && kpRows.forall(_.getAs[String]("decision") === "keep"))
+    assert(ids(kpRows) ===
+      ids(graft.operators.Ivf.searchTrained(spark, sf, iters = 3).collect()),
+      "keep branch diverged from the standing old-model serve")
+  }
 }
