@@ -758,22 +758,10 @@ object Persist {
     Sinks.writePartitioned(sharded, path, "shard")
     // sidecar: per shard, OR-fold each fingerprint's nHash bit positions
     // into 16 64-bit words — per-row word columns, then one partial agg
-    // (bit_or) → 16 longs per shard
-    def posSql(j: Int): String =
-      s"pmod(CAST(conv(substring(md5(concat_ws(':', 'skipb$j', CAST(fp AS STRING))), 1, 15), 16, 10) AS BIGINT), $nBits)"
-    val rowWords = (0 until nBits / 64).foldLeft(
-      spark.read.parquet(path).select(col("shard").cast("long").as("shard"), col("fp"))) {
-      case (df, wd) =>
-        val bits = (0 until nHash).map { j =>
-          s"(CASE WHEN ${posSql(j)} div 64 = $wd " +
-            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${posSql(j)} % 64 AS INT)) " +
-            "ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" | ")
-        df.withColumn(s"w$wd", expr(bits))
-    }
-    val sidecar = rowWords.groupBy(col("shard"))
-      .agg(expr("bit_or(w0)").as("w0"),
-        (1 until nBits / 64).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
+    // (bit_or) → 16 longs per shard (the fold shared with the streaming
+    // maintenance path, [[graft.streaming.Streams.bloomSidecarStream]])
+    val sidecar = bloomWordRows(
+      spark.read.parquet(path).select(col("shard"), col("fp")), nBits, nHash)
     val sidePath = tablePath(spark, "graft_skip_sidecar")
     sidecar.coalesce(1).write.mode("overwrite").parquet(sidePath)
 
@@ -804,6 +792,33 @@ object Persist {
         coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
         coalesce(col("shard"), lit(-1L)).as("shard"))
       .orderBy("probe_id", "doc_id")
+  }
+
+  /** The per-shard Bloom word fold shared by p20's batch sidecar build
+    * and s28's streaming maintenance: for each (shard, fp) row, each of
+    * the nHash hash positions ORs into its 64-bit word (per-row word
+    * columns, map-side), then ONE partial agg (bit_or) yields nBits/64
+    * longs per shard PRESENT IN `df`. bit_or is commutative, associative
+    * and idempotent, so folds over any partitioning / batching / replay
+    * of the same rows are bit-identical — the algebra the streaming path
+    * leans on. */
+  private[graft] def bloomWordRows(df: DataFrame, nBits: Int = 1024,
+                                   nHash: Int = 4): DataFrame = {
+    def posSql(j: Int): String =
+      s"pmod(CAST(conv(substring(md5(concat_ws(':', 'skipb$j', CAST(fp AS STRING))), 1, 15), 16, 10) AS BIGINT), $nBits)"
+    val rowWords = (0 until nBits / 64).foldLeft(
+      df.select(col("shard").cast("long").as("shard"), col("fp"))) {
+      case (d, wd) =>
+        val bits = (0 until nHash).map { j =>
+          s"(CASE WHEN ${posSql(j)} div 64 = $wd " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${posSql(j)} % 64 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" | ")
+        d.withColumn(s"w$wd", expr(bits))
+    }
+    rowWords.groupBy(col("shard"))
+      .agg(expr("bit_or(w0)").as("w0"),
+        (1 until nBits / 64).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
   }
 
   /** The sidecar membership test — JVM twin of the write-side bit fold

@@ -684,6 +684,46 @@ object Streams {
       .groupBy(col("cluster_id"))
       .agg(sum(col("csize")).as("csize"))
 
+  /** s28: STREAMING BLOOM-SIDECAR MAINTENANCE — p20's per-shard
+    * file-skipping bitsets kept fresh UNDER INGESTION instead of rebuilt
+    * nightly: each micro-batch folds its rows' hash positions into
+    * per-shard word increments (16 longs per touched shard — the
+    * [[graft.operators.Persist.bloomWordRows]] fold over the BATCH) and
+    * appends them beside the data; [[bloomSidecarState]] OR-folds the
+    * increments per shard. bit_or is COMMUTATIVE and IDEMPOTENT (the
+    * s25/s26 algebra), so late, reordered, or fully REPLAYED batches
+    * cannot corrupt the sidecar — re-ORing a bit is a no-op — which is
+    * why, unlike the append-only list ingests (lsh/ivf/binary), this
+    * path needs NO batchId commit log and no ordering contract: the
+    * state is a join-semilattice and every delivery schedule converges
+    * to the same bits (spec: streamed ≡ batch-built bit-for-bit,
+    * including after a replay). Bloom false positives stay pure pruning
+    * (p20's gate); a true home can never be missed because its bits
+    * were OR'd in by SOME batch and OR never clears. Input contract:
+    * `(shard, fp)` rows — shard routing is the upstream partitioner's
+    * job, exactly as in s25. Disk state grows one 136-byte row per
+    * (batch, touched shard); the same fold compacts it to shard-count
+    * rows whenever convenient. */
+  def bloomSidecarStream(rows: DataFrame, table: String, nBits: Int = 1024,
+                         nHash: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      graft.operators.Persist.bloomWordRows(batch, nBits, nHash)
+        .write.mode("append")
+        .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table + "_bloom")
+    }
+    rows.writeStream.outputMode("append").foreachBatch(writeBatch).start()
+  }
+
+  /** The OR-fold over [[bloomSidecarStream]]'s per-batch increments: the
+    * current per-shard 1024-bit bitsets, shard-count rows, bit-identical
+    * to a batch build over the same rows (spec-gated). */
+  def bloomSidecarState(spark: SparkSession, table: String, nBits: Int = 1024): DataFrame =
+    spark.read.parquet(spark.conf.get("spark.sql.warehouse.dir") + "/" + table + "_bloom")
+      .groupBy(col("shard"))
+      .agg(expr("bit_or(w0)").as("w0"),
+        (1 until nBits / 64).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
+
   /** Streaming upsert → LIVE INDEX maintenance — u1's update_chunk→index→
     * search semantics (reference: app/core/vector_db.py:220-236) as
     * continuous CDC, composing [[upsertLatestStateful]]'s latest-wins rule

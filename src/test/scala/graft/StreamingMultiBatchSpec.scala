@@ -306,6 +306,55 @@ class StreamingMultiBatchSpec extends GraftSuite {
       s"compaction did not reduce file count (${parquetFiles(path2)} vs ${parquetFiles(path)})")
   }
 
+  test("streaming Bloom sidecar: OR-folded increments == batch build bit-for-bit; replay harmless; lookups never miss") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_skip_stream"
+    operators.Persist.dropIndexTable(spark, table + "_bloom")
+    // the SAME (shard, fp) rows p20 derives from the corpus
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val w = docs.agg(expr("(max(doc_id) + 16) div 16")).head.getLong(0)
+    val fpCol = operators.Dedup.h60(concat_ws(":", lit("skip"), $"text"))
+    val rows = docs.select(expr(s"doc_id div $w").as("shard"), fpCol.as("fp"))
+      .as[(Long, Long)].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 < 8L) // second half of shards later
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.bloomSidecarStream(stream.toDF().toDF("shard", "fp"), table)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def stateMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val streamed = stateMap(Streams.bloomSidecarState(spark, table))
+    val batchSide = stateMap(operators.Persist.bloomWordRows(
+      spark.createDataFrame(rows).toDF("shard", "fp")))
+    assert(streamed === batchSide, "streamed sidecar != batch-built sidecar")
+
+    // replay: a restarted source re-delivers batch 0 WITHOUT any commit
+    // log — OR idempotence makes the duplicate a no-op, bit-for-bit
+    val replay = MemoryStream[(Long, Long)]
+    val q2 = Streams.bloomSidecarStream(replay.toDF().toDF("shard", "fp"), table)
+    try { replay.addData(b1); q2.processAllAvailable() } finally q2.stop()
+    assert(stateMap(Streams.bloomSidecarState(spark, table)) === batchSide,
+      "replayed batch corrupted the OR-fold")
+
+    // a true home is never missed: every probed fingerprint's bits were
+    // OR'd in by SOME batch and OR never clears
+    val probes = docs.filter($"doc_id".isin(7L, 123L, 456L))
+      .select(expr(s"doc_id div $w").as("home"), fpCol.as("fp")).collect()
+    probes.foreach { r =>
+      assert(operators.Persist.bloomMightContain(
+        streamed(r.getLong(0)).toArray, r.getLong(1)),
+        s"true home shard ${r.getLong(0)} bloom-missed")
+    }
+    // and it still PRUNES: an absent fingerprint hits a strict subset
+    val absent = Streams.h60jvm("skip:absent-probe")
+    val cand = streamed.collect { case (s, ws) if
+      operators.Persist.bloomMightContain(ws.toArray, absent) => s }
+    assert(cand.size < streamed.size, "sidecar admits every shard (no pruning)")
+  }
+
   test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_upsert_stream"
