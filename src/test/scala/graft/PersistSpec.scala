@@ -254,6 +254,32 @@ class PersistSpec extends GraftSuite {
       s"decision subtree scans the corpus:\n${plan.take(600)}")
   }
 
+  test("v51c: SUM-merged generation artifacts == the from-scratch artifact bit-for-bit") {
+    val out = Persist.adaptiveFilteredSearchMerged(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the merged serving artifact must equal a from-scratch profile of
+    // the whole corpus — counts are exactly mergeable, so incremental
+    // maintenance is invisible (p16's gate shape on v51's input)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val merged = spark.read.parquet(s"$wh/graft_stats_filterfreq").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val scratch = docs.groupBy(lit("lang").as("cname"), col("lang").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.groupBy(lit("source").as("cname"), col("source").as("v"))
+        .agg(count(lit(1)).as("cnt")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === scratch, "merged artifact diverges from a full rescan")
+    // the merge is REAL: both generation artifacts are non-empty and
+    // their (cname, v) domains overlap (the sum actually sums)
+    val g0 = spark.read.parquet(s"$wh/graft_stats_filterfreq_g0").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val g1 = spark.read.parquet(s"$wh/graft_stats_filterfreq_g1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(g0.nonEmpty && g1.nonEmpty && (g0 & g1).nonEmpty,
+      "generation artifacts do not overlap — the merge is a concat, not a sum")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
