@@ -724,6 +724,51 @@ object Streams {
       .agg(expr("bit_or(w0)").as("w0"),
         (1 until nBits / 64).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
 
+  /** s29: STREAMING STATS-ARTIFACT MAINTENANCE — v51's decision input
+    * (the per-(column, value) frequency table, the p15/p16 ANALYZE
+    * family) kept fresh UNDER INGESTION: each committed micro-batch of
+    * documents unpivots its filter columns and appends (cname, v, cnt)
+    * INCREMENT rows; [[statsFreqState]] SUM-folds them, so the adaptive
+    * pre/post-filter decision always reads a current artifact without
+    * any corpus rescan. Count increments are NOT idempotent (a replayed
+    * batch would double-count), so unlike s28's OR-fold this path
+    * carries the batchId commit log the list ingests use — the two
+    * operators together state the rule precisely: idempotent fold
+    * algebra ⇒ no log needed, non-idempotent ⇒ log. State on disk grows
+    * one row per (batch, column, distinct value); the same fold
+    * compacts it whenever convenient (p16's merge). */
+  def statsFreqStream(docs: DataFrame, table: String, cols: Seq[String]
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val commits = table + "_commits"
+      val alreadyCommitted = s.catalog.tableExists(commits) &&
+        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
+      if (!alreadyCommitted) {
+        val arms = cols.map(c =>
+          struct(lit(c).as("cname"), col(c).cast("string").as("v")))
+        batch.select(explode(array(arms: _*)).as("u"))
+          .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("append")
+          .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table + "_freq")
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(commits)
+      }
+    }
+    docs.writeStream.outputMode("append").foreachBatch(writeBatch).start()
+  }
+
+  /** The SUM-fold over [[statsFreqStream]]'s increments: the current
+    * per-(column, value) frequencies — bit-identical to the batch
+    * artifact [[graft.operators.Persist.writeFilterStatsArtifact]]
+    * builds over the same rows (spec-gated), and exactly the relation
+    * v51's decision aggregates its m+1 longs from. */
+  def statsFreqState(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(spark.conf.get("spark.sql.warehouse.dir") + "/" + table + "_freq")
+      .groupBy(col("cname"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Streaming upsert → LIVE INDEX maintenance — u1's update_chunk→index→
     * search semantics (reference: app/core/vector_db.py:220-236) as
     * continuous CDC, composing [[upsertLatestStateful]]'s latest-wins rule

@@ -355,6 +355,44 @@ class StreamingMultiBatchSpec extends GraftSuite {
     assert(cand.size < streamed.size, "sidecar admits every shard (no pruning)")
   }
 
+  test("streaming stats artifact: SUM-folded increments == batch frequency profile; replay skipped by the commit log") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_stats_stream"
+    operators.Persist.dropIndexTable(spark, table + "_freq")
+    operators.Persist.dropIndexTable(spark, table + "_commits")
+    val rows = Tables.documents(spark, sf).select($"doc_id", $"lang", $"source")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 % 2 == 0) // interleaved halves
+    val stream = MemoryStream[(Long, String, String)]
+    val q = Streams.statsFreqStream(
+      stream.toDF().toDF("doc_id", "lang", "source"), table, Seq("lang", "source"))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def freqMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = freqMap(Streams.statsFreqState(spark, table))
+    // batch twin: the SAME artifact v51's decision reads, over the same rows
+    val want = freqMap(
+      Tables.documents(spark, sf)
+        .groupBy(lit("lang").as("cname"), $"lang".as("v")).agg(count(lit(1)).as("cnt"))
+        .unionByName(Tables.documents(spark, sf)
+          .groupBy(lit("source").as("cname"), $"source".as("v"))
+          .agg(count(lit(1)).as("cnt"))))
+    assert(streamed === want, "streamed frequency state != batch profile")
+
+    // replay: count increments are NOT idempotent — the commit log must
+    // skip the re-delivered batch, leaving the fold bit-identical
+    val replay = MemoryStream[(Long, String, String)]
+    val q2 = Streams.statsFreqStream(
+      replay.toDF().toDF("doc_id", "lang", "source"), table, Seq("lang", "source"))
+    try { replay.addData(b1); q2.processAllAvailable() } finally q2.stop()
+    assert(freqMap(Streams.statsFreqState(spark, table)) === want,
+      "replayed micro-batch double-counted despite the commit log")
+  }
+
   test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_upsert_stream"
