@@ -233,6 +233,10 @@ class StreamingMultiBatchSpec extends GraftSuite {
     val table = "graft_idx_ivf_stream"
     operators.Persist.dropIndexTable(spark, table)
     operators.Persist.dropIndexTable(spark, table + "_commits")
+    // the size sidecar belongs to the lists artifact — rebuilding the
+    // lists from scratch must reset it too, or increments from prior
+    // sessions double-count (the warehouse persists across JVM runs)
+    operators.Persist.dropIndexTable(spark, table + "_sizes")
     val embDf = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val all = embDf.as[(Long, Array[Float])].collect().toSeq
     val (b1, b2) = all.partition(_._1 < 250) // second segment arrives later
