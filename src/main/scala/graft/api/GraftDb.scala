@@ -427,6 +427,11 @@ final class GraftDb(spark: SparkSession, val root: String) {
     rows.groupBy(_._1).foreach { case (libId, libRows) =>
       val dims = libRecord(libId).getAs[Int]("dims")
       libRows.foreach { case (_, _, chunkId, _, emb, _) =>
+        // the EMPTY vector is reserved as [[addChunkText]]'s derived-marker
+        // — an explicitly empty embedding through this path would forge it
+        // (and serve a stub vector regardless of the declared dims)
+        require(emb.nonEmpty,
+          s"chunk $chunkId has an empty embedding; use addChunkText for derived vectors")
         require(emb.length == dims,
           s"chunk $chunkId embedding has ${emb.length} dims, library $libId declares $dims")
       }
@@ -679,7 +684,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   /** train_index: k-means over the library's live vectors (the v8 recipe —
     * deterministic init from the K lowest chunk ids, quantized partial
-    * sums), centroid matrix persisted as the library's index artifact. */
+    * sums), centroid matrix persisted as the library's index artifact.
+    * The artifact also records the TRAINING RECIPE (k, iters) so
+    * [[buildIndex]]'s retrain-or-keep candidate can re-run the SAME
+    * recipe on the refreshed corpus — on an unchanged corpus the
+    * candidate is then bit-identical to the standing model (training is
+    * deterministic) and the drift signal is exactly zero. */
   def trainIndex(libId: Long, kCentroids: Int = 8, iters: Int = 3): Unit = {
     val emb = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("embedding"))
@@ -688,14 +698,49 @@ final class GraftDb(spark: SparkSession, val root: String) {
     }
     require(init.length == kCentroids, s"library $libId has < $kCentroids vectors")
     val mat = Ivf.trainCentroids(spark, emb, iters, Some(init))
-    mat.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(centroidPath(libId))
+    writeCentroidArtifact(libId, mat, iters)
   }
+
+  private def writeCentroidArtifact(libId: Long, mat: Array[(Long, Array[Double])],
+                                    iters: Int): Unit =
+    mat.toSeq.map { case (cid, v) => (cid, v, mat.length, iters) }
+      .toDF("cid", "centroid", "k", "iters")
+      .coalesce(1).write.mode("overwrite").parquet(centroidPath(libId))
 
   private def trainedMat(libId: Long): Option[Array[(Long, Array[Double])]] =
     if (!Files.exists(Paths.get(centroidPath(libId)))) None
     else Some(spark.read.parquet(centroidPath(libId)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
+
+  /** The recorded training recipe, None for a pre-recipe (legacy)
+    * artifact — whose maintenance then degrades to keep-only (no
+    * candidate can be trained the same way the standing model was). */
+  private def trainParams(libId: Long): Option[(Int, Int)] =
+    if (!Files.exists(Paths.get(centroidPath(libId)))) None
+    else {
+      val df = spark.read.parquet(centroidPath(libId))
+      if (!df.columns.contains("k")) None
+      else {
+        val r = df.select(col("k"), col("iters")).head()
+        Some((r.getInt(0), r.getInt(1)))
+      }
+    }
+
+  /** Top-`nProbes` centroids per query under the facade's probe rule
+    * (float centroid frame + the codegen'd cosine + TopK partial agg) —
+    * ONE implementation shared by the in-memory ivf route and the
+    * persisted-lists route, so the two are candidate-identical by
+    * construction. Emits `(qid, cluster_id)`. */
+  private def probeAssignments(qs: DataFrame, mat: Array[(Long, Array[Double])],
+                               nProbes: Int): DataFrame = {
+    val centroids = mat.toSeq.map { case (cid, v) => (cid, v.map(_.toFloat)) }
+      .toDF("cluster_id", "cvec")
+    Knn.topkPerQuery(
+      qs.crossJoin(broadcast(centroids))
+        .withColumn("score", Graft.cosine(col("cvec"), col("qvec")))
+        .select(col("qid"), col("cluster_id").as("vec_id"), col("score")),
+      "cosine", nProbes).select(col("qid"), col("vec_id").as("cluster_id"))
+  }
 
   // ---- compaction (crash-safe fold of all three logs) ---------------------
 
@@ -727,6 +772,11 @@ final class GraftDb(spark: SparkSession, val root: String) {
   def compact(): Unit = {
     writeCompactSnapshots()
     completeCompactSwap()
+    // maintain the persisted serving indexes at the same boundary: every
+    // trained live ivf library runs [[buildIndex]]'s monitor→decide→build
+    // loop against the freshly folded snapshot (stale indexes drop) —
+    // the reference's rebuild-on-startup, made measured and gated
+    refreshIndexes()
   }
 
   /** Who paid the encoder at the last [[compact]]: per-status row counts
@@ -838,6 +888,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
     writeCompactSnapshots(keep = !target)
     completeCompactSwap()
     scrubArchives(target)
+    // chase the DERIVED serving artifacts (the p12 discipline): a standing
+    // index still carries the purged chunks' text + vectors in its lists —
+    // rebuild every index from the post-purge snapshot (stale ones drop)
+    refreshIndexes()
     val liveAudits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
       case (name, log) =>
         log.filter(target)
@@ -854,15 +908,30 @@ final class GraftDb(spark: SparkSession, val root: String) {
       spark.range(1).select(lit(s"archive:$name").as("log"),
         lit(remaining).as("n_remaining"))
     }
-    (liveAudits ++ archAudits).reduce(_ unionAll _).orderBy("log")
+    // the derived serving index, re-read from the rewritten files like
+    // every other audit row (deletion evidenced from storage)
+    val idxRemaining = {
+      val lists = s"${indexRoot(libId)}/lists"
+      if (!Files.exists(Paths.get(lists))) 0L
+      else spark.read.parquet(lists).filter(col("doc_id") === docId).count()
+    }
+    val idxAudit = spark.range(1).select(lit("ivf_index").as("log"),
+      lit(idxRemaining).as("n_remaining"))
+    (liveAudits ++ archAudits :+ idxAudit).reduce(_ unionAll _).orderBy("log")
   }
 
   /** Rewrite every archived generation's chunk/document logs WITHOUT the
     * target rows (seqs of all surviving rows preserved — history shifts
     * for no one else). Per-generation cost is that generation's log
     * bytes; at 100 TB a purge pays for the history it erases, which is
-    * the GDPR deal. Write-to-temp + rename per log, so a reader never
-    * sees a half-written archive. */
+    * the GDPR deal. Crash-safe swap per log: the scrubbed copy is
+    * written to `*_scrubbing` (complete before any rename), the original
+    * is renamed ASIDE to `*_scrubold` — never deleted first — then the
+    * copy renames into place and the aside drops. A crash at any point
+    * leaves a repairable state: [[repairScrubLeftovers]] (run on every
+    * open) completes a swap that lost the live dir (aside + complete
+    * copy both present) and discards stray temps, so no generation's
+    * archive is ever lost to a half-finished scrub. */
   private def scrubArchives(target: Column): Unit =
     archivedWatermarks.foreach { w =>
       Seq("chunks_log", "documents_log").foreach { name =>
@@ -873,20 +942,53 @@ final class GraftDb(spark: SparkSession, val root: String) {
           // keep their original files byte-for-byte (and the probe is a
           // pushed point predicate, row-group-stat cheap)
           if (!src.filter(target).isEmpty) {
+            val live = new Path(p)
             val tmp = new Path(p + "_scrubbing")
+            val old = new Path(p + "_scrubold")
             src.filter(!target)
               .write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(new Path(p), true)
-            fs.rename(tmp, new Path(p))
+            fs.rename(live, old)
+            fs.rename(tmp, live)
+            fs.delete(old, true)
           }
         }
       }
     }
 
+  /** Complete or discard scrub leftovers from a crashed [[scrubArchives]]
+    * (run on every open, after the compaction recovery):
+    *   - live log present → any `*_scrubold` / `*_scrubbing` siblings are
+    *     stale (the swap finished, or never started) — discard them;
+    *   - live log MISSING with `*_scrubold` present → the crash hit
+    *     between the two renames; the `*_scrubbing` copy is complete by
+    *     the write-before-rename order, so finish the swap (rename copy
+    *     in, drop the aside) — or, if the copy is somehow gone too,
+    *     restore the aside (the un-scrubbed original beats a lost
+    *     archive; the next purge re-runs the scrub idempotently). */
+  private def repairScrubLeftovers(): Unit =
+    archivedWatermarks.foreach { w =>
+      Seq("chunks_log", "documents_log").foreach { name =>
+        val live = new Path(s"$root/archive/gen=$w/$name")
+        val tmp = new Path(s"$root/archive/gen=$w/${name}_scrubbing")
+        val old = new Path(s"$root/archive/gen=$w/${name}_scrubold")
+        if (fs.exists(live)) {
+          if (fs.exists(old)) fs.delete(old, true)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+        } else if (fs.exists(old)) {
+          if (fs.exists(tmp)) { fs.rename(tmp, live); fs.delete(old, true) }
+          else fs.rename(old, live)
+        } else if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+
   /** Phase 2: swap every log for its temp snapshot, drop the marker.
     *
-    * COPY-ON-WRITE ARCHIVE (p19's generation recipe): unless the marker
-    * says `noarchive` (a purge), the pre-swap live logs are RENAMED —
+    * COPY-ON-WRITE ARCHIVE (p19's generation recipe): the pre-swap live
+    * logs — including a purge's (a purge archives the pre-purge logs
+    * into a fresh generation like any compaction, then
+    * [[scrubArchives]] erases the target's rows from EVERY generation,
+    * that one included; the purged rows are thus briefly retained until
+    * the scrub, never after) — are RENAMED —
     * never copied — into `archive/gen=<watermark>/`, where the watermark
     * is the next-unused sequence derived from the live logs themselves
     * (so a crash-recovery replay computes the same value the session
@@ -922,6 +1024,18 @@ final class GraftDb(spark: SparkSession, val root: String) {
         fs.rename(tmp, livePath)
       }
     }
+    // manifest of the generation's archived logs, rewritten from the
+    // directory itself (idempotent across a crash-recovery re-run): asOf
+    // reads it to distinguish "this generation never had that log" (a
+    // legitimate empty fold) from "the log was damaged or partially deleted"
+    // (a loud failure) — see [[asOf]]'s routing assert
+    if (fs.exists(genDir)) {
+      val names = fs.listStatus(genDir).map(_.getPath.getName)
+        .filter(Seq("chunks_log", "libraries_log", "documents_log").contains)
+      val out = fs.create(new Path(genDir, "_manifest"), true)
+      out.write(names.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
     // the derived-embedding store swaps inside the same marker window but
     // is REPLACED, never archived: it is a derived artifact whose history
     // is reconstructible from the archived text logs (fillDerived's
@@ -945,6 +1059,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
       val tmp = new Path(s"${live}_compacting")
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+    repairScrubLeftovers()
+    repairIndexSwaps()
   }
 
   // ---- time travel (p19's COW generations on the facade) -------------------
@@ -979,17 +1095,251 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * rebuild-from-storage (vector_db.py:272-292) generalized from
     * "latest state" to "state at any retained sequence". */
   def asOf(s: Long): DataFrame = {
-    val (chunkSrc, libSrc) = archivedWatermarks.find(_ > s) match {
-      case Some(w) =>
-        val gen = s"$root/archive/gen=$w"
-        (withChunkMetaCompat(logOrEmpty[ChunkOp](s"$gen/chunks_log", mergeSchema = true)),
-          withMetaCompat(logOrEmpty[LibOp](s"$gen/libraries_log", mergeSchema = true)))
-      case None => (chunkLog, libLog)
-    }
+    val (chunkSrc, libSrc) = pinnedLogSlices(s)
     val libSlice = libSrc.filter(col("seq") <= s)
     fillDerived(
       foldChunkLogWith(chunkSrc.filter(col("seq") <= s), libSlice, foldLibLog(libSlice)))
       .orderBy("library_id", "doc_id", "chunk_id")
+  }
+
+  /** The UN-truncated chunk/library log sources covering sequence `s` —
+    * the routed archived generation, or the live logs. Routing to an
+    * archive VALIDATES it against the generation's `_manifest` (written
+    * at archive time): a log the manifest lists but the directory lacks
+    * means the generation was damaged (e.g. a retention job deleted one
+    * log of the pair) — that fails LOUDLY here instead of silently
+    * folding an empty history. A log absent from BOTH is a generation
+    * that legitimately never had it (empty fold is the true state);
+    * manifest-less generations (pre-manifest stores) stay lenient. */
+  private def pinnedLogSlices(s: Long): (DataFrame, DataFrame) =
+    archivedWatermarks.find(_ > s) match {
+      case Some(w) =>
+        val gen = s"$root/archive/gen=$w"
+        val manifest = new Path(s"$gen/_manifest")
+        if (fs.exists(manifest)) {
+          val in = fs.open(manifest)
+          val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+          names.filter(Seq("chunks_log", "libraries_log").contains).foreach { n =>
+            require(Files.exists(Paths.get(s"$gen/$n")),
+              s"archived generation $w is damaged: its manifest lists $n but the " +
+                "directory is missing — asOf refuses to serve a partial history " +
+                "(retention must delete whole gen= directories, never single logs)")
+          }
+        }
+        (withChunkMetaCompat(logOrEmpty[ChunkOp](s"$gen/chunks_log", mergeSchema = true)),
+          withMetaCompat(logOrEmpty[LibOp](s"$gen/libraries_log", mergeSchema = true)))
+      case None => (chunkLog, libLog)
+    }
+
+  // ---- persisted serving index (standing IVF lists, maintained at compact) -
+
+  private def ivfIndexArea = s"$root/ivf_index"
+  private def indexRoot(libId: Long) = s"$ivfIndexArea/lib=$libId"
+
+  /** The standing index's one-row metadata (index_seq + the last
+    * maintenance decision receipt), None when the library has no
+    * persisted index — the serving dispatch bit. */
+  private def indexMetaRow(libId: Long): Option[org.apache.spark.sql.Row] = {
+    val p = s"${indexRoot(libId)}/meta"
+    if (!Files.exists(Paths.get(p))) None
+    else spark.read.parquet(p).collect().headOption
+  }
+
+  /** The centroid matrix the standing index was BUILT with — stored
+    * inside the index directory so the swap is atomic for everything
+    * serving needs (probing with one generation's centroids against
+    * another generation's list layout would route wrongly). */
+  private def indexCentroids(libId: Long): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"${indexRoot(libId)}/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** BUILD/REFRESH the library's persisted serving index — the standing
+    * structure the reference queries repeatedly (ivf.py:91-123) instead
+    * of re-assigning the corpus per search, with v55's retrain-or-keep
+    * decision folded into every refresh:
+    *
+    *   1. MONITOR (one map-only scan): every live vector is assigned
+    *      under the standing model AND a candidate retrained with the
+    *      recorded recipe (same k/iters/init rule — [[trainIndex]]'s
+    *      determinism makes an unchanged corpus produce a bit-identical
+    *      candidate, so drift is exactly zero there); the K²-bounded
+    *      migration matrix persists as the index's retrain report.
+    *   2. DECIDE (three longs off the report, exact BigInt compares —
+    *      no float/wrap can flip the branch): retrain iff
+    *      off_diag·driftDen ≥ n_total (assignment churn ≥ 1/driftDen) or
+    *      max_list·k ≥ occFactor·n_total (largest list ≥ occFactor× the
+    *      average — v55's occupancy rule generalized k-relative: for
+    *      k=16, occFactor=4 is exactly v55's occDen=4). A candidate
+    *      whose SEED population changed (the k lowest live chunk ids)
+    *      relabels clusters and reads as full drift — aggressive by
+    *      construction: the seeding corpus changing IS drift.
+    *   3. BUILD the winner's artifacts under `*_building`, then swap
+    *      (aside → in → drop): cluster-partitioned lists carrying the
+    *      full chunk payload (so metadata filters and includeChunk serve
+    *      off the pruned scan), the v53 K-row size sidecar, the winning
+    *      centroid matrix, and a one-row meta (index_seq = the last
+    *      folded op + the decision receipt, [[indexAudit]]). A
+    *      `_complete` marker gates crash recovery ([[repairIndexSwaps]]):
+    *      a half-written build is discarded, a half-finished swap is
+    *      completed, and serving meanwhile falls back to the in-memory
+    *      route — never a half-index. On retrain the library's trained
+    *      model artifact is refreshed to the winner, so the in-memory
+    *      fallback and the index always agree.
+    *
+    * [[compact]] calls this for every trained live ivf library (the
+    * measured replacement for the reference's unconditional
+    * rebuild-on-startup, vector_db.py:272-292); it is also a public
+    * maintenance entry for on-demand rebuilds. [[searchAll]] serves the
+    * index base+delta: post-build appends stay visible (scored through
+    * the same assignment) without any rebuild. A library whose live set
+    * shrank to empty drops its index instead (serving falls back). */
+  def buildIndex(libId: Long, driftDen: Long = 60L, occFactor: Long = 4L): Unit = {
+    val lib = libRecord(libId)
+    require(lib.getAs[String]("index_type") == "ivf",
+      s"library $libId is ${lib.getAs[String]("index_type")}, not ivf")
+    val oldMat = trainedMat(libId).getOrElse(
+      throw new IllegalArgumentException(
+        s"library $libId has no trained model — call trainIndex first"))
+    val snap = listChunks(libId)
+      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
+        col("text"), col("metadata"))
+    val emb = snap.select(col("vec_id"), col("embedding"))
+    // candidate model: the recorded recipe re-run on the CURRENT corpus;
+    // None (→ keep-only) for legacy artifacts or a corpus now smaller
+    // than its own k
+    val cand: Option[Array[(Long, Array[Double])]] = trainParams(libId).flatMap {
+      case (kc, it) =>
+        val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+        }
+        if (init.length < kc) None
+        else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
+    }
+    if (emb.limit(1).isEmpty) { // nothing live: drop the standing index
+      fs.delete(new Path(indexRoot(libId)), true)
+      return
+    }
+    val bld = s"${indexRoot(libId)}_building"
+    fs.delete(new Path(bld), true)
+    // 1. MONITOR: one pass, two broadcast K×d literals, K²-bounded report
+    val candMat = cand.getOrElse(oldMat)
+    def cvecs(m: Array[(Long, Array[Double])]): Column =
+      typedLit(m.map(_._2.toSeq).toSeq)
+    def cids(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._1).toSeq)
+    emb
+      .withColumn("nco", Graft.nearestCentroid(col("embedding"), cvecs(oldMat)))
+      .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(candMat)))
+      .select(
+        element_at(cids(oldMat), col("nco.idx") + 1).as("from_cid"),
+        element_at(cids(candMat), col("ncn.idx") + 1).as("to_cid"))
+      .groupBy(col("from_cid"), col("to_cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
+    // 2. DECIDE: three longs of driver state from the persisted report
+    val r = spark.read.parquet(s"$bld/retrain_report")
+      .groupBy(col("from_cid"))
+      .agg(sum(col("n_vecs")).as("list_sz"),
+        sum(when(col("from_cid") =!= col("to_cid"), col("n_vecs"))
+          .otherwise(0L)).as("off"))
+      .agg(
+        coalesce(sum(col("off")), lit(0L)).as("off_diag"),
+        coalesce(max(col("list_sz")), lit(0L)).as("max_list"),
+        coalesce(sum(col("list_sz")), lit(0L)).as("n_total"))
+      .head()
+    val (offDiag, maxList, total) =
+      (r.getAs[Long]("off_diag"), r.getAs[Long]("max_list"), r.getAs[Long]("n_total"))
+    val retrain = cand.isDefined &&
+      (BigInt(offDiag) * BigInt(driftDen) >= BigInt(total) ||
+        BigInt(maxList) * BigInt(oldMat.length) >= BigInt(occFactor) * BigInt(total))
+    val winner = if (retrain) candMat else oldMat
+    // 3. BUILD: map-only assignment carrying the payload, partitioned by
+    // the trained cluster ids; sizes from the same assigned frame (≡ the
+    // lists by construction); centroids + meta beside them
+    val assigned = Ivf.assignToMat(snap, winner, keep = Seq("doc_id", "text", "metadata"))
+      .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
+        col("metadata"), col("cluster_id"))
+    graft.sources.Sinks.writePartitioned(assigned, s"$bld/lists", "cluster_id")
+    spark.read.parquet(s"$bld/lists")
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/sizes")
+    winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids")
+    Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total))
+      .toDF("index_seq", "decision", "off_diag", "max_list", "n_total")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
+    fs.create(new Path(s"$bld/_complete"), true).close()
+    // swap: aside → in → drop (repairable at every intermediate state)
+    val live = new Path(indexRoot(libId))
+    val aside = new Path(s"${indexRoot(libId)}_old")
+    if (fs.exists(live)) fs.rename(live, aside)
+    fs.rename(new Path(bld), live)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    // the trained-model artifact follows the winner (idempotent; a crash
+    // leaving it stale only makes the next candidate comparison see the
+    // same old model again — the index itself stays self-consistent)
+    if (retrain) writeCentroidArtifact(libId, winner, trainParams(libId).map(_._2).getOrElse(0))
+  }
+
+  /** The standing index's maintenance receipt — which branch the last
+    * [[buildIndex]] took and the three decision inputs, plus the
+    * sequence the index covers (the [[embedAudit]] pattern applied to
+    * index maintenance). Empty when the library has no persisted index. */
+  def indexAudit(libId: Long): DataFrame =
+    indexMetaRow(libId) match {
+      case None => Seq.empty[(Long, Long, String, Long, Long, Long)]
+        .toDF("library_id", "index_seq", "decision", "off_diag", "max_list", "n_total")
+      case Some(m) => Seq((libId, m.getAs[Long]("index_seq"), m.getAs[String]("decision"),
+        m.getAs[Long]("off_diag"), m.getAs[Long]("max_list"), m.getAs[Long]("n_total")))
+        .toDF("library_id", "index_seq", "decision", "off_diag", "max_list", "n_total")
+    }
+
+  /** Maintain every persisted index at a maintenance boundary: stale
+    * directories (library gone, or no longer a trained ivf library)
+    * drop; every trained live ivf library rebuilds through
+    * [[buildIndex]]'s monitor→decide→build loop. */
+  private def refreshIndexes(): Unit = {
+    val area = new Path(ivfIndexArea)
+    val existing: Set[Long] =
+      if (!fs.exists(area)) Set.empty
+      else fs.listStatus(area).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("lib=") && !n.endsWith("_building") && !n.endsWith("_old") =>
+          n.stripPrefix("lib=").toLong
+      }.toSet
+    val liveIvfTrained = listLibraries().filter(col("index_type") === "ivf")
+      .select(col("library_id")).collect().map(_.getLong(0))
+      .filter(id => trainedMat(id).isDefined).toSet
+    (existing -- liveIvfTrained).foreach(id => fs.delete(new Path(indexRoot(id)), true))
+    liveIvfTrained.foreach(buildIndex(_))
+  }
+
+  /** Complete or discard index-swap leftovers on open (the
+    * [[repairScrubLeftovers]] discipline for the `ivf_index` area): a
+    * live index wins over any sibling; a `_complete`-marked building
+    * dir finishes its swap; an incomplete one is discarded; an orphaned
+    * aside is restored (an older valid index beats none). */
+  private def repairIndexSwaps(): Unit = {
+    val area = new Path(ivfIndexArea)
+    if (!fs.exists(area)) return
+    val names = fs.listStatus(area).toSeq.map(_.getPath.getName)
+    val bases = names.map(_.stripSuffix("_building").stripSuffix("_old")).distinct
+    bases.foreach { b =>
+      val live = new Path(area, b)
+      val bld = new Path(area, s"${b}_building")
+      val aside = new Path(area, s"${b}_old")
+      if (fs.exists(live)) {
+        if (fs.exists(bld)) fs.delete(bld, true)
+        if (fs.exists(aside)) fs.delete(aside, true)
+      } else if (fs.exists(bld) && fs.exists(new Path(bld, "_complete"))) {
+        fs.rename(bld, live)
+        if (fs.exists(aside)) fs.delete(aside, true)
+      } else {
+        if (fs.exists(bld)) fs.delete(bld, true)
+        if (fs.exists(aside)) fs.rename(aside, live)
+      }
+    }
   }
 
   // ---- search (vector_db.py:249-270) --------------------------------------
@@ -1003,12 +1353,32 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * scoring (the v16 discipline). An `ivf` library that was never
     * trained serves exact flat results — the reference's `_ensure_index`
     * builds on first use; here "untrained" degrades to
-    * correct-but-unaccelerated, never to an error. */
+    * correct-but-unaccelerated, never to an error. A trained ivf library
+    * WITH a persisted index ([[buildIndex]]) serves BASE+DELTA off the
+    * standing artifact instead of re-assigning the snapshot per call;
+    * `asOfSeq` pins the search to a historical snapshot ([[asOf]]) and
+    * serves it EXACT — see [[pinnedSearchAll]]. */
   def searchAll(libId: Long, queries: DataFrame, k: Int = 10,
                 includeChunk: Boolean = false, nProbes: Int = 2,
                 nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
                 metadataFilter: Option[Column] = None,
-                metadataEq: Seq[(String, String)] = Seq.empty): DataFrame = {
+                metadataEq: Seq[(String, String)] = Seq.empty,
+                asOfSeq: Option[Long] = None): DataFrame = {
+    // arbitrary-Column and key=value metadata filters, applied uniformly
+    // to any candidate slice carrying the (vec_id, embedding, doc_id,
+    // text, metadata) shape — snapshot, persisted lists, delta, or a
+    // pinned read
+    def candFilters(df: DataFrame): DataFrame = {
+      val eqd = metadataEq.foldLeft(df) { case (d, (kk, vv)) =>
+        d.filter(element_at(col("metadata"), lit(kk)) === vv)
+      }
+      metadataFilter.fold(eqd)(eqd.filter)
+    }
+    asOfSeq match {
+      case Some(s) =>
+        return pinnedSearchAll(libId, queries, k, includeChunk, candFilters, s)
+      case None =>
+    }
     val lib = libRecord(libId)
     val indexType = lib.getAs[String]("index_type")
     // `metadata` rides the candidate slice so the filters can reference
@@ -1032,14 +1402,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case ("lsh", _) =>
         Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, qs,
           nTables, nBits, seed, k)
+      case ("ivf", _) if indexMetaRow(libId).isDefined =>
+        persistedIvfHits(libId, qs, k, nProbes, candFilters)
       case ("ivf", Some(mat)) =>
-        val centroids = mat.toSeq.map { case (cid, v) => (cid, v.map(_.toFloat)) }
-          .toDF("cluster_id", "cvec")
-        val probes = Knn.topkPerQuery(
-          qs.crossJoin(broadcast(centroids))
-            .withColumn("score", Graft.cosine(col("cvec"), col("qvec")))
-            .select(col("qid"), col("cluster_id").as("vec_id"), col("score")),
-          "cosine", nProbes).select(col("qid"), col("vec_id").as("cluster_id"))
+        // in-memory route (no standing index yet): per-call assignment of
+        // the filtered snapshot — correct, but the whole corpus pays the
+        // assignment on every call; compact()/buildIndex() upgrades the
+        // library to the persisted route above
+        val probes = probeAssignments(qs, mat, nProbes)
         val assigned = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
         val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
           .select(col("qid"), col("vec_id"))
@@ -1051,18 +1421,126 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case _ => // flat, or ivf before training
         Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
     }
+    finishHits(snap, hits, includeChunk)
+  }
+
+  /** The shared result tail: bare hits, or the payload join with the
+    * hit set (≤ Q·k rows) as the broadcast build side streaming over
+    * the snapshot — the snapshot is the SF-proportional relation and
+    * must never be a broadcast; inner ≡ left because every hit id
+    * comes from the snapshot itself (the v15 rule). */
+  private def finishHits(snap: DataFrame, hits: DataFrame,
+                         includeChunk: Boolean): DataFrame =
     if (!includeChunk)
       hits.select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"))
     else
-      // hit set (≤ Q·k rows) is the broadcast build side streaming over
-      // the snapshot — the snapshot is the SF-proportional relation and
-      // must never be a broadcast; inner ≡ left because every hit id
-      // comes from the snapshot itself (the v15 rule)
       snap.select(col("vec_id"), col("doc_id"), col("text"), col("metadata"))
         .join(broadcast(hits), Seq("vec_id"))
         .select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"),
           col("doc_id"), col("text"), col("metadata"))
         .orderBy("qid", "rank")
+
+  /** Serve an ivf workload off the STANDING persisted index, BASE+DELTA
+    * (the reference's standing-structure-queried-repeatedly contract,
+    * ivf.py:91-123, at the API the user actually calls):
+    *   - PROBE: top-`nProbes` centroids per query against the index's
+    *     OWN centroid matrix (same rule as the in-memory route —
+    *     candidate-identical by construction); the collected Q×nProbes
+    *     pairs become a static IN that prunes list DIRECTORIES at
+    *     file-listing time (`PartitionFilters`, spec-asserted).
+    *   - BASE: the pruned list scan, masked by post-index activity
+    *     through delta-sized anti-joins (a re-written or deleted chunk,
+    *     a tombstoned document) — and dropped wholesale if the library
+    *     itself was tombstoned after the build (one bounded driver
+    *     probe of the entity-sized library log). Metadata filters apply
+    *     ON the pruned scan: the lists carry the full chunk payload.
+    *   - DELTA: chunks appended after `index_seq`, folded under the
+    *     ordinary rule (maintenance-window-bounded, never the corpus),
+    *     assigned with the SAME matrix and restricted to the same
+    *     probed clusters — so base+delta ≡ the in-memory route over the
+    *     merged snapshot BIT-FOR-BIT (spec-gated), and fresh upserts
+    *     are visible to the very next search with no rebuild.
+    * At 100 TB this is the difference between reading a few probed
+    * directories plus a tail of recent appends, and re-assigning every
+    * vector in the corpus on every query. */
+  private def persistedIvfHits(libId: Long, qs: DataFrame, k: Int, nProbes: Int,
+                               candFilters: DataFrame => DataFrame): DataFrame = {
+    val idxSeq = indexMetaRow(libId).get.getAs[Long]("index_seq")
+    val idxMat = indexCentroids(libId)
+    val probePairs = probeAssignments(qs, idxMat, nProbes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // Q×nProbes: workload-bounded
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+    // post-index library tombstone ⇒ the whole base is dead (the index
+    // predates the tombstone); entity-log-sized driver probe
+    val baseDead = !libLog.filter(col("op") === "delete" &&
+      col("library_id") === libId && col("seq") > idxSeq).isEmpty
+    val deltaLog = chunkLog.filter(col("seq") > idxSeq && col("library_id") === libId)
+    val deltaKeys = deltaLog.filter(col("op").isin("upsert", "delete_chunk"))
+      .select(col("chunk_id").as("vec_id")).distinct()
+    val deltaDocTombs = deltaLog.filter(col("op") === "delete_doc")
+      .select(col("doc_id")).distinct()
+    val lists = spark.read.parquet(s"${indexRoot(libId)}/lists")
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+    val baseMasked =
+      if (baseDead) lists.limit(0)
+      else lists
+        // delta-sized by the maintenance-window contract, corpus-keyed by
+        // shape — unhinted, AQE picks the build side (the documents()
+        // tombstone-join rationale)
+        .join(deltaKeys, Seq("vec_id"), "left_anti")
+        .join(deltaDocTombs, Seq("doc_id"), "left_anti")
+    val baseScored = candFilters(baseMasked)
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    val deltaLive = candFilters(
+      fillDerived(foldChunkLog(deltaLog)).filter(col("library_id") === libId)
+        .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
+          col("text"), col("metadata")))
+    val deltaScored = Ivf.assignToMat(
+        deltaLive.select(col("vec_id"), col("embedding")), idxMat)
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(baseScored.unionByName(deltaScored), "cosine", k)
+  }
+
+  /** TIME-TRAVEL SEARCH: the workload served over the [[asOf]]-pinned
+    * snapshot — what makes the COW generations operationally useful:
+    * reproducing yesterday's retrieval results (audit/debug of
+    * training-data selection) instead of only yesterday's rows. The
+    * pinned corpus is the prefix-replay-equivalent fold; serving is
+    * EXACT regardless of the library's index_type, deliberately: index
+    * state (trained matrices, standing lists) is NOT versioned, so an
+    * approximate route could not reproduce the historical ranking —
+    * exact search is the strongest reproducibility contract: results
+    * are a pure function of the pinned corpus (spec: ≡ searching the
+    * prefix-replayed corpus, before and after later compactions).
+    * The library must have existed at the pin. */
+  private def pinnedSearchAll(libId: Long, queries: DataFrame, k: Int,
+                              includeChunk: Boolean,
+                              candFilters: DataFrame => DataFrame,
+                              s: Long): DataFrame = {
+    val (chunkSrc, libSrc) = pinnedLogSlices(s)
+    val libSlice = libSrc.filter(col("seq") <= s)
+    val libsAt = foldLibLog(libSlice)
+    require(!libsAt.filter(col("library_id") === libId).isEmpty,
+      s"no such library $libId as of seq $s")
+    val base = fillDerived(
+      foldChunkLogWith(chunkSrc.filter(col("seq") <= s), libSlice, libsAt))
+      .filter(col("library_id") === libId)
+      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
+        col("text"), col("metadata"))
+    val snap = candFilters(base)
+    val qs = queries.select(col("qid"), col("qvec"))
+    val hits = Knn.topkPerQuery(
+      Knn.scoreAll(snap.select(col("vec_id"), col("embedding")), qs, "cosine"),
+      "cosine", k)
+    finishHits(snap, hits, includeChunk)
   }
 
   /** Single-query kNN (the reference's `search`): [[searchAll]] with a

@@ -656,10 +656,16 @@ object Streams {
         // them ([[ivfSizeState]]), so the per-cluster size metadata the
         // adaptive probe budget (v53) reads stays fresh without ever
         // scanning the lists. Written inside the same commit guard as the
-        // list append: an at-least-once replay that duplicates list rows
-        // duplicates the matching increments, keeping sidecar ≡ lists
-        // under every failure the commit-log caveat admits. The second
-        // assignment pass is over the MICRO-BATCH, not the corpus.
+        // list append: a replay of a WHOLE uncommitted batch duplicates
+        // list rows and their matching increments together, keeping
+        // sidecar ≡ lists. CAVEAT (same at-least-once family as the
+        // commit-log protocol itself): the two appends are not atomic —
+        // a crash exactly BETWEEN them, then a replay, appends the lists
+        // twice but the increments once, leaving the sidecar undercounting
+        // those duplicate rows until a compaction folds the lists
+        // (s29's batch-keyed overwrite protocol closes this window where
+        // the fold could not tolerate it). The second assignment pass is
+        // over the MICRO-BATCH, not the corpus.
         graft.operators.Ivf.assignToMat(batch, mat)
           .groupBy(col("cluster_id").cast("long").as("cluster_id"))
           .agg(count(lit(1)).as("csize"))
@@ -726,35 +732,39 @@ object Streams {
 
   /** s29: STREAMING STATS-ARTIFACT MAINTENANCE — v51's decision input
     * (the per-(column, value) frequency table, the p15/p16 ANALYZE
-    * family) kept fresh UNDER INGESTION: each committed micro-batch of
-    * documents unpivots its filter columns and appends (cname, v, cnt)
+    * family) kept fresh UNDER INGESTION: each micro-batch of documents
+    * unpivots its filter columns and writes its (cname, v, cnt)
     * INCREMENT rows; [[statsFreqState]] SUM-folds them, so the adaptive
     * pre/post-filter decision always reads a current artifact without
-    * any corpus rescan. Count increments are NOT idempotent (a replayed
-    * batch would double-count), so unlike s28's OR-fold this path
-    * carries the batchId commit log the list ingests use — the two
-    * operators together state the rule precisely: idempotent fold
-    * algebra ⇒ no log needed, non-idempotent ⇒ log. State on disk grows
-    * one row per (batch, column, distinct value); the same fold
-    * compacts it whenever convenient (p16's merge). */
+    * any corpus rescan. Count increments are NOT idempotent under
+    * blind APPEND (a replayed batch would double-count), so the commit
+    * unit here is the BATCH DIRECTORY: each batch's increments land
+    * under `…_freq/batch_id=<id>/` in overwrite mode, making directory
+    * presence the commit record and a replay a bit-identical REWRITE of
+    * its own directory instead of a second copy — EXACTLY-once effective
+    * semantics with no separate commit log and therefore no
+    * append-vs-commit crash window at all (the weakness the list
+    * ingests' two-write protocol documents). A crash mid-write leaves a
+    * partial directory that the replay's overwrite clears first. The
+    * three ingest paths now state the durability rule precisely:
+    * idempotent fold algebra (s28's OR) ⇒ plain appends; non-idempotent
+    * increments ⇒ either a commit log (lsh/ivf/binary lists, whose
+    * payload rows are harmless to serve twice) or batch-keyed overwrite
+    * directories (here, where double-counts would corrupt the fold).
+    * State on disk grows one row per (batch, column, distinct value);
+    * the same fold compacts it whenever convenient (p16's merge). */
   def statsFreqStream(docs: DataFrame, table: String, cols: Seq[String]
                      ): org.apache.spark.sql.streaming.StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
-      val commits = table + "_commits"
-      val alreadyCommitted = s.catalog.tableExists(commits) &&
-        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
-      if (!alreadyCommitted) {
-        val arms = cols.map(c =>
-          struct(lit(c).as("cname"), col(c).cast("string").as("v")))
-        batch.select(explode(array(arms: _*)).as("u"))
-          .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
-          .agg(count(lit(1)).as("cnt"))
-          .write.mode("append")
-          .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table + "_freq")
-        s.range(1).select(lit(batchId).as("batch_id"))
-          .write.mode("append").format("parquet").saveAsTable(commits)
-      }
+      val arms = cols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("string").as("v")))
+      batch.select(explode(array(arms: _*)).as("u"))
+        .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite")
+        .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table +
+          s"_freq/batch_id=$batchId")
     }
     docs.writeStream.outputMode("append").foreachBatch(writeBatch).start()
   }
@@ -762,8 +772,10 @@ object Streams {
   /** The SUM-fold over [[statsFreqStream]]'s increments: the current
     * per-(column, value) frequencies — bit-identical to the batch
     * artifact [[graft.operators.Persist.writeFilterStatsArtifact]]
-    * builds over the same rows (spec-gated), and exactly the relation
-    * v51's decision aggregates its m+1 longs from. */
+    * builds over the same rows (spec-gated, including after a replayed
+    * batch), and exactly the relation v51's decision aggregates its m+1
+    * longs from. The `batch_id=` partition level is commit bookkeeping,
+    * invisible to the fold. */
   def statsFreqState(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(spark.conf.get("spark.sql.warehouse.dir") + "/" + table + "_freq")
       .groupBy(col("cname"), col("v"))

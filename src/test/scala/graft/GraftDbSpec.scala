@@ -147,6 +147,11 @@ class GraftDbSpec extends GraftSuite {
     assert(e1.getMessage.contains("dims"))
     val e2 = intercept[IllegalArgumentException](db.addChunk(1L, 0L, 2L, "bad", short))
     assert(e2.getMessage.contains("dims"))
+    // the EMPTY vector is addChunkText's derived-marker — an explicit
+    // empty embedding must be rejected, not silently served as a stub
+    val e3 = intercept[IllegalArgumentException](
+      db.addChunk(1L, 0L, 3L, "forged", Array.empty[Float]))
+    assert(e3.getMessage.contains("empty"))
   }
 
   test("searchAll: one batched plan == looped single searches, per index family") {
@@ -273,7 +278,8 @@ class GraftDbSpec extends GraftSuite {
     val audit = db.purgeDocument(1L, 1L).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L,
-      "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L))
+      "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L,
+      "ivf_index" -> 0L))
     // storage-level proof: the raw parquet files carry no trace of doc 1
     assert(spark.read.parquet(s"${db.root}/chunks_log")
       .filter(col("doc_id") === 1L).count() === 0L)
@@ -344,6 +350,207 @@ class GraftDbSpec extends GraftSuite {
       assert(snap(db2.asOf(s)) === w.filterNot(_._2 == purgedDoc),
         s"pin $s retains purged-document history")
     }
+  }
+
+  test("persisted ivf serving: pruned standing lists + delta == the in-memory route; fresh upserts visible; purge chases the index") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(3L, "ivf", dims, "ivf")
+    db.upsertChunks(corpus.take(40).map { case (id, t, e) => (3L, id / 10, id, t, e) })
+    db.trainIndex(3L, kCentroids = 4, iters = 2)
+    import spark.implicits._
+    val workload = Seq(2, 7, 21).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = res(db.searchAll(3L, workload, k = 5)) // in-memory route
+
+    db.compact() // builds the standing index for the trained ivf library
+    val idx = s"${db.root}/ivf_index/lib=3"
+    assert(Files.exists(java.nio.file.Paths.get(s"$idx/meta")), "no standing index after compact")
+    // the v53 size sidecar ≡ the lists, by construction
+    val sizes = spark.read.parquet(s"$idx/sizes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromLists = spark.read.parquet(s"$idx/lists")
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === fromLists, "size sidecar diverges from the lists")
+
+    // the route upgrade is invisible to results...
+    val served = db.searchAll(3L, workload, k = 5)
+    assert(res(served) === before, "persisted route diverged from the in-memory route")
+    // ...and the executed plan prunes list DIRECTORIES to the probed
+    // clusters (PartitionFilters over the index path)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_index"), s"serving does not scan the index:\n${plan.take(600)}")
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"serving does not partition-prune the lists:\n${plan.take(900)}")
+
+    // DELTA visibility with no rebuild: a fresh upsert is findable by the
+    // very next search; a deleted base chunk and a tombstoned document
+    // vacate the results
+    val fresh = corpus(45)
+    db.addChunk(3L, 99L, 990L, fresh._2, fresh._3)
+    val freshQ = Seq((0L, fresh._3)).toDF("qid", "qvec")
+    assert(db.searchAll(3L, freshQ, k = 1).collect().head.getLong(2) === 990L,
+      "post-index upsert invisible before the next rebuild")
+    val victim = before.head._3 // some served base chunk
+    db.deleteChunk(3L, victim / 10, victim)
+    db.deleteDocument(3L, 3L) // tombstones chunks 30..39
+    val merged = res(db.searchAll(3L, workload, k = 5))
+    assert(!merged.exists(_._3 == victim), "deleted base chunk still served")
+    assert(!merged.exists(h => h._3 / 10 == 3L && h._3 != 990L),
+      "tombstoned document's chunks still served")
+    // base+delta ≡ the in-memory route over the SAME merged state: drop
+    // the (derived, rebuildable) index and re-ask
+    val hadIndex = res(db.searchAll(3L, workload, k = 5))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    assert(res(db.searchAll(3L, workload, k = 5)) === hadIndex,
+      "persisted base+delta diverged from the in-memory route on the merged state")
+
+    // purge chases the standing lists: rebuild + storage-level audit
+    db.compact() // rebuild the index (it was deleted above)
+    val audit = db.purgeDocument(3L, 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("ivf_index") === 0L, s"purged rows survive in the index lists: $audit")
+    assert(spark.read.parquet(s"$idx/lists").filter(col("doc_id") === 0L).count() === 0L)
+  }
+
+  test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(5L, "ivf", dims, "ivf")
+    // high chunk ids: the seed population (2 lowest ids) is 100, 101
+    db.upsertChunks((0 until 24).map(i =>
+      (5L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3)))
+    db.trainIndex(5L, kCentroids = 2, iters = 2)
+    val q = corpus(5)._3
+    val before = db.search(5L, q, k = 5).collect().map(_.getLong(1)).toSeq
+
+    // KEEP: the candidate re-runs the recorded recipe on the unchanged
+    // corpus — deterministic training makes it bit-identical, drift is
+    // exactly zero, and compaction stays invisible to results
+    db.compact()
+    val a1 = db.indexAudit(5L).collect()
+    assert(a1.length === 1)
+    assert(a1.head.getAs[String]("decision") === "keep", s"unchanged corpus retrained: ${a1.head}")
+    assert(a1.head.getAs[Long]("off_diag") === 0L)
+    assert(a1.head.getAs[Long]("n_total") === 24L)
+    assert(db.search(5L, q, k = 5).collect().map(_.getLong(1)).toSeq === before,
+      "keep-branch compaction changed results")
+
+    // RETRAIN: new chunks BELOW the old seed ids change the candidate's
+    // seed population — every vector relabels (full drift by
+    // construction: the seeding corpus changing IS drift) — and the
+    // decision rebuilds with the refreshed model
+    db.upsertChunks((0 until 12).map(i =>
+      (5L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3)))
+    db.compact()
+    val a2 = db.indexAudit(5L).collect().head
+    assert(a2.getAs[String]("decision") === "retrain", s"reseeded corpus kept: $a2")
+    assert(a2.getAs[Long]("n_total") === 36L)
+    assert(a2.getAs[Long]("off_diag") === 36L, "relabel drift must be total")
+    // the retrained index serves correctly: self-hits at rank 1 for an
+    // old and a new chunk (nProbes=2 covers both clusters — exhaustive)
+    assert(db.search(5L, corpus(31)._3, k = 1).collect().head.getLong(1) === 2L)
+    assert(db.search(5L, corpus(5)._3, k = 1).collect().head.getLong(1) === 105L)
+  }
+
+  test("time-travel search: a pinned workload == exact search over the prefix-replayed corpus, across compactions") {
+    val root = Files.createTempDirectory("graftdb").toString
+    val db = new GraftDb(spark, root)
+    val dims = corpus.head._3.length
+    db.createLibrary(1L, "ivf", dims, "ivf") // seq 0; pinned serving is exact for ANY index_type
+    db.upsertChunks(corpus.take(10).map { case (id, t, e) => (1L, id, id, t, e) }) // 1..10
+    val pin = 10L
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // live == prefix ≤ 10 right now, and the untrained-ivf route is exact
+    // flat — so today's results ARE the pinned contract's expected value
+    val wantAtPin = res(db.searchAll(1L, workload, k = 5))
+
+    // history moves on: a vector rewrite, a delete, new chunks
+    db.upsertChunks(Seq((1L, corpus(2)._1, corpus(2)._1, "rewritten", corpus(30)._3))) // 11
+    db.deleteChunk(1L, corpus(7)._1, corpus(7)._1) // 12
+    db.upsertChunks(corpus.slice(10, 14).map { case (id, t, e) => (1L, id, id, t, e) }) // 13..16
+    assert(res(db.searchAll(1L, workload, k = 5, asOfSeq = Some(pin))) === wantAtPin,
+      "pinned search diverged (live epoch)")
+    assert(res(db.searchAll(1L, workload, k = 5)) !== wantAtPin,
+      "the live corpus did not actually move — the pin proves nothing")
+
+    db.compact() // the pin now routes to the archived generation
+    assert(res(db.searchAll(1L, workload, k = 5, asOfSeq = Some(pin))) === wantAtPin,
+      "pinned search diverged after compaction (archive route)")
+
+    // trained-model and standing-index epochs do not leak into the pin
+    db.trainIndex(1L, kCentroids = 4, iters = 2)
+    db.compact()
+    assert(res(db.searchAll(1L, workload, k = 5, asOfSeq = Some(pin))) === wantAtPin,
+      "pinned search diverged after index build")
+
+    // includeChunk payload comes from the PINNED snapshot: chunk 2's
+    // original text, not the later rewrite
+    val payload = db.searchAll(1L, workload, k = 10, includeChunk = true,
+        asOfSeq = Some(pin))
+      .filter(col("chunk_id") === corpus(2)._1)
+      .select(col("text")).distinct().collect().map(_.getString(0)).toSeq
+    assert(payload === Seq(corpus(2)._2), s"pinned payload leaked a later epoch: $payload")
+
+    // a library that did not exist at the pin refuses loudly
+    db.createLibrary(9L, "late", dims, "flat")
+    val e = intercept[IllegalArgumentException](
+      db.searchAll(9L, workload, asOfSeq = Some(pin)))
+    assert(e.getMessage.contains("as of"))
+  }
+
+  test("crash repair: scrub leftovers complete or restore on open; a damaged archived generation fails loudly") {
+    val root = Files.createTempDirectory("graftdb").toString
+    val db = new GraftDb(spark, root)
+    val dims = corpus.head._3.length
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    db.createLibrary(1L, "lib", dims, "flat") // seq 0
+    db.upsertChunks(corpus.take(6).map { case (id, t, e) => (1L, id, id, t, e) }) // 1..6
+    db.compact() // archives gen=7 with its manifest
+    val gen = s"$root/archive/gen=7"
+    assert(Files.exists(java.nio.file.Paths.get(s"$gen/_manifest")), "no archive manifest")
+    val want = snap(db.asOf(6L))
+
+    import java.nio.file.{Files => JF, Paths => JP}
+    // crash BETWEEN the scrub's two renames: live log renamed aside, the
+    // scrubbed copy complete — open must finish the swap
+    JF.move(JP.get(s"$gen/chunks_log"), JP.get(s"$gen/chunks_log_scrubold"))
+    spark.read.parquet(s"$gen/chunks_log_scrubold")
+      .write.parquet(s"$gen/chunks_log_scrubbing")
+    val db2 = new GraftDb(spark, root)
+    assert(JF.exists(JP.get(s"$gen/chunks_log")), "swap not completed on open")
+    assert(!JF.exists(JP.get(s"$gen/chunks_log_scrubold")) &&
+      !JF.exists(JP.get(s"$gen/chunks_log_scrubbing")), "scrub temps left behind")
+    assert(snap(db2.asOf(6L)) === want, "completed scrub swap lost history")
+
+    // orphaned aside with the copy gone: the un-scrubbed original is
+    // restored — an older archive beats a lost one
+    JF.move(JP.get(s"$gen/chunks_log"), JP.get(s"$gen/chunks_log_scrubold"))
+    val db3 = new GraftDb(spark, root)
+    assert(JF.exists(JP.get(s"$gen/chunks_log")), "aside not restored on open")
+    assert(snap(db3.asOf(6L)) === want, "restored archive lost history")
+
+    // a stale incomplete index build is discarded on open
+    val bld = JP.get(s"$root/ivf_index/lib=9_building")
+    JF.createDirectories(bld)
+    JF.writeString(bld.resolve("garbage"), "not an index")
+    val db4 = new GraftDb(spark, root)
+    assert(!JF.exists(bld), "incomplete index build not discarded")
+
+    // DAMAGED generation (manifest lists a log the directory lacks — e.g.
+    // a retention job deleted one log of the pair): asOf fails loudly
+    // instead of silently folding an empty history
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$gen/chunks_log"))
+    val db5 = new GraftDb(spark, root)
+    val e = intercept[IllegalArgumentException](db5.asOf(6L))
+    assert(e.getMessage.contains("damaged"))
   }
 
   test("delta re-embedding: compaction reuses unchanged texts' vectors bit-identically; only changes pay the encoder") {

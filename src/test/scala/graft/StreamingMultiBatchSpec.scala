@@ -359,11 +359,10 @@ class StreamingMultiBatchSpec extends GraftSuite {
     assert(cand.size < streamed.size, "sidecar admits every shard (no pruning)")
   }
 
-  test("streaming stats artifact: SUM-folded increments == batch frequency profile; replay skipped by the commit log") {
+  test("streaming stats artifact: SUM-folded increments == batch frequency profile; replay and a mid-write crash both leave the fold exact") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_stats_stream"
     operators.Persist.dropIndexTable(spark, table + "_freq")
-    operators.Persist.dropIndexTable(spark, table + "_commits")
     val rows = Tables.documents(spark, sf).select($"doc_id", $"lang", $"source")
       .as[(Long, String, String)].collect().toSeq
     val (b1, b2) = rows.partition(_._1 % 2 == 0) // interleaved halves
@@ -387,14 +386,30 @@ class StreamingMultiBatchSpec extends GraftSuite {
           .agg(count(lit(1)).as("cnt"))))
     assert(streamed === want, "streamed frequency state != batch profile")
 
-    // replay: count increments are NOT idempotent — the commit log must
-    // skip the re-delivered batch, leaving the fold bit-identical
+    // SIMULATED CRASH mid-write: batch 0's directory is left holding only
+    // a partial slice of its increments (as if the writer died midway) —
+    // the fold visibly undercounts...
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val b1df = spark.createDataFrame(b1).toDF("doc_id", "lang", "source")
+    b1df.filter($"doc_id" % 4 === 0)
+      .select(explode(array(
+        struct(lit("lang").as("cname"), $"lang".as("v")),
+        struct(lit("source").as("cname"), $"source".as("v")))).as("u"))
+      .groupBy($"u.cname".as("cname"), $"u.v".as("v")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$wh/${table}_freq/batch_id=0")
+    assert(freqMap(Streams.statsFreqState(spark, table)) !== want,
+      "crash simulation did not perturb the fold — the test proves nothing")
+    // ...and the REPLAY (a restarted source re-delivers batch 0) REWRITES
+    // the batch directory in place: count increments double-count under
+    // blind append, but the batch-keyed overwrite makes the replay
+    // idempotent — the fold is bit-identical again, with no commit log
+    // and hence no append-vs-commit crash window
     val replay = MemoryStream[(Long, String, String)]
     val q2 = Streams.statsFreqStream(
       replay.toDF().toDF("doc_id", "lang", "source"), table, Seq("lang", "source"))
     try { replay.addData(b1); q2.processAllAvailable() } finally q2.stop()
     assert(freqMap(Streams.statsFreqState(spark, table)) === want,
-      "replayed micro-batch double-counted despite the commit log")
+      "replayed micro-batch failed to repair the crashed batch directory")
   }
 
   test("streaming upsert -> live index: CDC-maintained index search == fresh build over the u1-merged corpus") {
