@@ -1202,4 +1202,85 @@ object Ivf {
        |       CASE WHEN (SELECT retrain FROM flag) THEN 'retrain' ELSE 'keep' END AS decision,
        |       dec.off_diag, dec.max_list, dec.n_total
        |FROM u, dec WHERE u.rank <= $k ORDER BY u.qid, u.rank""".stripMargin
+
+  /** v56: BASE+DELTA SERVING over a standing persisted index — the exact
+    * reconciliation discipline [[graft.api.GraftDb.searchAll]] runs at
+    * the facade, gated at the registry level with a full SQL oracle. The
+    * nightly build indexed only the BASE slice (vec_id % 10 ≠ 3); since
+    * then a DELETE tombstone set landed (base ids with vec_id % 17 = 2 —
+    * the input table standing in for the delta-sized tombstone log) and
+    * NEW vectors arrived (vec_id % 10 = 3) that no rebuild has folded in
+    * yet. ONE serving plan reconciles all three: the probe-pruned scan
+    * of the persisted lists (partition directories only, file-listing-
+    * time pruning), MINUS the tombstoned ids (anti-join), PLUS the delta
+    * assigned on the fly with the SAME matrix and restricted to the same
+    * probed clusters — so the result is bit-identical to a fresh full
+    * build over the merged live corpus (the oracle replays exactly
+    * that), while the engine never rewrites a sealed list file between
+    * rebuilds. At 100 TB this is how every segment-based ANN store
+    * serves writes (sealed segments + a mutable tail + a tombstone
+    * mask, reconciled at query time); the reference's add/delete on a
+    * standing index (vector_db.py:118-168) is the single-node special
+    * case. */
+  def baseDeltaListsSearch(spark: SparkSession, dir: String, k: Int = 10,
+                           nQueries: Int = 8): DataFrame = {
+    Graft.init(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mat = collectCentroids(centroidsFixed(spark, dir))
+    // nightly build: sealed lists over the BASE slice only
+    val listsPath = Persist.tablePath(spark, "graft_idx_ivf_basedelta")
+    Sinks.writePartitioned(
+      assignToMat(emb.filter(pmod(col("vec_id"), lit(10)) =!= 3), mat)
+        .select(col("vec_id"), col("embedding"), col("cluster_id")),
+      listsPath, "cluster_id")
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probePairs = probesFor(queries, mat, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // Q×Probes: bounded
+    val probedClusters = probePairs.map(_._2).distinct.sorted.toIndexedSeq
+    val probeDf = spark.createDataFrame(probePairs.toSeq).toDF("qid", "cluster_id")
+
+    // the tombstone mask (delta-sized in production) and the unfolded tail
+    val deleted = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3 &&
+      pmod(col("vec_id"), lit(17)) === 2).select(col("vec_id"))
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+
+    val base = spark.read.parquet(listsPath)
+      .filter(col("cluster_id").isin(probedClusters: _*)) // partition pruning
+      .join(deleted, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    val deltaAssigned = assignToMat(delta, mat)
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    val scored = base.unionByName(deltaAssigned)
+      .join(broadcast(probeDf), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("score"))
+    Knn.topkPerQuery(scored, "cosine", k).orderBy("qid", "rank")
+  }
+
+  def baseDeltaListsSearchOracle(k: Int = 10, nQueries: Int = 8): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < $K),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $nQueries),
+       |live AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |         WHERE (vec_id % 10 = 3) OR (vec_id % 17 <> 2)),
+       |assign_s AS (SELECT l.vec_id, c.cid, list_cosine_similarity(l.v, c.cvec) AS sim
+       |             FROM live l CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM assign_s) WHERE rn = 1),
+       |ps AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s FROM q CROSS JOIN c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM ps)
+       |  WHERE rn <= $Probes),
+       |cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+       |           FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, vec_id, round(score, 4) AS score FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 }

@@ -1428,17 +1428,58 @@ object Persist {
     adaptiveServe(spark, dir, filters, k, nQueries, thrDen)
   }
 
+  /** One GENERATION's frequency artifact — one scan of that generation's
+    * rows only (p8's even/odd doc-id split stands in for the date
+    * partitions a real pipeline lands), persisted under its own table.
+    * This is the nightly job's unit of work: at 100 TB each new
+    * generation profiles ITS OWN bytes once, and history is never
+    * re-read. Returns the artifact path. */
+  private[graft] def writeGenStatsArtifact(spark: SparkSession, dir: String,
+                                           cols: Seq[String], g: Int): String = {
+    val arms = cols.map(c => struct(lit(c).as("cname"), col(c).cast("string").as("v")))
+    val path = tablePath(spark, s"graft_stats_filterfreq_g$g")
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(2)) === g)
+      .select(explode(array(arms: _*)).as("u"))
+      .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      // provenance rides every row: a standing artifact is only reusable
+      // for the corpus that produced it (a stats table silently carried
+      // across datasets is how a CBO serves garbage estimates)
+      .withColumn("src", lit(dir))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** ARTIFACTS-ONLY refresh: SUM-merge the generation artifacts into the
+    * serving artifact — counts are exactly mergeable, so merged ≡
+    * from-scratch bit-for-bit (spec-asserted), and the merge subtree's
+    * only file scans are the generation artifacts, never the corpus
+    * (spec-asserted on the executed plan). Value-domain-sized end to
+    * end. Returns the merge frame for the plan assertion. */
+  private[graft] def mergeStatsArtifacts(spark: SparkSession,
+                                         genPaths: Seq[String]): DataFrame = {
+    val merged = genPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .groupBy(col("cname"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(tablePath(spark, "graft_stats_filterfreq"))
+    merged
+  }
+
   /** v51c: the stats artifact maintained INCREMENTALLY — p16's
     * merge-don't-rescan rule applied to v51's decision input, closing
     * the loop the operator doc promises at 100 TB (a nightly generation
     * lands; re-profiling the whole corpus to refresh a frequency table
-    * is the anti-pattern). Each generation (p8's even/odd doc-id split)
-    * persists ITS OWN per-(column, value) frequency artifact from one
-    * scan of only its rows; the refresh reads ONLY the generation
-    * artifacts back (never the base table) and SUM-merges them — counts
-    * are exactly mergeable, so merged ≡ from-scratch BIT-FOR-BIT
-    * (spec-asserted) — into the serving artifact, then serves through
-    * the identical adaptive plan. Oracle = v51's, unchanged: the gate
+    * is the anti-pattern). TRUE incremental shape (r14, the r13
+    * verdict's split-build-from-refresh): generation 0's artifact is
+    * the STANDING history — built only if its artifact is missing (the
+    * nightly job that already ran; v14b's build-once registry rule,
+    * here keyed by the artifact's own existence so a wiped warehouse
+    * self-heals) — and a call's own work is exactly
+    * [[writeGenStatsArtifact]] for the ONE new generation plus
+    * [[mergeStatsArtifacts]]'s artifacts-only SUM-merge, then the
+    * identical adaptive serve. Oracle = v51's, unchanged: the gate
     * proves incremental maintenance is invisible to the decision. */
   def adaptiveFilteredSearchMerged(spark: SparkSession, dir: String,
                                    filters: Seq[(String, String)] =
@@ -1446,25 +1487,30 @@ object Persist {
                                    k: Int = 10, nQueries: Int = 8,
                                    thrDen: Long = 50L): DataFrame = {
     Graft.init(spark)
-    val docs = Tables.documents(spark, dir)
     val cols = filters.map(_._1).distinct
-    val arms = cols.map(c => struct(lit(c).as("cname"), col(c).cast("string").as("v")))
-    (0 to 1).foreach { g =>
-      docs.filter(pmod(col("doc_id"), lit(2)) === g)
-        .select(explode(array(arms: _*)).as("u"))
-        .groupBy(col("u.cname").as("cname"), col("u.v").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(tablePath(spark, s"graft_stats_filterfreq_g$g"))
+    // standing history: reuse generation 0's artifact when it exists, was
+    // profiled FROM THIS corpus (provenance column — a warehouse shared
+    // across datasets must never serve another corpus's counts), and
+    // covers the requested columns (a narrower standing profile
+    // rebuilds). The artifact's own content is the registry key, so a
+    // wiped warehouse, a dataset switch, and a widened workload all
+    // self-heal.
+    val g0 = tablePath(spark, "graft_stats_filterfreq_g0")
+    val g0Path = new Path(g0)
+    val fs = g0Path.getFileSystem(spark.sessionState.newHadoopConf())
+    val g0Ok = fs.exists(g0Path) && {
+      val probe = spark.read.parquet(g0)
+      probe.columns.contains("src") && {
+        val rows = probe.select(col("cname"), col("src")).distinct()
+          .collect() // value-domain-sized
+        rows.forall(_.getString(1) == dir) &&
+          cols.toSet.subsetOf(rows.map(_.getString(0)).toSet)
+      }
     }
-    // the refresh: generation artifacts in, merged artifact out — the
-    // merge shuffle is value-domain-sized, never corpus-sized
-    spark.read.parquet(tablePath(spark, "graft_stats_filterfreq_g0"))
-      .unionByName(spark.read.parquet(tablePath(spark, "graft_stats_filterfreq_g1")))
-      .groupBy(col("cname"), col("v"))
-      .agg(sum(col("cnt")).as("cnt"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(tablePath(spark, "graft_stats_filterfreq"))
+    if (!g0Ok) writeGenStatsArtifact(spark, dir, cols, 0)
+    // the incremental step: ONE new-generation scan + the merge
+    val g1 = writeGenStatsArtifact(spark, dir, cols, 1)
+    mergeStatsArtifacts(spark, Seq(g0, g1))
     adaptiveServe(spark, dir, filters, k, nQueries, thrDen)
   }
 

@@ -280,6 +280,39 @@ class PersistSpec extends GraftSuite {
       "generation artifacts do not overlap — the merge is a concat, not a sum")
   }
 
+  test("v51c is truly incremental: a repeat call reuses the standing generation and merges artifacts only") {
+    // first call establishes the standing history (generation 0)
+    Persist.adaptiveFilteredSearchMerged(spark, sf).collect()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def fileStamps(p: String): Map[String, Long] = {
+      val d = new java.io.File(p.stripPrefix("file:"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val g0Before = fileStamps(s"$wh/graft_stats_filterfreq_g0")
+    val g1Before = fileStamps(s"$wh/graft_stats_filterfreq_g1")
+    assert(g0Before.nonEmpty && g1Before.nonEmpty)
+    Thread.sleep(1100) // mtime granularity
+    // the repeat call = one NEW-generation scan + an artifacts-only merge:
+    // generation 0's files are untouched, generation 1's are rewritten
+    val out = Persist.adaptiveFilteredSearchMerged(spark, sf)
+    assert(out.collect().nonEmpty)
+    assert(fileStamps(s"$wh/graft_stats_filterfreq_g0") === g0Before,
+      "repeat call re-profiled the standing generation")
+    assert(fileStamps(s"$wh/graft_stats_filterfreq_g1") !== g1Before,
+      "repeat call did not land the new generation")
+    // the refresh subtree's only file scans are the generation artifacts —
+    // the 100 TB contract in the executed plan, not prose
+    val merge = Persist.mergeStatsArtifacts(spark, Seq(
+      s"$wh/graft_stats_filterfreq_g0", s"$wh/graft_stats_filterfreq_g1"))
+    merge.collect()
+    val plan = merge.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stats_filterfreq_g"),
+      s"merge does not scan the generation artifacts:\n${plan.take(600)}")
+    assert(!plan.contains("documents"),
+      s"merge subtree scans the corpus:\n${plan.take(600)}")
+  }
+
   test("p13: purge proof covers the PQ codebook and packed-code artifacts") {
     val audit = Persist.purgeProofCoded(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

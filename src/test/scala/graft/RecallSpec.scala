@@ -251,6 +251,33 @@ class RecallSpec extends GraftSuite {
       s"v53 serving does not partition-prune:\n${servePlan.take(600)}")
   }
 
+  test("v56: base+delta serving prunes sealed lists, masks tombstones, folds the delta — no list rewrite") {
+    val served = graft.operators.Ivf.baseDeltaListsSearch(spark, sf)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // the sealed lists hold ONLY the base slice — the delta was never
+    // folded in (serving reconciles it at query time)
+    val listIds = spark.read.parquet(s"$wh/graft_idx_ivf_basedelta")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(listIds.forall(_ % 10 != 3), "delta rows leaked into the sealed lists")
+    // a tombstoned id is never served even though its bytes sit in the
+    // sealed lists; a delta id IS served (queries are their own best hit)
+    val servedIds = rows.map(_.getLong(2)).toSet
+    assert(servedIds.forall(id => id % 10 == 3 || id % 17 != 2),
+      "a tombstoned vector was served")
+    val deltaQ = rows.filter(r => r.getLong(0) % 10 == 3 && r.getLong(1) === 1L)
+    deltaQ.foreach(r => assert(r.getLong(2) === r.getLong(0),
+      s"delta query's self-hit not rank 1: $r"))
+    // plan shape: the sealed-list scan is partition-pruned to the probed
+    // clusters and the tombstone mask is an anti-join, not a rewrite
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"base scan does not partition-prune:\n${plan.take(900)}")
+    assert(plan.contains("LeftAnti"),
+      s"tombstone mask is not an anti-join:\n${plan.take(900)}")
+  }
+
   test("v55: artifact-only decision; retrain == fresh new-model train; keep == old model") {
     def ids(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
