@@ -908,16 +908,18 @@ final class GraftDb(spark: SparkSession, val root: String) {
       spark.range(1).select(lit(s"archive:$name").as("log"),
         lit(remaining).as("n_remaining"))
     }
-    // the derived serving index, re-read from the rewritten files like
+    // the derived serving indexes, re-read from the rewritten files like
     // every other audit row (deletion evidenced from storage)
-    val idxRemaining = {
-      val lists = s"${indexRoot(libId)}/lists"
-      if (!Files.exists(Paths.get(lists))) 0L
-      else spark.read.parquet(lists).filter(col("doc_id") === docId).count()
+    def derivedAudit(name: String, path: String): DataFrame = {
+      val remaining =
+        if (!Files.exists(Paths.get(path))) 0L
+        else spark.read.parquet(path).filter(col("doc_id") === docId).count()
+      spark.range(1).select(lit(name).as("log"), lit(remaining).as("n_remaining"))
     }
-    val idxAudit = spark.range(1).select(lit("ivf_index").as("log"),
-      lit(idxRemaining).as("n_remaining"))
-    (liveAudits ++ archAudits :+ idxAudit).reduce(_ unionAll _).orderBy("log")
+    val idxAudits = Seq(
+      derivedAudit("ivf_index", s"${indexRoot(libId)}/lists"),
+      derivedAudit("lsh_index", s"${lshIndexRoot(libId)}/keys"))
+    (liveAudits ++ archAudits ++ idxAudits).reduce(_ unionAll _).orderBy("log")
   }
 
   /** Rewrite every archived generation's chunk/document logs WITHOUT the
@@ -1283,6 +1285,93 @@ final class GraftDb(spark: SparkSession, val root: String) {
     if (retrain) writeCentroidArtifact(libId, winner, trainParams(libId).map(_._2).getOrElse(0))
   }
 
+  // ---- persisted LSH index (standing key rows, same discipline) -----------
+
+  private def lshIndexArea = s"$root/lsh_index"
+  private def lshIndexRoot(libId: Long) = s"$lshIndexArea/lib=$libId"
+
+  /** The standing LSH index's recorded parameters + covered sequence,
+    * None when the library has no persisted key table. Serving uses the
+    * standing index ONLY when the call's (nTables, nBits, seed) match
+    * the recorded ones — a mismatched call falls back to in-memory
+    * keying (correct, unaccelerated) instead of probing wrong buckets. */
+  private def lshIndexMeta(libId: Long): Option[(Long, Int, Int, Long)] = {
+    val p = s"${lshIndexRoot(libId)}/meta"
+    if (!Files.exists(Paths.get(p))) None
+    else spark.read.parquet(p).collect().headOption.map(m =>
+      (m.getAs[Long]("index_seq"), m.getAs[Int]("n_tables"),
+        m.getAs[Int]("n_bits"), m.getAs[Long]("seed")))
+  }
+
+  /** BUILD/REFRESH the library's standing LSH key table — the lsh twin
+    * of [[buildIndex]]: SimHash keys are a PER-VECTOR function, so the
+    * reference's build-at-construction index (lsh_simhash.py) becomes a
+    * persisted `(vec_id, doc_id, table_id, key)` table the bucket-union
+    * search joins directly, instead of re-keying the whole snapshot on
+    * every call (nTables passes over every live vector, per search).
+    * Same crash discipline as the ivf build: `*_building` + `_complete`
+    * + aside-swap, repaired on open; [[compact]] refreshes it with the
+    * parameters the standing index recorded. Serving is BASE+DELTA
+    * ([[persistedLshHits]]), so post-build upserts stay visible with no
+    * rebuild. An empty library drops its index. */
+  def buildLshIndex(libId: Long, nTables: Int = 4, nBits: Int = 10,
+                    seed: Long = 1000L): Unit = {
+    val lib = libRecord(libId)
+    require(lib.getAs[String]("index_type") == "lsh",
+      s"library $libId is ${lib.getAs[String]("index_type")}, not lsh")
+    val snap = listChunks(libId)
+      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"))
+    if (snap.limit(1).isEmpty) {
+      fs.delete(new Path(lshIndexRoot(libId)), true)
+      return
+    }
+    val bld = s"${lshIndexRoot(libId)}_building"
+    fs.delete(new Path(bld), true)
+    Lsh.keyRows(snap.select(col("vec_id"), col("embedding")), nTables, nBits, seed)
+      .join(snap.select(col("vec_id"), col("doc_id")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$bld/keys")
+    Seq((seq - 1, nTables, nBits, seed))
+      .toDF("index_seq", "n_tables", "n_bits", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
+    fs.create(new Path(s"$bld/_complete"), true).close()
+    val live = new Path(lshIndexRoot(libId))
+    val aside = new Path(s"${lshIndexRoot(libId)}_old")
+    if (fs.exists(live)) fs.rename(live, aside)
+    fs.rename(new Path(bld), live)
+    if (fs.exists(aside)) fs.delete(aside, true)
+  }
+
+  /** Serve an lsh workload off the standing key table, BASE+DELTA: the
+    * persisted key rows masked by post-index activity (the same
+    * delta-sized anti-joins as [[persistedIvfHits]]), union the delta
+    * chunks keyed on the fly — keys are per-vector, so base∪delta keys
+    * ≡ keying the merged live snapshot, and results equal the in-memory
+    * route BIT-FOR-BIT (spec-gated). Candidate ids join the (filtered)
+    * live snapshot for the exact rerank, so metadata filters compose
+    * exactly as in the in-memory route. */
+  private def persistedLshHits(libId: Long, qs: DataFrame, emb: DataFrame, k: Int,
+                               nTables: Int, nBits: Int, seed: Long,
+                               idxSeq: Long): DataFrame = {
+    val baseDead = !libLog.filter(col("op") === "delete" &&
+      col("library_id") === libId && col("seq") > idxSeq).isEmpty
+    val deltaLog = chunkLog.filter(col("seq") > idxSeq && col("library_id") === libId)
+    val deltaKeys = deltaLog.filter(col("op").isin("upsert", "delete_chunk"))
+      .select(col("chunk_id").as("vec_id")).distinct()
+    val deltaDocTombs = deltaLog.filter(col("op") === "delete_doc")
+      .select(col("doc_id")).distinct()
+    val keysRead = spark.read.parquet(s"${lshIndexRoot(libId)}/keys")
+    val baseKeyed =
+      if (baseDead) keysRead.limit(0)
+      else keysRead
+        .join(deltaKeys, Seq("vec_id"), "left_anti")
+        .join(deltaDocTombs, Seq("doc_id"), "left_anti")
+    val deltaLive = fillDerived(foldChunkLog(deltaLog)).filter(col("library_id") === libId)
+      .select(col("chunk_id").as("vec_id"), col("embedding"))
+    val index = baseKeyed.select(col("vec_id"), col("table_id"), col("key"))
+      .unionByName(Lsh.keyRows(deltaLive, nTables, nBits, seed))
+    Lsh.searchIndex(index, emb, qs, nTables, nBits, seed, k)
+  }
+
   /** The standing index's maintenance receipt — which branch the last
     * [[buildIndex]] took and the three decision inputs, plus the
     * sequence the index covers (the [[embedAudit]] pattern applied to
@@ -1296,51 +1385,68 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .toDF("library_id", "index_seq", "decision", "off_diag", "max_list", "n_total")
     }
 
-  /** Maintain every persisted index at a maintenance boundary: stale
-    * directories (library gone, or no longer a trained ivf library)
-    * drop; every trained live ivf library rebuilds through
-    * [[buildIndex]]'s monitor→decide→build loop. */
-  private def refreshIndexes(): Unit = {
-    val area = new Path(ivfIndexArea)
-    val existing: Set[Long] =
-      if (!fs.exists(area)) Set.empty
-      else fs.listStatus(area).toSeq.map(_.getPath.getName).collect {
-        case n if n.startsWith("lib=") && !n.endsWith("_building") && !n.endsWith("_old") =>
-          n.stripPrefix("lib=").toLong
-      }.toSet
-    val liveIvfTrained = listLibraries().filter(col("index_type") === "ivf")
-      .select(col("library_id")).collect().map(_.getLong(0))
-      .filter(id => trainedMat(id).isDefined).toSet
-    (existing -- liveIvfTrained).foreach(id => fs.delete(new Path(indexRoot(id)), true))
-    liveIvfTrained.foreach(buildIndex(_))
+  /** The lib ids holding a live index directory under `area`. */
+  private def existingIndexLibs(area: String): Set[Long] = {
+    val p = new Path(area)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("lib=") && !n.endsWith("_building") && !n.endsWith("_old") =>
+        n.stripPrefix("lib=").toLong
+    }.toSet
   }
 
-  /** Complete or discard index-swap leftovers on open (the
-    * [[repairScrubLeftovers]] discipline for the `ivf_index` area): a
-    * live index wins over any sibling; a `_complete`-marked building
-    * dir finishes its swap; an incomplete one is discarded; an orphaned
-    * aside is restored (an older valid index beats none). */
-  private def repairIndexSwaps(): Unit = {
-    val area = new Path(ivfIndexArea)
-    if (!fs.exists(area)) return
-    val names = fs.listStatus(area).toSeq.map(_.getPath.getName)
-    val bases = names.map(_.stripSuffix("_building").stripSuffix("_old")).distinct
-    bases.foreach { b =>
-      val live = new Path(area, b)
-      val bld = new Path(area, s"${b}_building")
-      val aside = new Path(area, s"${b}_old")
-      if (fs.exists(live)) {
-        if (fs.exists(bld)) fs.delete(bld, true)
-        if (fs.exists(aside)) fs.delete(aside, true)
-      } else if (fs.exists(bld) && fs.exists(new Path(bld, "_complete"))) {
-        fs.rename(bld, live)
-        if (fs.exists(aside)) fs.delete(aside, true)
-      } else {
-        if (fs.exists(bld)) fs.delete(bld, true)
-        if (fs.exists(aside)) fs.rename(aside, live)
+  /** Maintain every persisted index at a maintenance boundary: stale
+    * directories (library gone, or index_type changed) drop; every
+    * trained live ivf library rebuilds through [[buildIndex]]'s
+    * monitor→decide→build loop; every live lsh library refreshes its
+    * standing key table with the parameters it recorded (defaults on
+    * first build). */
+  private def refreshIndexes(): Unit = {
+    val libs = listLibraries().select(col("library_id"), col("index_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val liveIvfTrained = libs.collect { case (id, "ivf") if trainedMat(id).isDefined => id }.toSet
+    val liveLsh = libs.collect { case (id, "lsh") => id }.toSet
+    (existingIndexLibs(ivfIndexArea) -- liveIvfTrained)
+      .foreach(id => fs.delete(new Path(indexRoot(id)), true))
+    (existingIndexLibs(lshIndexArea) -- liveLsh)
+      .foreach(id => fs.delete(new Path(lshIndexRoot(id)), true))
+    liveIvfTrained.foreach(buildIndex(_))
+    liveLsh.foreach { id =>
+      lshIndexMeta(id) match {
+        case Some((_, t, b, s)) => buildLshIndex(id, t, b, s)
+        case None => buildLshIndex(id)
       }
     }
   }
+
+  /** Complete or discard index-swap leftovers on open (the
+    * [[repairScrubLeftovers]] discipline for both index areas): a
+    * live index wins over any sibling; a `_complete`-marked building
+    * dir finishes its swap; an incomplete one is discarded; an orphaned
+    * aside is restored (an older valid index beats none). */
+  private def repairIndexSwaps(): Unit =
+    Seq(ivfIndexArea, lshIndexArea).foreach { a =>
+      val area = new Path(a)
+      if (fs.exists(area)) {
+        val names = fs.listStatus(area).toSeq.map(_.getPath.getName)
+        val bases = names.map(_.stripSuffix("_building").stripSuffix("_old")).distinct
+        bases.foreach { b =>
+          val live = new Path(area, b)
+          val bld = new Path(area, s"${b}_building")
+          val aside = new Path(area, s"${b}_old")
+          if (fs.exists(live)) {
+            if (fs.exists(bld)) fs.delete(bld, true)
+            if (fs.exists(aside)) fs.delete(aside, true)
+          } else if (fs.exists(bld) && fs.exists(new Path(bld, "_complete"))) {
+            fs.rename(bld, live)
+            if (fs.exists(aside)) fs.delete(aside, true)
+          } else {
+            if (fs.exists(bld)) fs.delete(bld, true)
+            if (fs.exists(aside)) fs.rename(aside, live)
+          }
+        }
+      }
+    }
 
   // ---- search (vector_db.py:249-270) --------------------------------------
 
@@ -1399,7 +1505,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val emb = snap.select(col("vec_id"), col("embedding"))
     val qs = queries.select(col("qid"), col("qvec"))
     val hits = (indexType, trainedMat(libId)) match {
+      case ("lsh", _)
+          if lshIndexMeta(libId).exists { case (_, t, b, s) =>
+            t == nTables && b == nBits && s == seed } =>
+        persistedLshHits(libId, qs, emb, k, nTables, nBits, seed,
+          lshIndexMeta(libId).get._1)
       case ("lsh", _) =>
+        // in-memory route: no standing key table (or the call's LSH
+        // parameters differ from the recorded ones) — re-key per call
         Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, qs,
           nTables, nBits, seed, k)
       case ("ivf", _) if indexMetaRow(libId).isDefined =>

@@ -279,7 +279,7 @@ class GraftDbSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L,
       "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L,
-      "ivf_index" -> 0L))
+      "ivf_index" -> 0L, "lsh_index" -> 0L))
     // storage-level proof: the raw parquet files carry no trace of doc 1
     assert(spark.read.parquet(s"${db.root}/chunks_log")
       .filter(col("doc_id") === 1L).count() === 0L)
@@ -414,6 +414,49 @@ class GraftDbSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit("ivf_index") === 0L, s"purged rows survive in the index lists: $audit")
     assert(spark.read.parquet(s"$idx/lists").filter(col("doc_id") === 0L).count() === 0L)
+  }
+
+  test("persisted lsh serving: standing key table + delta == the in-memory route; param mismatch falls back") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(2L, "lsh", dims, "lsh")
+    db.upsertChunks(corpus.take(30).map { case (id, t, e) => (2L, id / 10, id, t, e) })
+    import spark.implicits._
+    val workload = Seq(2, 7, 21).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = res(db.searchAll(2L, workload, k = 5)) // in-memory keying
+
+    db.compact() // builds the standing key table
+    assert(Files.exists(java.nio.file.Paths.get(s"${db.root}/lsh_index/lib=2/meta")),
+      "no standing lsh index after compact")
+    val served = db.searchAll(2L, workload, k = 5)
+    assert(res(served) === before, "persisted lsh route diverged from the in-memory route")
+    assert(served.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "post-compact lsh search does not scan the standing key table")
+
+    // delta visibility + masking, then equivalence on the merged state
+    val fresh = corpus(45)
+    db.addChunk(2L, 99L, 990L, fresh._2, fresh._3)
+    val freshQ = Seq((0L, fresh._3)).toDF("qid", "qvec")
+    assert(db.searchAll(2L, freshQ, k = 1).collect().head.getLong(2) === 990L,
+      "post-index lsh upsert invisible")
+    db.deleteChunk(2L, before.head._3 / 10, before.head._3)
+    val hybrid = res(db.searchAll(2L, workload, k = 5))
+    assert(!hybrid.exists(_._3 == before.head._3), "deleted base chunk still served")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${db.root}/lsh_index/lib=2"))
+    assert(res(db.searchAll(2L, workload, k = 5)) === hybrid,
+      "persisted lsh base+delta diverged from the in-memory route on the merged state")
+
+    // a call with different LSH parameters must NOT use the standing
+    // table (wrong buckets) — it falls back to in-memory keying
+    db.compact() // rebuild the standing table (deleted above)
+    val custom = res(db.searchAll(2L, workload, k = 5, nBits = 12, seed = 7L))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${db.root}/lsh_index/lib=2"))
+    assert(res(db.searchAll(2L, workload, k = 5, nBits = 12, seed = 7L)) === custom,
+      "mismatched-parameter search did not fall back to in-memory keying")
   }
 
   test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
