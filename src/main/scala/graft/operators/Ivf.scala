@@ -941,7 +941,8 @@ object Ivf {
     * construction). This is the index metadata the adaptive probe budget
     * reads at query time; the streaming ingest path maintains the same
     * metadata incrementally ([[graft.streaming.Streams.ivfIngestStream]]
-    * appends per-batch increments whose SUM-fold equals this table). */
+    * writes per-batch increment directories whose SUM-fold equals this
+    * table). */
   private[graft] def v53SizeSidecar(spark: SparkSession): DataFrame =
     spark.read.parquet(Persist.tablePath(spark, "graft_idx_ivf_adaptive_sizes"))
 

@@ -578,8 +578,8 @@ object Streams {
     * projection of the arriving delta (no training, no global state — the
     * simplest continuously-maintainable index family, which is precisely
     * why production stores like binary codes for hot ingest paths); the
-    * batchId commit log gives the same replay idempotence as the LSH/IVF
-    * ingests, and the duplicate-residue window (a crash between the data
+    * batchId commit log gives the same replay idempotence as the LSH
+    * ingest, and the duplicate-residue window (a crash between the data
     * append and the marker append) is harmless because
     * [[binarySearchPacked]] dedups packed rows before scoring. */
   def binaryIngestStream(embStream: DataFrame,
@@ -628,51 +628,45 @@ object Streams {
     * trained-index registry ([[graft.operators.Ivf.trainedCentroidsFor]]):
     * train once, then EVERY micro-batch is the same map-only
     * broadcast-argmax assignment as the batch build — no retrain, no
-    * shuffle, each batch appends its rows under the matching
-    * `cluster_id=` directories. Idempotent on replay via the same
-    * batchId commit log (and caveat) as [[lshIngestStream]]. Searches
-    * serve through [[graft.operators.Persist.probedListsSearch]] —
-    * partition-pruned to probed cells, so a reader never scans what the
-    * stream is appending elsewhere, and appends never rewrite existing
-    * files. This is the segment-append pattern of every production ANN
-    * store (FAISS shards / Milvus segments): the quantizer is fixed,
-    * data flows in, directories accumulate. */
+    * shuffle, each batch lands its rows under its OWN
+    * `batch_id=<id>/cluster_id=` directories. Durability is s29's
+    * batch-keyed overwrite protocol, not a commit log: both the list
+    * rows and their matching size-sidecar increments (the per-cluster
+    * counts v53's probe budget SUM-folds, [[ivfSizeState]]) are written
+    * in OVERWRITE mode to the batch's own directory, so directory
+    * presence is the commit record and a replay is a row-identical
+    * REWRITE of its own directories (assignment is a pure function of
+    * the batch and the registry matrix). That closes the window the old
+    * two-append-plus-commit-log protocol documented: a crash ANYWHERE —
+    * including exactly between the list write and the sidecar write —
+    * is repaired by the replay overwriting both directories, so
+    * sidecar ≡ lists holds under every failure, not just crash-free
+    * runs. Searches serve through
+    * [[graft.operators.Persist.probedListsSearch]] — `cluster_id` stays
+    * a partition column under the batch level, so probe predicates
+    * still prune list directories at file-listing time, and a reader
+    * never scans what the stream is writing elsewhere. This is the
+    * segment-append pattern of every production ANN store (FAISS
+    * shards / Milvus segments): the quantizer is fixed, data flows in,
+    * directories accumulate; compaction ([[compactIvfLists]]) folds the
+    * batch level away whenever convenient. */
   def ivfIngestStream(embStream: DataFrame, dir: String, table: String,
                       iters: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
-      val commits = table + "_commits"
-      val alreadyCommitted = s.catalog.tableExists(commits) &&
-        !s.table(commits).filter(col("batch_id") === batchId).isEmpty
-      if (!alreadyCommitted) {
-        val mat = graft.operators.Ivf.trainedCentroidsFor(s, dir, iters)
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        graft.operators.Ivf.assignToMat(batch, mat)
-          .select(col("vec_id"), col("embedding"), col("cluster_id"))
-          .write.mode("append").partitionBy("cluster_id")
-          .parquet(wh + "/" + table)
-        // size-sidecar maintenance: per-batch (cluster_id, csize)
-        // INCREMENT rows appended beside the lists — the reader SUM-folds
-        // them ([[ivfSizeState]]), so the per-cluster size metadata the
-        // adaptive probe budget (v53) reads stays fresh without ever
-        // scanning the lists. Written inside the same commit guard as the
-        // list append: a replay of a WHOLE uncommitted batch duplicates
-        // list rows and their matching increments together, keeping
-        // sidecar ≡ lists. CAVEAT (same at-least-once family as the
-        // commit-log protocol itself): the two appends are not atomic —
-        // a crash exactly BETWEEN them, then a replay, appends the lists
-        // twice but the increments once, leaving the sidecar undercounting
-        // those duplicate rows until a compaction folds the lists
-        // (s29's batch-keyed overwrite protocol closes this window where
-        // the fold could not tolerate it). The second assignment pass is
-        // over the MICRO-BATCH, not the corpus.
-        graft.operators.Ivf.assignToMat(batch, mat)
-          .groupBy(col("cluster_id").cast("long").as("cluster_id"))
-          .agg(count(lit(1)).as("csize"))
-          .write.mode("append").parquet(wh + "/" + table + "_sizes")
-        s.range(1).select(lit(batchId).as("batch_id"))
-          .write.mode("append").format("parquet").saveAsTable(commits)
-      }
+      val mat = graft.operators.Ivf.trainedCentroidsFor(s, dir, iters)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val assigned = graft.operators.Ivf.assignToMat(batch, mat)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      assigned
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(wh + "/" + table + s"/batch_id=$batchId")
+      // the sidecar increment re-assigns the MICRO-BATCH, not the corpus
+      assigned
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+        .write.mode("overwrite")
+        .parquet(wh + "/" + table + s"_sizes/batch_id=$batchId")
     }
     embStream.writeStream
       .outputMode("append")
@@ -682,7 +676,9 @@ object Streams {
 
   /** The SUM-fold over [[ivfIngestStream]]'s size-sidecar increments: the
     * current per-cluster list sizes, K rows, derived purely from sidecar
-    * metadata (never the lists). Equals a fresh `groupBy(cluster_id)`
+    * metadata (never the lists). The `batch_id=` partition level is
+    * commit bookkeeping, invisible to the fold (s29's shape). Equals a
+    * fresh `groupBy(cluster_id)`
     * count over the streamed lists bit-for-bit (spec-gated) — the
     * streaming twin of the batch build's v53 sidecar. */
   def ivfSizeState(spark: SparkSession, table: String): DataFrame =
@@ -699,7 +695,7 @@ object Streams {
     * increments per shard. bit_or is COMMUTATIVE and IDEMPOTENT (the
     * s25/s26 algebra), so late, reordered, or fully REPLAYED batches
     * cannot corrupt the sidecar — re-ORing a bit is a no-op — which is
-    * why, unlike the append-only list ingests (lsh/ivf/binary), this
+    * why, unlike the append-only list ingests (lsh/binary), this
     * path needs NO batchId commit log and no ordering contract: the
     * state is a join-semilattice and every delivery schedule converges
     * to the same bits (spec: streamed ≡ batch-built bit-for-bit,
@@ -748,9 +744,10 @@ object Streams {
     * partial directory that the replay's overwrite clears first. The
     * three ingest paths now state the durability rule precisely:
     * idempotent fold algebra (s28's OR) ⇒ plain appends; non-idempotent
-    * increments ⇒ either a commit log (lsh/ivf/binary lists, whose
-    * payload rows are harmless to serve twice) or batch-keyed overwrite
-    * directories (here, where double-counts would corrupt the fold).
+    * increments ⇒ either a commit log (lsh/binary lists, whose payload
+    * rows are harmless to serve twice) or batch-keyed overwrite
+    * directories (here and [[ivfIngestStream]]'s list+sidecar pair,
+    * where a sidecar double-count would corrupt the fold).
     * State on disk grows one row per (batch, column, distinct value);
     * the same fold compacts it whenever convenient (p16's merge). */
   def statsFreqStream(docs: DataFrame, table: String, cols: Seq[String]
@@ -874,24 +871,26 @@ object Streams {
     spark.table(into)
   }
 
-  /** Compaction for the streamed IVF lists: each micro-batch append under
-    * [[ivfIngestStream]] adds one file set per touched `cluster_id=`
-    * directory, so a long-running stream accumulates many small files —
-    * the small-files problem every streaming lakehouse table has.
-    * Rewrite the lists as a NEW generation (same hive partitioning, one
-    * coalesced file set per cluster directory, `repartition(cluster_id)`
-    * so each partition dir is written by the task that owns it), then
-    * serve from the new path and drop the old once unreferenced —
-    * new-fileset-then-swap, same shape as [[compactIndex]]. Content is
-    * IDENTICAL by construction (no merge semantics here — ingest rows are
-    * insert-only), so a pruned search over the compacted generation must
-    * equal one over the raw appends bit-for-bit; the spec asserts that
-    * plus the file-count reduction. Cost: one shuffle of the lists,
-    * O(index), never the corpus. */
+  /** Compaction for the streamed IVF lists: each micro-batch under
+    * [[ivfIngestStream]] adds one `batch_id=` directory with one file
+    * set per touched `cluster_id=` subdirectory, so a long-running
+    * stream accumulates many small files — the small-files problem
+    * every streaming lakehouse table has. Rewrite the lists as a NEW
+    * generation (the `batch_id` commit-bookkeeping level folded away,
+    * one coalesced file set per cluster directory,
+    * `repartition(cluster_id)` so each partition dir is written by the
+    * task that owns it), then serve from the new path and drop the old
+    * once unreferenced — new-fileset-then-swap, same shape as
+    * [[compactIndex]]. Content is IDENTICAL by construction (no merge
+    * semantics here — ingest rows are insert-only), so a pruned search
+    * over the compacted generation must equal one over the raw appends
+    * bit-for-bit; the spec asserts that plus the file-count reduction.
+    * Cost: one shuffle of the lists, O(index), never the corpus. */
   def compactIvfLists(spark: SparkSession, table: String, into: String): DataFrame = {
     graft.operators.Persist.dropIndexTable(spark, into)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.read.parquet(wh + "/" + table)
+      .drop("batch_id")
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(wh + "/" + into)

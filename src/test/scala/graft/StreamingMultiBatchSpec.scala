@@ -232,7 +232,6 @@ class StreamingMultiBatchSpec extends GraftSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_idx_ivf_stream"
     operators.Persist.dropIndexTable(spark, table)
-    operators.Persist.dropIndexTable(spark, table + "_commits")
     // the size sidecar belongs to the lists artifact — rebuilding the
     // lists from scratch must reset it too, or increments from prior
     // sessions double-count (the warehouse persists across JVM runs)
@@ -267,7 +266,8 @@ class StreamingMultiBatchSpec extends GraftSuite {
       s"streamed IVF lists do not partition-prune:\n${plan.take(600)}")
 
     // replay idempotency: a restarted source re-delivers batch 0 — the
-    // commit log must skip the append, leaving the lists bit-identical
+    // batch-keyed overwrite rewrites batch_id=0 row-identically instead
+    // of appending a second copy (directory presence IS the commit)
     val rowsBefore = spark.read.parquet(path).count()
     val replay = MemoryStream[(Long, Array[Float])]
     val q2 = Streams.ivfIngestStream(replay.toDF().toDF("vec_id", "embedding"), sf, table)
@@ -276,7 +276,7 @@ class StreamingMultiBatchSpec extends GraftSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(spark.read.parquet(path).count() === rowsBefore,
-      "replayed micro-batch double-appended despite the batchId commit log")
+      "replayed micro-batch double-appended despite the batch-keyed overwrite")
 
     // size-sidecar maintenance: the SUM-fold of the per-batch increments
     // equals a fresh groupBy count over the streamed lists bit-for-bit —
@@ -293,6 +293,35 @@ class StreamingMultiBatchSpec extends GraftSuite {
     val sizePlan = sizeState.queryExecution.executedPlan.toString
     assert(sizePlan.contains(s"${table}_sizes") && !sizePlan.contains(s"$table/"),
       s"size fold scans the lists:\n${sizePlan.take(600)}")
+
+    // crash-window repair: kill the store exactly BETWEEN batch 1's list
+    // write and its sidecar write (the window the old commit-log protocol
+    // could only document) by deleting the sidecar's batch_id=1 directory,
+    // then replay both batches — the batch-keyed overwrite rewrites each
+    // batch's own directories row-identically, restoring sidecar ≡ lists
+    // without double-appending a single list row
+    val whDir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+    rmTree(java.nio.file.Paths.get(whDir, table + "_sizes", "batch_id=1"))
+    assert(Streams.ivfSizeState(spark, table).agg(sum($"csize")).head.getLong(0)
+      < rowsBefore, "crash simulation did not lose the sidecar increment")
+    val repair = MemoryStream[(Long, Array[Float])]
+    val q3 = Streams.ivfIngestStream(repair.toDF().toDF("vec_id", "embedding"), sf, table)
+    try {
+      repair.addData(b1); q3.processAllAvailable()
+      repair.addData(b2); q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.read.parquet(path).count() === rowsBefore,
+      "crash-repair replay double-appended list rows")
+    val repairedSizes = Streams.ivfSizeState(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repairedSizes === wantSizes,
+      "replay did not restore sidecar ≡ lists after a between-writes crash")
 
     // compaction: new generation has identical content (pruned search
     // bit-equal) in fewer files per cluster directory
