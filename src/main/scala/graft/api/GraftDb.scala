@@ -1267,6 +1267,16 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .groupBy(col("cluster_id").cast("long").as("cluster_id"))
       .agg(count(lit(1)).as("csize"))
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/sizes")
+    // filter stats: the per-(key, value) frequency table over the indexed
+    // snapshot's metadata dict — v51's decision input maintained WITH the
+    // standing index (p15/p16's ANALYZE family at the facade), so the
+    // adaptive pre/post-filter route ([[filterDecision]]) reads K-ish rows
+    // at query time instead of rescanning the corpus. One unpivot of the
+    // same snapshot the lists were built from; swapped atomically with them.
+    snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
+      .groupBy(col("mkey"), col("mval"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
     winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids")
     Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total))
@@ -1461,7 +1471,11 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * builds on first use; here "untrained" degrades to
     * correct-but-unaccelerated, never to an error. A trained ivf library
     * WITH a persisted index ([[buildIndex]]) serves BASE+DELTA off the
-    * standing artifact instead of re-assigning the snapshot per call;
+    * standing artifact instead of re-assigning the snapshot per call —
+    * and when `metadataEq` estimates HIGHLY SELECTIVE against the
+    * index's filterstats artifact, the route switches to an exact scan
+    * of the survivors instead of probing (v51's adaptive pre/post-filter
+    * switch at the facade; [[filterDecision]] is the receipt);
     * `asOfSeq` pins the search to a historical snapshot ([[asOf]]) and
     * serves it EXACT — see [[pinnedSearchAll]]. */
   def searchAll(libId: Long, queries: DataFrame, k: Int = 10,
@@ -1516,7 +1530,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
         Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, qs,
           nTables, nBits, seed, k)
       case ("ivf", _) if indexMetaRow(libId).isDefined =>
-        persistedIvfHits(libId, qs, k, nProbes, candFilters)
+        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq))
+          // PRE-FILTER: the estimated survivor set is so small that an
+          // exact scan of it beats probing the index and filtering after
+          // — v51's selectivity switch served at the facade, decided from
+          // the filterstats artifact the index build wrote (never the
+          // corpus). `emb` IS the filtered current snapshot (base+delta),
+          // so the branch is exact over survivors and needs no staleness
+          // reconciliation. The reference's filter-then-score
+          // (vector_db.py:249) is this branch's single-node special case.
+          Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
+        else persistedIvfHits(libId, qs, k, nProbes, candFilters)
       case ("ivf", Some(mat)) =>
         // in-memory route (no standing index yet): per-call assignment of
         // the filtered snapshot — correct, but the whole corpus pays the
@@ -1552,6 +1576,64 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .select(col("qid"), col("rank"), col("vec_id").as("chunk_id"), col("score"),
           col("doc_id"), col("text"), col("metadata"))
         .orderBy("qid", "rank")
+
+  /** The requested (key, value) pairs' frequencies from the standing
+    * index's filterstats artifact — None when the library has no
+    * artifact (no standing index, or one built before filterstats
+    * existed: both fall back to the post-filter probe route). The read
+    * collects at most one row per REQUESTED pair; a pair absent from
+    * the artifact counts 0 (maximally selective — a filter matching
+    * nothing is the cheapest possible exact scan). */
+  private def filterStatsCounts(libId: Long,
+                                eq: Seq[(String, String)]): Option[Seq[Long]] = {
+    val p = s"${indexRoot(libId)}/filterstats"
+    if (!fs.exists(new Path(p))) None
+    else {
+      val found = spark.read.parquet(p)
+        .filter(eq.map { case (kk, vv) =>
+          col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
+        .collect() // ≤ one row per requested pair: request-bounded
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      Some(eq.map(found.getOrElse(_, 0L)))
+    }
+  }
+
+  /** v51's selectivity rule at the facade: pre-filter iff the estimated
+    * survivor fraction Π(cᵢ/n) ≤ 1/thrDen, compared as the EXACT
+    * arbitrary-precision cross-multiplication thrDen·Πcᵢ ≤ nᵐ (BigInt —
+    * no float boundary or 2⁶³ wrap can flip the branch; the registry
+    * operator's discipline verbatim). n is the meta receipt's build
+    * population — same generation as the counts, so the estimate is
+    * internally consistent; both branches are correct either way, the
+    * decision only picks the cheaper plan. */
+  private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)],
+                                thrDen: Long = 50L): Boolean =
+    filterStatsCounts(libId, eq).exists { cs =>
+      val n = BigInt(indexMetaRow(libId).get.getAs[Long]("n_total"))
+      BigInt(thrDen) * cs.map(BigInt(_)).product <= n.pow(eq.size)
+    }
+
+  /** The adaptive filtered-search route decision, exposed as a receipt
+    * (the [[indexAudit]]/[[embedAudit]] pattern applied to query
+    * routing): one row per requested (key, value) pair with its
+    * artifact count, the build population, and the route a
+    * `searchAll(metadataEq = …)` call with exactly these pairs takes on
+    * a standing-index ivf library — `prefilter_exact` (scan the
+    * survivors, skip the lists) or `postfilter_probe` (probe the pruned
+    * lists, drop non-matching candidates). A library without a
+    * filterstats artifact reports `postfilter_probe` with cnt −1: no
+    * artifact, no decision — the serve stays on the probe route. */
+  def filterDecision(libId: Long, metadataEq: Seq[(String, String)]): DataFrame = {
+    require(metadataEq.nonEmpty, "filterDecision needs at least one key=value pair")
+    val counts = filterStatsCounts(libId, metadataEq)
+    val n = indexMetaRow(libId).map(_.getAs[Long]("n_total")).getOrElse(0L)
+    val route =
+      if (counts.isDefined && selectiveEqFilter(libId, metadataEq)) "prefilter_exact"
+      else "postfilter_probe"
+    metadataEq.zip(counts.getOrElse(metadataEq.map(_ => -1L)))
+      .map { case ((kk, vv), c) => (kk, vv, c, n, route) }
+      .toDF("mkey", "mval", "cnt", "n_total", "route")
+  }
 
   /** Serve an ivf workload off the STANDING persisted index, BASE+DELTA
     * (the reference's standing-structure-queried-repeatedly contract,

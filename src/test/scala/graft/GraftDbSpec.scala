@@ -459,6 +459,55 @@ class GraftDbSpec extends GraftSuite {
       "mismatched-parameter search did not fall back to in-memory keying")
   }
 
+  test("adaptive filtered search: a selective filter skips the lists, a broad one probes them") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(4L, "ivf", dims, "ivf")
+    // 60 chunks: lang=xx on exactly one id (1/60 < the 2% switch
+    // threshold), lang=en everywhere else
+    def lang(id: Long) = if (id == 4L) "xx" else "en"
+    db.upsertChunksMeta(corpus.take(60).map { case (id, t, e) =>
+      (4L, id / 10, id, t, e, Map("lang" -> lang(id))) })
+    db.trainIndex(4L, kCentroids = 4, iters = 2)
+    db.compact() // standing index + the filterstats artifact beside it
+    val idx = s"${db.root}/ivf_index/lib=4"
+    assert(Files.exists(java.nio.file.Paths.get(s"$idx/filterstats")),
+      "no filterstats artifact beside the standing index")
+
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+
+    // the decision receipt: 1/60 routes prefilter_exact, 59/60 the probe
+    val rare = db.filterDecision(4L, Seq("lang" -> "xx")).collect()
+    assert(rare.head.getLong(2) === 1L && rare.head.getLong(3) === 60L &&
+      rare.forall(_.getString(4) == "prefilter_exact"), rare.mkString(","))
+    val broadDec = db.filterDecision(4L, Seq("lang" -> "en")).collect()
+    assert(broadDec.forall(_.getString(4) == "postfilter_probe"), broadDec.mkString(","))
+
+    // selective: results == exact brute force over the survivor set, and
+    // the executed plan never touches the standing lists
+    val sel = db.searchAll(4L, workload, k = 2, metadataEq = Seq("lang" -> "xx"))
+    val got = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = Seq(2L, 7L).flatMap { qi =>
+      corpus.take(60).filter(c => lang(c._1) == "xx")
+        .map { case (id, _, e) => (id, cosine(e, corpus(qi.toInt)._3)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(2).zipWithIndex
+        .map { case ((id, _), rk) => (qi, rk.toLong + 1L, id) }
+    }.sorted
+    assert(got === want, s"selective route != exact scan over survivors: $got vs $want")
+    assert(!sel.queryExecution.executedPlan.toString.contains("ivf_index"),
+      "selective filter still scanned the standing lists")
+
+    // broad: the probe route with post-filtering — the plan scans the
+    // pruned standing lists and no non-matching candidate leaks
+    val brd = db.searchAll(4L, workload, k = 5, metadataEq = Seq("lang" -> "en"))
+    val brdPlan = brd.queryExecution.executedPlan.toString
+    assert(brdPlan.contains("ivf_index") && brdPlan.contains("PartitionFilters"),
+      s"broad filter abandoned the standing index:\n${brdPlan.take(600)}")
+    assert(brd.collect().forall(r => lang(r.getLong(2)) == "en"),
+      "broad filter leaked a non-matching candidate")
+  }
+
   test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
     val db = freshDb()
     val dims = corpus.head._3.length
