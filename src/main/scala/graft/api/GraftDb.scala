@@ -1313,6 +1313,19 @@ final class GraftDb(spark: SparkSession, val root: String) {
         m.getAs[Int]("n_bits"), m.getAs[Long]("seed")))
   }
 
+  /** The lsh meta receipt's build population — None for a receipt
+    * written before `n_total` existed (the adaptive filter decision
+    * then stays on the probe route; legacy-safe). */
+  private def lshIndexNTotal(libId: Long): Option[Long] = {
+    val p = s"${lshIndexRoot(libId)}/meta"
+    if (!Files.exists(Paths.get(p))) None
+    else {
+      val df = spark.read.parquet(p)
+      if (!df.columns.contains("n_total")) None
+      else df.collect().headOption.map(_.getAs[Long]("n_total"))
+    }
+  }
+
   /** BUILD/REFRESH the library's standing LSH key table — the lsh twin
     * of [[buildIndex]]: SimHash keys are a PER-VECTOR function, so the
     * reference's build-at-construction index (lsh_simhash.py) becomes a
@@ -1330,7 +1343,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
     require(lib.getAs[String]("index_type") == "lsh",
       s"library $libId is ${lib.getAs[String]("index_type")}, not lsh")
     val snap = listChunks(libId)
-      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"))
+      .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
+        col("metadata"))
     if (snap.limit(1).isEmpty) {
       fs.delete(new Path(lshIndexRoot(libId)), true)
       return
@@ -1340,8 +1354,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
     Lsh.keyRows(snap.select(col("vec_id"), col("embedding")), nTables, nBits, seed)
       .join(snap.select(col("vec_id"), col("doc_id")), Seq("vec_id"))
       .write.mode("overwrite").parquet(s"$bld/keys")
-    Seq((seq - 1, nTables, nBits, seed))
-      .toDF("index_seq", "n_tables", "n_bits", "seed")
+    // filterstats + n_total: the same adaptive-filter decision inputs the
+    // ivf build writes ([[buildIndex]]) — for lsh the pre-filter branch is
+    // not just cheaper but better-recall: a survivor that shares no bucket
+    // with the query is invisible to the probe route, while the exact
+    // scan of a tiny survivor set can never miss it.
+    snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
+      .groupBy(col("mkey"), col("mval"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
+    Seq((seq - 1, nTables, nBits, seed, snap.count()))
+      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
     val live = new Path(lshIndexRoot(libId))
@@ -1522,7 +1545,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case ("lsh", _)
           if lshIndexMeta(libId).exists { case (_, t, b, s) =>
             t == nTables && b == nBits && s == seed } =>
-        persistedLshHits(libId, qs, emb, k, nTables, nBits, seed,
+        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq))
+          // PRE-FILTER: for lsh this branch is not just cheaper — it is
+          // BETTER-RECALL: a survivor sharing no bucket with the query
+          // is invisible to the probe route, while the exact scan of a
+          // tiny survivor set can never miss it (the quality cliff every
+          // bucket index has under highly selective filters).
+          Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
+        else persistedLshHits(libId, qs, emb, k, nTables, nBits, seed,
           lshIndexMeta(libId).get._1)
       case ("lsh", _) =>
         // in-memory route: no standing key table (or the call's LSH
@@ -1577,16 +1607,16 @@ final class GraftDb(spark: SparkSession, val root: String) {
           col("doc_id"), col("text"), col("metadata"))
         .orderBy("qid", "rank")
 
-  /** The requested (key, value) pairs' frequencies from the standing
-    * index's filterstats artifact — None when the library has no
-    * artifact (no standing index, or one built before filterstats
-    * existed: both fall back to the post-filter probe route). The read
-    * collects at most one row per REQUESTED pair; a pair absent from
-    * the artifact counts 0 (maximally selective — a filter matching
-    * nothing is the cheapest possible exact scan). */
-  private def filterStatsCounts(libId: Long,
-                                eq: Seq[(String, String)]): Option[Seq[Long]] = {
-    val p = s"${indexRoot(libId)}/filterstats"
+  /** The requested (key, value) pairs' frequencies from a standing
+    * index's filterstats artifact at `idxRoot` — None when the library
+    * has no artifact (no standing index, or one built before
+    * filterstats existed: both fall back to the post-filter probe
+    * route). The read collects at most one row per REQUESTED pair; a
+    * pair absent from the artifact counts 0 (maximally selective — a
+    * filter matching nothing is the cheapest possible exact scan). */
+  private def filterStatsCountsAt(idxRoot: String,
+                                  eq: Seq[(String, String)]): Option[Seq[Long]] = {
+    val p = s"$idxRoot/filterstats"
     if (!fs.exists(new Path(p))) None
     else {
       val found = spark.read.parquet(p)
@@ -1602,15 +1632,37 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * survivor fraction Π(cᵢ/n) ≤ 1/thrDen, compared as the EXACT
     * arbitrary-precision cross-multiplication thrDen·Πcᵢ ≤ nᵐ (BigInt —
     * no float boundary or 2⁶³ wrap can flip the branch; the registry
-    * operator's discipline verbatim). n is the meta receipt's build
-    * population — same generation as the counts, so the estimate is
-    * internally consistent; both branches are correct either way, the
-    * decision only picks the cheaper plan. */
-  private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)],
-                                thrDen: Long = 50L): Boolean =
-    filterStatsCounts(libId, eq).exists { cs =>
-      val n = BigInt(indexMetaRow(libId).get.getAs[Long]("n_total"))
-      BigInt(thrDen) * cs.map(BigInt(_)).product <= n.pow(eq.size)
+    * operator's discipline verbatim). n is the index meta receipt's
+    * build population — same generation as the counts, so the estimate
+    * is internally consistent; both branches are correct either way,
+    * the decision only picks the cheaper (and for lsh, better-recall)
+    * plan. */
+  private def selectiveAt(idxRoot: String, nTotal: Option[Long],
+                          eq: Seq[(String, String)],
+                          thrDen: Long = 50L): Boolean =
+    nTotal.exists { nt =>
+      filterStatsCountsAt(idxRoot, eq).exists { cs =>
+        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(nt).pow(eq.size)
+      }
+    }
+
+  /** The (artifact root, build population) pair the adaptive filter
+    * decision reads for this library's index family — None for families
+    * without a standing artifact (flat; or an index predating
+    * filterstats/n_total, which keeps the probe route: legacy-safe). */
+  private def filterStatsSource(libId: Long): Option[(String, Option[Long])] =
+    libRecord(libId).getAs[String]("index_type") match {
+      case "ivf" if indexMetaRow(libId).isDefined =>
+        Some((indexRoot(libId),
+          Some(indexMetaRow(libId).get.getAs[Long]("n_total"))))
+      case "lsh" if lshIndexMeta(libId).isDefined =>
+        Some((lshIndexRoot(libId), lshIndexNTotal(libId)))
+      case _ => None
+    }
+
+  private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)]): Boolean =
+    filterStatsSource(libId).exists { case (rootDir, nt) =>
+      selectiveAt(rootDir, nt, eq)
     }
 
   /** The adaptive filtered-search route decision, exposed as a receipt
@@ -1618,15 +1670,18 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * routing): one row per requested (key, value) pair with its
     * artifact count, the build population, and the route a
     * `searchAll(metadataEq = …)` call with exactly these pairs takes on
-    * a standing-index ivf library — `prefilter_exact` (scan the
-    * survivors, skip the lists) or `postfilter_probe` (probe the pruned
-    * lists, drop non-matching candidates). A library without a
-    * filterstats artifact reports `postfilter_probe` with cnt −1: no
-    * artifact, no decision — the serve stays on the probe route. */
+    * a standing-index library (ivf or lsh) — `prefilter_exact` (scan
+    * the survivors, skip the index) or `postfilter_probe` (probe the
+    * standing structure, drop non-matching candidates). A library
+    * without a filterstats artifact reports `postfilter_probe` with
+    * cnt −1: no artifact, no decision — the serve stays on the probe
+    * route. */
   def filterDecision(libId: Long, metadataEq: Seq[(String, String)]): DataFrame = {
     require(metadataEq.nonEmpty, "filterDecision needs at least one key=value pair")
-    val counts = filterStatsCounts(libId, metadataEq)
-    val n = indexMetaRow(libId).map(_.getAs[Long]("n_total")).getOrElse(0L)
+    val src = filterStatsSource(libId)
+    val counts = src.flatMap { case (rootDir, _) =>
+      filterStatsCountsAt(rootDir, metadataEq) }
+    val n = src.flatMap(_._2).getOrElse(0L)
     val route =
       if (counts.isDefined && selectiveEqFilter(libId, metadataEq)) "prefilter_exact"
       else "postfilter_probe"

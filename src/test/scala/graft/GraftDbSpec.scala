@@ -508,6 +508,41 @@ class GraftDbSpec extends GraftSuite {
       "broad filter leaked a non-matching candidate")
   }
 
+  test("adaptive filtered search, lsh family: selective == exact over survivors, skipping the key table") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(5L, "lsh", dims, "lsh")
+    def lang(id: Long) = if (id == 9L) "xx" else "en"
+    db.upsertChunksMeta(corpus.take(60).map { case (id, t, e) =>
+      (5L, id / 10, id, t, e, Map("lang" -> lang(id))) })
+    db.compact() // standing key table + filterstats + n_total receipt
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"${db.root}/lsh_index/lib=5/filterstats")), "no lsh filterstats artifact")
+
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val rare = db.filterDecision(5L, Seq("lang" -> "xx")).collect()
+    assert(rare.head.getLong(2) === 1L && rare.head.getLong(3) === 60L &&
+      rare.forall(_.getString(4) == "prefilter_exact"), rare.mkString(","))
+
+    // selective: the lone survivor is ALWAYS found (rank 1 per query),
+    // even though a bucket probe could miss a survivor sharing no bucket
+    // with the query — and the plan never opens the standing key table
+    val sel = db.searchAll(5L, workload, k = 3, metadataEq = Seq("lang" -> "xx"))
+    val got = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((2L, 1L, 9L), (7L, 1L, 9L)),
+      s"selective lsh route != exact scan over the survivor: $got")
+    assert(!sel.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "selective filter still scanned the standing key table")
+
+    // broad: stays on the standing key table, nothing leaks
+    val brd = db.searchAll(5L, workload, k = 5, metadataEq = Seq("lang" -> "en"))
+    assert(brd.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "broad filter abandoned the standing key table")
+    assert(brd.collect().forall(r => lang(r.getLong(2)) == "en"),
+      "broad filter leaked a non-matching candidate")
+  }
+
   test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
     val db = freshDb()
     val dims = corpus.head._3.length
