@@ -506,6 +506,18 @@ class GraftDbSpec extends GraftSuite {
       s"broad filter abandoned the standing index:\n${brdPlan.take(600)}")
     assert(brd.collect().forall(r => lang(r.getLong(2)) == "en"),
       "broad filter leaked a non-matching candidate")
+
+    // the selective branch needs NO staleness reconciliation: a rare
+    // chunk added AFTER the index build (absent from the artifact's
+    // counts) is served by the very next selective search — the branch
+    // scans the live filtered snapshot; only the DECISION reads
+    // build-time counts
+    val fresh = corpus(45)
+    db.upsertChunksMeta(Seq((4L, 99L, 990L, fresh._2, fresh._3, Map("lang" -> "xx"))))
+    val freshQ = Seq((0L, fresh._3)).toDF("qid", "qvec")
+    assert(db.searchAll(4L, freshQ, k = 1, metadataEq = Seq("lang" -> "xx"))
+      .collect().head.getLong(2) === 990L,
+      "post-build rare chunk invisible to the selective branch")
   }
 
   test("adaptive filtered search, lsh family: selective == exact over survivors, skipping the key table") {
