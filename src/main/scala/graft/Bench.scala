@@ -184,13 +184,20 @@ object Bench {
     // `includes_index_build` queries prep IS the index build+write, so
     // exec_sec is the true query latency the contract number obscures.
     val detail = firstPass.map { case (n, rs) =>
+      // `reps` holds EVERY timed rep that fed this query's reported `sec`
+      // (first pass ++ stall-retry pass), so sec == min(reps) always —
+      // the spread-rule drift audit reads `reps` alone, and a retry that
+      // produced the min must not leave `reps` showing only the stalled
+      // pass (the r14 d20 anomaly: reps 6.99/17.15/43.19 beside sec
+      // 2.43). `retry_reps` still marks WHICH reps came from the retry.
+      val allReps = rs ++ retryPass.getOrElse(n, Seq.empty)
       val retry = retryPass.get(n)
         .map(r => s""","retry_reps":[${r.map(totalOf).map(dFull).mkString(",")}]""").getOrElse("")
       val best = results.find(_._1 == n).get._2
       val (prep, exec) = bestRep(n)
       val scale = scalePass.get(n).map(s =>
         s""","scale_sec":${dFull(s)},"scale_ratio":${dFull(if (s > 0) best / s else -1.0)}""").getOrElse("")
-      s""""$n":{"reps":[${rs.map(totalOf).map(dFull).mkString(",")}]$retry,"sec":${dFull(best)},""" +
+      s""""$n":{"reps":[${allReps.map(totalOf).map(dFull).mkString(",")}]$retry,"sec":${dFull(best)},""" +
         s""""prep_sec":${dFull(math.max(prep, 0.0))},"exec_sec":${dFull(exec)}$scale}"""
     }.mkString("{", ",", "}")
     val superJson = superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -489,20 +489,66 @@ object Persist {
     * schema, same oracle — so a hash-green row proves incremental ≡
     * full-rescan. Spec adds the physical facts the oracle can't see:
     * generations partition the table, and the domain tables genuinely
-    * overlap (the union-distinct merge is not a concat). */
+    * overlap (the union-distinct merge is not a concat).
+    *
+    * TRUE incremental shape (r15, the v51c rule applied here):
+    * generation 0's scalar+domain artifacts are the STANDING history —
+    * built only when missing or profiled from a different corpus (a
+    * `src` provenance column keys the reuse, so a wiped warehouse or a
+    * dataset switch self-heals) — and a call's own work is exactly ONE
+    * new-generation scan plus the artifacts-only merge. Spec proves the
+    * repeat call leaves gen-0's files byte-identical (mtime-stable) and
+    * the merge subtree scans only artifacts, never lineitem. */
   def statsMerge(spark: SparkSession, dir: String): DataFrame = {
     Graft.init(spark)
-    val li = Tables.lineitem(spark, dir)
-    (0 to 1).foreach { g =>
-      val u = statsUnpivot(li.filter(pmod(col("l_orderkey"), lit(2)) === g))
-      u.groupBy(col("cname"))
-        .agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
-          min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
-        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_scalar_g$g"))
-      u.select(col("cname"), col("vq4")).distinct()
-        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_domain_g$g"))
+    // standing history: reuse generation 0's artifacts when both exist
+    // and carry this corpus's provenance (the v51c registry rule — a
+    // stats artifact silently carried across datasets is how a CBO
+    // serves garbage estimates)
+    val g0Paths = Seq(tablePath(spark, "graft_stats_scalar_g0"),
+      tablePath(spark, "graft_stats_domain_g0"))
+    val conf = spark.sessionState.newHadoopConf()
+    val g0Ok = g0Paths.forall { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).exists(hp) && {
+        val probe = spark.read.parquet(p)
+        probe.columns.contains("src") && {
+          // bounded: one row per distinct src value (normally exactly 1)
+          val srcs = probe.select(col("src")).distinct().collect()
+          srcs.nonEmpty && srcs.forall(_.getString(0) == dir)
+        }
+      }
     }
+    if (!g0Ok) writeGenProfileArtifacts(spark, dir, 0)
+    // the incremental step: ONE new-generation scan + artifacts-only merge
+    writeGenProfileArtifacts(spark, dir, 1)
+    mergeProfileArtifacts(spark)
+  }
+
+  /** One GENERATION's p16 profile artifacts (scalar stats + exact distinct
+    * domain), one scan of that generation's rows only — the nightly job's
+    * unit of work; `src` provenance rides every row so the standing-gen
+    * reuse key is the artifact's own content. */
+  private[graft] def writeGenProfileArtifacts(spark: SparkSession, dir: String,
+                                              g: Int): Unit = {
+    val u = statsUnpivot(Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(2)) === g))
+    u.groupBy(col("cname"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
+        min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
+      .withColumn("src", lit(dir))
+      .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_scalar_g$g"))
+    u.select(col("cname"), col("vq4")).distinct()
+      .withColumn("src", lit(dir))
+      .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_domain_g$g"))
+  }
+
+  /** ARTIFACTS-ONLY p16 merge: scalar stats sum/min/max-merge, NDV from
+    * the union-distinct of the persisted domains — the subtree's only
+    * file scans are the generation artifacts (spec-asserted), and the
+    * merge shuffle is domain-sized, not corpus-sized. */
+  private[graft] def mergeProfileArtifacts(spark: SparkSession): DataFrame = {
     val scalar = spark.read.parquet(tablePath(spark, "graft_stats_scalar_g0"))
       .unionByName(spark.read.parquet(tablePath(spark, "graft_stats_scalar_g1")))
       .groupBy(col("cname"))

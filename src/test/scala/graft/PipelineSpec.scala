@@ -571,6 +571,45 @@ class PipelineSpec extends GraftSuite {
       "generation domains must share values or the merge proves nothing")
   }
 
+  test("p16 is truly incremental: a repeat call reuses standing gen-0 and merges artifacts only") {
+    // first call establishes the standing history (generation 0 scalar+domain)
+    graft.operators.Persist.statsMerge(spark, sf).collect()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def fileStamps(p: String): Map[String, Long] = {
+      val d = new java.io.File(p.stripPrefix("file:"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val g0Before = Seq("graft_stats_scalar_g0", "graft_stats_domain_g0")
+      .map(t => t -> fileStamps(s"$wh/$t")).toMap
+    val g1Before = Seq("graft_stats_scalar_g1", "graft_stats_domain_g1")
+      .map(t => t -> fileStamps(s"$wh/$t")).toMap
+    assert(g0Before.values.forall(_.nonEmpty) && g1Before.values.forall(_.nonEmpty))
+    Thread.sleep(1100) // mtime granularity
+    // the repeat call = ONE new-generation scan + an artifacts-only merge:
+    // generation 0's files are byte-identical (untouched on disk),
+    // generation 1's are rewritten
+    val out = graft.operators.Persist.statsMerge(spark, sf)
+    assert(out.collect().nonEmpty)
+    g0Before.foreach { case (t, stamps) =>
+      assert(fileStamps(s"$wh/$t") === stamps,
+        s"repeat call re-profiled the standing generation artifact $t")
+    }
+    g1Before.foreach { case (t, stamps) =>
+      assert(fileStamps(s"$wh/$t") !== stamps,
+        s"repeat call did not land the new generation artifact $t")
+    }
+    // the merge subtree's only file scans are the artifacts — the 100 TB
+    // contract in the EXECUTED plan, not prose
+    val merge = graft.operators.Persist.mergeProfileArtifacts(spark)
+    merge.collect()
+    val plan = merge.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stats_scalar_g") && plan.contains("graft_stats_domain_g"),
+      s"merge does not scan the generation artifacts:\n${plan.take(600)}")
+    assert(!plan.contains("lineitem"),
+      s"merge subtree scans the corpus:\n${plan.take(600)}")
+  }
+
   test("t29: BPE pair counts match a full driver recompute over the vocabulary") {
     val out = run("t29_bpe_pairs").collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
