@@ -70,6 +70,20 @@ object GraftDb {
     * permanently retiring the ambiguity for that store. */
   val LogV = 2
 
+  /** Index-meta format written by THIS release — an EXPLICIT version
+    * marker in every standing index's one-row meta (ivf, lsh, and the
+    * flat filterstats receipt), so capability dispatch reads one column
+    * instead of sniffing for the columns a feature happened to add
+    * (the `n_total`-probe pattern [[GraftDb#lshIndexNTotal]] had to use
+    * for the v1 era). Version history: 1 (implicit — receipts WITHOUT
+    * the column; capabilities still inferred by column presence, which
+    * the readers retain for exactly those legacy receipts), 2 (carries
+    * `format_version`; everything v1 carried plus — for lsh — the
+    * guaranteed `n_total`). A reader seeing a version NEWER than it
+    * knows should treat the index as absent (serve the in-memory
+    * route) rather than misread it. */
+  val IndexMetaV = 2
+
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
     * delete_doc (doc-level rows carry chunk_id = -1). Chunks carry an
     * arbitrary metadata dict (reference: app/core/models.py:16) — chunk
@@ -727,13 +741,15 @@ final class GraftDb(spark: SparkSession, val root: String) {
     }
 
   /** Top-`nProbes` centroids per query under the facade's probe rule
-    * (float centroid frame + the codegen'd cosine + TopK partial agg) —
-    * ONE implementation shared by the in-memory ivf route and the
-    * persisted-lists route, so the two are candidate-identical by
-    * construction. Emits `(qid, cluster_id)`. */
+    * (DOUBLE centroid frame — the registry's `Ivf.probesFor` precision
+    * rule, so the facade is oracle-exact where the registry is — + the
+    * codegen'd cosine + TopK partial agg): ONE implementation shared by
+    * the in-memory ivf route and the persisted-lists route, so the two
+    * are candidate-identical by construction. Emits `(qid,
+    * cluster_id)`. */
   private def probeAssignments(qs: DataFrame, mat: Array[(Long, Array[Double])],
                                nProbes: Int): DataFrame = {
-    val centroids = mat.toSeq.map { case (cid, v) => (cid, v.map(_.toFloat)) }
+    val centroids = mat.toSeq.map { case (cid, v) => (cid, v) }
       .toDF("cluster_id", "cvec")
     Knn.topkPerQuery(
       qs.crossJoin(broadcast(centroids))
@@ -1162,21 +1178,34 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * of re-assigning the corpus per search, with v55's retrain-or-keep
     * decision folded into every refresh:
     *
-    *   1. MONITOR (one map-only scan): every live vector is assigned
-    *      under the standing model AND a candidate retrained with the
-    *      recorded recipe (same k/iters/init rule — [[trainIndex]]'s
-    *      determinism makes an unchanged corpus produce a bit-identical
-    *      candidate, so drift is exactly zero there); the K²-bounded
-    *      migration matrix persists as the index's retrain report.
+    *   1. MONITOR, STAGED LAZILY (r15): the common keep path pays ONE
+    *      assignment pass and ZERO k-means iterations. Stage 1 assigns
+    *      every live vector under the STANDING model only (the same
+    *      pass the build itself needs) and reads three cheap signals:
+    *      occupancy (K-bounded sizes off that pass), seed-population
+    *      change (the candidate's init is the k lowest live chunk ids;
+    *      the standing matrix's cids ARE its init population, so a
+    *      k-row compare detects relabel-drift without training), and
+    *      drift-under-the-old-matrix (current assignment vs the
+    *      standing lists' recorded assignment — one join, no k-means).
+    *      Only when a signal trips (or no standing lists exist yet)
+    *      does stage 2 train the candidate with the recorded recipe
+    *      (same k/iters/init rule — [[trainIndex]]'s determinism makes
+    *      an unchanged corpus produce a bit-identical candidate) and
+    *      build the K²-bounded migration matrix as the retrain report;
+    *      the untripped keep path records a diagonal report from the
+    *      stage-1 sizes with `off_diag` = the measured under-threshold
+    *      drift.
     *   2. DECIDE (three longs off the report, exact BigInt compares —
     *      no float/wrap can flip the branch): retrain iff
     *      off_diag·driftDen ≥ n_total (assignment churn ≥ 1/driftDen) or
     *      max_list·k ≥ occFactor·n_total (largest list ≥ occFactor× the
     *      average — v55's occupancy rule generalized k-relative: for
     *      k=16, occFactor=4 is exactly v55's occDen=4). A candidate
-    *      whose SEED population changed (the k lowest live chunk ids)
-    *      relabels clusters and reads as full drift — aggressive by
-    *      construction: the seeding corpus changing IS drift.
+    *      whose SEED population changed relabels clusters and reads as
+    *      full drift — aggressive by construction: the seeding corpus
+    *      changing IS drift (and exactly why the stage-1 seed compare
+    *      is a sound training trigger).
     *   3. BUILD the winner's artifacts under `*_building`, then swap
     *      (aside → in → drop): cluster-partitioned lists carrying the
     *      full chunk payload (so metadata filters and includeChunk serve
@@ -1208,60 +1237,99 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
         col("text"), col("metadata"))
     val emb = snap.select(col("vec_id"), col("embedding"))
-    // candidate model: the recorded recipe re-run on the CURRENT corpus;
-    // None (→ keep-only) for legacy artifacts or a corpus now smaller
-    // than its own k
-    val cand: Option[Array[(Long, Array[Double])]] = trainParams(libId).flatMap {
-      case (kc, it) =>
-        val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
-          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
-        }
-        if (init.length < kc) None
-        else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
-    }
     if (emb.limit(1).isEmpty) { // nothing live: drop the standing index
       fs.delete(new Path(indexRoot(libId)), true)
       return
     }
     val bld = s"${indexRoot(libId)}_building"
     fs.delete(new Path(bld), true)
-    // 1. MONITOR: one pass, two broadcast K×d literals, K²-bounded report
-    val candMat = cand.getOrElse(oldMat)
     def cvecs(m: Array[(Long, Array[Double])]): Column =
       typedLit(m.map(_._2.toSeq).toSeq)
     def cids(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._1).toSeq)
-    emb
-      .withColumn("nco", Graft.nearestCentroid(col("embedding"), cvecs(oldMat)))
-      .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(candMat)))
-      .select(
-        element_at(cids(oldMat), col("nco.idx") + 1).as("from_cid"),
-        element_at(cids(candMat), col("ncn.idx") + 1).as("to_cid"))
-      .groupBy(col("from_cid"), col("to_cid"))
-      .agg(count(lit(1)).as("n_vecs"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
-    // 2. DECIDE: three longs of driver state from the persisted report
-    val r = spark.read.parquet(s"$bld/retrain_report")
-      .groupBy(col("from_cid"))
-      .agg(sum(col("n_vecs")).as("list_sz"),
-        sum(when(col("from_cid") =!= col("to_cid"), col("n_vecs"))
-          .otherwise(0L)).as("off"))
-      .agg(
-        coalesce(sum(col("off")), lit(0L)).as("off_diag"),
-        coalesce(max(col("list_sz")), lit(0L)).as("max_list"),
-        coalesce(sum(col("list_sz")), lit(0L)).as("n_total"))
-      .head()
-    val (offDiag, maxList, total) =
-      (r.getAs[Long]("off_diag"), r.getAs[Long]("max_list"), r.getAs[Long]("n_total"))
-    val retrain = cand.isDefined &&
-      (BigInt(offDiag) * BigInt(driftDen) >= BigInt(total) ||
-        BigInt(maxList) * BigInt(oldMat.length) >= BigInt(occFactor) * BigInt(total))
-    val winner = if (retrain) candMat else oldMat
+    // STAGE 1: assignment under the STANDING model — the same map-only
+    // frame the build itself writes (the keep path's monitoring costs
+    // the K-bounded sizes collect plus one lists join beyond the build
+    // it was going to do anyway; no k-means).
+    val assignedOld = Ivf.assignToMat(snap, oldMat, keep = Seq("doc_id", "text", "metadata"))
+      .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
+        col("metadata"), col("cluster_id"))
+    val sizeRows = assignedOld.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n")).collect() // K rows: bounded
+    val total = sizeRows.map(_.getAs[Long]("n")).sum
+    val maxList = sizeRows.map(_.getAs[Long]("n")).max
+    val occTrips =
+      BigInt(maxList) * BigInt(oldMat.length) >= BigInt(occFactor) * BigInt(total)
+    // seed-population compare: k rows of driver state (trainedMat sorts
+    // by cid, and the matrix's cids are its init chunk ids)
+    val params = trainParams(libId)
+    val seedChanged = params.exists { case (kc, _) =>
+      emb.select(col("vec_id")).orderBy("vec_id").limit(kc)
+        .collect().map(_.getLong(0)).toSeq != oldMat.map(_._1).toSeq
+    }
+    // drift under the OLD matrix: how much of the corpus no longer sits
+    // where the standing lists recorded it (new + moved vectors) — one
+    // join against the lists, zero k-means. No standing lists (first
+    // build) reads as full drift.
+    val standingLists = new Path(s"${indexRoot(libId)}/lists")
+    val preOff =
+      if (!fs.exists(standingLists)) total
+      else assignedOld.select(col("vec_id"), col("cluster_id"))
+        .join(spark.read.parquet(standingLists.toString)
+          .select(col("vec_id"), col("cluster_id").cast("long").as("prev_cluster")),
+          Seq("vec_id"), "left")
+        .filter(col("prev_cluster").isNull || col("prev_cluster") =!= col("cluster_id"))
+        .count()
+    val preDriftTrips = BigInt(preOff) * BigInt(driftDen) >= BigInt(total)
+
+    val (retrain, winner, offDiag, assigned) =
+      if (!(occTrips || seedChanged || preDriftTrips)) {
+        // KEEP, decided at stage 1: zero training iterations, one
+        // assignment pass total. Diagonal retrain report from the
+        // stage-1 sizes (candidate ≡ standing by the untripped signals);
+        // off_diag records the measured under-threshold drift.
+        sizeRows.toSeq.map(r => (r.getLong(0), r.getLong(0), r.getAs[Long]("n")))
+          .toDF("from_cid", "to_cid", "n_vecs")
+          .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
+        (false, oldMat, preOff, assignedOld)
+      } else {
+        // STAGE 2: a signal tripped — train the candidate with the
+        // recorded recipe (None → keep-only for legacy artifacts or a
+        // corpus smaller than its own k) and build the full old→candidate
+        // migration matrix; `from` rides the stage-1 assignment, so this
+        // pass evaluates only the candidate side.
+        val cand: Option[Array[(Long, Array[Double])]] = params.flatMap {
+          case (kc, it) =>
+            val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
+              (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+            }
+            if (init.length < kc) None
+            else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
+        }
+        val candMat = cand.getOrElse(oldMat)
+        assignedOld
+          .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(candMat)))
+          .select(col("cluster_id").as("from_cid"),
+            element_at(cids(candMat), col("ncn.idx") + 1).as("to_cid"))
+          .groupBy(col("from_cid"), col("to_cid"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
+        val off = spark.read.parquet(s"$bld/retrain_report")
+          .agg(coalesce(sum(when(col("from_cid") =!= col("to_cid"), col("n_vecs"))
+            .otherwise(0L)), lit(0L)).as("off_diag"))
+          .head().getAs[Long]("off_diag")
+        val re = cand.isDefined &&
+          (BigInt(off) * BigInt(driftDen) >= BigInt(total) || occTrips)
+        val w = if (re) candMat else oldMat
+        val a =
+          if (re) Ivf.assignToMat(snap, w, keep = Seq("doc_id", "text", "metadata"))
+            .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
+              col("metadata"), col("cluster_id"))
+          else assignedOld
+        (re, w, off, a)
+      }
     // 3. BUILD: map-only assignment carrying the payload, partitioned by
     // the trained cluster ids; sizes from the same assigned frame (≡ the
     // lists by construction); centroids + meta beside them
-    val assigned = Ivf.assignToMat(snap, winner, keep = Seq("doc_id", "text", "metadata"))
-      .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
-        col("metadata"), col("cluster_id"))
     graft.sources.Sinks.writePartitioned(assigned, s"$bld/lists", "cluster_id")
     spark.read.parquet(s"$bld/lists")
       .groupBy(col("cluster_id").cast("long").as("cluster_id"))
@@ -1279,8 +1347,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
     winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids")
-    Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total))
-      .toDF("index_seq", "decision", "off_diag", "max_list", "n_total")
+    Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total,
+      GraftDb.IndexMetaV))
+      .toDF("index_seq", "decision", "off_diag", "max_list", "n_total",
+        "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
     // swap: aside → in → drop (repairable at every intermediate state)
@@ -1363,12 +1433,68 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .groupBy(col("mkey"), col("mval"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
-    Seq((seq - 1, nTables, nBits, seed, snap.count()))
-      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total")
+    Seq((seq - 1, nTables, nBits, seed, snap.count(), GraftDb.IndexMetaV))
+      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+        "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
     val live = new Path(lshIndexRoot(libId))
     val aside = new Path(s"${lshIndexRoot(libId)}_old")
+    if (fs.exists(live)) fs.rename(live, aside)
+    fs.rename(new Path(bld), live)
+    if (fs.exists(aside)) fs.delete(aside, true)
+  }
+
+  // ---- flat filterstats (the ANALYZE artifact without an index) -----------
+
+  private def flatStatsArea = s"$root/flat_index"
+  private def flatStatsRoot(libId: Long) = s"$flatStatsArea/lib=$libId"
+
+  /** The flat library's standing receipt (build population), None when
+    * no artifact exists — flat serving needs no index, but the adaptive
+    * filter DECISION needs the same filterstats artifact the ivf/lsh
+    * builds write, or a flat library can never report artifact-sourced
+    * counts ([[filterDecision]] uniformity across all three
+    * index_types). */
+  private def flatStatsMeta(libId: Long): Option[(Long, Long)] = {
+    val p = s"${flatStatsRoot(libId)}/meta"
+    if (!Files.exists(Paths.get(p))) None
+    else spark.read.parquet(p).collect().headOption.map(m =>
+      (m.getAs[Long]("index_seq"), m.getAs[Long]("n_total")))
+  }
+
+  /** BUILD/REFRESH a flat library's filterstats artifact — the
+    * index-less member of the standing-artifact family: no lists, no
+    * key table, just the per-(key, value) metadata frequency table +
+    * the one-row receipt (index_seq, n_total, format_version), under
+    * the same `*_building`/`_complete`/aside-swap crash discipline as
+    * [[buildIndex]]/[[buildLshIndex]] ([[repairIndexSwaps]] covers the
+    * area). Behavior of a flat search never changes — flat IS the
+    * exact pre-filtered scan — but [[filterDecision]]'s receipt gets
+    * real counts and a truthful route for every index_type. One
+    * metadata unpivot of the folded snapshot per [[compact]]. */
+  def buildFlatStats(libId: Long): Unit = {
+    val lib = libRecord(libId)
+    require(lib.getAs[String]("index_type") == "flat",
+      s"library $libId is ${lib.getAs[String]("index_type")}, not flat")
+    val snap = listChunks(libId)
+      .select(col("chunk_id").as("vec_id"), col("metadata"))
+    if (snap.limit(1).isEmpty) {
+      fs.delete(new Path(flatStatsRoot(libId)), true)
+      return
+    }
+    val bld = s"${flatStatsRoot(libId)}_building"
+    fs.delete(new Path(bld), true)
+    snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
+      .groupBy(col("mkey"), col("mval"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
+    Seq((seq - 1, snap.count(), GraftDb.IndexMetaV))
+      .toDF("index_seq", "n_total", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
+    fs.create(new Path(s"$bld/_complete"), true).close()
+    val live = new Path(flatStatsRoot(libId))
+    val aside = new Path(s"${flatStatsRoot(libId)}_old")
     if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new Path(bld), live)
     if (fs.exists(aside)) fs.delete(aside, true)
@@ -1439,10 +1565,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val liveIvfTrained = libs.collect { case (id, "ivf") if trainedMat(id).isDefined => id }.toSet
     val liveLsh = libs.collect { case (id, "lsh") => id }.toSet
+    val liveFlat = libs.collect { case (id, "flat") => id }.toSet
     (existingIndexLibs(ivfIndexArea) -- liveIvfTrained)
       .foreach(id => fs.delete(new Path(indexRoot(id)), true))
     (existingIndexLibs(lshIndexArea) -- liveLsh)
       .foreach(id => fs.delete(new Path(lshIndexRoot(id)), true))
+    (existingIndexLibs(flatStatsArea) -- liveFlat)
+      .foreach(id => fs.delete(new Path(flatStatsRoot(id)), true))
     liveIvfTrained.foreach(buildIndex(_))
     liveLsh.foreach { id =>
       lshIndexMeta(id) match {
@@ -1450,6 +1579,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
         case None => buildLshIndex(id)
       }
     }
+    liveFlat.foreach(buildFlatStats)
+    filterStatsCache.clear() // new index generations: cached decisions stale
   }
 
   /** Complete or discard index-swap leftovers on open (the
@@ -1458,7 +1589,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * dir finishes its swap; an incomplete one is discarded; an orphaned
     * aside is restored (an older valid index beats none). */
   private def repairIndexSwaps(): Unit =
-    Seq(ivfIndexArea, lshIndexArea).foreach { a =>
+    Seq(ivfIndexArea, lshIndexArea, flatStatsArea).foreach { a =>
       val area = new Path(a)
       if (fs.exists(area)) {
         val names = fs.listStatus(area).toSeq.map(_.getPath.getName)
@@ -1506,7 +1637,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
                 nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
                 metadataFilter: Option[Column] = None,
                 metadataEq: Seq[(String, String)] = Seq.empty,
-                asOfSeq: Option[Long] = None): DataFrame = {
+                asOfSeq: Option[Long] = None,
+                thrDen: Long = 50L): DataFrame = {
     // arbitrary-Column and key=value metadata filters, applied uniformly
     // to any candidate slice carrying the (vec_id, embedding, doc_id,
     // text, metadata) shape — snapshot, persisted lists, delta, or a
@@ -1545,7 +1677,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case ("lsh", _)
           if lshIndexMeta(libId).exists { case (_, t, b, s) =>
             t == nTables && b == nBits && s == seed } =>
-        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq))
+        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq, thrDen))
           // PRE-FILTER: for lsh this branch is not just cheaper — it is
           // BETTER-RECALL: a survivor sharing no bucket with the query
           // is invisible to the probe route, while the exact scan of a
@@ -1560,7 +1692,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
         Lsh.searchIndex(Lsh.keyRows(emb, nTables, nBits, seed), emb, qs,
           nTables, nBits, seed, k)
       case ("ivf", _) if indexMetaRow(libId).isDefined =>
-        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq))
+        if (metadataEq.nonEmpty && selectiveEqFilter(libId, metadataEq, thrDen))
           // PRE-FILTER: the estimated survivor set is so small that an
           // exact scan of it beats probing the index and filtering after
           // — v51's selectivity switch served at the facade, decided from
@@ -1607,26 +1739,70 @@ final class GraftDb(spark: SparkSession, val root: String) {
           col("doc_id"), col("text"), col("metadata"))
         .orderBy("qid", "rank")
 
-  /** The requested (key, value) pairs' frequencies from a standing
-    * index's filterstats artifact at `idxRoot` — None when the library
-    * has no artifact (no standing index, or one built before
-    * filterstats existed: both fall back to the post-filter probe
-    * route). The read collects at most one row per REQUESTED pair; a
-    * pair absent from the artifact counts 0 (maximally selective — a
-    * filter matching nothing is the cheapest possible exact scan). */
-  private def filterStatsCountsAt(idxRoot: String,
-                                  eq: Seq[(String, String)]): Option[Seq[Long]] = {
-    val p = s"$idxRoot/filterstats"
-    if (!fs.exists(new Path(p))) None
-    else {
-      val found = spark.read.parquet(p)
-        .filter(eq.map { case (kk, vv) =>
-          col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
-        .collect() // ≤ one row per requested pair: request-bounded
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      Some(eq.map(found.getOrElse(_, 0L)))
+  /** Driver-side cache of a standing artifact's decision inputs, keyed
+    * (libId, index_seq): the receipt's build population plus the
+    * frequencies of every (key, value) pair REQUESTED so far —
+    * request-bounded state, populated lazily by targeted reads of only
+    * the missing pairs. A repeat filtered call (the hot path the r14
+    * advisory flagged: two driver parquet reads + collects per call)
+    * costs zero reads; a rebuilt index carries a NEW index_seq, so a
+    * stale hit is impossible, and [[refreshIndexes]] clears the map so
+    * retired generations don't accumulate. */
+  private val filterStatsCache = scala.collection.mutable.HashMap
+    .empty[(Long, Long), (Option[Long], scala.collection.mutable.HashMap[(String, String), Long])]
+
+  /** The (artifact root, index generation, build population) triple the
+    * adaptive filter decision reads for this library's index family —
+    * None for a library without a standing artifact (no index built
+    * yet, or one predating filterstats/n_total — the format_version-1
+    * era, sniffed by column presence: legacy-safe, keeps the probe
+    * route). Covers all three index_types: ivf and lsh write the
+    * artifact beside their index; flat writes it alone
+    * ([[buildFlatStats]]). */
+  private def filterStatsSource(libId: Long): Option[(String, Long, Option[Long])] =
+    libRecord(libId).getAs[String]("index_type") match {
+      case "ivf" =>
+        indexMetaRow(libId).map(m =>
+          (indexRoot(libId), m.getAs[Long]("index_seq"),
+            Some(m.getAs[Long]("n_total"))))
+      case "lsh" =>
+        lshIndexMeta(libId).map { case (idxSeq, _, _, _) =>
+          (lshIndexRoot(libId), idxSeq, lshIndexNTotal(libId))
+        }
+      case "flat" =>
+        flatStatsMeta(libId).map { case (idxSeq, nt) =>
+          (flatStatsRoot(libId), idxSeq, Some(nt))
+        }
+      case _ => None
     }
-  }
+
+  /** The requested pairs' frequencies + build population, through the
+    * cache: one targeted artifact read for pairs not yet seen this
+    * generation (≤ one row per MISSING pair — request-bounded), zero
+    * reads on a repeat workload. None when the library has no
+    * filterstats artifact. A pair absent from the artifact counts 0
+    * (maximally selective — a filter matching nothing is the cheapest
+    * possible exact scan). */
+  private def cachedFilterCounts(libId: Long,
+                                 eq: Seq[(String, String)]): Option[(Seq[Long], Option[Long])] =
+    filterStatsSource(libId).flatMap { case (rootDir, idxSeq, nt) =>
+      val p = s"$rootDir/filterstats"
+      if (!fs.exists(new Path(p))) None
+      else {
+        val (cachedN, counts) = filterStatsCache.getOrElseUpdate((libId, idxSeq),
+          (nt, scala.collection.mutable.HashMap.empty[(String, String), Long]))
+        val missing = eq.distinct.filterNot(counts.contains)
+        if (missing.nonEmpty) {
+          val found = spark.read.parquet(p)
+            .filter(missing.map { case (kk, vv) =>
+              col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
+            .collect() // ≤ one row per missing pair: request-bounded
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          missing.foreach(pair => counts(pair) = found.getOrElse(pair, 0L))
+        }
+        Some((eq.map(counts), cachedN))
+      }
+    }
 
   /** v51's selectivity rule at the facade: pre-filter iff the estimated
     * survivor fraction Π(cᵢ/n) ≤ 1/thrDen, compared as the EXACT
@@ -1636,56 +1812,56 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * build population — same generation as the counts, so the estimate
     * is internally consistent; both branches are correct either way,
     * the decision only picks the cheaper (and for lsh, better-recall)
-    * plan. */
-  private def selectiveAt(idxRoot: String, nTotal: Option[Long],
-                          eq: Seq[(String, String)],
-                          thrDen: Long = 50L): Boolean =
-    nTotal.exists { nt =>
-      filterStatsCountsAt(idxRoot, eq).exists { cs =>
-        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(nt).pow(eq.size)
-      }
-    }
-
-  /** The (artifact root, build population) pair the adaptive filter
-    * decision reads for this library's index family — None for families
-    * without a standing artifact (flat; or an index predating
-    * filterstats/n_total, which keeps the probe route: legacy-safe). */
-  private def filterStatsSource(libId: Long): Option[(String, Option[Long])] =
-    libRecord(libId).getAs[String]("index_type") match {
-      case "ivf" if indexMetaRow(libId).isDefined =>
-        Some((indexRoot(libId),
-          Some(indexMetaRow(libId).get.getAs[Long]("n_total"))))
-      case "lsh" if lshIndexMeta(libId).isDefined =>
-        Some((lshIndexRoot(libId), lshIndexNTotal(libId)))
-      case _ => None
-    }
-
-  private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)]): Boolean =
-    filterStatsSource(libId).exists { case (rootDir, nt) =>
-      selectiveAt(rootDir, nt, eq)
+    * plan. `thrDen` is the workload knob [[searchAll]] exposes
+    * (default 50 = the 2% switch point). */
+  private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)],
+                                thrDen: Long = 50L): Boolean =
+    cachedFilterCounts(libId, eq).exists { case (cs, nt) =>
+      nt.exists(n =>
+        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(n).pow(eq.size))
     }
 
   /** The adaptive filtered-search route decision, exposed as a receipt
     * (the [[indexAudit]]/[[embedAudit]] pattern applied to query
     * routing): one row per requested (key, value) pair with its
     * artifact count, the build population, and the route a
-    * `searchAll(metadataEq = …)` call with exactly these pairs takes on
-    * a standing-index library (ivf or lsh) — `prefilter_exact` (scan
-    * the survivors, skip the index) or `postfilter_probe` (probe the
-    * standing structure, drop non-matching candidates). A library
-    * without a filterstats artifact reports `postfilter_probe` with
-    * cnt −1: no artifact, no decision — the serve stays on the probe
-    * route. */
-  def filterDecision(libId: Long, metadataEq: Seq[(String, String)]): DataFrame = {
+    * `searchAll(metadataEq = …, thrDen = …)` call with exactly these
+    * pairs and knobs takes:
+    *   - `prefilter_exact` — scan the survivors, skip the index (every
+    *     flat call is this by construction: flat serving filters before
+    *     the exact scan regardless of selectivity, so the route is
+    *     truthful for flat even without an artifact);
+    *   - `postfilter_probe` — probe the standing structure, drop
+    *     non-matching candidates;
+    *   - `inmemory_rekey` — lsh only: the call's (nTables, nBits, seed)
+    *     don't match the standing key table's recorded parameters (or
+    *     no key table exists), so [[searchAll]] bypasses the adaptive
+    *     switch entirely and re-keys the filtered snapshot per call —
+    *     the receipt takes the SAME params arguments searchAll does, so
+    *     receipt and serve can never disagree (the r14 advisory's
+    *     route-mismatch).
+    * A non-flat library without a filterstats artifact reports
+    * `postfilter_probe` with cnt −1: no artifact, no decision — the
+    * serve stays on the probe route. One cached read at most
+    * ([[cachedFilterCounts]]); repeat receipts are pure driver state. */
+  def filterDecision(libId: Long, metadataEq: Seq[(String, String)],
+                     nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
+                     thrDen: Long = 50L): DataFrame = {
     require(metadataEq.nonEmpty, "filterDecision needs at least one key=value pair")
-    val src = filterStatsSource(libId)
-    val counts = src.flatMap { case (rootDir, _) =>
-      filterStatsCountsAt(rootDir, metadataEq) }
-    val n = src.flatMap(_._2).getOrElse(0L)
-    val route =
-      if (counts.isDefined && selectiveEqFilter(libId, metadataEq)) "prefilter_exact"
-      else "postfilter_probe"
-    metadataEq.zip(counts.getOrElse(metadataEq.map(_ => -1L)))
+    val indexType = libRecord(libId).getAs[String]("index_type")
+    val cc = cachedFilterCounts(libId, metadataEq)
+    val n = cc.flatMap(_._2).getOrElse(0L)
+    val selective = cc.exists { case (cs, nt) =>
+      nt.exists(x =>
+        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(x).pow(metadataEq.size))
+    }
+    val route = indexType match {
+      case "flat" => "prefilter_exact"
+      case "lsh" if !lshIndexMeta(libId).exists { case (_, t, b, s) =>
+        t == nTables && b == nBits && s == seed } => "inmemory_rekey"
+      case _ => if (selective) "prefilter_exact" else "postfilter_probe"
+    }
+    metadataEq.zip(cc.map(_._1).getOrElse(metadataEq.map(_ => -1L)))
       .map { case ((kk, vv), c) => (kk, vv, c, n, route) }
       .toDF("mkey", "mval", "cnt", "n_total", "route")
   }

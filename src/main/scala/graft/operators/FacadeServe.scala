@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.api.GraftDb
+import graft.sources.Tables
+
+/** f13: the [[graft.api.GraftDb]] FACADE itself under the DuckDB oracle
+  * gate — the r14 verdict's missing strongest gate: v56 hash-gates the
+  * base+delta serving *pattern* at the registry level, but the facade's
+  * own fold → train → standing-index build → post-build delta → serve
+  * pipeline was spec-gated only. This query drives the real facade end
+  * to end (reference: the service lifecycle across
+  * app/api/routes/libraries.py + chunks.py + operations.py — create,
+  * ingest, update, delete, train, then search a standing index) and the
+  * oracle replays every step in SQL:
+  *
+  *   1. FOLD — 120 chunk upserts, the %10==5 slice re-upserted with a
+  *      different vector (latest-wins), the %17==3 slice chunk-deleted,
+  *      document 2 cascade-deleted: closed-form rules over the
+  *      embeddings table, so the oracle re-derives the identical live
+  *      set without reading the changelog.
+  *   2. TRAIN + BUILD — `trainIndex(8, 3)` (init = the 8 lowest LIVE
+  *      chunk ids — which the fold changed: id 3 is deleted and id 5
+  *      re-vectored, so the oracle's k-means must run over the folded
+  *      corpus, not the raw table) then `buildIndex`: the standing
+  *      cluster-partitioned lists + centroids + receipt under the
+  *      aside-swap.
+  *   3. DELTA — new chunks 300–305, a re-upsert of id 11, a delete of
+  *      id 4, all AFTER the build: no rebuild happens; serving must
+  *      reconcile sealed lists MINUS the delta-key/tombstone mask PLUS
+  *      the on-the-fly-assigned tail.
+  *   4. SERVE — `searchAll` (k=10, nProbes=2) over a 6-query workload:
+  *      probe-pruned standing lists + delta ≡ assigning the merged live
+  *      corpus with the same matrix (the v56 identity), which is
+  *      exactly what the oracle computes.
+  *
+  * The facade's mutations are driver-side row RPCs by design (the
+  * reference API shape); the SERVE is the distributed plan under test.
+  * At 100 TB the scenario is the production loop: a nightly build, a
+  * day of writes, every query reconciling at read time. */
+object FacadeServe {
+
+  private val NBase = 120
+  private val K = 8
+  private val Iters = 3
+  private val NQueries = 6
+  private val TopK = 10
+  private val Probes = 2
+
+  def facadeServing(spark: SparkSession, dir: String): DataFrame = {
+    Graft.init(spark)
+    // a fresh store per run: the oracle replays the exact op sequence,
+    // so a prior run's changelog must not leak into the fold. The root
+    // is scheme-less (GraftDb's existence probes are local-path java.nio
+    // like its specs') — the warehouse dir with any `file:` prefix
+    // stripped.
+    val root = Persist.tablePath(spark, "graft_f13_store").stripPrefix("file:")
+    val rp = new Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val db = new GraftDb(spark, root)
+
+    // bounded driver state: the ≤ ~330 vectors the op sequence touches
+    // (facade mutations are row RPCs — the reference API's shape; the
+    // workload SERVE below is the distributed part)
+    val byId = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < NBase || col("vec_id").between(200, 320))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dims = byId(0L).length
+
+    db.createLibrary(1L, "f13", dims, "ivf")
+    // 1. FOLD: base upserts, latest-wins re-upserts, chunk + doc deletes
+    db.upsertChunks((0L until NBase.toLong).map(id =>
+      (1L, id / 10, id, s"chunk $id", byId(id))))
+    db.upsertChunks((0L until NBase.toLong).filter(_ % 10 == 5).map(id =>
+      (1L, id / 10, id, s"chunk $id v2", byId(id + 200))))
+    (0L until NBase.toLong).filter(_ % 17 == 3).foreach(id =>
+      db.deleteChunk(1L, id / 10, id))
+    db.deleteDocument(1L, 2L) // cascades chunks 20-29
+    // 2. TRAIN + BUILD the standing index
+    db.trainIndex(1L, kCentroids = K, iters = Iters)
+    db.buildIndex(1L)
+    // 3. post-build DELTA: appends, one re-upsert, one delete — no rebuild
+    db.upsertChunks((300L to 305L).map(id =>
+      (1L, 30L, id, s"chunk $id", byId(id))))
+    db.upsertChunks(Seq((1L, 1L, 11L, "chunk 11 v2", byId(241L))))
+    db.deleteChunk(1L, 0L, 4L)
+    // 4. SERVE the workload off the standing index, base+delta
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    db.searchAll(1L, queries, k = TopK, nProbes = Probes)
+      .select(col("qid"), col("rank"), col("chunk_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The full SQL replay: fold → k-means over the folded corpus (the
+    * registry's unrolled-iteration CTEs, [[Ivf.kmeansIterCtes]], fed a
+    * DERIVED `e`/`en`) → probe → assign the post-delta live corpus with
+    * the trained matrix → probed top-k. */
+  def facadeServingOracle(): String =
+    s"""WITH eall AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |live0 AS MATERIALIZED (
+       |  SELECT b.vec_id, CASE WHEN b.vec_id % 10 = 5 THEN u.v ELSE b.v END AS v
+       |  FROM eall b LEFT JOIN eall u ON u.vec_id = b.vec_id + 200
+       |  WHERE b.vec_id < $NBase AND b.vec_id % 17 <> 3
+       |    AND NOT (b.vec_id BETWEEN 20 AND 29)),
+       |e AS MATERIALIZED (SELECT vec_id, v FROM live0),
+       |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $K),
+       |${Ivf.kmeansIterCtes(Iters)}
+       |live1 AS MATERIALIZED (
+       |  SELECT l.vec_id,
+       |         CASE WHEN l.vec_id = 11 THEN (SELECT v FROM eall WHERE vec_id = 241)
+       |              ELSE l.v END AS v
+       |  FROM live0 l WHERE l.vec_id <> 4
+       |  UNION ALL
+       |  SELECT vec_id, v FROM eall WHERE vec_id BETWEEN 300 AND 305),
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM eall WHERE vec_id < $NQueries),
+       |ps AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
+       |       FROM q CROSS JOIN c$Iters c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+       |  FROM ps) WHERE rn <= $Probes),
+       |asg_s AS (SELECT l.vec_id, c.cid, list_cosine_similarity(l.v, c.cvec) AS sim
+       |          FROM live1 l CROSS JOIN c$Iters c),
+       |asg AS MATERIALIZED (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM asg_s) WHERE rn = 1),
+       |sc AS (SELECT p.qid, a.vec_id, list_cosine_similarity(l.v, q.qvec) AS score
+       |       FROM asg a JOIN probes p ON a.cluster_id = p.cid
+       |            JOIN live1 l ON a.vec_id = l.vec_id JOIN q ON p.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM sc)
+       |SELECT qid, rank, vec_id AS chunk_id, round(score, 4) AS score
+       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+}

@@ -318,9 +318,17 @@ object Ivf {
     * exercises exactly that dataset. (PQ subspace codebook training keeps
     * the keep-old rule: the reference has no PQ to be faithful to, and a
     * reseed there would have to re-pick per (m, cell) pair.) */
+  /** Count of [[trainCentroids]] invocations this JVM — observability for
+    * the lazy-retrain contract ([[graft.api.GraftDb.buildIndex]]'s keep
+    * path must run ZERO training; the spec reads this counter across a
+    * refresh instead of guessing from timings). Monotonic, test-read
+    * only — never branched on. */
+  private[graft] val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def trainCentroids(spark: SparkSession, emb: DataFrame, iters: Int,
                                     init: Option[Array[(Long, Array[Double])]] = None
                                    ): Array[(Long, Array[Double])] = {
+    trainInvocations.incrementAndGet()
     var centroids: Array[(Long, Array[Double])] =
       init.getOrElse(emb.filter(col("vec_id") < K).orderBy("vec_id").collect().map { r =>
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -875,14 +883,16 @@ object Ivf {
     * cluster_id, sim)` against it (trailing comma — callers append their
     * tail CTEs). Shared with [[IvfPq.searchTrainedOracle]], which appends
     * residual + PQ-training CTEs after it. */
-  private[operators] def trainCtes(iters: Int, sampled: Boolean = false): String = {
+  /** The unrolled Lloyd's-iteration CTE chain alone (c0 → c`iters`),
+    * reading the corpus from CTEs named `te`/`ten` — extracted from
+    * [[trainCtes]] so oracles over a DERIVED corpus (e.g. the facade
+    * fold in [[FacadeServe]]) can replay the identical training with
+    * their own `e`/`en` definitions. Emits a trailing comma. */
+  private[operators] def kmeansIterCtes(iters: Int, te: String = "e",
+                                        ten: String = "en"): String = {
     val Q = Graft.QuantScale
     val d = 64
-    // training reads the (possibly sampled) slice; the final full-corpus
-    // assignment below always reads `e`/`en`
-    val te = if (sampled) "es" else "e"
-    val ten = if (sampled) "ens" else "en"
-    val iterCtes = (1 to iters).map { t =>
+    (1 to iters).map { t =>
       val p = s"c${t - 1}"
       // AS MATERIALIZED on every state CTE: each is referenced 2-4 times by
       // the following iteration — inlined, the 5-deep chain re-expands
@@ -914,6 +924,14 @@ object Ivf {
          |        LEFT JOIN me$t me USING (cid)
          |        LEFT JOIN fv$t f ON me.rn = f.rn),""".stripMargin
     }.mkString("\n")
+  }
+
+  private[operators] def trainCtes(iters: Int, sampled: Boolean = false): String = {
+    // training reads the (possibly sampled) slice; the final full-corpus
+    // assignment below always reads `e`/`en`
+    val te = if (sampled) "es" else "e"
+    val ten = if (sampled) "ens" else "en"
+    val iterCtes = kmeansIterCtes(iters, te, ten)
     // sampled init: first K SAMPLE members by id (the full-corpus c0 keeps
     // its vec_id < K form so existing oracles stay byte-stable)
     val sampleCtes =

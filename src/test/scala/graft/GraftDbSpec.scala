@@ -555,6 +555,135 @@ class GraftDbSpec extends GraftSuite {
       "broad filter leaked a non-matching candidate")
   }
 
+  test("adaptive filter receipt is uniform: flat libraries get artifact-sourced counts and a truthful route") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(6L, "flat", dims, "flat")
+    def lang(id: Long) = if (id == 4L) "xx" else "en"
+    db.upsertChunksMeta(corpus.take(60).map { case (id, t, e) =>
+      (6L, id / 10, id, t, e, Map("lang" -> lang(id))) })
+    db.compact() // writes the flat filterstats artifact + receipt
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"${db.root}/flat_index/lib=6/filterstats")), "no flat filterstats artifact")
+
+    // selective pair: artifact-sourced counts, route prefilter_exact
+    val rare = db.filterDecision(6L, Seq("lang" -> "xx")).collect()
+    assert(rare.head.getLong(2) === 1L && rare.head.getLong(3) === 60L &&
+      rare.forall(_.getString(4) == "prefilter_exact"), rare.mkString(","))
+    // broad pair: flat IS the exact pre-filtered scan regardless of
+    // selectivity, so the route stays prefilter_exact — truthful, where
+    // the old receipt reported a probe route flat serving never takes
+    val broad = db.filterDecision(6L, Seq("lang" -> "en")).collect()
+    assert(broad.head.getLong(2) === 59L &&
+      broad.forall(_.getString(4) == "prefilter_exact"), broad.mkString(","))
+    // and the serve agrees: exact results over the survivor set
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val got = db.searchAll(6L, workload, k = 3, metadataEq = Seq("lang" -> "xx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((2L, 1L, 4L), (7L, 1L, 4L)),
+      s"flat filtered serve diverged from the exact survivor scan: $got")
+    // format_version rides the new receipt (the explicit marker the
+    // column-sniff era lacked)
+    val meta = spark.read.parquet(s"${db.root}/flat_index/lib=6/meta").collect().head
+    assert(meta.getAs[Int]("format_version") === GraftDb.IndexMetaV)
+  }
+
+  test("filterDecision receipt == the route searchAll takes, including the lsh param-mismatch fallback") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(7L, "lsh", dims, "lsh")
+    def lang(id: Long) = if (id == 9L) "xx" else "en"
+    db.upsertChunksMeta(corpus.take(60).map { case (id, t, e) =>
+      (7L, id / 10, id, t, e, Map("lang" -> lang(id))) })
+    db.compact() // standing key table with the default (4, 10, 1000) params
+
+    // matched params: receipt and serve agree on the adaptive switch
+    val dec = db.filterDecision(7L, Seq("lang" -> "xx")).collect()
+    assert(dec.forall(_.getString(4) == "prefilter_exact"), dec.mkString(","))
+    // MISMATCHED params: searchAll bypasses the adaptive switch and
+    // re-keys in memory — the receipt, taking the same param arguments,
+    // must say so instead of reporting a route the serve never takes
+    // (the r14 advisory's route-mismatch)
+    val mm = db.filterDecision(7L, Seq("lang" -> "xx"), nTables = 8).collect()
+    assert(mm.forall(_.getString(4) == "inmemory_rekey"), mm.mkString(","))
+    assert(mm.head.getLong(2) === 1L,
+      "mismatched params must not blank the artifact counts — only the route changes")
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val mmServe = db.searchAll(7L, workload, k = 3, nTables = 8,
+      metadataEq = Seq("lang" -> "xx"))
+    assert(!mmServe.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "param-mismatched serve still read the standing key table")
+    // the in-memory route is bucket-probed over the FILTERED snapshot:
+    // any hit must be the survivor (a probe may legitimately miss —
+    // which is exactly why the matched-params selective branch exists)
+    assert(mmServe.collect().map(_.getLong(2)).forall(_ == 9L))
+  }
+
+  test("thrDen is a workload knob: a larger threshold flips the broad filter to the exact branch on both receipt and serve") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(8L, "ivf", dims, "ivf")
+    def lang(id: Long) = if (id == 4L) "xx" else "en"
+    db.upsertChunksMeta(corpus.take(60).map { case (id, t, e) =>
+      (8L, id / 10, id, t, e, Map("lang" -> lang(id))) })
+    db.trainIndex(8L, kCentroids = 4, iters = 2)
+    db.compact()
+    // default 2% threshold: lang=en (59/60) is broad → probe route
+    assert(db.filterDecision(8L, Seq("lang" -> "en")).collect()
+      .forall(_.getString(4) == "postfilter_probe"))
+    // thrDen=1 (accept any filter): 1·59 ≤ 60 → the same pair routes
+    // prefilter_exact, and the serve takes the same branch (no standing
+    // lists in the plan) — receipt and serve share one knob
+    assert(db.filterDecision(8L, Seq("lang" -> "en"), thrDen = 1L).collect()
+      .forall(_.getString(4) == "prefilter_exact"))
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val sel = db.searchAll(8L, workload, k = 3, metadataEq = Seq("lang" -> "en"),
+      thrDen = 1L)
+    assert(!sel.queryExecution.executedPlan.toString.contains("ivf_index"),
+      "thrDen=1 serve still probed the standing lists")
+    assert(sel.collect().nonEmpty)
+  }
+
+  test("index meta format_version: new receipts carry v2; a v1 (column-sniffed) lsh receipt still opens and serves") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(9L, "lsh", dims, "lsh")
+    db.upsertChunksMeta(corpus.take(30).map { case (id, t, e) =>
+      (9L, id / 10, id, t, e, Map("lang" -> "en")) })
+    db.compact()
+    val metaPath = s"${db.root}/lsh_index/lib=9/meta"
+    val v2 = spark.read.parquet(metaPath).collect().head
+    assert(v2.getAs[Int]("format_version") === GraftDb.IndexMetaV,
+      "new lsh receipt missing the explicit format marker")
+    // rewrite the receipt as a v1-era one: no format_version, no n_total
+    // (the shape the column-sniff readers were built for)
+    import spark.implicits._
+    val v1 = Seq((v2.getAs[Long]("index_seq"), v2.getAs[Int]("n_tables"),
+      v2.getAs[Int]("n_bits"), v2.getAs[Long]("seed")))
+      .toDF("index_seq", "n_tables", "n_bits", "seed")
+    val tmp = s"${db.root}/lsh_index/lib=9/meta_v1tmp"
+    v1.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(metaPath))
+    // a fresh session over the same root opens the legacy receipt: the
+    // standing key table still serves (params match), and the adaptive
+    // decision degrades safely to the probe route (no n_total)
+    val db2 = new GraftDb(spark, db.root)
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val hits = db2.searchAll(9L, workload, k = 3)
+    assert(hits.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "legacy v1 receipt lost the standing key table")
+    assert(hits.collect().nonEmpty)
+    val dec = db2.filterDecision(9L, Seq("lang" -> "en")).collect()
+    assert(dec.forall(_.getString(4) == "postfilter_probe"),
+      s"v1 receipt without n_total must keep the probe route: ${dec.mkString(",")}")
+  }
+
   test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
     val db = freshDb()
     val dims = corpus.head._3.length
@@ -577,6 +706,20 @@ class GraftDbSpec extends GraftSuite {
     assert(a1.head.getAs[Long]("n_total") === 24L)
     assert(db.search(5L, q, k = 5).collect().map(_.getLong(1)).toSeq === before,
       "keep-branch compaction changed results")
+
+    // LAZY KEEP (r15): with a standing index and an unchanged corpus,
+    // the next refresh decides keep at stage 1 — ZERO k-means
+    // invocations (the counter is the gate, not timings), receipt and
+    // results unchanged
+    val trainsBefore = graft.operators.Ivf.trainInvocations.get()
+    db.compact()
+    assert(graft.operators.Ivf.trainInvocations.get() === trainsBefore,
+      "keep path on an unchanged corpus trained a candidate")
+    val a1b = db.indexAudit(5L).collect().head
+    assert(a1b.getAs[String]("decision") === "keep" &&
+      a1b.getAs[Long]("off_diag") === 0L && a1b.getAs[Long]("n_total") === 24L, s"$a1b")
+    assert(db.search(5L, q, k = 5).collect().map(_.getLong(1)).toSeq === before,
+      "lazy keep-path refresh changed results")
 
     // RETRAIN: new chunks BELOW the old seed ids change the candidate's
     // seed population — every vector relabels (full drift by
