@@ -649,29 +649,85 @@ object Streams {
     * segment-append pattern of every production ANN store (FAISS
     * shards / Milvus segments): the quantizer is fixed, data flows in,
     * directories accumulate; compaction ([[compactIvfLists]]) folds the
-    * batch level away whenever convenient. */
+    * batch level away whenever convenient.
+    *
+    * DURABILITY PRECONDITIONS (r15, closing the r14 advisory):
+    *   - The batch-keyed repair guarantee assumes a STABLE batchId→rows
+    *     mapping across restarts, which only a durable streaming
+    *     checkpoint plus a replayable source provides — pass
+    *     `checkpoint` in production so a restarted query re-delivers
+    *     the SAME batches with the SAME ids; without one, Spark assigns
+    *     a fresh temp checkpoint and a restart may renumber batches,
+    *     whose overwrites could then land over unrelated directories.
+    *   - Each replayed batch is staged under `<table>_staging/` (hidden
+    *     from readers) and then swapped directory-for-directory, so a
+    *     concurrent [[graft.operators.Persist.probedListsSearch]] or
+    *     [[ivfSizeState]] during a replay sees the old fileset or the
+    *     new (row-identical) one — never a half-deleted directory (the
+    *     aside-swap shape the facade's buildIndex uses).
+    *   - A warehouse written by the RETIRED append+commit-log protocol
+    *     (flat `cluster_id=` directories at the table root) cannot be
+    *     appended to in the new layout — mixed partition depths fail
+    *     Spark's directory-structure check at read time — so the first
+    *     batch REFUSES loudly and names the migration
+    *     ([[compactIvfLists]] the old tree, or drop and re-ingest);
+    *     the old protocol's now-orphaned `<table>_commits` table is
+    *     dropped. */
   def ivfIngestStream(embStream: DataFrame, dir: String, table: String,
-                      iters: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+                      iters: Int = 5, checkpoint: Option[String] = None
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       val mat = graft.operators.Ivf.trainedCentroidsFor(s, dir, iters)
       val wh = s.conf.get("spark.sql.warehouse.dir")
+      val tableRoot = new org.apache.hadoop.fs.Path(wh + "/" + table)
+      val fs = tableRoot.getFileSystem(s.sessionState.newHadoopConf())
+      // legacy-layout guard: refuse to interleave batch_id= directories
+      // with a flat cluster_id= tree (the retired protocol's layout) —
+      // the mixed tree is unreadable, so failing the FIRST write with
+      // the migration path beats failing every future read
+      if (fs.exists(tableRoot) && fs.listStatus(tableRoot).exists(
+          _.getPath.getName.startsWith("cluster_id=")))
+        throw new IllegalStateException(
+          s"table '$table' holds the retired flat cluster_id= layout; " +
+            "compact it (compactIvfLists) or drop and re-ingest before " +
+            "streaming with the batch-keyed protocol")
+      if (s.catalog.tableExists(table + "_commits"))
+        s.sql(s"DROP TABLE `${table}_commits`") // retired protocol's log
       val assigned = graft.operators.Ivf.assignToMat(batch, mat)
         .select(col("vec_id"), col("embedding"), col("cluster_id"))
-      assigned
-        .write.mode("overwrite").partitionBy("cluster_id")
-        .parquet(wh + "/" + table + s"/batch_id=$batchId")
+      /** Stage under `<table>_staging` (invisible to readers of the live
+        * tree), then aside-swap the batch directory into place. */
+      def swapIn(write: String => Unit, target: String): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(
+          s"${wh}/${table}_staging/${new org.apache.hadoop.fs.Path(target).getName}")
+        fs.delete(staging, true)
+        write(staging.toString)
+        val live = new org.apache.hadoop.fs.Path(target)
+        // dot-prefixed aside: hidden from partition discovery, so a
+        // reader racing the swap never sees the old copy as a second
+        // batch_id= partition
+        val aside = new org.apache.hadoop.fs.Path(
+          live.getParent, "." + live.getName + "_replaced")
+        fs.mkdirs(live.getParent)
+        fs.delete(aside, true)
+        if (fs.exists(live)) fs.rename(live, aside)
+        fs.rename(staging, live)
+        fs.delete(aside, true)
+      }
+      swapIn(p => assigned.write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(p), wh + "/" + table + s"/batch_id=$batchId")
       // the sidecar increment re-assigns the MICRO-BATCH, not the corpus
-      assigned
+      swapIn(p => assigned
         .groupBy(col("cluster_id").cast("long").as("cluster_id"))
         .agg(count(lit(1)).as("csize"))
-        .write.mode("overwrite")
-        .parquet(wh + "/" + table + s"_sizes/batch_id=$batchId")
+        .write.mode("overwrite").parquet(p),
+        wh + "/" + table + s"_sizes/batch_id=$batchId")
     }
-    embStream.writeStream
+    val writer = embStream.writeStream
       .outputMode("append")
       .foreachBatch(writeBatch)
-      .start()
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   /** The SUM-fold over [[ivfIngestStream]]'s size-sidecar increments: the
@@ -749,8 +805,13 @@ object Streams {
     * directories (here and [[ivfIngestStream]]'s list+sidecar pair,
     * where a sidecar double-count would corrupt the fold).
     * State on disk grows one row per (batch, column, distinct value);
-    * the same fold compacts it whenever convenient (p16's merge). */
-  def statsFreqStream(docs: DataFrame, table: String, cols: Seq[String]
+    * the same fold compacts it whenever convenient (p16's merge).
+    * Like [[ivfIngestStream]], the replay-repair guarantee presumes a
+    * stable batchId→rows mapping: pass `checkpoint` in production so a
+    * restarted query resumes the same batch numbering from a replayable
+    * source. */
+  def statsFreqStream(docs: DataFrame, table: String, cols: Seq[String],
+                      checkpoint: Option[String] = None
                      ): org.apache.spark.sql.streaming.StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
@@ -763,7 +824,8 @@ object Streams {
         .parquet(s.conf.get("spark.sql.warehouse.dir") + "/" + table +
           s"_freq/batch_id=$batchId")
     }
-    docs.writeStream.outputMode("append").foreachBatch(writeBatch).start()
+    val writer = docs.writeStream.outputMode("append").foreachBatch(writeBatch)
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   /** The SUM-fold over [[statsFreqStream]]'s increments: the current

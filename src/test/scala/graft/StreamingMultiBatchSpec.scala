@@ -339,6 +339,71 @@ class StreamingMultiBatchSpec extends GraftSuite {
       s"compaction did not reduce file count (${parquetFiles(path2)} vs ${parquetFiles(path)})")
   }
 
+  test("ivf ingest guards: legacy flat layout refused with migration guidance; swap leaves no residue; checkpoint accepted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+    val small = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().take(20).toSeq
+
+    // 1. legacy layout: flat cluster_id= dirs at the table root (the
+    // retired append+commit-log protocol) — the FIRST batch must refuse
+    // loudly instead of writing a mixed-depth tree that fails every read
+    val legacy = "graft_idx_ivf_legacyguard"
+    operators.Persist.dropIndexTable(spark, legacy)
+    operators.Persist.dropIndexTable(spark, legacy + "_sizes")
+    Seq((1L, Array(0.1f, 0.2f), 3L)).toDF("vec_id", "embedding", "cluster_id")
+      .write.partitionBy("cluster_id").parquet(s"$whDir/$legacy")
+    val ls = MemoryStream[(Long, Array[Float])]
+    val lq = Streams.ivfIngestStream(ls.toDF().toDF("vec_id", "embedding"), sf, legacy)
+    ls.addData(small)
+    val err = intercept[Throwable] { lq.processAllAvailable() }
+    lq.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(err).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("retired flat cluster_id= layout")),
+      s"legacy layout not refused with guidance: $err")
+    // nothing was interleaved into the legacy tree
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$whDir/$legacy/batch_id=0".stripPrefix("file:"))),
+      "refused batch still wrote into the legacy tree")
+
+    // 2. clean table + explicit checkpoint: ingests, and the staged swap
+    // leaves neither staging batch dirs nor hidden asides behind
+    val table = "graft_idx_ivf_ckpt"
+    operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_sizes")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val cs = MemoryStream[(Long, Array[Float])]
+    val cq = Streams.ivfIngestStream(cs.toDF().toDF("vec_id", "embedding"), sf, table,
+      checkpoint = Some(ckpt))
+    try {
+      cs.addData(small)
+      cq.processAllAvailable()
+    } finally cq.stop()
+    assert(spark.read.parquet(s"$whDir/$table").count() === small.length.toLong)
+    val ckptFiles = java.nio.file.Files.list(java.nio.file.Paths.get(ckpt))
+    try assert(ckptFiles.iterator().hasNext, "checkpoint location unused")
+    finally ckptFiles.close()
+    def residue(root: String, pred: String => Boolean): Seq[String] = {
+      val p = java.nio.file.Paths.get(root.stripPrefix("file:"))
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.forEach(f => if (pred(f.getFileName.toString)) out += f.toString)
+          out.toSeq
+        } finally s.close()
+      }
+    }
+    assert(residue(s"$whDir/${table}_staging", _.startsWith("batch_id=")).isEmpty,
+      "staged batch directory left behind after the swap")
+    assert(residue(s"$whDir/$table", _.endsWith("_replaced")).isEmpty &&
+      residue(s"$whDir/${table}_sizes", _.endsWith("_replaced")).isEmpty,
+      "hidden aside directory left behind after the swap")
+  }
+
   test("streaming Bloom sidecar: OR-folded increments == batch build bit-for-bit; replay harmless; lookups never miss") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_skip_stream"
