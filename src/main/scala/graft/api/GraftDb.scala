@@ -906,7 +906,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     scrubArchives(target)
     // chase the DERIVED serving artifacts (the p12 discipline): a standing
     // index still carries the purged chunks' text + vectors in its lists —
-    // rebuild every index from the post-purge snapshot (stale ones drop)
+    // rebuild every index from the post-purge snapshot (stale ones drop).
+    // The library's ARCHIVED model generations drop first: centroids are
+    // trained on (and a seed id literally names) the purged data, and
+    // purge outranks time-travel reproducibility (the scrubArchives rule
+    // applied to models) — approximate pins fall back to exact; the
+    // refresh below re-archives one clean post-purge generation.
+    fs.delete(new Path(ivfArchiveRoot(libId)), true)
     refreshIndexes()
     val liveAudits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
       case (name, log) =>
@@ -935,7 +941,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val idxAudits = Seq(
       derivedAudit("ivf_index", s"${indexRoot(libId)}/lists"),
       derivedAudit("lsh_index", s"${lshIndexRoot(libId)}/keys"))
-    (liveAudits ++ archAudits ++ idxAudits).reduce(_ unionAll _).orderBy("log")
+    // stale archived model generations remaining (anything but the live
+    // index's own generation was trained on pre-purge data): 0 on success
+    val liveGen = indexMetaRow(libId).map(_.getAs[Long]("index_seq"))
+    val staleModels = archivedIndexGens(libId).filterNot(liveGen.contains).length.toLong
+    val modelAudit = spark.range(1).select(
+      lit("ivf_index_archive").as("log"), lit(staleModels).as("n_remaining"))
+    (liveAudits ++ archAudits ++ idxAudits :+ modelAudit)
+      .reduce(_ unionAll _).orderBy("log")
   }
 
   /** Rewrite every archived generation's chunk/document logs WITHOUT the
@@ -1363,6 +1376,33 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // leaving it stale only makes the next candidate comparison see the
     // same old model again — the index itself stays self-consistent)
     if (retrain) writeCentroidArtifact(libId, winner, trainParams(libId).map(_._2).getOrElse(0))
+    // archive this generation's MODEL (K+1 rows — centroids + receipt)
+    // for time-travel serving: [[pinnedSearchAll]] with pinIndexed=true
+    // reproduces the approximate ranking the live route served while
+    // this generation stood. The lists are NOT archived (corpus-sized);
+    // assignment is a pure function of (corpus, matrix), so matrix+meta
+    // suffice — the v56 identity. A crash between the swap and this
+    // write only costs the pin's approximate replay for one generation
+    // (it falls back to exact); a retention job may delete old `gen=`
+    // dirs, which only narrows how far back the approximate pin
+    // reaches.
+    val genDir = s"${ivfArchiveRoot(libId)}/gen=${seq - 1}"
+    spark.read.parquet(s"${indexRoot(libId)}/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    spark.read.parquet(s"${indexRoot(libId)}/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
+  }
+
+  private def ivfArchiveArea = s"$root/ivf_index_archive"
+  private def ivfArchiveRoot(libId: Long) = s"$ivfArchiveArea/lib=$libId"
+
+  /** The archived model generations for a library, by the index_seq each
+    * covered from — directory-listing-sized driver state. */
+  private def archivedIndexGens(libId: Long): Seq[Long] = {
+    val p = new Path(ivfArchiveRoot(libId))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
   }
 
   // ---- persisted LSH index (standing key rows, same discipline) -----------
@@ -1572,6 +1612,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .foreach(id => fs.delete(new Path(lshIndexRoot(id)), true))
     (existingIndexLibs(flatStatsArea) -- liveFlat)
       .foreach(id => fs.delete(new Path(flatStatsRoot(id)), true))
+    // archived model generations follow their library's lifecycle: a
+    // deleted or re-typed library keeps no time-travel models
+    (existingIndexLibs(ivfArchiveArea) -- liveIvfTrained)
+      .foreach(id => fs.delete(new Path(ivfArchiveRoot(id)), true))
     liveIvfTrained.foreach(buildIndex(_))
     liveLsh.foreach { id =>
       lshIndexMeta(id) match {
@@ -1631,14 +1675,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * of the survivors instead of probing (v51's adaptive pre/post-filter
     * switch at the facade; [[filterDecision]] is the receipt);
     * `asOfSeq` pins the search to a historical snapshot ([[asOf]]) and
-    * serves it EXACT — see [[pinnedSearchAll]]. */
+    * serves it EXACT by default — see [[pinnedSearchAll]]; `pinIndexed =
+    * true` instead replays the APPROXIMATE ranking the ivf route served
+    * at that seq, from the archived model generation. */
   def searchAll(libId: Long, queries: DataFrame, k: Int = 10,
                 includeChunk: Boolean = false, nProbes: Int = 2,
                 nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
                 metadataFilter: Option[Column] = None,
                 metadataEq: Seq[(String, String)] = Seq.empty,
                 asOfSeq: Option[Long] = None,
-                thrDen: Long = 50L): DataFrame = {
+                thrDen: Long = 50L,
+                pinIndexed: Boolean = false): DataFrame = {
     // arbitrary-Column and key=value metadata filters, applied uniformly
     // to any candidate slice carrying the (vec_id, embedding, doc_id,
     // text, metadata) shape — snapshot, persisted lists, delta, or a
@@ -1651,7 +1698,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
     }
     asOfSeq match {
       case Some(s) =>
-        return pinnedSearchAll(libId, queries, k, includeChunk, candFilters, s)
+        return pinnedSearchAll(libId, queries, k, includeChunk, candFilters, s,
+          nProbes, pinIndexed)
       case None =>
     }
     val lib = libRecord(libId)
@@ -1940,17 +1988,28 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * reproducing yesterday's retrieval results (audit/debug of
     * training-data selection) instead of only yesterday's rows. The
     * pinned corpus is the prefix-replay-equivalent fold; serving is
-    * EXACT regardless of the library's index_type, deliberately: index
-    * state (trained matrices, standing lists) is NOT versioned, so an
-    * approximate route could not reproduce the historical ranking —
-    * exact search is the strongest reproducibility contract: results
-    * are a pure function of the pinned corpus (spec: ≡ searching the
+    * EXACT by default regardless of the library's index_type: exact
+    * search is the strongest reproducibility contract — results a pure
+    * function of the pinned corpus (spec: ≡ searching the
     * prefix-replayed corpus, before and after later compactions).
+    *
+    * `pinIndexed = true` (r15) replays the APPROXIMATE ivf route
+    * instead, from the ARCHIVED model generation standing at the pin
+    * ([[buildIndex]] archives each generation's centroids + receipt,
+    * K+1 rows): the live route at seq s served sealed-lists-plus-delta
+    * under the generation's matrix, and base+delta ≡ assigning the
+    * whole pinned corpus with that matrix (the v56 identity) — so
+    * assigning the pinned fold with the archived matrix and probing the
+    * same rule reproduces the historical ranking exactly, WITHOUT
+    * archiving any corpus-sized lists. No archived generation at-or-
+    * before the pin (pre-index history, a retention-trimmed archive, or
+    * a non-ivf library) falls back to the exact contract.
     * The library must have existed at the pin. */
   private def pinnedSearchAll(libId: Long, queries: DataFrame, k: Int,
                               includeChunk: Boolean,
                               candFilters: DataFrame => DataFrame,
-                              s: Long): DataFrame = {
+                              s: Long, nProbes: Int = 2,
+                              pinIndexed: Boolean = false): DataFrame = {
     val (chunkSrc, libSrc) = pinnedLogSlices(s)
     val libSlice = libSrc.filter(col("seq") <= s)
     val libsAt = foldLibLog(libSlice)
@@ -1962,10 +2021,27 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
         col("text"), col("metadata"))
     val snap = candFilters(base)
+    val emb = snap.select(col("vec_id"), col("embedding"))
     val qs = queries.select(col("qid"), col("qvec"))
-    val hits = Knn.topkPerQuery(
-      Knn.scoreAll(snap.select(col("vec_id"), col("embedding")), qs, "cosine"),
-      "cosine", k)
+    val pinnedGen: Option[Long] =
+      if (!pinIndexed) None else archivedIndexGens(libId).filter(_ <= s).maxOption
+    val hits = pinnedGen match {
+      case Some(g) =>
+        val mat = spark.read.parquet(s"${ivfArchiveRoot(libId)}/gen=$g/centroids")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val probes = probeAssignments(qs, mat, nProbes)
+        val scored = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+          .join(broadcast(probes), Seq("cluster_id"))
+          .select(col("qid"), col("vec_id"))
+          .join(emb, Seq("vec_id"))
+          .join(broadcast(qs), Seq("qid"))
+          .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("score"))
+        Knn.topkPerQuery(scored, "cosine", k)
+      case None =>
+        Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
+    }
     finishHits(snap, hits, includeChunk)
   }
 

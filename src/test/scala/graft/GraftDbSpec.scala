@@ -279,7 +279,7 @@ class GraftDbSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L,
       "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L,
-      "ivf_index" -> 0L, "lsh_index" -> 0L))
+      "ivf_index" -> 0L, "lsh_index" -> 0L, "ivf_index_archive" -> 0L))
     // storage-level proof: the raw parquet files carry no trace of doc 1
     assert(spark.read.parquet(s"${db.root}/chunks_log")
       .filter(col("doc_id") === 1L).count() === 0L)
@@ -785,6 +785,61 @@ class GraftDbSpec extends GraftSuite {
     val e = intercept[IllegalArgumentException](
       db.searchAll(9L, workload, asOfSeq = Some(pin)))
     assert(e.getMessage.contains("as of"))
+  }
+
+  test("pinned APPROXIMATE search: the archived model generation reproduces the live ivf ranking at the pin; purge drops stale models") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(11L, "ttidx", dims, "ivf") // seq 0
+    db.upsertChunks((0 until 24).map(i =>
+      (11L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3))) // seq 1..24
+    db.trainIndex(11L, kCentroids = 4, iters = 2)
+    db.buildIndex(11L) // archives generation 24 (= the meta's index_seq)
+    val pin = 24L
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // nProbes=1 of 4 clusters: the approximate route genuinely prunes
+    val livePin = res(db.searchAll(11L, workload, k = 5, nProbes = 1))
+
+    // history moves on: a reseeding delta + compact retrains and
+    // archives a second generation; live results change
+    db.upsertChunks((0 until 12).map(i =>
+      (11L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3)))
+    db.compact()
+    assert(res(db.searchAll(11L, workload, k = 5, nProbes = 1)) !== livePin,
+      "the live ranking did not move — the pin proves nothing")
+
+    // the approximate pin replays the RANKING the live route served at
+    // the pin — bit-for-bit, from the archived matrix + the pinned fold
+    // (no lists archived: assignment is a pure function of both)
+    val approxPin = res(db.searchAll(11L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pin), pinIndexed = true))
+    assert(approxPin === livePin,
+      s"archived-generation pin diverged from the ranking served at the pin")
+    // and it IS the approximate route, not exact-at-pin relabeled
+    val exactPin = res(db.searchAll(11L, workload, k = 5, asOfSeq = Some(pin)))
+    assert(approxPin !== exactPin,
+      "probe-pruned pin equals exact — the test corpus does not exercise the route")
+
+    // a pin BEFORE any archived generation falls back to the exact contract
+    val earlyPin = 10L
+    assert(res(db.searchAll(11L, workload, k = 5, asOfSeq = Some(earlyPin),
+      pinIndexed = true)) ===
+      res(db.searchAll(11L, workload, k = 5, asOfSeq = Some(earlyPin))),
+      "pre-index pin did not fall back to exact")
+
+    // purge outranks reproducibility: stale archived models drop (audit
+    // row), and the approximate pin falls back to exact afterwards
+    val audit = db.purgeDocument(11L, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("ivf_index_archive") === 0L,
+      s"pre-purge model generations survive the purge: $audit")
+    assert(res(db.searchAll(11L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pin), pinIndexed = true)) ===
+      res(db.searchAll(11L, workload, k = 5, asOfSeq = Some(pin))),
+      "approximate pin still served a purged generation's model")
   }
 
   test("crash repair: scrub leftovers complete or restore on open; a damaged archived generation fails loudly") {
