@@ -1169,14 +1169,42 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private def ivfIndexArea = s"$root/ivf_index"
   private def indexRoot(libId: Long) = s"$ivfIndexArea/lib=$libId"
 
+  /** Driver cache of the one-row index metas (ivf/lsh/flat), keyed by
+    * path: the serving dispatch reads these on EVERY call, and the
+    * facade is single-writer by contract, so a meta changes only
+    * through this instance's own build/refresh entries — each of which
+    * calls [[invalidateIndexMeta]]. Bounded: one entry per standing
+    * artifact. Rows are collected once per generation; a missing path
+    * caches as empty (the dominant flat/untrained case). */
+  // lazy: [[repairIndexSwaps]] invalidates it from the CONSTRUCTOR
+  // (recoverPendingCompact), before plain vals this far down initialize
+  private lazy val indexMetaCache =
+    scala.collection.mutable.HashMap.empty[String, Seq[org.apache.spark.sql.Row]]
+
+  private def readMetaCached(p: String): Seq[org.apache.spark.sql.Row] = {
+    // revalidate against a cheap existence probe: an OUT-OF-BAND drop
+    // (an external retention job deleting an index dir) must flip the
+    // dispatch to the fallback route on the very next call — only the
+    // expensive read+collect is amortized, never the liveness check
+    val exists = Files.exists(Paths.get(p))
+    indexMetaCache.get(p) match {
+      case Some(rows) if exists == rows.nonEmpty => rows
+      case _ =>
+        val rows =
+          if (!exists) Seq.empty[org.apache.spark.sql.Row]
+          else spark.read.parquet(p).collect().toSeq
+        indexMetaCache(p) = rows
+        rows
+    }
+  }
+
+  private def invalidateIndexMeta(): Unit = indexMetaCache.clear()
+
   /** The standing index's one-row metadata (index_seq + the last
     * maintenance decision receipt), None when the library has no
     * persisted index — the serving dispatch bit. */
-  private def indexMetaRow(libId: Long): Option[org.apache.spark.sql.Row] = {
-    val p = s"${indexRoot(libId)}/meta"
-    if (!Files.exists(Paths.get(p))) None
-    else spark.read.parquet(p).collect().headOption
-  }
+  private def indexMetaRow(libId: Long): Option[org.apache.spark.sql.Row] =
+    readMetaCached(s"${indexRoot(libId)}/meta").headOption
 
   /** The centroid matrix the standing index was BUILT with — stored
     * inside the index directory so the swap is atomic for everything
@@ -1252,6 +1280,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val emb = snap.select(col("vec_id"), col("embedding"))
     if (emb.limit(1).isEmpty) { // nothing live: drop the standing index
       fs.delete(new Path(indexRoot(libId)), true)
+      invalidateIndexMeta()
       return
     }
     val bld = s"${indexRoot(libId)}_building"
@@ -1391,6 +1420,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
     spark.read.parquet(s"${indexRoot(libId)}/meta")
       .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
+    invalidateIndexMeta()
   }
 
   private def ivfArchiveArea = s"$root/ivf_index_archive"
@@ -1415,26 +1445,19 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * standing index ONLY when the call's (nTables, nBits, seed) match
     * the recorded ones — a mismatched call falls back to in-memory
     * keying (correct, unaccelerated) instead of probing wrong buckets. */
-  private def lshIndexMeta(libId: Long): Option[(Long, Int, Int, Long)] = {
-    val p = s"${lshIndexRoot(libId)}/meta"
-    if (!Files.exists(Paths.get(p))) None
-    else spark.read.parquet(p).collect().headOption.map(m =>
+  private def lshIndexMeta(libId: Long): Option[(Long, Int, Int, Long)] =
+    readMetaCached(s"${lshIndexRoot(libId)}/meta").headOption.map(m =>
       (m.getAs[Long]("index_seq"), m.getAs[Int]("n_tables"),
         m.getAs[Int]("n_bits"), m.getAs[Long]("seed")))
-  }
 
   /** The lsh meta receipt's build population — None for a receipt
-    * written before `n_total` existed (the adaptive filter decision
-    * then stays on the probe route; legacy-safe). */
-  private def lshIndexNTotal(libId: Long): Option[Long] = {
-    val p = s"${lshIndexRoot(libId)}/meta"
-    if (!Files.exists(Paths.get(p))) None
-    else {
-      val df = spark.read.parquet(p)
-      if (!df.columns.contains("n_total")) None
-      else df.collect().headOption.map(_.getAs[Long]("n_total"))
-    }
-  }
+    * written before `n_total` existed (the format_version-1 era sniff;
+    * the adaptive filter decision then stays on the probe route:
+    * legacy-safe). */
+  private def lshIndexNTotal(libId: Long): Option[Long] =
+    readMetaCached(s"${lshIndexRoot(libId)}/meta").headOption
+      .filter(_.schema.fieldNames.contains("n_total"))
+      .map(_.getAs[Long]("n_total"))
 
   /** BUILD/REFRESH the library's standing LSH key table — the lsh twin
     * of [[buildIndex]]: SimHash keys are a PER-VECTOR function, so the
@@ -1457,6 +1480,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
         col("metadata"))
     if (snap.limit(1).isEmpty) {
       fs.delete(new Path(lshIndexRoot(libId)), true)
+      invalidateIndexMeta()
       return
     }
     val bld = s"${lshIndexRoot(libId)}_building"
@@ -1483,6 +1507,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new Path(bld), live)
     if (fs.exists(aside)) fs.delete(aside, true)
+    invalidateIndexMeta()
   }
 
   // ---- flat filterstats (the ANALYZE artifact without an index) -----------
@@ -1496,12 +1521,9 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * builds write, or a flat library can never report artifact-sourced
     * counts ([[filterDecision]] uniformity across all three
     * index_types). */
-  private def flatStatsMeta(libId: Long): Option[(Long, Long)] = {
-    val p = s"${flatStatsRoot(libId)}/meta"
-    if (!Files.exists(Paths.get(p))) None
-    else spark.read.parquet(p).collect().headOption.map(m =>
+  private def flatStatsMeta(libId: Long): Option[(Long, Long)] =
+    readMetaCached(s"${flatStatsRoot(libId)}/meta").headOption.map(m =>
       (m.getAs[Long]("index_seq"), m.getAs[Long]("n_total")))
-  }
 
   /** BUILD/REFRESH a flat library's filterstats artifact — the
     * index-less member of the standing-artifact family: no lists, no
@@ -1521,6 +1543,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .select(col("chunk_id").as("vec_id"), col("metadata"))
     if (snap.limit(1).isEmpty) {
       fs.delete(new Path(flatStatsRoot(libId)), true)
+      invalidateIndexMeta()
       return
     }
     val bld = s"${flatStatsRoot(libId)}_building"
@@ -1538,6 +1561,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new Path(bld), live)
     if (fs.exists(aside)) fs.delete(aside, true)
+    invalidateIndexMeta()
   }
 
   /** Serve an lsh workload off the standing key table, BASE+DELTA: the
@@ -1625,6 +1649,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     }
     liveFlat.foreach(buildFlatStats)
     filterStatsCache.clear() // new index generations: cached decisions stale
+    invalidateIndexMeta()
   }
 
   /** Complete or discard index-swap leftovers on open (the
@@ -1632,7 +1657,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * live index wins over any sibling; a `_complete`-marked building
     * dir finishes its swap; an incomplete one is discarded; an orphaned
     * aside is restored (an older valid index beats none). */
-  private def repairIndexSwaps(): Unit =
+  private def repairIndexSwaps(): Unit = {
+    invalidateIndexMeta()
     Seq(ivfIndexArea, lshIndexArea, flatStatsArea).foreach { a =>
       val area = new Path(a)
       if (fs.exists(area)) {
@@ -1655,6 +1681,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
         }
       }
     }
+  }
 
   // ---- search (vector_db.py:249-270) --------------------------------------
 
