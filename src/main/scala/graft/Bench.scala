@@ -207,7 +207,7 @@ object Bench {
     // query latency — recorded so the artifact reader doesn't misread
     // them as slow searches.
     val includesBuild = Seq("v17_sq8_search", "v28_ivf_sq8", "v14b_ivf_trained_persist",
-      "v14c_sampled_ivf_persist",
+      "v14c_sampled_ivf_persist", "f13_facade_serving",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
       "v19c_ivfpq_persist",
       "d8_dedup_incremental", "f7_shard_manifest",
