@@ -404,6 +404,89 @@ class StreamingMultiBatchSpec extends GraftSuite {
       "hidden aside directory left behind after the swap")
   }
 
+  test("checkpointed ivf ingest: a RESTARTED query continues the batch numbering — no replays, prior batches byte-identical, sidecar ≡ lists") {
+    // the r15 durability precondition made executable: the batch-keyed
+    // overwrite protocol is exactly-once across REAL restarts only when
+    // the query resumes from the same checkpoint over a replayable
+    // source — a file source + explicit checkpointLocation is that
+    // contract; MemoryStream (the other ivf tests) can only exercise
+    // same-process replays
+    val table = "graft_idx_ivf_restart"
+    operators.Persist.dropIndexTable(spark, table)
+    operators.Persist.dropIndexTable(spark, table + "_sizes")
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    def land(n: Int, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_onefile").toString
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$n%02d.parquet"))
+    }
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    def startQ() = Streams.ivfIngestStream(
+      spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      sf, table, checkpoint = Some(ckpt))
+    def stamps(p: String): Map[String, Long] = {
+      val d = new java.io.File(p.stripPrefix("file:"))
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def batchDirs(): Seq[String] = {
+      val d = new java.io.File(s"$whDir/$table".stripPrefix("file:"))
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    }
+
+    // epoch 1: one file → batch 0
+    land(0, all.take(200))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(batchDirs() === Seq("batch_id=0"), s"epoch 1 layout: ${batchDirs()}")
+    val b0After1 = stamps(s"$whDir/$table/batch_id=0")
+
+    // epoch 2: the PROCESS restarts (new query, same checkpoint), a new
+    // file lands → batch numbering CONTINUES at 1; batch 0 is neither
+    // replayed nor rewritten (byte-identical on disk)
+    land(1, all.slice(200, 350))
+    Thread.sleep(1100) // mtime granularity
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchDirs() === Seq("batch_id=0", "batch_id=1"), s"epoch 2 layout: ${batchDirs()}")
+    assert(stamps(s"$whDir/$table/batch_id=0") === b0After1,
+      "restart replayed/rewrote an already-committed batch")
+
+    // epoch 3: restart with NO new data — the checkpoint knows everything
+    // was delivered: no new directories, nothing touched
+    val b1After2 = stamps(s"$whDir/$table/batch_id=1")
+    Thread.sleep(1100)
+    val q3 = startQ()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(batchDirs() === Seq("batch_id=0", "batch_id=1"))
+    assert(stamps(s"$whDir/$table/batch_id=0") === b0After1 &&
+      stamps(s"$whDir/$table/batch_id=1") === b1After2,
+      "an idle restart touched committed batches")
+
+    // the serving invariant across all three epochs: sidecar ≡ lists
+    val gotSizes = Streams.ivfSizeState(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantSizes = spark.read.parquet(s"$whDir/$table")
+      .groupBy($"cluster_id".cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSizes === wantSizes && gotSizes.values.sum === 350L,
+      s"sidecar diverged from the lists after restarts: $gotSizes vs $wantSizes")
+  }
+
   test("streaming Bloom sidecar: OR-folded increments == batch build bit-for-bit; replay harmless; lookups never miss") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "graft_skip_stream"
