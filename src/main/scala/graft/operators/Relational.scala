@@ -1332,4 +1332,57 @@ object Relational {
       |       count(DISTINCT day) AS n_days,
       |       count(*) AS n_events, sum(vc)::BIGINT AS sum_cents
       |FROM e GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** q30: DYNAMIC PARTITION PRUNING — the runtime complement of every
+    * static pruning gate in the suite (v7's probe IN-lists, p6's lang
+    * layout, c6's pushed cutoffs are all PLANNING-time): here the fact
+    * side is month-partitioned on disk, and WHICH months survive is
+    * only knowable at RUNTIME — the dim side ranks months by revenue
+    * and keeps the top 3, a filter no static planner can turn into a
+    * partition predicate. Spark's DPP plants the dim's broadcast result
+    * as a subquery INSIDE the fact scan's PartitionFilters
+    * (`dynamicpruning#` — spec-asserted on the executed plan), so the
+    * second pass over the fact reads 3 month directories, not ~80. At
+    * 100 TB this is THE mechanism that makes star-schema joins
+    * survivable: the fact table is only ever read where the dims say
+    * this query lives — without DPP the join below would rescan every
+    * partition it just aggregated. Artifact-first (f7 discipline): the
+    * partitioned fact is WRITTEN and re-read so the pruning is against
+    * real directories, not an in-memory shortcut; fixed-point cents
+    * keep both engines exact-integer; rank ties break by month. */
+  def q30DppTopMonths(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Graft.init(spark)
+    val fact0 = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      substring(col("o_orderdate").cast("string"), 1, 7).as("o_month"))
+    val path = Persist.tablePath(spark, "graft_fact_orders_month")
+    graft.sources.Sinks.writePartitioned(fact0, path, "o_month")
+    val fact = spark.read.parquet(path)
+    // the dim: months ranked by total revenue — a RUNTIME-only filter
+    // (domain-sized aggregate; the window runs over ~80 rows)
+    val topDim = fact.groupBy(col("o_month"))
+      .agg(sum(col("cents")).as("rev"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev").desc, col("o_month"))))
+      .filter(col("rnk") <= topN)
+      .select(col("o_month"))
+    fact.join(topDim, Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("o_month")
+  }
+
+  def q30Oracle(topN: Int = 3): String =
+    s"""WITH f AS (SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+       |                  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month
+       |           FROM orders),
+       |bm AS (SELECT o_month, sum(cents)::BIGINT AS rev FROM f GROUP BY o_month),
+       |top_m AS (SELECT o_month FROM (
+       |  SELECT o_month, row_number() OVER (ORDER BY rev DESC, o_month) AS rnk FROM bm)
+       |  WHERE rnk <= $topN)
+       |SELECT f.o_month, count(*)::BIGINT AS n_orders, sum(f.cents)::BIGINT AS revenue_cents
+       |FROM f JOIN top_m ON f.o_month = top_m.o_month
+       |GROUP BY f.o_month ORDER BY f.o_month""".stripMargin
 }

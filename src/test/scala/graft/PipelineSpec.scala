@@ -755,6 +755,30 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("q30: the fact scan carries a DYNAMIC pruning predicate, and the result matches a driver recompute") {
+    val df = run("q30_dpp_top_months")
+    val rows = df.collect()
+    // the 100 TB claim in the executed plan: the fact side's partition
+    // filter is a RUNTIME subquery (dynamicpruning#...), not a static
+    // IN-list — no planning-time rule can know which months rank top-3
+    df.collect() // ensure final (AQE) plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan has no dynamic pruning predicate:\n${plan.take(1200)}")
+    // driver recompute over the raw table
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("m"))
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    val byMonth = cents.groupBy(_._1).map { case (m, xs) =>
+      m -> (xs.length.toLong, xs.map(_._2).sum) }
+    val top3 = byMonth.toSeq.sortBy { case (m, (_, rev)) => (-rev, m) }.take(3)
+      .sortBy(_._1)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      top3.map { case (m, (n, rev)) => (m, n, rev) },
+      "q30 diverged from the driver recompute")
+  }
+
   test("q28: salted join is non-broadcast with salt in the keys, and salt-invisible") {
     val df = run("q28_salted_join")
     val plan = df.queryExecution.executedPlan.toString
