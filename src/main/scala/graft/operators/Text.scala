@@ -1700,4 +1700,63 @@ object Text {
        |       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
        |       ((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS dup_share_q4
        |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** t33: JSONL CORPUS INGESTION — the landing format every LLM training
+    * corpus actually arrives in (one JSON object per line: The Pile,
+    * RedPajama, Common Crawl derivatives, vendor drops), read the way a
+    * 100 TB ingest must be read:
+    *   - EXPLICIT schema, never inference — `inferSchema` is a full
+    *     extra pass over every byte before the real one; at 100 TB the
+    *     schema is a contract, not a discovery;
+    *   - PERMISSIVE corrupt-record QUARANTINE — a single mangled line
+    *     in shard 40k must not kill a day-long job (FAILFAST) or
+    *     silently vanish (DROPMALFORMED): it lands in the
+    *     `_corrupt` column and is COUNTED, so the ingest report carries
+    *     its own data-quality receipt;
+    *   - line-splittable input: uncompressed JSONL splits on newlines,
+    *     so every executor reads its own byte range — no gzip
+    *     single-reader bottleneck.
+    * The artifact is BUILT here (the documents table serialized with
+    * `to_json` + three deterministic garbage lines planted — the vendor
+    * drop stand-in), then read back schema-first; the gate proves the
+    * roundtrip: per-lang doc counts and character mass equal the source
+    * table exactly, and the quarantine row reports exactly the planted
+    * corruption. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Graft.init(spark)
+    val path = Persist.tablePath(spark, "graft_jsonl_drop")
+    val lines = Tables.documents(spark, dir)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
+      .unionByName(Seq("{\"doc_id\": oops", "{not json at all", "{\"lang\": \"en\"")
+        .toDF("value"))
+    lines.write.mode("overwrite").text(path)
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.schema(sch)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+    // ONE pass folds the report and the quarantine: corrupt rows group
+    // under the sentinel lang (their data columns are null, so the
+    // char-mass sum coalesces to 0) — no second scan, and no query that
+    // references only the internal corrupt column (unsupported)
+    parsed
+      .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+      .orderBy("lang")
+  }
+
+  def jsonlIngestOracle(): String =
+    """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+      |                  sum(length(text))::BIGINT AS n_chars
+      |           FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, n_chars FROM g
+      |UNION ALL SELECT '_corrupt', 3::BIGINT, 0::BIGINT
+      |ORDER BY lang""".stripMargin
 }
