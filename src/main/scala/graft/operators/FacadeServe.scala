@@ -78,8 +78,9 @@ object FacadeServe {
       (1L, id / 10, id, s"chunk $id", byId(id))))
     db.upsertChunks((0L until NBase.toLong).filter(_ % 10 == 5).map(id =>
       (1L, id / 10, id, s"chunk $id v2", byId(id + 200))))
-    (0L until NBase.toLong).filter(_ % 17 == 3).foreach(id =>
-      db.deleteChunk(1L, id / 10, id))
+    // one batch append for the whole delete set (chunks.py:135's batch
+    // route) — the per-id loop was 7 changelog write jobs
+    db.deleteChunksBatch(1L, (0L until NBase.toLong).filter(_ % 17 == 3))
     db.deleteDocument(1L, 2L) // cascades chunks 20-29
     // 2. TRAIN + BUILD the standing index
     db.trainIndex(1L, kCentroids = K, iters = Iters)
