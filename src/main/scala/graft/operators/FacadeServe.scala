@@ -50,47 +50,53 @@ object FacadeServe {
   private val NQueries = 6
   private val TopK = 10
   private val Probes = 2
+  // f14's standing-key-table parameters — MUST equal searchAll's
+  // defaults, or the serve would fall back to in-memory keying and the
+  // gate would stop exercising the persisted route
+  private val LshTables = 4
+  private val LshBits = 10
+  private val LshSeed = 1000L
 
-  def facadeServing(spark: SparkSession, dir: String): DataFrame = {
+  /** Fresh store + the pre-build op sequence (shared by f13/f14): base
+    * upserts, latest-wins re-upserts, chunk-batch + doc-cascade deletes.
+    * Returns the opened store. Bounded driver state: the ≤ ~330 vectors
+    * the op sequence touches (facade mutations are row RPCs — the
+    * reference API's shape; the workload SERVE is the distributed
+    * part). The root is scheme-less (GraftDb's existence probes are
+    * local-path java.nio like its specs'). */
+  private def freshFoldedStore(spark: SparkSession, dir: String, store: String,
+                               indexType: String): (GraftDb, Map[Long, Array[Float]]) = {
     Graft.init(spark)
-    // a fresh store per run: the oracle replays the exact op sequence,
-    // so a prior run's changelog must not leak into the fold. The root
-    // is scheme-less (GraftDb's existence probes are local-path java.nio
-    // like its specs') — the warehouse dir with any `file:` prefix
-    // stripped.
-    val root = Persist.tablePath(spark, "graft_f13_store").stripPrefix("file:")
+    val root = Persist.tablePath(spark, store).stripPrefix("file:")
     val rp = new Path(root)
     rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
     val db = new GraftDb(spark, root)
-
-    // bounded driver state: the ≤ ~330 vectors the op sequence touches
-    // (facade mutations are row RPCs — the reference API's shape; the
-    // workload SERVE below is the distributed part)
     val byId = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") < NBase || col("vec_id").between(200, 320))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val dims = byId(0L).length
-
-    db.createLibrary(1L, "f13", dims, "ivf")
-    // 1. FOLD: base upserts, latest-wins re-upserts, chunk + doc deletes
+    db.createLibrary(1L, store, byId(0L).length, indexType)
     db.upsertChunks((0L until NBase.toLong).map(id =>
       (1L, id / 10, id, s"chunk $id", byId(id))))
     db.upsertChunks((0L until NBase.toLong).filter(_ % 10 == 5).map(id =>
       (1L, id / 10, id, s"chunk $id v2", byId(id + 200))))
     // one batch append for the whole delete set (chunks.py:135's batch
-    // route) — the per-id loop was 7 changelog write jobs
+    // route) — a per-id loop would be 7 changelog write jobs
     db.deleteChunksBatch(1L, (0L until NBase.toLong).filter(_ % 17 == 3))
     db.deleteDocument(1L, 2L) // cascades chunks 20-29
-    // 2. TRAIN + BUILD the standing index
-    db.trainIndex(1L, kCentroids = K, iters = Iters)
-    db.buildIndex(1L)
-    // 3. post-build DELTA: appends, one re-upsert, one delete — no rebuild
+    (db, byId)
+  }
+
+  /** The post-build DELTA (shared by f13/f14): appends, one re-upsert,
+    * one delete — all AFTER the standing build; no rebuild happens. */
+  private def runDelta(db: GraftDb, byId: Map[Long, Array[Float]]): Unit = {
     db.upsertChunks((300L to 305L).map(id =>
       (1L, 30L, id, s"chunk $id", byId(id))))
     db.upsertChunks(Seq((1L, 1L, 11L, "chunk 11 v2", byId(241L))))
     db.deleteChunk(1L, 0L, 4L)
-    // 4. SERVE the workload off the standing index, base+delta
+  }
+
+  private def serveWorkload(db: GraftDb, spark: SparkSession, dir: String): DataFrame = {
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -100,28 +106,59 @@ object FacadeServe {
       .orderBy("qid", "rank")
   }
 
+  def facadeServing(spark: SparkSession, dir: String): DataFrame = {
+    // 1. FOLD  2. TRAIN + BUILD the standing index  3. DELTA  4. SERVE
+    val (db, byId) = freshFoldedStore(spark, dir, "graft_f13_store", "ivf")
+    db.trainIndex(1L, kCentroids = K, iters = Iters)
+    db.buildIndex(1L)
+    runDelta(db, byId)
+    serveWorkload(db, spark, dir)
+  }
+
+  /** f14: the LSH facade lifecycle under the same gate — [[GraftDb]]'s
+    * OTHER standing-index family driven end to end: the identical fold,
+    * then `buildLshIndex` persists the standing key table, the delta
+    * lands with no rebuild, and `searchAll` serves base+delta (persisted
+    * keys anti-join-masked, the tail keyed on the fly — keys are
+    * per-vector, so base∪delta keys ≡ keying the merged live corpus,
+    * which is exactly what the oracle computes: SimHash keys over the
+    * folded corpus, bucket-union candidates, exact rerank). With f13
+    * this puts BOTH facade serving families inside the hash gate. */
+  def facadeLshServing(spark: SparkSession, dir: String): DataFrame = {
+    val (db, byId) = freshFoldedStore(spark, dir, "graft_f14_store", "lsh")
+    db.buildLshIndex(1L, nTables = LshTables, nBits = LshBits, seed = LshSeed)
+    runDelta(db, byId)
+    serveWorkload(db, spark, dir)
+  }
+
   /** The full SQL replay: fold → k-means over the folded corpus (the
     * registry's unrolled-iteration CTEs, [[Ivf.kmeansIterCtes]], fed a
     * DERIVED `e`/`en`) → probe → assign the post-delta live corpus with
     * the trained matrix → probed top-k. */
-  def facadeServingOracle(): String =
-    s"""WITH eall AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The fold replayed in SQL, shared by the f13/f14 oracles: `live0` =
+    * the pre-build corpus (latest-wins re-upserts, chunk + cascade
+    * deletes), `live1` = after the post-build delta. */
+  private def foldSql: String =
+    s"""eall AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |live0 AS MATERIALIZED (
        |  SELECT b.vec_id, CASE WHEN b.vec_id % 10 = 5 THEN u.v ELSE b.v END AS v
        |  FROM eall b LEFT JOIN eall u ON u.vec_id = b.vec_id + 200
        |  WHERE b.vec_id < $NBase AND b.vec_id % 17 <> 3
        |    AND NOT (b.vec_id BETWEEN 20 AND 29)),
-       |e AS MATERIALIZED (SELECT vec_id, v FROM live0),
-       |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |c0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $K),
-       |${Ivf.kmeansIterCtes(Iters)}
        |live1 AS MATERIALIZED (
        |  SELECT l.vec_id,
        |         CASE WHEN l.vec_id = 11 THEN (SELECT v FROM eall WHERE vec_id = 241)
        |              ELSE l.v END AS v
        |  FROM live0 l WHERE l.vec_id <> 4
        |  UNION ALL
-       |  SELECT vec_id, v FROM eall WHERE vec_id BETWEEN 300 AND 305),
+       |  SELECT vec_id, v FROM eall WHERE vec_id BETWEEN 300 AND 305)""".stripMargin
+
+  def facadeServingOracle(): String =
+    s"""WITH $foldSql,
+       |e AS MATERIALIZED (SELECT vec_id, v FROM live0),
+       |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $K),
+       |${Ivf.kmeansIterCtes(Iters)}
        |q AS (SELECT vec_id AS qid, v AS qvec FROM eall WHERE vec_id < $NQueries),
        |ps AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS s
        |       FROM q CROSS JOIN c$Iters c),
@@ -139,6 +176,25 @@ object FacadeServe {
        |r AS (SELECT qid, vec_id, score,
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
        |      FROM sc)
+       |SELECT qid, rank, vec_id AS chunk_id, round(score, 4) AS score
+       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  /** The f14 replay: SimHash keys over the POST-DELTA live corpus (keys
+    * are per-vector, so base∪delta keying ≡ keying live1 wholesale),
+    * bucket-union candidates, exact cosine rerank. */
+  def facadeLshServingOracle(): String =
+    s"""WITH $foldSql,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM eall WHERE vec_id < $NQueries),
+       |dk AS (${Lsh.keysSql("live1", "vec_id", LshTables, LshBits, 64, LshSeed)}),
+       |qk AS (${Lsh.keysSql("(SELECT qid AS vec_id, qv AS v FROM q) t", "vec_id",
+                LshTables, LshBits, 64, LshSeed)}),
+       |cand AS (SELECT DISTINCT qk.id AS qid, dk.id AS vec_id
+       |         FROM dk JOIN qk ON dk.table_id = qk.table_id AND dk.key = qk.key),
+       |scored AS (SELECT cand.qid, cand.vec_id, list_cosine_similarity(l.v, q.qv) AS score
+       |           FROM cand JOIN live1 l ON cand.vec_id = l.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM scored)
        |SELECT qid, rank, vec_id AS chunk_id, round(score, 4) AS score
        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 }

@@ -755,6 +755,19 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("f13/f14 serve off their STANDING indexes — the plan reads the persisted artifact, not an in-memory fallback") {
+    // the oracles can't see WHICH route produced the (identical) rows;
+    // the plan can: the probed scan must read the standing artifact
+    val ivf = run("f13_facade_serving")
+    ivf.collect()
+    assert(ivf.queryExecution.executedPlan.toString.contains("ivf_index"),
+      "f13 fell back to the in-memory ivf route")
+    val lsh = run("f14_facade_lsh_serving")
+    lsh.collect()
+    assert(lsh.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "f14 fell back to in-memory keying — check its params match searchAll defaults")
+  }
+
   test("q30: the fact scan carries a DYNAMIC pruning predicate, and the result matches a driver recompute") {
     val df = run("q30_dpp_top_months")
     val rows = df.collect()
