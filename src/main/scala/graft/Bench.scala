@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — driver contract: one JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query gets one untimed warmup run (codegen/JIT/parquet footers) and
-  * three timed runs, reporting the MINIMUM; each run materializes the full
-  * result through a `noop` sink so the measurement is end-to-end compute,
-  * not `count()`'s column-pruned shortcut. The host VM has multi-second
-  * scheduler noise (observed 5-10× on identical warm queries) — min-of-reps
-  * is the only stable estimator here; a single timed rep produced the
-  * round-1 phantom outliers (e1 70 s, t2 31 s for sub-second plans).
+  * Each query gets one untimed-but-recorded warmup run (codegen/JIT/
+  * parquet footers) and up to three timed runs, reporting the MINIMUM;
+  * each run materializes the full result through a `noop` sink so the
+  * measurement is end-to-end compute, not `count()`'s column-pruned
+  * shortcut. The host VM has multi-second scheduler noise (observed
+  * 5-10× on identical warm queries) — min-of-reps is the only stable
+  * estimator here; a single timed rep produced the round-1 phantom
+  * outliers (e1 70 s, t2 31 s for sub-second plans). Rep counts are
+  * SELF-SIZING (r16, after the r15 driver bench outgrew its window):
+  * a query whose warmup exceeds the heavy cutoff runs one warm rep; a
+  * query whose first two reps agree tightly skips the third.
   *
   * Two artifacts per run:
   *   - stdout: the contract line above, with values at 3 dp — the full
@@ -72,37 +76,84 @@ object Bench {
     }
     def totalOf(r: (Double, Double)): Double = r._1 + r._2
 
-    /** 1 untimed warmup + `reps` timed runs; empty on failure. */
+    // HEAVY demotion (r16, the bench-gate fix): the r15 driver bench
+    // TIMED OUT (rc 124) because the new lifecycle queries pay tens of
+    // seconds PER REP (f13's cold first pass: 62 s) and then hit the
+    // stall-retry (4 more runs) — one query consumed ~4 min of the
+    // driver window. A query whose WARMUP already exceeded the cutoff
+    // is a lifecycle/build query, not a stall victim: it gets ONE warm
+    // timed rep (the warmup IS its JIT/footer warm-through), skips the
+    // stall-retry (its slowness is intrinsic, and the retry's median
+    // trigger would always fire on it), and its warm-up time is
+    // recorded in BENCH_DETAIL (`warm_sec`) so the drift adjudication
+    // reads provenance, not a mystery. Cutoff overridable for testing.
+    val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF_SEC")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(5.0)
+
+    /** 1 untimed-but-recorded warmup + up to `reps` timed runs; empty
+      * reps on failure. Two self-sizing rules cut suite wall-clock
+      * without cutting fidelity where it matters:
+      *   - warmup > heavyCutoff AND the first timed rep confirms it
+      *     (> cutoff/2 — a cold-footer warmup over a fast warm query
+      *     must NOT lock the query to one possibly-stalled rep) →
+      *     stop at that 1 warm rep;
+      *   - the third rep is SKIPPED when the first two already agree
+      *     (min < 1 s and spread ≤ 30% of min): two tight sub-second
+      *     reps mean no stall landed, and the stall-retry pass still
+      *     backstops the case where one hit both. */
     def timedReps(name: String, reps: Int, dir: String = sfDir,
-                  warmup: Boolean = true): Seq[(Double, Double)] =
+                  warmup: Boolean = true): (Option[Double], Seq[(Double, Double)]) =
       try {
-        if (warmup) runOnce(name, dir)
-        (1 to reps).map(_ => runOnce(name, dir))
+        val w = if (warmup) Some(totalOf(runOnce(name, dir))) else None
+        val r1 = runOnce(name, dir)
+        val demoted = w.exists(_ > heavyCutoff) && totalOf(r1) > heavyCutoff / 2
+        val out =
+          if (demoted || reps <= 1) Seq(r1)
+          else {
+            val r2 = runOnce(name, dir)
+            val ts = Seq(totalOf(r1), totalOf(r2))
+            if (reps <= 2 || (ts.min < 1.0 && ts.max - ts.min <= 0.3 * ts.min))
+              Seq(r1, r2)
+            else Seq(r1, r2) ++ (3 to reps).map(_ => runOnce(name, dir))
+          }
+        (w, out)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Seq.empty
+        (None, Seq.empty)
       }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val firstPass: Seq[(String, Seq[(Double, Double)])] = names.map(n => n -> timedReps(n, 3))
+    val firstPass: Seq[(String, (Option[Double], Seq[(Double, Double)]))] =
+      names.map(n => n -> timedReps(n, 3))
+    val warmSec: Map[String, Option[Double]] = firstPass.map { case (n, (w, _)) => n -> w }.toMap
+    // heavy = the warmup tripped AND the confirming single rep stood
+    val heavy: Set[String] = firstPass.collect {
+      case (n, (w, rs)) if w.exists(_ > heavyCutoff) && rs.length == 1 => n
+    }.toSet
+    val firstReps: Seq[(String, Seq[(Double, Double)])] =
+      firstPass.map { case (n, (_, rs)) => n -> rs }
 
-    // A host-VM stall lasting a few seconds swallows all 3 reps of whatever
-    // query it lands on (observed: a 0.3 s query reported at 19 s). Second
-    // chance: anything >3× the median gets re-measured later, when the
-    // stall has passed; keep the min of both passes.
-    val mins = firstPass.collect { case (_, rs) if rs.nonEmpty => rs.map(totalOf).min }.sorted
+    // A host-VM stall lasting a few seconds swallows all timed reps of
+    // whatever query it lands on (observed: a 0.3 s query reported at
+    // 19 s). Second chance: anything >3× the median gets re-measured
+    // later, when the stall has passed — WITHOUT a fresh warmup (the
+    // query is warm; the r15 retry's extra warmup run bought nothing)
+    // — keeping the min of both passes. Heavy queries are exempt:
+    // intrinsically slow, not stalled.
+    val mins = firstReps.collect { case (_, rs) if rs.nonEmpty => rs.map(totalOf).min }.sorted
     val median = if (mins.isEmpty) 0.0 else mins(mins.length / 2)
-    val retryPass: Map[String, Seq[(Double, Double)]] = firstPass.collect {
-      case (n, rs) if rs.nonEmpty && median > 0 && rs.map(totalOf).min > 3 * median =>
-        n -> timedReps(n, 3)
+    val retryPass: Map[String, Seq[(Double, Double)]] = firstReps.collect {
+      case (n, rs) if rs.nonEmpty && median > 0 && !heavy(n) &&
+          rs.map(totalOf).min > 3 * median =>
+        n -> timedReps(n, 3, warmup = false)._2
     }.toMap
 
     // best rep per query = min by TOTAL; its prep/exec split rides along
-    val bestRep: Map[String, (Double, Double)] = firstPass.map { case (n, rs) =>
+    val bestRep: Map[String, (Double, Double)] = firstReps.map { case (n, rs) =>
       val all = rs ++ retryPass.getOrElse(n, Seq.empty)
       n -> (if (all.isEmpty) (-1.0, 0.0) else all.minBy(totalOf))
     }.toMap
-    val results: Seq[(String, Double)] = firstPass.map { case (n, _) =>
+    val results: Seq[(String, Double)] = firstReps.map { case (n, _) =>
       val b = bestRep(n)
       n -> (if (b._1 < 0) -1.0 else totalOf(b))
     }
@@ -141,7 +192,7 @@ object Bench {
     val scalePass: Map[String, Double] =
       if (!doScaling) Map.empty
       else names.flatMap(n =>
-        timedReps(n, 1, scaleDir, warmup = false).map(totalOf).minOption.map(n -> _)).toMap
+        timedReps(n, 1, scaleDir, warmup = false)._2.map(totalOf).minOption.map(n -> _)).toMap
     // A flag must survive a CONFIRMATION re-measurement before it is
     // raised: the large-sf side is a min over 3-6 reps, but a sustained
     // host-VM contention stretch (observed: a 0.5 s map-only query
@@ -170,7 +221,9 @@ object Bench {
     if (suspectRatio.nonEmpty)
       System.err.println(s"[bench] scaling suspects (pre-confirmation): ${suspectRatio.sorted.mkString(", ")}")
     val confirmed: Map[String, Double] = suspectRatio.flatMap { n =>
-      val re = timedReps(n, 3).map(totalOf)
+      // warm already, no fresh warmup; a genuinely super-linear plan
+      // (heavy or not) deserves the full 3-rep confirmation
+      val re = timedReps(n, 3, warmup = false)._2.map(totalOf)
       val best = (re :+ results.toMap.apply(n)).min
       scalePass.get(n).collect { case s if s > 0 && best / s > flagRatio => n -> best / s }
     }.toMap
@@ -183,13 +236,16 @@ object Bench {
     // the best rep at the construction/execution boundary: for the
     // `includes_index_build` queries prep IS the index build+write, so
     // exec_sec is the true query latency the contract number obscures.
-    val detail = firstPass.map { case (n, rs) =>
+    val detail = firstReps.map { case (n, rs) =>
       // `reps` holds EVERY timed rep that fed this query's reported `sec`
       // (first pass ++ stall-retry pass), so sec == min(reps) always —
       // the spread-rule drift audit reads `reps` alone, and a retry that
       // produced the min must not leave `reps` showing only the stalled
       // pass (the r14 d20 anomaly: reps 6.99/17.15/43.19 beside sec
       // 2.43). `retry_reps` still marks WHICH reps came from the retry.
+      // `warm_sec` records the untimed warmup; `heavy:true` marks a
+      // query the warmup demoted to one timed rep (drift adjudication
+      // must read its single rep as warm-steady-state, not min-of-3).
       val allReps = rs ++ retryPass.getOrElse(n, Seq.empty)
       val retry = retryPass.get(n)
         .map(r => s""","retry_reps":[${r.map(totalOf).map(dFull).mkString(",")}]""").getOrElse("")
@@ -197,8 +253,11 @@ object Bench {
       val (prep, exec) = bestRep(n)
       val scale = scalePass.get(n).map(s =>
         s""","scale_sec":${dFull(s)},"scale_ratio":${dFull(if (s > 0) best / s else -1.0)}""").getOrElse("")
+      val warm = warmSec.getOrElse(n, None)
+        .map(w => s""","warm_sec":${dFull(w)}""").getOrElse("")
+      val heavyTag = if (heavy(n)) ""","heavy":true""" else ""
       s""""$n":{"reps":[${allReps.map(totalOf).map(dFull).mkString(",")}]$retry,"sec":${dFull(best)},""" +
-        s""""prep_sec":${dFull(math.max(prep, 0.0))},"exec_sec":${dFull(exec)}$scale}"""
+        s""""prep_sec":${dFull(math.max(prep, 0.0))},"exec_sec":${dFull(exec)}$warm$heavyTag$scale}"""
     }.mkString("{", ",", "}")
     val superJson = superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")
     // These queries rebuild + write their index artifact INSIDE the timed
@@ -207,7 +266,8 @@ object Bench {
     // query latency — recorded so the artifact reader doesn't misread
     // them as slow searches.
     val includesBuild = Seq("v17_sq8_search", "v28_ivf_sq8", "v14b_ivf_trained_persist",
-      "v14c_sampled_ivf_persist", "f13_facade_serving",
+      "v14c_sampled_ivf_persist", "f13_facade_serving", "f14_facade_lsh_serving",
+      "t33_jsonl_ingest",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
       "v19c_ivfpq_persist",
       "d8_dedup_incremental", "f7_shard_manifest",

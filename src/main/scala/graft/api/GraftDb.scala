@@ -80,8 +80,10 @@ object GraftDb {
     * the readers retain for exactly those legacy receipts), 2 (carries
     * `format_version`; everything v1 carried plus — for lsh — the
     * guaranteed `n_total`). A reader seeing a version NEWER than it
-    * knows should treat the index as absent (serve the in-memory
-    * route) rather than misread it. */
+    * knows treats the index as absent (serve the in-memory route)
+    * rather than misread it — ENFORCED in [[GraftDb#readMetaCached]],
+    * the single choke point every meta reader goes through, so a
+    * future-version receipt never leaks into v2 column accessors. */
   val IndexMetaV = 2
 
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
@@ -907,12 +909,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // chase the DERIVED serving artifacts (the p12 discipline): a standing
     // index still carries the purged chunks' text + vectors in its lists —
     // rebuild every index from the post-purge snapshot (stale ones drop).
-    // The library's ARCHIVED model generations drop first: centroids are
-    // trained on (and a seed id literally names) the purged data, and
-    // purge outranks time-travel reproducibility (the scrubArchives rule
-    // applied to models) — approximate pins fall back to exact; the
-    // refresh below re-archives one clean post-purge generation.
+    // The library's ARCHIVED model generations drop first: ivf centroids
+    // are trained on (and a seed id literally names) the purged data,
+    // and an lsh receipt reproduces rankings OVER it — purge outranks
+    // time-travel reproducibility (the scrubArchives rule applied to
+    // models) — approximate pins fall back to exact; the refresh below
+    // re-archives one clean post-purge generation.
     fs.delete(new Path(ivfArchiveRoot(libId)), true)
+    fs.delete(new Path(lshArchiveRoot(libId)), true)
     refreshIndexes()
     val liveAudits = Seq("chunks_log" -> chunkLog, "documents_log" -> docLog).map {
       case (name, log) =>
@@ -941,13 +945,20 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val idxAudits = Seq(
       derivedAudit("ivf_index", s"${indexRoot(libId)}/lists"),
       derivedAudit("lsh_index", s"${lshIndexRoot(libId)}/keys"))
-    // stale archived model generations remaining (anything but the live
-    // index's own generation was trained on pre-purge data): 0 on success
+    // stale archived model generations remaining, BOTH families (anything
+    // but the live index's own generation covers pre-purge data): 0 on
+    // success
     val liveGen = indexMetaRow(libId).map(_.getAs[Long]("index_seq"))
     val staleModels = archivedIndexGens(libId).filterNot(liveGen.contains).length.toLong
-    val modelAudit = spark.range(1).select(
-      lit("ivf_index_archive").as("log"), lit(staleModels).as("n_remaining"))
-    (liveAudits ++ archAudits ++ idxAudits :+ modelAudit)
+    val liveLshGen = lshIndexMeta(libId).map(_._1)
+    val staleLshModels = archivedGens(lshArchiveRoot(libId))
+      .filterNot(liveLshGen.contains).length.toLong
+    val modelAudits = Seq(
+      spark.range(1).select(
+        lit("ivf_index_archive").as("log"), lit(staleModels).as("n_remaining")),
+      spark.range(1).select(
+        lit("lsh_index_archive").as("log"), lit(staleLshModels).as("n_remaining")))
+    (liveAudits ++ archAudits ++ idxAudits ++ modelAudits)
       .reduce(_ unionAll _).orderBy("log")
   }
 
@@ -1178,22 +1189,43 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * caches as empty (the dominant flat/untrained case). */
   // lazy: [[repairIndexSwaps]] invalidates it from the CONSTRUCTOR
   // (recoverPendingCompact), before plain vals this far down initialize
-  private lazy val indexMetaCache =
-    scala.collection.mutable.HashMap.empty[String, Seq[org.apache.spark.sql.Row]]
+  private lazy val indexMetaCache = scala.collection.mutable.HashMap
+    .empty[String, (Option[Long], Seq[org.apache.spark.sql.Row])]
+
+  /** The cheap revalidation signal for a cached meta: the directory's
+    * modification time (None = absent). Every index write here lands
+    * through a directory rename or a mode-overwrite rewrite, both of
+    * which produce a fresh mtime — so an OUT-OF-BAND drop *and* an
+    * out-of-band in-place REPLACEMENT (an external rebuild/restore
+    * writing a new generation at the same path — the r15 advisory's
+    * unhandled half of the threat class) both flip the dispatch on the
+    * very next call. Only the expensive read+collect is amortized,
+    * never the liveness check. (Residual window: a replacement landing
+    * within the filesystem's mtime granularity of the original —
+    * sub-millisecond on local fs — is indistinguishable; the
+    * single-writer contract makes that a non-event in practice.) */
+  private def metaSignature(p: String): Option[Long] = {
+    val path = Paths.get(p)
+    if (!Files.exists(path)) None
+    else Some(Files.getLastModifiedTime(path).toMillis)
+  }
 
   private def readMetaCached(p: String): Seq[org.apache.spark.sql.Row] = {
-    // revalidate against a cheap existence probe: an OUT-OF-BAND drop
-    // (an external retention job deleting an index dir) must flip the
-    // dispatch to the fallback route on the very next call — only the
-    // expensive read+collect is amortized, never the liveness check
-    val exists = Files.exists(Paths.get(p))
+    val sig = metaSignature(p)
     indexMetaCache.get(p) match {
-      case Some(rows) if exists == rows.nonEmpty => rows
+      case Some((cachedSig, rows)) if cachedSig == sig => rows
       case _ =>
-        val rows =
-          if (!exists) Seq.empty[org.apache.spark.sql.Row]
+        val raw =
+          if (sig.isEmpty) Seq.empty[org.apache.spark.sql.Row]
           else spark.read.parquet(p).collect().toSeq
-        indexMetaCache(p) = rows
+        // forward-compat enforcement (the IndexMetaV contract): a receipt
+        // carrying a format_version NEWER than this reader knows is
+        // treated as ABSENT — the dispatch serves the in-memory route
+        // instead of misreading a future layout through v2 accessors
+        val rows = raw.filter(r =>
+          !r.schema.fieldNames.contains("format_version") ||
+            r.getAs[Int]("format_version") <= GraftDb.IndexMetaV)
+        indexMetaCache(p) = (sig, rows)
         rows
     }
   }
@@ -1309,19 +1341,29 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .collect().map(_.getLong(0)).toSeq != oldMat.map(_._1).toSeq
     }
     // drift under the OLD matrix: how much of the corpus no longer sits
-    // where the standing lists recorded it (new + moved vectors) — one
-    // join against the lists, zero k-means. No standing lists (first
-    // build) reads as full drift.
+    // where the standing lists recorded it — one FULL OUTER join against
+    // the lists, zero k-means. All three change kinds count: ADDED
+    // (no lists row), MOVED (clusters differ), and DELETED (a lists row
+    // with no live twin — the r15 advisory's blind spot: a corpus shrunk
+    // heavily by deletions must be able to reach the stage-2
+    // train/decide path, exactly as the pre-lazy protocol's candidate
+    // comparison could). No standing lists (first build) reads as full
+    // drift.
     val standingLists = new Path(s"${indexRoot(libId)}/lists")
     val preOff =
       if (!fs.exists(standingLists)) total
       else assignedOld.select(col("vec_id"), col("cluster_id"))
         .join(spark.read.parquet(standingLists.toString)
           .select(col("vec_id"), col("cluster_id").cast("long").as("prev_cluster")),
-          Seq("vec_id"), "left")
-        .filter(col("prev_cluster").isNull || col("prev_cluster") =!= col("cluster_id"))
+          Seq("vec_id"), "full_outer")
+        .filter(col("prev_cluster").isNull || col("cluster_id").isNull ||
+          col("prev_cluster") =!= col("cluster_id"))
         .count()
     val preDriftTrips = BigInt(preOff) * BigInt(driftDen) >= BigInt(total)
+    // the standing build's gen id BEFORE this build — the archive
+    // chain's `prev_gen` link ([[coveringArchivedGen]]); captured here
+    // because the swap below replaces the meta this reads
+    val prevGen = indexMetaRow(libId).map(_.getAs[Long]("index_seq")).getOrElse(-1L)
 
     val (retrain, winner, offDiag, assigned) =
       if (!(occTrips || seedChanged || preDriftTrips)) {
@@ -1410,29 +1452,86 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // reproduces the approximate ranking the live route served while
     // this generation stood. The lists are NOT archived (corpus-sized);
     // assignment is a pure function of (corpus, matrix), so matrix+meta
-    // suffice — the v56 identity. A crash between the swap and this
-    // write only costs the pin's approximate replay for one generation
-    // (it falls back to exact); a retention job may delete old `gen=`
-    // dirs, which only narrows how far back the approximate pin
-    // reaches.
-    val genDir = s"${ivfArchiveRoot(libId)}/gen=${seq - 1}"
-    spark.read.parquet(s"${indexRoot(libId)}/centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
-    spark.read.parquet(s"${indexRoot(libId)}/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
+    // suffice — the v56 identity. Staged write + `prev_gen` chain link
+    // ([[writeArchivedGen]]): a crash mid-write leaves only an ignored
+    // `_building` dir (repaired on open), and a crash BETWEEN the swap
+    // and this write leaves a chain gap [[coveringArchivedGen]] detects
+    // — the pin then falls back to exact instead of silently replaying
+    // the PREVIOUS generation's model (the r15 advisory). A retention
+    // job may delete old `gen=` dirs, which only narrows how far back
+    // the approximate pin reaches.
+    writeArchivedGen(s"${ivfArchiveRoot(libId)}/gen=${seq - 1}") { b =>
+      spark.read.parquet(s"${indexRoot(libId)}/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/centroids")
+      spark.read.parquet(s"${indexRoot(libId)}/meta")
+        .withColumn("prev_gen", lit(prevGen))
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
+    }
     invalidateIndexMeta()
   }
 
   private def ivfArchiveArea = s"$root/ivf_index_archive"
   private def ivfArchiveRoot(libId: Long) = s"$ivfArchiveArea/lib=$libId"
+  private def lshArchiveArea = s"$root/lsh_index_archive"
+  private def lshArchiveRoot(libId: Long) = s"$lshArchiveArea/lib=$libId"
 
-  /** The archived model generations for a library, by the index_seq each
-    * covered from — directory-listing-sized driver state. */
-  private def archivedIndexGens(libId: Long): Seq[Long] = {
-    val p = new Path(ivfArchiveRoot(libId))
+  /** Stage-then-rename write of one archived model generation — the
+    * index swap's `*_building`/`_complete` discipline applied to the
+    * archive (the r15 advisory: a plain post-swap overwrite could leave
+    * a half-written `gen=` dir that fails every later pin). A crash
+    * mid-write leaves an incomplete `_building` dir that readers never
+    * see and [[repairIndexSwaps]] discards; rebuilding the same gen id
+    * (an idempotent re-run) replaces the old dir atomically. */
+  private def writeArchivedGen(genDir: String)(write: String => Unit): Unit = {
+    val bld = new Path(s"${genDir}_building")
+    fs.delete(bld, true)
+    write(bld.toString)
+    fs.create(new Path(bld, "_complete"), true).close()
+    val live = new Path(genDir)
+    fs.delete(live, true)
+    fs.rename(bld, live)
+  }
+
+  /** The archived model generations under one archive root, by the
+    * index_seq each covered from — directory-listing-sized driver
+    * state. In-flight `_building` stages are invisible. */
+  private def archivedGens(rootDir: String): Seq[Long] = {
+    val p = new Path(rootDir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+      .collect { case n if n.startsWith("gen=") && !n.endsWith("_building") =>
+        n.stripPrefix("gen=").toLong }
+  }
+
+  private def archivedIndexGens(libId: Long): Seq[Long] =
+    archivedGens(ivfArchiveRoot(libId))
+
+  /** The archived generation COVERING pin `s` under `rootDir`, validated
+    * against the archive CHAIN: every gen's receipt names its
+    * predecessor (`prev_gen`), so a build that crashed between its index
+    * swap and its archive write — leaving its generation permanently
+    * unarchived — is DETECTED instead of silently replaying the previous
+    * generation's model (the model standing at the pin was the crashed
+    * build's, which no archive holds):
+    *   - a later archived gen exists → it must name `g` as predecessor;
+    *   - no later archived gen → the LIVE index meta is the only
+    *     witness: its index_seq must be `g` itself (a live build newer
+    *     than the pin with no archived gen after the pin means the
+    *     covering build's archive is missing — conservative exact).
+    * Receipts predating `prev_gen` (r15-era archives) validate
+    * vacuously — they carry no chain to check. */
+  private def coveringArchivedGen(rootDir: String, s: Long,
+                                  liveGen: Option[Long]): Option[Long] = {
+    val gens = archivedGens(rootDir)
+    gens.filter(_ <= s).maxOption.filter { g =>
+      gens.filter(_ > s).minOption match {
+        case Some(next) =>
+          readMetaCached(s"$rootDir/gen=$next/meta").headOption.forall(m =>
+            !m.schema.fieldNames.contains("prev_gen") ||
+              m.getAs[Long]("prev_gen") == g)
+        case None => liveGen.contains(g)
+      }
+    }
   }
 
   // ---- persisted LSH index (standing key rows, same discipline) -----------
@@ -1502,11 +1601,25 @@ final class GraftDb(spark: SparkSession, val root: String) {
         "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
+    // chain link captured BEFORE the swap replaces the meta it reads
+    val prevGen = lshIndexMeta(libId).map(_._1).getOrElse(-1L)
     val live = new Path(lshIndexRoot(libId))
     val aside = new Path(s"${lshIndexRoot(libId)}_old")
     if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new Path(bld), live)
     if (fs.exists(aside)) fs.delete(aside, true)
+    // archive this generation's MODEL — for lsh that is just the receipt
+    // (nTables, nBits, seed): keys are a pure per-vector function of
+    // (corpus, params), so the receipt + the pinned fold reproduce the
+    // bucket-route ranking the live route served while this generation
+    // stood ([[pinnedSearchAll]] with pinIndexed=true — r15 covered ivf
+    // only; an lsh pin silently degraded to exact). Same staged-write +
+    // `prev_gen` chain discipline as the ivf archive.
+    writeArchivedGen(s"${lshArchiveRoot(libId)}/gen=${seq - 1}") { b =>
+      spark.read.parquet(s"${lshIndexRoot(libId)}/meta")
+        .withColumn("prev_gen", lit(prevGen))
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
+    }
     invalidateIndexMeta()
   }
 
@@ -1534,7 +1647,9 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * area). Behavior of a flat search never changes — flat IS the
     * exact pre-filtered scan — but [[filterDecision]]'s receipt gets
     * real counts and a truthful route for every index_type. One
-    * metadata unpivot of the folded snapshot per [[compact]]. */
+    * metadata unpivot of the folded snapshot per [[compact]] — or
+    * LAZILY on the first filtered call ([[ensureFlatStats]]): a store
+    * that never compacts still earns the artifact. */
   def buildFlatStats(libId: Long): Unit = {
     val lib = libRecord(libId)
     require(lib.getAs[String]("index_type") == "flat",
@@ -1563,6 +1678,24 @@ final class GraftDb(spark: SparkSession, val root: String) {
     if (fs.exists(aside)) fs.delete(aside, true)
     invalidateIndexMeta()
   }
+
+  /** Once-per-session lib ids whose flat filterstats build was already
+    * attempted lazily — bounds the empty-library case (whose build is a
+    * no-op that would otherwise re-probe the corpus on every call). */
+  private val flatStatsEnsured = scala.collection.mutable.HashSet.empty[Long]
+
+  /** LAZY flat-stats materialization (r15 verdict item 7): a flat
+    * library built before the [[compact]]-time artifact existed — or one
+    * that simply never compacts — gets its filterstats on the FIRST
+    * filtered call instead of never. One unpivot of the snapshot, same
+    * aside-swap; subsequent calls are a cached one-row meta probe. */
+  private def ensureFlatStats(libId: Long): Unit =
+    if (!flatStatsEnsured.contains(libId) &&
+        libRecord(libId).getAs[String]("index_type") == "flat" &&
+        flatStatsMeta(libId).isEmpty) {
+      buildFlatStats(libId)
+      flatStatsEnsured += libId
+    }
 
   /** Serve an lsh workload off the standing key table, BASE+DELTA: the
     * persisted key rows masked by post-index activity (the same
@@ -1640,6 +1773,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // deleted or re-typed library keeps no time-travel models
     (existingIndexLibs(ivfArchiveArea) -- liveIvfTrained)
       .foreach(id => fs.delete(new Path(ivfArchiveRoot(id)), true))
+    (existingIndexLibs(lshArchiveArea) -- liveLsh)
+      .foreach(id => fs.delete(new Path(lshArchiveRoot(id)), true))
     liveIvfTrained.foreach(buildIndex(_))
     liveLsh.foreach { id =>
       lshIndexMeta(id) match {
@@ -1649,6 +1784,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     }
     liveFlat.foreach(buildFlatStats)
     filterStatsCache.clear() // new index generations: cached decisions stale
+    flatStatsEnsured.clear() // fresh artifacts: lazy-ensure may run again
     invalidateIndexMeta()
   }
 
@@ -1679,6 +1815,24 @@ final class GraftDb(spark: SparkSession, val root: String) {
             if (fs.exists(aside)) fs.rename(aside, live)
           }
         }
+      }
+    }
+    // archive areas: a `gen=N_building` stage left by a crash either
+    // finishes its rename (complete, no live twin) or is discarded —
+    // readers ([[archivedGens]]) never see `_building` entries either way
+    Seq(ivfArchiveArea, lshArchiveArea).foreach { a =>
+      val area = new Path(a)
+      if (fs.exists(area)) fs.listStatus(area).foreach { lib =>
+        if (lib.isDirectory)
+          fs.listStatus(lib.getPath).foreach { gd =>
+            val n = gd.getPath.getName
+            if (n.endsWith("_building")) {
+              val live = new Path(lib.getPath, n.stripSuffix("_building"))
+              if (!fs.exists(live) && fs.exists(new Path(gd.getPath, "_complete")))
+                fs.rename(gd.getPath, live)
+              else fs.delete(gd.getPath, true)
+            }
+          }
       }
     }
   }
@@ -1739,6 +1893,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // accepts an arbitrary Column (e.g. col("metadata")("source") ===
     // "web") over the folded snapshot — correct for anything, unpushed.
     recordFilterWorkload(metadataEq.map(_._1))
+    // a filtered call on a flat library earns the filterstats artifact
+    // lazily — the decision it feeds is flat's trivially-true
+    // prefilter_exact, but the RECEIPT must be artifact-sourced
+    if (indexType == "flat" && metadataEq.nonEmpty) ensureFlatStats(libId)
     val base0 =
       if (metadataEq.isEmpty) listChunks(libId)
       else chunksEqFiltered(libId, metadataEq)
@@ -1917,13 +2075,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *     route-mismatch).
     * A non-flat library without a filterstats artifact reports
     * `postfilter_probe` with cnt −1: no artifact, no decision — the
-    * serve stays on the probe route. One cached read at most
-    * ([[cachedFilterCounts]]); repeat receipts are pure driver state. */
+    * serve stays on the probe route. A FLAT library without one builds
+    * it lazily right here ([[ensureFlatStats]]), so the receipt is
+    * artifact-sourced from the first call even on a store that never
+    * compacts. One cached read at most ([[cachedFilterCounts]]);
+    * repeat receipts are pure driver state. */
   def filterDecision(libId: Long, metadataEq: Seq[(String, String)],
                      nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
                      thrDen: Long = 50L): DataFrame = {
     require(metadataEq.nonEmpty, "filterDecision needs at least one key=value pair")
     val indexType = libRecord(libId).getAs[String]("index_type")
+    if (indexType == "flat") ensureFlatStats(libId)
     val cc = cachedFilterCounts(libId, metadataEq)
     val n = cc.flatMap(_._2).getOrElse(0L)
     val selective = cc.exists { case (cs, nt) =>
@@ -2020,17 +2182,20 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * function of the pinned corpus (spec: ≡ searching the
     * prefix-replayed corpus, before and after later compactions).
     *
-    * `pinIndexed = true` (r15) replays the APPROXIMATE ivf route
-    * instead, from the ARCHIVED model generation standing at the pin
-    * ([[buildIndex]] archives each generation's centroids + receipt,
-    * K+1 rows): the live route at seq s served sealed-lists-plus-delta
-    * under the generation's matrix, and base+delta ≡ assigning the
-    * whole pinned corpus with that matrix (the v56 identity) — so
-    * assigning the pinned fold with the archived matrix and probing the
-    * same rule reproduces the historical ranking exactly, WITHOUT
-    * archiving any corpus-sized lists. No archived generation at-or-
-    * before the pin (pre-index history, a retention-trimmed archive, or
-    * a non-ivf library) falls back to the exact contract.
+    * `pinIndexed = true` (r15; lsh r16) replays the APPROXIMATE route
+    * instead, from the ARCHIVED model generation standing at the pin —
+    * BOTH standing-index families: [[buildIndex]] archives each ivf
+    * generation's centroids + receipt (K+1 rows); [[buildLshIndex]]
+    * archives each lsh generation's (nTables, nBits, seed) receipt
+    * alone (keys are a pure per-vector function of corpus + params).
+    * The live route at seq s served sealed-base-plus-delta under the
+    * generation's model, and base+delta ≡ applying that model to the
+    * whole pinned corpus (the v56 identity) — so the archived model +
+    * the pinned fold reproduce the historical ranking exactly, WITHOUT
+    * archiving any corpus-sized lists or key tables. No VALIDATED
+    * covering generation (pre-index history, a retention-trimmed
+    * archive, a chain gap from a crashed archive write, or a flat
+    * library) falls back to the exact contract.
     * The library must have existed at the pin. */
   private def pinnedSearchAll(libId: Long, queries: DataFrame, k: Int,
                               includeChunk: Boolean,
@@ -2050,25 +2215,48 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val snap = candFilters(base)
     val emb = snap.select(col("vec_id"), col("embedding"))
     val qs = queries.select(col("qid"), col("qvec"))
-    val pinnedGen: Option[Long] =
-      if (!pinIndexed) None else archivedIndexGens(libId).filter(_ <= s).maxOption
-    val hits = pinnedGen match {
-      case Some(g) =>
-        val mat = spark.read.parquet(s"${ivfArchiveRoot(libId)}/gen=$g/centroids")
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        val probes = probeAssignments(qs, mat, nProbes)
-        val scored = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
-          .join(broadcast(probes), Seq("cluster_id"))
-          .select(col("qid"), col("vec_id"))
-          .join(emb, Seq("vec_id"))
-          .join(broadcast(qs), Seq("qid"))
-          .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-          .select(col("qid"), col("vec_id"), col("score"))
-        Knn.topkPerQuery(scored, "cosine", k)
-      case None =>
-        Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
-    }
+    def exact() = Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
+    // the approximate replay dispatches on the live index_type (archives
+    // follow the live library's lifecycle — [[refreshIndexes]] drops a
+    // re-typed library's models); the covering generation is validated
+    // against the archive chain ([[coveringArchivedGen]]) — no validated
+    // covering generation falls back to the exact contract
+    val hits =
+      if (!pinIndexed) exact()
+      else libRecord(libId).getAs[String]("index_type") match {
+        case "ivf" =>
+          coveringArchivedGen(ivfArchiveRoot(libId), s,
+            indexMetaRow(libId).map(_.getAs[Long]("index_seq"))) match {
+            case Some(g) =>
+              val mat = spark.read.parquet(s"${ivfArchiveRoot(libId)}/gen=$g/centroids")
+                .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+                .sortBy(_._1)
+              val probes = probeAssignments(qs, mat, nProbes)
+              val scored = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+                .join(broadcast(probes), Seq("cluster_id"))
+                .select(col("qid"), col("vec_id"))
+                .join(emb, Seq("vec_id"))
+                .join(broadcast(qs), Seq("qid"))
+                .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+                .select(col("qid"), col("vec_id"), col("score"))
+              Knn.topkPerQuery(scored, "cosine", k)
+            case None => exact()
+          }
+        case "lsh" =>
+          // replay with the ARCHIVED receipt's params (never the call's):
+          // the ranking being reproduced is the one the standing key
+          // table served, and that table was keyed with the receipt
+          coveringArchivedGen(lshArchiveRoot(libId), s,
+            lshIndexMeta(libId).map(_._1)) match {
+            case Some(g) =>
+              val m = readMetaCached(s"${lshArchiveRoot(libId)}/gen=$g/meta").head
+              val (t, b, sd) = (m.getAs[Int]("n_tables"), m.getAs[Int]("n_bits"),
+                m.getAs[Long]("seed"))
+              Lsh.searchIndex(Lsh.keyRows(emb, t, b, sd), emb, qs, t, b, sd, k)
+            case None => exact()
+          }
+        case _ => exact()
+      }
     finishHits(snap, hits, includeChunk)
   }
 

@@ -504,19 +504,29 @@ object Persist {
     // standing history: reuse generation 0's artifacts when both exist
     // and carry this corpus's provenance (the v51c registry rule — a
     // stats artifact silently carried across datasets is how a CBO
-    // serves garbage estimates)
+    // serves garbage estimates). The probe's VERDICT is cached per
+    // session keyed by the artifact's (path, mtime) signature — the
+    // GraftDb.readMetaCached pattern — so a repeat call costs two
+    // filesystem stats and ZERO driver-side parquet reads
+    // (counter-gated: [[g0ProbeReads]]); an out-of-band wipe or rewrite
+    // changes the signature and re-probes.
     val g0Paths = Seq(tablePath(spark, "graft_stats_scalar_g0"),
       tablePath(spark, "graft_stats_domain_g0"))
     val conf = spark.sessionState.newHadoopConf()
     val g0Ok = g0Paths.forall { p =>
       val hp = new Path(p)
-      hp.getFileSystem(conf).exists(hp) && {
-        val probe = spark.read.parquet(p)
-        probe.columns.contains("src") && {
-          // bounded: one row per distinct src value (normally exactly 1)
-          val srcs = probe.select(col("src")).distinct().collect()
-          srcs.nonEmpty && srcs.forall(_.getString(0) == dir)
-        }
+      val fs = hp.getFileSystem(conf)
+      fs.exists(hp) && {
+        val sig = (p, dir, fs.getFileStatus(hp).getModificationTime)
+        g0ProbeCache.getOrElseUpdate(sig, {
+          g0ProbeReads.incrementAndGet()
+          val probe = spark.read.parquet(p)
+          probe.columns.contains("src") && {
+            // bounded: one row per distinct src value (normally exactly 1)
+            val srcs = probe.select(col("src")).distinct().collect()
+            srcs.nonEmpty && srcs.forall(_.getString(0) == dir)
+          }
+        })
       }
     }
     if (!g0Ok) writeGenProfileArtifacts(spark, dir, 0)
@@ -524,6 +534,18 @@ object Persist {
     writeGenProfileArtifacts(spark, dir, 1)
     mergeProfileArtifacts(spark)
   }
+
+  /** p16's gen-0 provenance-probe verdicts, keyed (path, corpus dir,
+    * artifact mtime): a fresh build rewrites the directory and gets a
+    * new mtime, so stale verdicts are unreachable — entries are
+    * (re)build-bounded, never invalidated in place. */
+  private val g0ProbeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Boolean]
+
+  /** Counts ACTUAL parquet probe reads behind [[statsMerge]]'s gen-0
+    * reuse check — the spec gate proving a repeat call's probe is pure
+    * driver state (the Ivf.trainInvocations counter pattern). */
+  private[graft] val g0ProbeReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** One GENERATION's p16 profile artifacts (scalar stats + exact distinct
     * domain), one scan of that generation's rows only — the nightly job's

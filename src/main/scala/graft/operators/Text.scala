@@ -1721,7 +1721,9 @@ object Text {
     * drop stand-in), then read back schema-first; the gate proves the
     * roundtrip: per-lang doc counts and character mass equal the source
     * table exactly, and the quarantine row reports exactly the planted
-    * corruption. */
+    * corruption. The corrupt lines themselves persist to
+    * `graft_jsonl_quarantine` (raw line + shard provenance) for
+    * triage/reprocess — report count ≡ artifact rows, spec-asserted. */
   def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Graft.init(spark)
@@ -1740,10 +1742,27 @@ object Text {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
-    // ONE pass folds the report and the quarantine: corrupt rows group
-    // under the sentinel lang (their data columns are null, so the
-    // char-mass sum coalesces to 0) — no second scan, and no query that
-    // references only the internal corrupt column (unsupported)
+    // QUARANTINE ARTIFACT (r16): corrupt lines don't just get counted —
+    // the raw line + shard provenance persist to a triage table, the
+    // part of a real ingest the count alone can't do (inspect what
+    // broke, fix the producer, re-parse the quarantined lines without
+    // re-reading 100 TB). The filter is corrupt-selective, so the
+    // artifact write's output is error-sized even though the scan is a
+    // full pass; `doc_id` rides along because a projection referencing
+    // ONLY the internal corrupt column is unsupported by the JSON
+    // reader (and a parsable id prefix is triage signal anyway).
+    parsed
+      .filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"),
+        col("doc_id"),
+        input_file_name().as("src_shard"))
+      .write.mode("overwrite")
+      .parquet(Persist.tablePath(spark, "graft_jsonl_quarantine"))
+    // ONE pass folds the report: corrupt rows group under the sentinel
+    // lang (their data columns are null, so the char-mass sum coalesces
+    // to 0). The report's `_corrupt` count ≡ the artifact's row count by
+    // construction (same filter predicate over the same parse) —
+    // spec-asserted, the f7 manifest-audit recipe applied to ingest.
     parsed
       .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
         .otherwise(col("lang")).as("lang"))

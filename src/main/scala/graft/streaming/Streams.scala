@@ -662,9 +662,15 @@ object Streams {
     *   - Each replayed batch is staged under `<table>_staging/` (hidden
     *     from readers) and then swapped directory-for-directory, so a
     *     concurrent [[graft.operators.Persist.probedListsSearch]] or
-    *     [[ivfSizeState]] during a replay sees the old fileset or the
-    *     new (row-identical) one — never a half-deleted directory (the
-    *     aside-swap shape the facade's buildIndex uses).
+    *     [[ivfSizeState]] during a replay sees the old fileset, the new
+    *     (row-identical) one, or — for the instant between the two
+    *     renames — the table with that one batch directory ABSENT;
+    *     never a half-deleted or half-written directory, and never the
+    *     old copy as a second `batch_id=` partition (the aside is
+    *     dot-prefixed, invisible to partition discovery). Replays are
+    *     row-identical by the determinism precondition above, so the
+    *     transient absence window under-counts one batch momentarily —
+    *     it cannot serve wrong rows.
     *   - A warehouse written by the RETIRED append+commit-log protocol
     *     (flat `cluster_id=` directories at the table root) cannot be
     *     appended to in the new layout — mixed partition depths fail

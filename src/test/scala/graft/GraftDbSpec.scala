@@ -279,7 +279,8 @@ class GraftDbSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit === Map("chunks_log" -> 0L, "documents_log" -> 0L,
       "archive:chunks_log" -> 0L, "archive:documents_log" -> 0L,
-      "ivf_index" -> 0L, "lsh_index" -> 0L, "ivf_index_archive" -> 0L))
+      "ivf_index" -> 0L, "lsh_index" -> 0L,
+      "ivf_index_archive" -> 0L, "lsh_index_archive" -> 0L))
     // storage-level proof: the raw parquet files carry no trace of doc 1
     assert(spark.read.parquet(s"${db.root}/chunks_log")
       .filter(col("doc_id") === 1L).count() === 0L)
@@ -684,6 +685,101 @@ class GraftDbSpec extends GraftSuite {
       s"v1 receipt without n_total must keep the probe route: ${dec.mkString(",")}")
   }
 
+  test("index meta format_version: a FUTURE (v3) receipt reads as ABSENT — the route degrades, never misreads") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(17L, "future", dims, "lsh")
+    db.upsertChunksMeta(corpus.take(20).map { case (id, t, e) =>
+      (17L, id / 10, id, t, e, Map("lang" -> "en")) })
+    db.compact()
+    val metaPath = s"${db.root}/lsh_index/lib=17/meta"
+    val v2 = spark.read.parquet(metaPath).collect().head
+    import spark.implicits._
+    // a v3 writer's receipt: same columns as far as v2 knows, plus a
+    // hypothetical layout change v2 accessors would MISREAD — the
+    // format_version contract says: don't try
+    val v3 = Seq((v2.getAs[Long]("index_seq"), v2.getAs[Int]("n_tables"),
+      v2.getAs[Int]("n_bits"), v2.getAs[Long]("seed"),
+      v2.getAs[Long]("n_total"), GraftDb.IndexMetaV + 1))
+      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+        "format_version")
+    val tmp = s"${db.root}/lsh_index/lib=17/meta_v3tmp"
+    v3.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(metaPath))
+    val db2 = new GraftDb(spark, db.root)
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val hits = db2.searchAll(17L, workload, k = 3)
+    // the standing key table is NOT served (the receipt is unreadable by
+    // contract): the in-memory rekey route answers, correct, unaccelerated
+    assert(!hits.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "a future-version receipt was served through v2 accessors")
+    assert(hits.collect().nonEmpty)
+    assert(db2.filterDecision(17L, Seq("lang" -> "en")).collect()
+      .forall(_.getString(4) == "inmemory_rekey"),
+      "future-version receipt did not degrade the decision route")
+  }
+
+  test("out-of-band meta REPLACEMENT invalidates the cached route (mtime revalidation, not just existence)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(18L, "oob", dims, "lsh")
+    db.upsertChunks(corpus.take(20).map { case (id, t, e) =>
+      (18L, id / 10, id, t, e) })
+    db.buildLshIndex(18L, nTables = 4, nBits = 10, seed = 1000L)
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    // prime the meta cache on the standing-index route
+    val before = db.searchAll(18L, workload, k = 3)
+    assert(before.queryExecution.executedPlan.toString.contains("lsh_index"))
+    assert(before.collect().nonEmpty)
+    // an EXTERNAL actor replaces the receipt at the same path (an
+    // out-of-band rebuild/restore with different params) — the r15
+    // advisory's unhandled half: bare-existence revalidation kept
+    // serving the stale cached row for the life of the instance
+    Thread.sleep(20) // mtime granularity
+    val metaPath = s"${db.root}/lsh_index/lib=18/meta"
+    val swapped = Seq((99L, 8, 12, 4242L, 20L, GraftDb.IndexMetaV))
+      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+        "format_version")
+    swapped.coalesce(1).write.mode("overwrite").parquet(metaPath)
+    // the SAME instance notices on the very next call: the recorded
+    // params no longer match the call's, so the route drops to the
+    // in-memory rekey instead of probing with a stale receipt
+    val after = db.searchAll(18L, workload, k = 3)
+    assert(!after.queryExecution.executedPlan.toString.contains("lsh_index/"),
+      "replaced receipt still served through the stale cached row")
+    assert(db.filterDecision(18L, Seq("lang" -> "en")).collect()
+      .forall(_.getString(4) == "inmemory_rekey"),
+      "replaced receipt did not flip the decision route")
+  }
+
+  test("lazy flat filterstats: a never-compacted flat library's first filtered call earns an artifact-sourced receipt") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(19L, "flatlazy", dims, "flat")
+    db.upsertChunksMeta(corpus.take(20).map { case (id, t, e) =>
+      (19L, id / 10, id, t, e,
+        Map("lang" -> (if (id % 2 == 0) "en" else "de"))) })
+    // NO compact() ever — before r16 this library could never report an
+    // artifact-sourced receipt (buildFlatStats ran only at compact)
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    val hits = db.searchAll(19L, workload, k = 3, metadataEq = Seq("lang" -> "en"))
+    assert(hits.collect().nonEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${db.root}/flat_index/lib=19/meta")),
+      "first filtered call did not materialize the flat stats artifact")
+    val dec = db.filterDecision(19L, Seq("lang" -> "en")).collect()
+    assert(dec.length === 1)
+    assert(dec.head.getString(4) === "prefilter_exact")
+    assert(dec.head.getLong(2) === 10L,
+      s"receipt count not artifact-sourced: ${dec.head}")
+    assert(dec.head.getLong(3) === 20L, s"receipt population wrong: ${dec.head}")
+  }
+
   test("index maintenance loop: keep on an unchanged corpus, retrain on a reseeded one, receipt exposed") {
     val db = freshDb()
     val dims = corpus.head._3.length
@@ -840,6 +936,137 @@ class GraftDbSpec extends GraftSuite {
       asOfSeq = Some(pin), pinIndexed = true)) ===
       res(db.searchAll(11L, workload, k = 5, asOfSeq = Some(pin))),
       "approximate pin still served a purged generation's model")
+  }
+
+  test("pinned APPROXIMATE lsh search: the archived receipt reproduces the live bucket-route ranking at the pin; purge drops stale models") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(12L, "ttlsh", dims, "lsh") // seq 0
+    db.upsertChunks((0 until 24).map(i =>
+      (12L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3))) // seq 1..24
+    // selective buckets (high nBits): the bucket route genuinely prunes,
+    // so the replayed ranking is distinguishable from exact-at-pin
+    db.buildLshIndex(12L, nTables = 2, nBits = 14, seed = 7L) // archives gen 24
+    val pin = 24L
+    import spark.implicits._
+    val workload = Seq(2, 7).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val livePin = res(db.searchAll(12L, workload, k = 5,
+      nTables = 2, nBits = 14, seed = 7L))
+
+    // history moves on: new chunks, then a rebuild with DIFFERENT params
+    // — a second archived generation; the live ranking changes
+    db.upsertChunks((0 until 12).map(i =>
+      (12L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3)))
+    db.buildLshIndex(12L, nTables = 2, nBits = 6, seed = 7L)
+    assert(res(db.searchAll(12L, workload, k = 5,
+      nTables = 2, nBits = 6, seed = 7L)) !== livePin,
+      "the live ranking did not move — the pin proves nothing")
+
+    // the approximate pin replays the bucket-route ranking the standing
+    // key table served at the pin, with the ARCHIVED receipt's params
+    // (never the call's — the call passes the CURRENT ones)
+    val approxPin = res(db.searchAll(12L, workload, k = 5,
+      nTables = 2, nBits = 6, seed = 7L, asOfSeq = Some(pin), pinIndexed = true))
+    assert(approxPin === livePin,
+      "archived-receipt pin diverged from the ranking served at the pin")
+    // and it IS the bucket route, not exact-at-pin relabeled
+    val exactPin = res(db.searchAll(12L, workload, k = 5, asOfSeq = Some(pin)))
+    assert(approxPin !== exactPin,
+      "bucket-pruned pin equals exact — the test corpus does not exercise the route")
+
+    // a pin BEFORE any archived generation falls back to the exact contract
+    val earlyPin = 10L
+    assert(res(db.searchAll(12L, workload, k = 5, asOfSeq = Some(earlyPin),
+      pinIndexed = true)) ===
+      res(db.searchAll(12L, workload, k = 5, asOfSeq = Some(earlyPin))),
+      "pre-index pin did not fall back to exact")
+
+    // purge outranks reproducibility — same contract as the ivf archive:
+    // stale lsh models drop (audit row), the approximate pin falls back
+    val audit = db.purgeDocument(12L, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("lsh_index_archive") === 0L,
+      s"pre-purge lsh model generations survive the purge: $audit")
+    assert(res(db.searchAll(12L, workload, k = 5,
+      asOfSeq = Some(pin), pinIndexed = true)) ===
+      res(db.searchAll(12L, workload, k = 5, asOfSeq = Some(pin))),
+      "approximate pin still served a purged generation's receipt")
+  }
+
+  test("archive chain gap: a generation missing from the archive (crash between swap and archive) pins to EXACT, never the previous model") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(15L, "chain", dims, "ivf")
+    db.upsertChunks((0 until 24).map(i =>
+      (15L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3))) // seq 1..24
+    db.trainIndex(15L, kCentroids = 4, iters = 2)
+    db.buildIndex(15L) // gen A = 24
+    db.upsertChunks((0 until 6).map(i =>
+      (15L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 25..30
+    db.buildIndex(15L) // gen B = 30
+    db.upsertChunks((6 until 12).map(i =>
+      (15L, 2L, 50L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 31..36
+    db.buildIndex(15L) // gen C = 36
+    val archRoot = s"${db.root}/ivf_index_archive/lib=15"
+    val gens = new java.io.File(archRoot).listFiles().map(_.getName).sorted.toSeq
+    assert(gens === Seq("gen=24", "gen=30", "gen=36"), s"unexpected archive layout: $gens")
+    // the chain links: each gen's receipt names its predecessor
+    assert(spark.read.parquet(s"$archRoot/gen=36/meta").head.getAs[Long]("prev_gen") === 30L)
+    assert(spark.read.parquet(s"$archRoot/gen=30/meta").head.getAs[Long]("prev_gen") === 24L)
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    // simulate the crash class the r15 advisory flagged: build B's swap
+    // landed but its archive write never did — gen 30 vanishes
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$archRoot/gen=30"))
+    val db2 = new GraftDb(spark, db.root) // fresh session, no caches
+    // a pin DURING gen 30's reign must NOT silently replay gen 24's model
+    // (gen 36's receipt names 30, not 24 — the chain detects the gap):
+    // the pin falls back to the exact contract
+    val pinInGap = 32L
+    assert(res(db2.searchAll(15L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinInGap), pinIndexed = true)) ===
+      res(db2.searchAll(15L, workload, k = 5, asOfSeq = Some(pinInGap))),
+      "chain-gap pin replayed the WRONG (previous) generation's model")
+    // validated replay RESUMES past the gap: a pin covering gen 36 (the
+    // live index's own generation, witnessed by the live meta) serves
+    // the approximate route — and with the pin at/after every mutation,
+    // the pinned fold IS the live corpus, so the replay must equal the
+    // live standing-index route bit-for-bit (the v56 identity)
+    val pinAt36 = 36L
+    val approx36 = res(db2.searchAll(15L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinAt36), pinIndexed = true))
+    assert(approx36 === res(db2.searchAll(15L, workload, k = 5, nProbes = 1)),
+      "validated post-gap generation did not replay the live route")
+  }
+
+  test("index maintenance: delete-heavy churn reaches the train/decide path (drift counts deletions)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(16L, "deldrift", dims, "ivf")
+    db.upsertChunks((0 until 24).map(i =>
+      (16L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3)))
+    db.trainIndex(16L, kCentroids = 2, iters = 2)
+    db.buildIndex(16L) // standing lists: 24 rows
+    // delete HALF the corpus, sparing the seed ids (100, 101) and the
+    // occupancy balance: before r16 the drift signal left-joined the
+    // CURRENT corpus against the lists, so rows present only on the
+    // lists side (deletions) were invisible — this stayed on the lazy
+    // keep path forever with zero training
+    db.deleteChunksBatch(16L, (110L to 121L))
+    val trainsBefore = graft.operators.Ivf.trainInvocations.get()
+    db.buildIndex(16L)
+    assert(graft.operators.Ivf.trainInvocations.get() > trainsBefore,
+      "delete-only churn never reached the stage-2 train/decide path")
+    // and the rebuilt lists hold only survivors
+    val listed = spark.read.parquet(s"${db.root}/ivf_index/lib=16/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(listed === ((100L to 109L) ++ (122L to 123L)).toSet,
+      s"lists diverge from the shrunk corpus: $listed")
   }
 
   test("crash repair: scrub leftovers complete or restore on open; a damaged archived generation fails loudly") {

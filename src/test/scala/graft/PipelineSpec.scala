@@ -608,6 +608,33 @@ class PipelineSpec extends GraftSuite {
       s"merge does not scan the generation artifacts:\n${plan.take(600)}")
     assert(!plan.contains("lineitem"),
       s"merge subtree scans the corpus:\n${plan.take(600)}")
+    // the gen-0 provenance probe verdict is cached per (path, mtime) —
+    // a further repeat call costs ZERO driver-side parquet probe reads
+    // (counter-gated, the lazy-keep pattern): the probe is pure driver
+    // state once the standing artifacts' signatures are known
+    val probesBefore = graft.operators.Persist.g0ProbeReads.get()
+    graft.operators.Persist.statsMerge(spark, sf).collect()
+    assert(graft.operators.Persist.g0ProbeReads.get() === probesBefore,
+      "repeat statsMerge re-read the gen-0 artifacts for the provenance probe")
+  }
+
+  test("t33 quarantine artifact: corrupt lines persist with shard provenance; report count ≡ artifact rows") {
+    // the ingest's data-quality receipt must be REPLAYABLE, not just a
+    // number: the raw quarantined lines land on disk so a 100 TB ingest
+    // can triage/reprocess them without re-reading the corpus (the f7
+    // manifest-audit recipe applied to ingest)
+    val report = run("t33_jsonl_ingest").collect()
+    val reported = report.find(_.getString(0) == "_corrupt").get.getLong(1)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val q = spark.read.parquet(s"$wh/graft_jsonl_quarantine")
+    assert(q.count() === reported,
+      "quarantine artifact rows diverge from the report's corrupt count")
+    val rows = q.collect()
+    assert(rows.forall(_.getAs[String]("src_shard").nonEmpty),
+      "quarantined line lost its shard provenance")
+    assert(rows.map(_.getAs[String]("raw_line")).sorted.toSeq ===
+      Seq("{\"doc_id\": oops", "{\"lang\": \"en\"", "{not json at all"),
+      "quarantine does not hold exactly the planted corrupt lines")
   }
 
   test("t29: BPE pair counts match a full driver recompute over the vocabulary") {
