@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   * estimator here; a single timed rep produced the round-1 phantom
   * outliers (e1 70 s, t2 31 s for sub-second plans). Rep counts are
   * SELF-SIZING (r16, after the r15 driver bench outgrew its window):
-  * a query whose warmup exceeds the heavy cutoff runs one warm rep; a
+  * a query whose warmup AND first rep both exceed the heavy cutoff
+  * stops at two warm reps (intrinsically heavy — no stall-retry); a
   * query whose first two reps agree tightly skips the third.
   *
   * Two artifacts per run:
@@ -80,23 +81,28 @@ object Bench {
     // TIMED OUT (rc 124) because the new lifecycle queries pay tens of
     // seconds PER REP (f13's cold first pass: 62 s) and then hit the
     // stall-retry (4 more runs) — one query consumed ~4 min of the
-    // driver window. A query whose WARMUP already exceeded the cutoff
-    // is a lifecycle/build query, not a stall victim: it gets ONE warm
-    // timed rep (the warmup IS its JIT/footer warm-through), skips the
-    // stall-retry (its slowness is intrinsic, and the retry's median
-    // trigger would always fire on it), and its warm-up time is
-    // recorded in BENCH_DETAIL (`warm_sec`) so the drift adjudication
-    // reads provenance, not a mystery. Cutoff overridable for testing.
+    // driver window. A query whose WARMUP and FIRST TIMED REP both
+    // exceed the cutoff is a lifecycle/build query, not a stall victim:
+    // it stops at TWO warm reps (min-of-2 — one window can't tell
+    // intrinsic weight from a landed stall), skips the stall-retry
+    // (its slowness is intrinsic, and the retry's median trigger would
+    // always fire on it), and its warm-up time is recorded in
+    // BENCH_DETAIL (`warm_sec`) so the drift adjudication reads
+    // provenance, not a mystery. Cutoff overridable for testing.
     val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF_SEC")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(5.0)
 
     /** 1 untimed-but-recorded warmup + up to `reps` timed runs; empty
       * reps on failure. Two self-sizing rules cut suite wall-clock
       * without cutting fidelity where it matters:
-      *   - warmup > heavyCutoff AND the first timed rep confirms it
-      *     (> cutoff/2 — a cold-footer warmup over a fast warm query
-      *     must NOT lock the query to one possibly-stalled rep) →
-      *     stop at that 1 warm rep;
+      *   - warmup > heavyCutoff AND the first timed rep > heavyCutoff
+      *     TOO (BOTH must agree the query is intrinsically heavy — the
+      *     first deployed rule confirmed at cutoff/2 and promptly locked
+      *     a contention-inflated 9 s rep in for a steady-state-1.5 s
+      *     build query) → stop after a SECOND rep (min-of-2: one rep
+      *     can't tell "intrinsically slow" from "stall landed here";
+      *     two independent windows make a single stall survivable at a
+      *     fraction of the old 3-reps+retry cost);
       *   - the third rep is SKIPPED when the first two already agree
       *     (min < 1 s and spread ≤ 30% of min): two tight sub-second
       *     reps mean no stall landed, and the stall-retry pass still
@@ -106,13 +112,14 @@ object Bench {
       try {
         val w = if (warmup) Some(totalOf(runOnce(name, dir))) else None
         val r1 = runOnce(name, dir)
-        val demoted = w.exists(_ > heavyCutoff) && totalOf(r1) > heavyCutoff / 2
         val out =
-          if (demoted || reps <= 1) Seq(r1)
+          if (reps <= 1) Seq(r1)
           else {
             val r2 = runOnce(name, dir)
+            val demoted = w.exists(_ > heavyCutoff) && totalOf(r1) > heavyCutoff
             val ts = Seq(totalOf(r1), totalOf(r2))
-            if (reps <= 2 || (ts.min < 1.0 && ts.max - ts.min <= 0.3 * ts.min))
+            if (demoted || reps <= 2 ||
+                (ts.min < 1.0 && ts.max - ts.min <= 0.3 * ts.min))
               Seq(r1, r2)
             else Seq(r1, r2) ++ (3 to reps).map(_ => runOnce(name, dir))
           }
@@ -126,9 +133,11 @@ object Bench {
     val firstPass: Seq[(String, (Option[Double], Seq[(Double, Double)]))] =
       names.map(n => n -> timedReps(n, 3))
     val warmSec: Map[String, Option[Double]] = firstPass.map { case (n, (w, _)) => n -> w }.toMap
-    // heavy = the warmup tripped AND the confirming single rep stood
+    // heavy = warmup AND the first timed rep both over the cutoff (the
+    // min-of-2 demotion above) — exempt from the stall-retry below
     val heavy: Set[String] = firstPass.collect {
-      case (n, (w, rs)) if w.exists(_ > heavyCutoff) && rs.length == 1 => n
+      case (n, (w, rs)) if w.exists(_ > heavyCutoff) &&
+          rs.headOption.exists(totalOf(_) > heavyCutoff) && rs.length <= 2 => n
     }.toSet
     val firstReps: Seq[(String, Seq[(Double, Double)])] =
       firstPass.map { case (n, (_, rs)) => n -> rs }
