@@ -253,8 +253,8 @@ object Bench {
       // pass (the r14 d20 anomaly: reps 6.99/17.15/43.19 beside sec
       // 2.43). `retry_reps` still marks WHICH reps came from the retry.
       // `warm_sec` records the untimed warmup; `heavy:true` marks a
-      // query the warmup demoted to one timed rep (drift adjudication
-      // must read its single rep as warm-steady-state, not min-of-3).
+      // query demoted to TWO warm timed reps (drift adjudication must
+      // read its reps as warm min-of-2, not min-of-3-plus-retry).
       val allReps = rs ++ retryPass.getOrElse(n, Seq.empty)
       val retry = retryPass.get(n)
         .map(r => s""","retry_reps":[${r.map(totalOf).map(dFull).mkString(",")}]""").getOrElse("")

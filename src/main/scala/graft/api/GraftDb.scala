@@ -359,6 +359,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
     rows.head
   }
 
+  /** The live library record, or None when the library no longer exists
+    * — for paths that must DEGRADE on a gone library instead of failing
+    * (a pinned read's subject may be long deleted live). */
+  private def libRecordOpt(libId: Long): Option[org.apache.spark.sql.Row] =
+    listLibraries().filter(col("library_id") === libId).collect().headOption
+
   // ---- document CRUD (models.py:31-38, routes/documents.py:24-86) ---------
 
   def createDocument(libId: Long, docId: Long, title: String,
@@ -1463,6 +1469,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     writeArchivedGen(s"${ivfArchiveRoot(libId)}/gen=${seq - 1}") { b =>
       spark.read.parquet(s"${indexRoot(libId)}/centroids")
         .coalesce(1).write.mode("overwrite").parquet(s"$b/centroids")
+      // filterstats ride the archive (metadata-DOMAIN-sized, never the
+      // corpus) so a pinned approximate search can replay the SAME
+      // pre/post-filter route decision the live route took at the pin —
+      // without them a historically-selective filter that served the
+      // exact branch would be replayed through the probe route
+      spark.read.parquet(s"${indexRoot(libId)}/filterstats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
       spark.read.parquet(s"${indexRoot(libId)}/meta")
         .withColumn("prev_gen", lit(prevGen))
         .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
@@ -1513,22 +1526,34 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * unarchived — is DETECTED instead of silently replaying the previous
     * generation's model (the model standing at the pin was the crashed
     * build's, which no archive holds):
-    *   - a later archived gen exists → it must name `g` as predecessor;
+    *   - a later archived gen exists → its predecessor must be `g`
+    *     (no gap at all), OR a gen LATER than the pin (`prev_gen > s`
+    *     — the missing build began after `s`, so `g` genuinely stood
+    *     at the pin and only later pins lose their replay);
+    *   - an UNREADABLE later receipt (future format_version, damaged)
+    *     rejects conservatively — a chain that can't be checked must
+    *     not be presumed intact;
     *   - no later archived gen → the LIVE index meta is the only
     *     witness: its index_seq must be `g` itself (a live build newer
     *     than the pin with no archived gen after the pin means the
     *     covering build's archive is missing — conservative exact).
     * Receipts predating `prev_gen` (r15-era archives) validate
-    * vacuously — they carry no chain to check. */
+    * vacuously — they carry no chain to check. The chain records ONE
+    * predecessor per gen: with a single missing build the rule is
+    * exact; multiple consecutive crashed-archive builds can shadow an
+    * older gap (documented limit — each crash is already a repaired
+    * anomaly). */
   private def coveringArchivedGen(rootDir: String, s: Long,
                                   liveGen: Option[Long]): Option[Long] = {
     val gens = archivedGens(rootDir)
     gens.filter(_ <= s).maxOption.filter { g =>
       gens.filter(_ > s).minOption match {
         case Some(next) =>
-          readMetaCached(s"$rootDir/gen=$next/meta").headOption.forall(m =>
-            !m.schema.fieldNames.contains("prev_gen") ||
-              m.getAs[Long]("prev_gen") == g)
+          readMetaCached(s"$rootDir/gen=$next/meta").headOption.exists(m =>
+            !m.schema.fieldNames.contains("prev_gen") || {
+              val p = m.getAs[Long]("prev_gen")
+              p == g || p > s
+            })
         case None => liveGen.contains(g)
       }
     }
@@ -1616,6 +1641,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // only; an lsh pin silently degraded to exact). Same staged-write +
     // `prev_gen` chain discipline as the ivf archive.
     writeArchivedGen(s"${lshArchiveRoot(libId)}/gen=${seq - 1}") { b =>
+      // filterstats ride the archive for the pinned route-decision
+      // replay (see the ivf twin above)
+      spark.read.parquet(s"${lshIndexRoot(libId)}/filterstats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
       spark.read.parquet(s"${lshIndexRoot(libId)}/meta")
         .withColumn("prev_gen", lit(prevGen))
         .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
@@ -1880,7 +1909,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     asOfSeq match {
       case Some(s) =>
         return pinnedSearchAll(libId, queries, k, includeChunk, candFilters, s,
-          nProbes, pinIndexed)
+          nProbes, pinIndexed, metadataEq, thrDen)
       case None =>
     }
     val lib = libRecord(libId)
@@ -2197,11 +2226,39 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * archive, a chain gap from a crashed archive write, or a flat
     * library) falls back to the exact contract.
     * The library must have existed at the pin. */
+  /** Replay v51's selectivity decision from an ARCHIVED generation's
+    * filterstats + receipt — the route the LIVE route took at the pin
+    * was decided from that generation's artifact, so the pinned replay
+    * must re-run the SAME BigInt rule on the SAME counts or a
+    * historically-selective filter that served the exact pre-filter
+    * branch would be replayed through the probe route (worse recall
+    * than history — the one direction a reproducibility contract can't
+    * tolerate). False for a legacy gen without filterstats/n_total
+    * (r15-era archive: decision not reconstructable — keep the probe
+    * route, the r15 behavior). Reads ≤ one row per requested pair. */
+  private def archivedSelectiveEq(genDir: String, eq: Seq[(String, String)],
+                                  thrDen: Long): Boolean = {
+    val p = s"$genDir/filterstats"
+    val nt = readMetaCached(s"$genDir/meta").headOption
+      .filter(_.schema.fieldNames.contains("n_total"))
+      .map(_.getAs[Long]("n_total"))
+    eq.nonEmpty && nt.nonEmpty && fs.exists(new Path(p)) && {
+      val found = spark.read.parquet(p)
+        .filter(eq.distinct.map { case (kk, vv) =>
+          col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val cs = eq.map(pair => found.getOrElse(pair, 0L))
+      BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(nt.get).pow(eq.size)
+    }
+  }
+
   private def pinnedSearchAll(libId: Long, queries: DataFrame, k: Int,
                               includeChunk: Boolean,
                               candFilters: DataFrame => DataFrame,
                               s: Long, nProbes: Int = 2,
-                              pinIndexed: Boolean = false): DataFrame = {
+                              pinIndexed: Boolean = false,
+                              metadataEq: Seq[(String, String)] = Seq.empty,
+                              thrDen: Long = 50L): DataFrame = {
     val (chunkSrc, libSrc) = pinnedLogSlices(s)
     val libSlice = libSrc.filter(col("seq") <= s)
     val libsAt = foldLibLog(libSlice)
@@ -2218,41 +2275,56 @@ final class GraftDb(spark: SparkSession, val root: String) {
     def exact() = Knn.topkPerQuery(Knn.scoreAll(emb, qs, "cosine"), "cosine", k)
     // the approximate replay dispatches on the live index_type (archives
     // follow the live library's lifecycle — [[refreshIndexes]] drops a
-    // re-typed library's models); the covering generation is validated
-    // against the archive chain ([[coveringArchivedGen]]) — no validated
-    // covering generation falls back to the exact contract
+    // re-typed library's models; a library DELETED live has no archives
+    // to replay and degrades to exact, never errors — the pin's own
+    // existence check above is against the PINNED epoch). The covering
+    // generation is validated against the archive chain
+    // ([[coveringArchivedGen]]); an unreadable covering receipt (future
+    // format_version, damage) and a historically-selective metadataEq
+    // (the live route's exact pre-filter branch at the pin,
+    // [[archivedSelectiveEq]]) both serve exact — no validated covering
+    // generation falls back to the exact contract.
     val hits =
       if (!pinIndexed) exact()
-      else libRecord(libId).getAs[String]("index_type") match {
-        case "ivf" =>
+      else libRecordOpt(libId).map(_.getAs[String]("index_type")) match {
+        case Some("ivf") =>
           coveringArchivedGen(ivfArchiveRoot(libId), s,
             indexMetaRow(libId).map(_.getAs[Long]("index_seq"))) match {
             case Some(g) =>
-              val mat = spark.read.parquet(s"${ivfArchiveRoot(libId)}/gen=$g/centroids")
-                .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-                .sortBy(_._1)
-              val probes = probeAssignments(qs, mat, nProbes)
-              val scored = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
-                .join(broadcast(probes), Seq("cluster_id"))
-                .select(col("qid"), col("vec_id"))
-                .join(emb, Seq("vec_id"))
-                .join(broadcast(qs), Seq("qid"))
-                .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
-                .select(col("qid"), col("vec_id"), col("score"))
-              Knn.topkPerQuery(scored, "cosine", k)
+              val genDir = s"${ivfArchiveRoot(libId)}/gen=$g"
+              if (readMetaCached(s"$genDir/meta").isEmpty ||
+                  archivedSelectiveEq(genDir, metadataEq, thrDen)) exact()
+              else {
+                val mat = spark.read.parquet(s"$genDir/centroids")
+                  .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+                  .sortBy(_._1)
+                val probes = probeAssignments(qs, mat, nProbes)
+                val scored = Ivf.assignToMat(emb, mat).select(col("vec_id"), col("cluster_id"))
+                  .join(broadcast(probes), Seq("cluster_id"))
+                  .select(col("qid"), col("vec_id"))
+                  .join(emb, Seq("vec_id"))
+                  .join(broadcast(qs), Seq("qid"))
+                  .withColumn("score", Graft.cosine(col("embedding"), col("qvec")))
+                  .select(col("qid"), col("vec_id"), col("score"))
+                Knn.topkPerQuery(scored, "cosine", k)
+              }
             case None => exact()
           }
-        case "lsh" =>
+        case Some("lsh") =>
           // replay with the ARCHIVED receipt's params (never the call's):
           // the ranking being reproduced is the one the standing key
           // table served, and that table was keyed with the receipt
           coveringArchivedGen(lshArchiveRoot(libId), s,
             lshIndexMeta(libId).map(_._1)) match {
             case Some(g) =>
-              val m = readMetaCached(s"${lshArchiveRoot(libId)}/gen=$g/meta").head
-              val (t, b, sd) = (m.getAs[Int]("n_tables"), m.getAs[Int]("n_bits"),
-                m.getAs[Long]("seed"))
-              Lsh.searchIndex(Lsh.keyRows(emb, t, b, sd), emb, qs, t, b, sd, k)
+              val genDir = s"${lshArchiveRoot(libId)}/gen=$g"
+              readMetaCached(s"$genDir/meta").headOption match {
+                case Some(m) if !archivedSelectiveEq(genDir, metadataEq, thrDen) =>
+                  val (t, b, sd) = (m.getAs[Int]("n_tables"), m.getAs[Int]("n_bits"),
+                    m.getAs[Long]("seed"))
+                  Lsh.searchIndex(Lsh.keyRows(emb, t, b, sd), emb, qs, t, b, sd, k)
+                case _ => exact()
+              }
             case None => exact()
           }
         case _ => exact()

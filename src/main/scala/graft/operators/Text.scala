@@ -1717,7 +1717,8 @@ object Text {
     *     so every executor reads its own byte range — no gzip
     *     single-reader bottleneck.
     * The artifact is BUILT here (the documents table serialized with
-    * `to_json` + three deterministic garbage lines planted — the vendor
+    * `to_json` + four deterministic garbage lines planted, three
+    * syntax-broken and one TYPE-malformed — the vendor
     * drop stand-in), then read back schema-first; the gate proves the
     * roundtrip: per-lang doc counts and character mass equal the source
     * table exactly, and the quarantine row reports exactly the planted
@@ -1728,9 +1729,13 @@ object Text {
     import spark.implicits._
     graft.Graft.init(spark)
     val path = Persist.tablePath(spark, "graft_jsonl_drop")
+    // three SYNTAX-broken lines + one TYPE-malformed one (valid JSON,
+    // doc_id not a number — the class that diverges under per-query
+    // parse pruning, r16): all four must land in quarantine
     val lines = Tables.documents(spark, dir)
       .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
-      .unionByName(Seq("{\"doc_id\": oops", "{not json at all", "{\"lang\": \"en\"")
+      .unionByName(Seq("{\"doc_id\": oops", "{not json at all", "{\"lang\": \"en\"",
+          "{\"doc_id\": \"not-a-number\", \"lang\": \"en\", \"text\": \"hi\"}")
         .toDF("value"))
     lines.write.mode("overwrite").text(path)
     val sch = new org.apache.spark.sql.types.StructType()
@@ -1738,36 +1743,48 @@ object Text {
       .add("lang", org.apache.spark.sql.types.StringType)
       .add("text", org.apache.spark.sql.types.StringType)
       .add("_corrupt", org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.schema(sch)
+    // LAND the parse as parquet — the ingest's actual product (JSONL →
+    // columnar is what a 100 TB ingest exists to do), and the ONLY way
+    // the report and the quarantine can never disagree: PERMISSIVE
+    // populates `_corrupt` per the columns a query REFERENCES (Spark
+    // prunes the parse schema per plan), so two differently-pruned
+    // reads of the raw JSON can classify a TYPE-malformed line (valid
+    // syntax, wrong field type) differently — one materialized
+    // full-width parse makes every downstream consumer read the same
+    // verdict. `input_file_name` captures shard provenance while the
+    // raw source is still underfoot.
+    val landed = Persist.tablePath(spark, "graft_jsonl_landed")
+    spark.read.schema(sch)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+      .select(col("doc_id"), col("lang"), col("text"), col("_corrupt"),
+        input_file_name().as("src_shard"))
+      .write.mode("overwrite").parquet(landed)
+    val parsed = spark.read.parquet(landed)
     // QUARANTINE ARTIFACT (r16): corrupt lines don't just get counted —
     // the raw line + shard provenance persist to a triage table, the
     // part of a real ingest the count alone can't do (inspect what
     // broke, fix the producer, re-parse the quarantined lines without
-    // re-reading 100 TB). The filter is corrupt-selective, so the
-    // artifact write's output is error-sized even though the scan is a
-    // full pass; `doc_id` rides along because a projection referencing
-    // ONLY the internal corrupt column is unsupported by the JSON
-    // reader (and a parsable id prefix is triage signal anyway).
+    // re-reading 100 TB). Error-sized by the corrupt-selective filter.
     parsed
       .filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("raw_line"),
-        col("doc_id"),
-        input_file_name().as("src_shard"))
+      .select(col("_corrupt").as("raw_line"), col("doc_id"), col("src_shard"))
       .write.mode("overwrite")
       .parquet(Persist.tablePath(spark, "graft_jsonl_quarantine"))
-    // ONE pass folds the report: corrupt rows group under the sentinel
-    // lang (their data columns are null, so the char-mass sum coalesces
-    // to 0). The report's `_corrupt` count ≡ the artifact's row count by
-    // construction (same filter predicate over the same parse) —
-    // spec-asserted, the f7 manifest-audit recipe applied to ingest.
+    // the report folds off the SAME landed rows: corrupt rows group
+    // under the sentinel lang and contribute ZERO character mass BY
+    // RULE (a type-malformed line carries a parsed `text` beside its
+    // `_corrupt` — quarantined is quarantined; its chars don't enter
+    // the corpus accounting). Report `_corrupt` count ≡ the artifact's
+    // row count by shared storage, not by parse luck — spec-asserted,
+    // the f7 manifest-audit recipe applied to ingest.
     parsed
       .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
         .otherwise(col("lang")).as("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        coalesce(sum(when(col("_corrupt").isNull, length(col("text")))
+          .otherwise(lit(0))), lit(0L)).as("n_chars"))
       .orderBy("lang")
   }
 
@@ -1776,6 +1793,6 @@ object Text {
       |                  sum(length(text))::BIGINT AS n_chars
       |           FROM documents GROUP BY lang)
       |SELECT lang, n_docs, n_chars FROM g
-      |UNION ALL SELECT '_corrupt', 3::BIGINT, 0::BIGINT
+      |UNION ALL SELECT '_corrupt', 4::BIGINT, 0::BIGINT
       |ORDER BY lang""".stripMargin
 }

@@ -995,6 +995,70 @@ class GraftDbSpec extends GraftSuite {
       "approximate pin still served a purged generation's receipt")
   }
 
+  test("pinned search on a LIVE-DELETED library degrades to exact — never errors (the library existed at the pin)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(20L, "gone", dims, "ivf")
+    db.upsertChunks((0 until 16).map(i =>
+      (20L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3)))
+    db.trainIndex(20L, kCentroids = 2, iters = 2)
+    db.buildIndex(20L)
+    val pin = 16L
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val exactPin = res(db.searchAll(20L, workload, k = 5, asOfSeq = Some(pin)))
+    // the library is deleted LIVE; the pin predates the tombstone, so
+    // the pinned read must still serve — r16 fixed the approximate
+    // dispatch consulting the live record through the throwing lookup
+    db.deleteLibrary(20L)
+    assert(res(db.searchAll(20L, workload, k = 5, asOfSeq = Some(pin),
+      pinIndexed = true)) === exactPin,
+      "live-deleted library's approximate pin neither served nor degraded")
+  }
+
+  test("pinned approximate search replays the ROUTE DECISION too: a historically-selective filter serves the exact branch at the pin") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(21L, "routepin", dims, "lsh")
+    // one RARE metadata value on a single chunk; the rest common
+    db.upsertChunksMeta((0 until 24).map { i =>
+      (21L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3,
+        Map("lang" -> (if (i == 10) "rare" else "en")))
+    })
+    // selective buckets: a survivor sharing no bucket with the query is
+    // invisible to the probe route — exactly the case the live route's
+    // pre-filter branch exists for
+    db.buildLshIndex(21L, nTables = 2, nBits = 14, seed = 7L)
+    val pin = 24L
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // thrDen=10: cnt(rare)=1 of n=24 → selective (exact branch);
+    // cnt(en)=23 → broad (bucket route) — both recorded live at the pin
+    val liveSel = res(db.searchAll(21L, workload, k = 5, nTables = 2,
+      nBits = 14, seed = 7L, metadataEq = Seq("lang" -> "rare"), thrDen = 10L))
+    assert(liveSel.nonEmpty, "selective live serve returned nothing — fixture broken")
+    val liveBroad = res(db.searchAll(21L, workload, k = 5, nTables = 2,
+      nBits = 14, seed = 7L, metadataEq = Seq("lang" -> "en"), thrDen = 10L))
+    // history moves on: delta + rebuild under different params
+    db.upsertChunks((0 until 6).map(i =>
+      (21L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3)))
+    db.buildLshIndex(21L, nTables = 2, nBits = 6, seed = 7L)
+    // the pinned replay reruns the SAME BigInt decision on the ARCHIVED
+    // generation's filterstats: selective → the exact branch history
+    // served (the old replay pushed it through the bucket route, losing
+    // survivors that share no bucket); broad → the bucket route
+    assert(res(db.searchAll(21L, workload, k = 5, asOfSeq = Some(pin),
+      pinIndexed = true, metadataEq = Seq("lang" -> "rare"), thrDen = 10L)) === liveSel,
+      "historically-selective filter did not replay the exact branch")
+    assert(res(db.searchAll(21L, workload, k = 5, asOfSeq = Some(pin),
+      pinIndexed = true, metadataEq = Seq("lang" -> "en"), thrDen = 10L)) === liveBroad,
+      "historically-broad filter did not replay the bucket route")
+  }
+
   test("archive chain gap: a generation missing from the archive (crash between swap and archive) pins to EXACT, never the previous model") {
     val db = freshDb()
     val dims = corpus.head._3.length
@@ -1020,6 +1084,12 @@ class GraftDbSpec extends GraftSuite {
     def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
 
+    // a pin during gen 24's reign, recorded BEFORE any damage — the
+    // control for the gap-after-pin check below
+    val pinAt26 = 26L
+    val approx26Before = res(db.searchAll(15L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinAt26), pinIndexed = true))
+
     // simulate the crash class the r15 advisory flagged: build B's swap
     // landed but its archive write never did — gen 30 vanishes
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$archRoot/gen=30"))
@@ -1032,6 +1102,13 @@ class GraftDbSpec extends GraftSuite {
       asOfSeq = Some(pinInGap), pinIndexed = true)) ===
       res(db2.searchAll(15L, workload, k = 5, asOfSeq = Some(pinInGap))),
       "chain-gap pin replayed the WRONG (previous) generation's model")
+    // a gap AFTER the pin must not poison pins the missing build never
+    // covered: gen 24 genuinely stood at seq 26 whether or not gen 30's
+    // archive survives (gen 36's prev_gen = 30 > 26 proves the missing
+    // build began after the pin) — the r16 review's false-reject fix
+    assert(res(db2.searchAll(15L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinAt26), pinIndexed = true)) === approx26Before,
+      "a post-pin archive gap changed a pre-gap pin's replay")
     // validated replay RESUMES past the gap: a pin covering gen 36 (the
     // live index's own generation, witnessed by the live meta) serves
     // the approximate route — and with the pin at/after every mutation,
@@ -1042,6 +1119,35 @@ class GraftDbSpec extends GraftSuite {
       asOfSeq = Some(pinAt36), pinIndexed = true))
     assert(approx36 === res(db2.searchAll(15L, workload, k = 5, nProbes = 1)),
       "validated post-gap generation did not replay the live route")
+  }
+
+  test("a FUTURE-version archived receipt degrades its pin to exact — never crashes, never misreads") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(22L, "futuregen", dims, "lsh")
+    db.upsertChunks((0 until 16).map(i =>
+      (22L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3)))
+    db.buildLshIndex(22L, nTables = 2, nBits = 10, seed = 7L) // gen 16
+    val pin = 16L
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // a v3 writer re-archives the generation's receipt: this reader must
+    // treat it as absent at the ARCHIVE path too (the live-meta
+    // enforcement test covers the index path) — the covering gen is
+    // found by directory listing, so the receipt read is where the
+    // contract bites
+    val metaPath = s"${db.root}/lsh_index_archive/lib=22/gen=16/meta"
+    val v3 = Seq((16L, 2, 10, 7L, 16L, GraftDb.IndexMetaV + 1, -1L))
+      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+        "format_version", "prev_gen")
+    v3.coalesce(1).write.mode("overwrite").parquet(metaPath)
+    val db2 = new GraftDb(spark, db.root)
+    assert(res(db2.searchAll(22L, workload, k = 5, asOfSeq = Some(pin),
+      pinIndexed = true)) ===
+      res(db2.searchAll(22L, workload, k = 5, asOfSeq = Some(pin))),
+      "future-version archived receipt did not degrade the pin to exact")
   }
 
   test("index maintenance: delete-heavy churn reaches the train/decide path (drift counts deletions)") {

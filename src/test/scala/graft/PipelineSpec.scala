@@ -632,8 +632,13 @@ class PipelineSpec extends GraftSuite {
     val rows = q.collect()
     assert(rows.forall(_.getAs[String]("src_shard").nonEmpty),
       "quarantined line lost its shard provenance")
+    // the fourth line is TYPE-malformed (valid JSON, string doc_id): it
+    // must land in quarantine with the syntax-broken three — the r16
+    // consistency fix (one landed parse) makes that a stable fact
+    // instead of a per-query parse-pruning accident
     assert(rows.map(_.getAs[String]("raw_line")).sorted.toSeq ===
-      Seq("{\"doc_id\": oops", "{\"lang\": \"en\"", "{not json at all"),
+      Seq("{\"doc_id\": \"not-a-number\", \"lang\": \"en\", \"text\": \"hi\"}",
+        "{\"doc_id\": oops", "{\"lang\": \"en\"", "{not json at all"),
       "quarantine does not hold exactly the planted corrupt lines")
   }
 
