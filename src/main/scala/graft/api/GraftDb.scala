@@ -353,11 +353,9 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .orderBy("library_id")
   }
 
-  private def libRecord(libId: Long): org.apache.spark.sql.Row = {
-    val rows = listLibraries().filter(col("library_id") === libId).collect()
-    require(rows.nonEmpty, s"no such library $libId")
-    rows.head
-  }
+  private def libRecord(libId: Long): org.apache.spark.sql.Row =
+    libRecordOpt(libId).getOrElse(
+      throw new IllegalArgumentException(s"no such library $libId"))
 
   /** The live library record, or None when the library no longer exists
     * — for paths that must DEGRADE on a gone library instead of failing
@@ -1503,6 +1501,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val live = new Path(genDir)
     fs.delete(live, true)
     fs.rename(bld, live)
+    archivedStatsCache.remove(genDir) // idempotent same-gen rebuild: fresh stats
   }
 
   /** The archived model generations under one archive root, by the
@@ -1814,6 +1813,10 @@ final class GraftDb(spark: SparkSession, val root: String) {
     liveFlat.foreach(buildFlatStats)
     filterStatsCache.clear() // new index generations: cached decisions stale
     flatStatsEnsured.clear() // fresh artifacts: lazy-ensure may run again
+    // a purge+rebuild can RE-CREATE a gen dir at the same path (same seq,
+    // post-purge stats) — the immutability that keys this cache holds
+    // only between maintenance boundaries
+    archivedStatsCache.clear()
     invalidateIndexMeta()
   }
 
@@ -2054,33 +2057,47 @@ final class GraftDb(spark: SparkSession, val root: String) {
         val (cachedN, counts) = filterStatsCache.getOrElseUpdate((libId, idxSeq),
           (nt, scala.collection.mutable.HashMap.empty[(String, String), Long]))
         val missing = eq.distinct.filterNot(counts.contains)
-        if (missing.nonEmpty) {
-          val found = spark.read.parquet(p)
-            .filter(missing.map { case (kk, vv) =>
-              col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
-            .collect() // ≤ one row per missing pair: request-bounded
-            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-          missing.foreach(pair => counts(pair) = found.getOrElse(pair, 0L))
-        }
+        if (missing.nonEmpty)
+          readFilterPairs(p, missing).foreach { case (pair, c) => counts(pair) = c }
         Some((eq.map(counts), cachedN))
       }
     }
 
-  /** v51's selectivity rule at the facade: pre-filter iff the estimated
-    * survivor fraction Π(cᵢ/n) ≤ 1/thrDen, compared as the EXACT
+  /** Targeted filterstats lookup, shared by the live cache fill and the
+    * archived replay: the requested pairs' counts from one artifact —
+    * ≤ one row per pair read back (request-bounded), an absent pair
+    * counting 0 (maximally selective). */
+  private def readFilterPairs(p: String,
+                              eq: Seq[(String, String)]): Map[(String, String), Long] = {
+    val found = spark.read.parquet(p)
+      .filter(eq.distinct.map { case (kk, vv) =>
+        col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    eq.distinct.map(pair => pair -> found.getOrElse(pair, 0L)).toMap
+  }
+
+  /** v51's selectivity RULE — pre-filter iff the estimated survivor
+    * fraction Π(cᵢ/n) ≤ 1/thrDen, compared as the EXACT
     * arbitrary-precision cross-multiplication thrDen·Πcᵢ ≤ nᵐ (BigInt —
     * no float boundary or 2⁶³ wrap can flip the branch; the registry
-    * operator's discipline verbatim). n is the index meta receipt's
-    * build population — same generation as the counts, so the estimate
-    * is internally consistent; both branches are correct either way,
-    * the decision only picks the cheaper (and for lsh, better-recall)
-    * plan. `thrDen` is the workload knob [[searchAll]] exposes
-    * (default 50 = the 2% switch point). */
+    * operator's discipline verbatim). ONE definition for every decision
+    * site (live serve, receipt, archived pin replay) so the routes can
+    * never drift apart. */
+  private def selectiveByCounts(cs: Seq[Long], n: Long, m: Int,
+                                thrDen: Long): Boolean =
+    BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(n).pow(m)
+
+  /** [[selectiveByCounts]] over the library's LIVE filterstats artifact.
+    * n is the index meta receipt's build population — same generation as
+    * the counts, so the estimate is internally consistent; both branches
+    * are correct either way, the decision only picks the cheaper (and
+    * for lsh, better-recall) plan. `thrDen` is the workload knob
+    * [[searchAll]] exposes (default 50 = the 2% switch point). */
   private def selectiveEqFilter(libId: Long, eq: Seq[(String, String)],
                                 thrDen: Long = 50L): Boolean =
     cachedFilterCounts(libId, eq).exists { case (cs, nt) =>
-      nt.exists(n =>
-        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(n).pow(eq.size))
+      nt.exists(n => selectiveByCounts(cs, n, eq.size, thrDen))
     }
 
   /** The adaptive filtered-search route decision, exposed as a receipt
@@ -2118,8 +2135,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val cc = cachedFilterCounts(libId, metadataEq)
     val n = cc.flatMap(_._2).getOrElse(0L)
     val selective = cc.exists { case (cs, nt) =>
-      nt.exists(x =>
-        BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(x).pow(metadataEq.size))
+      nt.exists(x => selectiveByCounts(cs, x, metadataEq.size, thrDen))
     }
     val route = indexType match {
       case "flat" => "prefilter_exact"
@@ -2226,16 +2242,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * archive, a chain gap from a crashed archive write, or a flat
     * library) falls back to the exact contract.
     * The library must have existed at the pin. */
+  /** Per-generation archived filterstats counts, keyed by gen dir —
+    * archived generations are IMMUTABLE after [[writeArchivedGen]]'s
+    * rename, so entries never need revalidation; request-bounded lazy
+    * fill like [[filterStatsCache]] (the audit/debug replay loop this
+    * feature serves repeats the same pins — it must not pay a driver
+    * parquet read per call, the same r14 advisory the live path
+    * already fixed). */
+  private val archivedStatsCache = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.HashMap[(String, String), Long]]
+
   /** Replay v51's selectivity decision from an ARCHIVED generation's
     * filterstats + receipt — the route the LIVE route took at the pin
     * was decided from that generation's artifact, so the pinned replay
-    * must re-run the SAME BigInt rule on the SAME counts or a
-    * historically-selective filter that served the exact pre-filter
-    * branch would be replayed through the probe route (worse recall
-    * than history — the one direction a reproducibility contract can't
-    * tolerate). False for a legacy gen without filterstats/n_total
-    * (r15-era archive: decision not reconstructable — keep the probe
-    * route, the r15 behavior). Reads ≤ one row per requested pair. */
+    * must re-run the SAME rule ([[selectiveByCounts]] — one definition)
+    * on the SAME counts or a historically-selective filter that served
+    * the exact pre-filter branch would be replayed through the probe
+    * route (worse recall than history — the one direction a
+    * reproducibility contract can't tolerate). False for a legacy gen
+    * without filterstats/n_total (r15-era archive: decision not
+    * reconstructable — keep the probe route, the r15 behavior). */
   private def archivedSelectiveEq(genDir: String, eq: Seq[(String, String)],
                                   thrDen: Long): Boolean = {
     val p = s"$genDir/filterstats"
@@ -2243,12 +2269,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .filter(_.schema.fieldNames.contains("n_total"))
       .map(_.getAs[Long]("n_total"))
     eq.nonEmpty && nt.nonEmpty && fs.exists(new Path(p)) && {
-      val found = spark.read.parquet(p)
-        .filter(eq.distinct.map { case (kk, vv) =>
-          col("mkey") === kk && col("mval") === vv }.reduce(_ || _))
-        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      val cs = eq.map(pair => found.getOrElse(pair, 0L))
-      BigInt(thrDen) * cs.map(BigInt(_)).product <= BigInt(nt.get).pow(eq.size)
+      val counts = archivedStatsCache.getOrElseUpdate(genDir,
+        scala.collection.mutable.HashMap.empty[(String, String), Long])
+      val missing = eq.distinct.filterNot(counts.contains)
+      if (missing.nonEmpty)
+        readFilterPairs(p, missing).foreach { case (pair, c) => counts(pair) = c }
+      selectiveByCounts(eq.map(counts), nt.get, eq.size, thrDen)
     }
   }
 
