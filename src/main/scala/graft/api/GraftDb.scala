@@ -1529,9 +1529,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *     (no gap at all), OR a gen LATER than the pin (`prev_gen > s`
     *     — the missing build began after `s`, so `g` genuinely stood
     *     at the pin and only later pins lose their replay);
-    *   - an UNREADABLE later receipt (future format_version, damaged)
-    *     rejects conservatively — a chain that can't be checked must
-    *     not be presumed intact;
+    *   - a later receipt READ AS ABSENT (future format_version — the
+    *     [[readMetaCached]] filter) rejects conservatively: a chain
+    *     that can't be checked must not be presumed intact. A
+    *     PHYSICALLY corrupt receipt (torn parquet) instead fails
+    *     LOUDLY from the read itself — the op-log archive's
+    *     damaged-generation contract: storage rot surfaces, it is
+    *     never silently papered over with a fallback;
     *   - no later archived gen → the LIVE index meta is the only
     *     witness: its index_seq must be `g` itself (a live build newer
     *     than the pin with no archived gen after the pin means the
@@ -2305,11 +2309,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // to replay and degrades to exact, never errors — the pin's own
     // existence check above is against the PINNED epoch). The covering
     // generation is validated against the archive chain
-    // ([[coveringArchivedGen]]); an unreadable covering receipt (future
-    // format_version, damage) and a historically-selective metadataEq
+    // ([[coveringArchivedGen]]); a covering receipt read as ABSENT
+    // (future format_version) and a historically-selective metadataEq
     // (the live route's exact pre-filter branch at the pin,
     // [[archivedSelectiveEq]]) both serve exact — no validated covering
-    // generation falls back to the exact contract.
+    // generation falls back to the exact contract. A PHYSICALLY corrupt
+    // receipt fails loudly (the damaged-generation contract), never a
+    // silent wrong answer.
     val hits =
       if (!pinIndexed) exact()
       else libRecordOpt(libId).map(_.getAs[String]("index_type")) match {
