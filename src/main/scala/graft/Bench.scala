@@ -4,35 +4,107 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
+/** Measurement POLICY, extracted pure so the rep-accounting invariants are
+  * spec-testable without running the 234-query suite (see BenchPolicySpec).
+  * The r16 driver artifact carried ~91 s of phantom time (t23/t25/t26/v40 —
+  * 0.3–0.8 s queries read at 18–32 s) because policy lived inline in `main`
+  * with two holes: (a) the superlinear confirmation pass re-measured
+  * suspects but DISCARDED its faster reps instead of folding them into
+  * `sec`, and (b) heavy-demotion keyed on absolute seconds only, so
+  * sustained host contention could demote an ordinary sub-second query and
+  * exempt it from the stall-retry that exists to fix exactly that. Both
+  * rules now live here, with the already-measured sf0.01 time as the
+  * intrinsic-weight signal. */
+object BenchPolicy {
+  /** Heavy demotion candidate: warmup AND the first timed rep both over the
+    * cutoff (BOTH must agree — one window can't tell intrinsic weight from
+    * a landed stall). */
+  def demote(warmSec: Option[Double], firstRepSec: Double, cutoff: Double): Boolean =
+    warmSec.exists(_ > cutoff) && firstRepSec > cutoff
+
+  /** Intrinsic-weight VETO (r17): a query that runs in under cutoff/10 on
+    * ~10× less data is not intrinsically heavy at cutoff+ seconds — its
+    * demotion was a contention artifact, and it must get the stall-retry
+    * demotion exempted it from. `scale_sec` is already measured by the
+    * scaling pass, so the veto costs nothing when the scale dir is absent
+    * (no signal → no veto → old behavior). */
+  def falseHeavy(scaleSec: Option[Double], cutoff: Double): Boolean =
+    scaleSec.exists(s => s > 0 && s < cutoff / 10)
+
+  /** The reported `sec` is the min over EVERY timed rep from EVERY pass —
+    * first pass, stall-retry, veto-retry, AND the superlinear-confirmation
+    * pass. Confirmation reps are valid warm reps of the same query on the
+    * same data; discarding them kept times the bench itself had disproved
+    * (r16: t25 19.1 s reported beside a ≤7 s confirmed re-measure). */
+  def bestOf(passes: Seq[Seq[Double]]): Option[Double] = {
+    val all = passes.flatten
+    if (all.isEmpty) None else Some(all.min)
+  }
+
+  /** Ambient-drift suspect: current best > 3× the prior committed round's
+    * best for the same query at the same sf, with an absolute gap over a
+    * second (sub-second jitter is not drift), and NOT already flagged
+    * superlinear (a real plan regression should surface as superlinear,
+    * not be explained away as ambient). Advisory — the flag feeds the
+    * drift adjudication that was previously manual and builder-side only;
+    * r16's v40 (26× its prior reading, under the superlinear radar at
+    * ratio 8.1) is exactly the class this catches. */
+  def suspectAmbient(cur: Double, prev: Option[Double], superlinear: Boolean): Boolean =
+    !superlinear && prev.exists(p => p > 0 && cur > 3 * p && cur - p > 1.0)
+
+  /** Parse (sf, per-query best sec) out of a committed BENCH_DETAIL.json
+    * without a JSON library: the top-level "sf" is the first such key, and
+    * every query object is brace-flat, so a lazy non-brace span between its
+    * "reps" array and its "sec" field is unambiguous. Returns an empty map
+    * on any malformed input — drift comparison is advisory and must never
+    * cost the run. */
+  def parsePrevDetail(json: String): (Option[String], Map[String, Double]) =
+    try {
+      val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      val q = """"([A-Za-z0-9_]+)":\{"reps":\[[^\]]*\][^{}]*?"sec":([0-9.eE+\-]+)""".r
+      (sf, q.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    } catch { case _: Throwable => (None, Map.empty) }
+}
+
 /** Benchmark main — driver contract: one JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Each query gets one untimed-but-recorded warmup run (codegen/JIT/
-  * parquet footers) and up to three timed runs, reporting the MINIMUM;
-  * each run materializes the full result through a `noop` sink so the
-  * measurement is end-to-end compute, not `count()`'s column-pruned
-  * shortcut. The host VM has multi-second scheduler noise (observed
-  * 5-10× on identical warm queries) — min-of-reps is the only stable
-  * estimator here; a single timed rep produced the round-1 phantom
-  * outliers (e1 70 s, t2 31 s for sub-second plans). Rep counts are
-  * SELF-SIZING (r16, after the r15 driver bench outgrew its window):
-  * a query whose warmup AND first rep both exceed the heavy cutoff
-  * stops at two warm reps (intrinsically heavy — no stall-retry); a
-  * query whose first two reps agree tightly skips the third.
+  * parquet footers) and up to three timed runs, reporting the MINIMUM over
+  * ALL passes that touched it (first pass, stall-retry, veto-retry,
+  * superlinear-confirmation); each run materializes the full result
+  * through a `noop` sink so the measurement is end-to-end compute, not
+  * `count()`'s column-pruned shortcut. The host VM has multi-second
+  * scheduler noise (observed 5-10× on identical warm queries) —
+  * min-of-reps is the only stable estimator here; a single timed rep
+  * produced the round-1 phantom outliers (e1 70 s, t2 31 s for sub-second
+  * plans). Rep counts are SELF-SIZING (r16, after the r15 driver bench
+  * outgrew its window): a query whose warmup AND first rep both exceed the
+  * heavy cutoff stops at two warm reps (intrinsically heavy — no
+  * stall-retry); a query whose first two reps agree tightly skips the
+  * third. r17 adds the intrinsic-weight veto: a demoted query whose sf0.01
+  * time is under cutoff/10 was a contention victim, not a lifecycle query
+  * — it gets the stall-retry back (see BenchPolicy).
   *
   * Two artifacts per run:
-  *   - stdout: the contract line above, with values at 3 dp — the full
+  *   - stdout: the contract line above, with values at 2-3 dp — the full
   *     line must fit the driver's ~2 KiB stdout-tail capture or it is
-  *     head-truncated and unparseable (this is what broke BENCH_r02/r03);
+  *     head-truncated and unparseable (this is what broke BENCH_r02/r03) —
+  *     plus an `exec` map surfacing the build/search split for the
+  *     `includes_index_build` queries shown in the line (f13's 12 s reads
+  *     as the suite's slowest query when its serve is 0.8 s);
   *   - `BENCH_DETAIL.json` (cwd): full-precision PER-REP times for every
-  *     query, both passes, so a VM stall is distinguishable from a real
+  *     query, all passes, so a VM stall is distinguishable from a real
   *     regression after the fact — plus, when a second scale factor is
   *     available, per-query `scale_sec`/`scale_ratio` against ~10× less
   *     data and a `superlinear` flag list (ratio > 12 on a 10× data step
-  *     means the plan would not survive a 100× scale-up), and a
+  *     means the plan would not survive a 100× scale-up), a
   *     `prep_sec`/`exec_sec` split of the best rep isolating index
   *     build+write (eager, at construction) from search execution for
-  *     the `includes_index_build` queries.
+  *     the `includes_index_build` queries, and (r17) `prev_sec` /
+  *     `suspect_ambient` drift fields against the last committed
+  *     BENCH_DETAIL.json at the same sf — automating the previously
+  *     manual baseline-comparison protocol of BENCH_DRIFT_r*.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +131,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+    // Prior committed round's per-query detail, read BEFORE this run
+    // overwrites the file: feeds the automated drift comparison. Only
+    // comparable when the prior run was at the same sf.
+    val sfName = new java.io.File(sfDir).getName
+    val (prevSfOpt, prevSecRaw) = {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      if (java.nio.file.Files.isReadable(p))
+        BenchPolicy.parsePrevDetail(java.nio.file.Files.readString(p))
+      else (None, Map.empty[String, Double])
+    }
+    val prevSec: Map[String, Double] =
+      if (prevSfOpt.map(s => new java.io.File(s).getName).contains(sfName)) prevSecRaw
+      else Map.empty
 
     /** One rep, split at the construction/execution boundary: the
       * index-building queries (see `includesBuild` below) run their build
@@ -89,6 +175,8 @@ object Bench {
     // always fire on it), and its warm-up time is recorded in
     // BENCH_DETAIL (`warm_sec`) so the drift adjudication reads
     // provenance, not a mystery. Cutoff overridable for testing.
+    // r17: demotion is PROVISIONAL until the scaling pass — see the
+    // intrinsic-weight veto below.
     val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF_SEC")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(5.0)
 
@@ -116,7 +204,7 @@ object Bench {
           if (reps <= 1) Seq(r1)
           else {
             val r2 = runOnce(name, dir)
-            val demoted = w.exists(_ > heavyCutoff) && totalOf(r1) > heavyCutoff
+            val demoted = BenchPolicy.demote(w, totalOf(r1), heavyCutoff)
             val ts = Seq(totalOf(r1), totalOf(r2))
             if (demoted || reps <= 2 ||
                 (ts.min < 1.0 && ts.max - ts.min <= 0.3 * ts.min))
@@ -133,40 +221,30 @@ object Bench {
     val firstPass: Seq[(String, (Option[Double], Seq[(Double, Double)]))] =
       names.map(n => n -> timedReps(n, 3))
     val warmSec: Map[String, Option[Double]] = firstPass.map { case (n, (w, _)) => n -> w }.toMap
-    // heavy = warmup AND the first timed rep both over the cutoff (the
-    // min-of-2 demotion above) — exempt from the stall-retry below
-    val heavy: Set[String] = firstPass.collect {
-      case (n, (w, rs)) if w.exists(_ > heavyCutoff) &&
-          rs.headOption.exists(totalOf(_) > heavyCutoff) && rs.length <= 2 => n
+    // heavy candidates = warmup AND the first timed rep both over the
+    // cutoff (the min-of-2 demotion above) — exempt from the stall-retry
+    // below, PENDING the scale-pass veto
+    val heavyRaw: Set[String] = firstPass.collect {
+      case (n, (w, rs)) if BenchPolicy.demote(w, rs.headOption.map(totalOf).getOrElse(0.0), heavyCutoff) &&
+          rs.length <= 2 => n
     }.toSet
-    val firstReps: Seq[(String, Seq[(Double, Double)])] =
-      firstPass.map { case (n, (_, rs)) => n -> rs }
+    val baseReps: Map[String, Seq[(Double, Double)]] =
+      firstPass.map { case (n, (_, rs)) => n -> rs }.toMap
 
     // A host-VM stall lasting a few seconds swallows all timed reps of
     // whatever query it lands on (observed: a 0.3 s query reported at
     // 19 s). Second chance: anything >3× the median gets re-measured
     // later, when the stall has passed — WITHOUT a fresh warmup (the
     // query is warm; the r15 retry's extra warmup run bought nothing)
-    // — keeping the min of both passes. Heavy queries are exempt:
-    // intrinsically slow, not stalled.
-    val mins = firstReps.collect { case (_, rs) if rs.nonEmpty => rs.map(totalOf).min }.sorted
+    // — keeping the min of both passes. Heavy candidates are exempt
+    // here; the ones the scale pass vetoes get their retry back below.
+    val mins = baseReps.values.collect { case rs if rs.nonEmpty => rs.map(totalOf).min }.toSeq.sorted
     val median = if (mins.isEmpty) 0.0 else mins(mins.length / 2)
-    val retryPass: Map[String, Seq[(Double, Double)]] = firstReps.collect {
-      case (n, rs) if rs.nonEmpty && median > 0 && !heavy(n) &&
-          rs.map(totalOf).min > 3 * median =>
+    val retryPass: Map[String, Seq[(Double, Double)]] = names.collect {
+      case n if baseReps(n).nonEmpty && median > 0 && !heavyRaw(n) &&
+          baseReps(n).map(totalOf).min > 3 * median =>
         n -> timedReps(n, 3, warmup = false)._2
     }.toMap
-
-    // best rep per query = min by TOTAL; its prep/exec split rides along
-    val bestRep: Map[String, (Double, Double)] = firstReps.map { case (n, rs) =>
-      val all = rs ++ retryPass.getOrElse(n, Seq.empty)
-      n -> (if (all.isEmpty) (-1.0, 0.0) else all.minBy(totalOf))
-    }.toMap
-    val results: Seq[(String, Double)] = firstReps.map { case (n, _) =>
-      val b = bestRep(n)
-      n -> (if (b._1 < 0) -1.0 else totalOf(b))
-    }
-    val total = results.map(_._2).filter(_ >= 0).sum
 
     def d2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
     // 2 dp with trailing zeros stripped ("0.50"→"0.5", "1.00"→"1") — the
@@ -184,13 +262,13 @@ object Bench {
     def d3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     def dFull(v: Double): String = String.format(Locale.ROOT, "%.6f", Double.box(v))
 
-    // Scaling pass: same queries at the smaller sf, 1 warmup + 1 timed rep
-    // — this pass wants the RATIO'S order of magnitude, not a tight
-    // estimate, and it rides inside the driver's bench timeout budget. A
-    // VM stall here only INFLATES the small-sf time, which lowers the
-    // ratio — it can never false-flag a query as super-linear. A query
-    // whose time ratio far exceeds the 10× data ratio has a super-linear
-    // plan; overhead-dominated sub-second queries sit near 1.
+    // Scaling pass: same queries at the smaller sf, 1 timed rep — this
+    // pass wants the RATIO'S order of magnitude, not a tight estimate,
+    // and it rides inside the driver's bench timeout budget. A VM stall
+    // here only INFLATES the small-sf time, which lowers the ratio — it
+    // can never false-flag a query as super-linear. A query whose time
+    // ratio far exceeds the 10× data ratio has a super-linear plan;
+    // overhead-dominated sub-second queries sit near 1.
     val doScaling = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)) &&
       scaleDir != sfDir
     // no warmup on the scale pass (the code paths are hot from the main
@@ -202,6 +280,29 @@ object Bench {
       if (!doScaling) Map.empty
       else names.flatMap(n =>
         timedReps(n, 1, scaleDir, warmup = false)._2.map(totalOf).minOption.map(n -> _)).toMap
+
+    // Intrinsic-weight VETO (r17, the phantom-time fix): a demoted query
+    // whose sf0.01 time is under cutoff/10 was a contention victim, not a
+    // lifecycle query (r16 driver run: four 0.3-0.8 s queries demoted at
+    // 18-32 s, ~91 s of phantom time in the official total). It gets the
+    // stall-retry demotion exempted it from — 3 fresh warm reps, minutes
+    // after the contention window, folded into `sec`. Without a scale dir
+    // there is no intrinsic signal and the demotion stands (old behavior).
+    val vetoed: Set[String] =
+      heavyRaw.filter(n => BenchPolicy.falseHeavy(scalePass.get(n), heavyCutoff))
+    val vetoRetry: Map[String, Seq[(Double, Double)]] = vetoed.toSeq.sorted.map { n =>
+      System.err.println(s"[bench] heavy-demotion VETOED for $n " +
+        s"(scale_sec ${scalePass.get(n).map(d2).getOrElse("?")} < ${d2(heavyCutoff / 10)}) — retrying")
+      n -> timedReps(n, 3, warmup = false)._2
+    }.toMap
+    val heavy = heavyRaw -- vetoed
+
+    // Preliminary best (pre-confirmation): everything measured so far.
+    def prelimReps(n: String): Seq[(Double, Double)] =
+      baseReps(n) ++ retryPass.getOrElse(n, Nil) ++ vetoRetry.getOrElse(n, Nil)
+    val prelimBest: Map[String, Double] = names.map(n =>
+      n -> prelimReps(n).map(totalOf).minOption.getOrElse(-1.0)).toMap
+
     // A flag must survive a CONFIRMATION re-measurement before it is
     // raised: the large-sf side is a min over 3-6 reps, but a sustained
     // host-VM contention stretch (observed: a 0.5 s map-only query
@@ -224,57 +325,98 @@ object Bench {
         12.0
       }
     }
-    val suspectRatio = results.collect {
-      case (n, t) if t > 0 && scalePass.get(n).exists(s => s > 0 && t / s > flagRatio) => n
-    }
+    val suspectRatio = names.filter(n =>
+      prelimBest(n) > 0 && scalePass.get(n).exists(s => s > 0 && prelimBest(n) / s > flagRatio))
     if (suspectRatio.nonEmpty)
       System.err.println(s"[bench] scaling suspects (pre-confirmation): ${suspectRatio.sorted.mkString(", ")}")
-    val confirmed: Map[String, Double] = suspectRatio.flatMap { n =>
+    // Confirmation reps are valid warm reps of the same query on the same
+    // data — they FOLD INTO `reps`/`sec` below (r17; the r16 artifact kept
+    // a 19 s reading its own ≤7 s confirmation re-measure had disproved).
+    val confirmPass: Map[String, Seq[(Double, Double)]] = suspectRatio.map { n =>
       // warm already, no fresh warmup; a genuinely super-linear plan
       // (heavy or not) deserves the full 3-rep confirmation
-      val re = timedReps(n, 3, warmup = false)._2.map(totalOf)
-      val best = (re :+ results.toMap.apply(n)).min
+      n -> timedReps(n, 3, warmup = false)._2
+    }.toMap
+
+    // FINAL accounting: sec == min over every timed rep from every pass.
+    val allReps: Map[String, Seq[(Double, Double)]] = names.map(n =>
+      n -> (prelimReps(n) ++ confirmPass.getOrElse(n, Nil))).toMap
+    val bestRep: Map[String, (Double, Double)] = allReps.map { case (n, rs) =>
+      n -> (if (rs.isEmpty) (-1.0, 0.0) else rs.minBy(totalOf))
+    }
+    val results: Seq[(String, Double)] = names.map { n =>
+      val b = bestRep(n)
+      n -> (if (b._1 < 0) -1.0 else totalOf(b))
+    }
+    val resultMap = results.toMap
+    val total = results.map(_._2).filter(_ >= 0).sum
+
+    val confirmed: Map[String, Double] = suspectRatio.flatMap { n =>
+      val best = resultMap(n)
       scalePass.get(n).collect { case s if s > 0 && best / s > flagRatio => n -> best / s }
     }.toMap
     val superLinear = confirmed.keys.toSeq.sorted
     superLinear.foreach(n => System.err.println(
       s"[bench] SCALING FLAG: $n ratio ${d2(confirmed(n))} > $flagRatio confirmed on re-measure (data ratio ~10)"))
 
+    // Automated drift comparison (r17): prior committed round's sec per
+    // query, plus a suspect_ambient flag when this run reads >3× the prior
+    // (and >1 s absolute) without a superlinear confirmation — the class
+    // of reading (r16's v40, 26× prior, scale ratio 8.1) that is invisible
+    // to both the median stall-retry and the superlinear radar.
+    val ambient: Set[String] = names.filter(n =>
+      BenchPolicy.suspectAmbient(resultMap(n), prevSec.get(n), confirmed.contains(n))).toSet
+    if (ambient.nonEmpty)
+      System.err.println(s"[bench] ambient-drift suspects vs prior round: ${ambient.toSeq.sorted.mkString(", ")}")
+
     // Full-precision per-rep detail — survives even though stdout is
     // tail-truncated by the driver's capture. `prep_sec`/`exec_sec` split
     // the best rep at the construction/execution boundary: for the
     // `includes_index_build` queries prep IS the index build+write, so
     // exec_sec is the true query latency the contract number obscures.
-    val detail = firstReps.map { case (n, rs) =>
+    val detail = names.map { n =>
       // `reps` holds EVERY timed rep that fed this query's reported `sec`
-      // (first pass ++ stall-retry pass), so sec == min(reps) always —
-      // the spread-rule drift audit reads `reps` alone, and a retry that
-      // produced the min must not leave `reps` showing only the stalled
-      // pass (the r14 d20 anomaly: reps 6.99/17.15/43.19 beside sec
-      // 2.43). `retry_reps` still marks WHICH reps came from the retry.
-      // `warm_sec` records the untimed warmup; `heavy:true` marks a
-      // query demoted to TWO warm timed reps (drift adjudication must
-      // read its reps as warm min-of-2, not min-of-3-plus-retry).
-      val allReps = rs ++ retryPass.getOrElse(n, Seq.empty)
-      val retry = retryPass.get(n)
-        .map(r => s""","retry_reps":[${r.map(totalOf).map(dFull).mkString(",")}]""").getOrElse("")
-      val best = results.find(_._1 == n).get._2
+      // (first pass ++ stall-retry ++ veto-retry ++ confirmation), so
+      // sec == min(reps) always — the spread-rule drift audit reads
+      // `reps` alone, and a later pass that produced the min must not
+      // leave `reps` showing only the stalled pass (the r14 d20 anomaly:
+      // reps 6.99/17.15/43.19 beside sec 2.43). `retry_reps` /
+      // `veto_reps` / `confirm_reps` still mark WHICH reps came from
+      // which pass. `warm_sec` records the untimed warmup; `heavy:true`
+      // marks a query demoted to TWO warm timed reps (drift adjudication
+      // must read its reps as warm min-of-2, not min-of-3-plus-retry);
+      // `heavy_vetoed:true` marks a demotion the scale pass overturned
+      // (its reps include the restored retry).
+      def passJson(key: String, m: Map[String, Seq[(Double, Double)]]): String =
+        m.get(n).filter(_.nonEmpty)
+          .map(r => s""","$key":[${r.map(totalOf).map(dFull).mkString(",")}]""").getOrElse("")
+      val reps = allReps(n)
+      val best = resultMap(n)
       val (prep, exec) = bestRep(n)
       val scale = scalePass.get(n).map(s =>
         s""","scale_sec":${dFull(s)},"scale_ratio":${dFull(if (s > 0) best / s else -1.0)}""").getOrElse("")
       val warm = warmSec.getOrElse(n, None)
         .map(w => s""","warm_sec":${dFull(w)}""").getOrElse("")
-      val heavyTag = if (heavy(n)) ""","heavy":true""" else ""
-      s""""$n":{"reps":[${allReps.map(totalOf).map(dFull).mkString(",")}]$retry,"sec":${dFull(best)},""" +
-        s""""prep_sec":${dFull(math.max(prep, 0.0))},"exec_sec":${dFull(exec)}$warm$heavyTag$scale}"""
+      val heavyTag =
+        if (heavy(n)) ""","heavy":true"""
+        else if (vetoed(n)) ""","heavy_vetoed":true"""
+        else ""
+      val prev = prevSec.get(n).map(p => s""","prev_sec":${dFull(p)}""").getOrElse("")
+      val amb = if (ambient(n)) ""","suspect_ambient":true""" else ""
+      s""""$n":{"reps":[${reps.map(totalOf).map(dFull).mkString(",")}]""" +
+        passJson("retry_reps", retryPass) + passJson("veto_reps", vetoRetry) +
+        passJson("confirm_reps", confirmPass) +
+        s""","sec":${dFull(best)},""" +
+        s""""prep_sec":${dFull(math.max(prep, 0.0))},"exec_sec":${dFull(exec)}$warm$heavyTag$prev$amb$scale}"""
     }.mkString("{", ",", "}")
     val superJson = superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ambientJson = ambient.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // These queries rebuild + write their index artifact INSIDE the timed
     // region (build is part of their contract: the round-trip must be
     // reproducible from nothing), so their numbers are build+search, not
     // query latency — recorded so the artifact reader doesn't misread
     // them as slow searches.
-    val includesBuild = Seq("v17_sq8_search", "v28_ivf_sq8", "v14b_ivf_trained_persist",
+    val includesBuildAll = Seq("v17_sq8_search", "v28_ivf_sq8", "v14b_ivf_trained_persist",
       "v14c_sampled_ivf_persist", "f13_facade_serving", "f14_facade_lsh_serving",
       "t33_jsonl_ingest",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
@@ -282,11 +424,13 @@ object Bench {
       "d8_dedup_incremental", "f7_shard_manifest",
       "p1_lsh_persist_search", "p2_minhash_persist_pairs",
       "p3_ivf_persist_search", "p4_lsh_incremental", "p5_labels_persist")
-      .filter(results.toMap.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+      .filter(resultMap.contains)
+    val includesBuild = includesBuildAll.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${dFull(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,""" +
         s""""scale_sf":${if (doScaling) "\"" + scaleDir + "\"" else "null"},"superlinear":$superJson,""" +
+        s""""suspect_ambient":$ambientJson,""" +
         s""""includes_index_build":$includesBuild,"queries":$detail}""")
 
     // Contract line LAST, compact (2 dp per query — full precision is in
@@ -306,16 +450,29 @@ object Bench {
     // sf as basename ("sf0.1") — the full dir is in BENCH_DETAIL.json and
     // the driver records the sf itself; 16 fewer bytes of path buys one
     // more query at 2 dp
-    val sfName = new java.io.File(sfDir).getName
     val shortKeys: Map[String, String] = {
       val m = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
       require(m.values.toSeq.distinct.size == m.size,
         "query-name leading tokens collide — short-key contract tier would be ambiguous")
       m
     }
+    // `exec` map (r17): the serve-side latency for the build-inclusive
+    // queries whose headline number is build+search by contract — only
+    // for queries individually present in the line's `queries` map, so
+    // the tier budget self-sizes over it like everything else. Extra
+    // top-level keys are additive for the driver's parser (the top-K
+    // tier's fast_n/note fields already parse fine).
+    def execJson(shown: Seq[String], fmt: Double => String): String = {
+      val es = includesBuildAll.filter(shown.contains).flatMap { n =>
+        val e = bestRep(n)._2
+        if (resultMap(n) >= 0) Some("\"" + shortKeys(n) + "\":" + fmt(e)) else None
+      }
+      if (es.isEmpty) "" else es.mkString(""","exec":{""", ",", "}")
+    }
     def contractLine(fmt: Double => String, key: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs""" +
+        execJson(results.map(_._1), fmt) + s""","sf":"$sfName"}"""
     }
     def d1t(v: Double): String = {
       val s = String.format(Locale.ROOT, "%.1f", Double.box(v))
@@ -342,7 +499,8 @@ object Bench {
         .mkString("{", ",", "}")
       val fastTotal = fast.map(_._2).sum
       val fastMax = fast.headOption.map(_._2).getOrElse(0.0)
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs""" +
+        execJson(inc.map(_._1), d1t) + "," +
         s""""fast_n":${fast.length},"fast_total":${d2t(fastTotal)},"fast_max":${d2t(fastMax)},""" +
         s""""note":"slowest ${inc.length} shown; ${fast.length} fastest summarized, full detail in BENCH_DETAIL.json",""" +
         s""""sf":"$sfName"}"""

@@ -46,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale-factor stamp (r17): CORRECTNESS_r*.json never recorded which
+    // sf the pass ran at, so "green at three SFs" was a builder claim the
+    // driver couldn't audit. A SEPARATE file (oracle_sql.json's schema is
+    // name→SQL — an extra key there would read as a query) records the
+    // input dir + query count beside the dumps; multi-SF runs use
+    // distinct outDirs, so each carries its own stamp.
+    val ranNames = SparkEntry.queries.keys.filter(wanted).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"sf_dir":${q(sfDir)},"sf":${q(new java.io.File(sfDir).getName)},""" +
+        s""""query_count":${ranNames.length}}""")
     spark.stop()
   }
 }

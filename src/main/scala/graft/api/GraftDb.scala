@@ -1196,22 +1196,34 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private lazy val indexMetaCache = scala.collection.mutable.HashMap
     .empty[String, (Option[Long], Seq[org.apache.spark.sql.Row])]
 
-  /** The cheap revalidation signal for a cached meta: the directory's
-    * modification time (None = absent). Every index write here lands
-    * through a directory rename or a mode-overwrite rewrite, both of
-    * which produce a fresh mtime — so an OUT-OF-BAND drop *and* an
-    * out-of-band in-place REPLACEMENT (an external rebuild/restore
-    * writing a new generation at the same path — the r15 advisory's
-    * unhandled half of the threat class) both flip the dispatch on the
-    * very next call. Only the expensive read+collect is amortized,
-    * never the liveness check. (Residual window: a replacement landing
-    * within the filesystem's mtime granularity of the original —
-    * sub-millisecond on local fs — is indistinguishable; the
-    * single-writer contract makes that a non-event in practice.) */
+  /** The cheap revalidation signal for a cached meta (None = absent).
+    * Every index write here lands through a directory rename or a
+    * mode-overwrite rewrite, both of which produce a fresh mtime — so
+    * an OUT-OF-BAND drop *and* an out-of-band in-place REPLACEMENT (an
+    * external rebuild/restore writing a new generation at the same
+    * path — the r15 advisory's unhandled half of the threat class)
+    * both flip the dispatch on the very next call. Only the expensive
+    * read+collect is amortized, never the liveness check. r16 advisory
+    * hardening: the signal goes through the HADOOP FileSystem — the
+    * same interface every write goes through, correct for any
+    * supported fs, not just a local root — and folds in each child
+    * file's (name, length, mtime), so a same-millisecond in-place
+    * replacement still flips the signature unless it also reproduces
+    * every part file's exact name and byte length (the residual
+    * blind spot shrinks from "same ms" to "same ms AND bit-compatible
+    * layout"; the single-writer contract makes that a non-event). */
   private def metaSignature(p: String): Option[Long] = {
-    val path = Paths.get(p)
-    if (!Files.exists(path)) None
-    else Some(Files.getLastModifiedTime(path).toMillis)
+    val path = new Path(p)
+    if (!fs.exists(path)) None
+    else {
+      val self = fs.getFileStatus(path)
+      val kids =
+        if (!self.isDirectory) Seq.empty
+        else fs.listStatus(path).toSeq
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+      Some((self.getModificationTime, kids).hashCode().toLong)
+    }
   }
 
   private def readMetaCached(p: String): Seq[org.apache.spark.sql.Row] = {
@@ -1225,10 +1237,19 @@ final class GraftDb(spark: SparkSession, val root: String) {
         // forward-compat enforcement (the IndexMetaV contract): a receipt
         // carrying a format_version NEWER than this reader knows is
         // treated as ABSENT — the dispatch serves the in-memory route
-        // instead of misreading a future layout through v2 accessors
-        val rows = raw.filter(r =>
-          !r.schema.fieldNames.contains("format_version") ||
-            r.getAs[Int]("format_version") <= GraftDb.IndexMetaV)
+        // instead of misreading a future layout through v2 accessors.
+        // Read TYPE-AGNOSTICALLY (r16 advisory): a future writer that
+        // widens the column to long — or a mixed-type receipt — must
+        // DEGRADE to treat-as-absent, not throw ClassCastException and
+        // defeat the very contract this filter enforces; a non-numeric
+        // value is just as unreadable as a future version.
+        val rows = raw.filter { r =>
+          val i = r.schema.fieldNames.indexOf("format_version")
+          i < 0 || (r.get(i) match {
+            case n: java.lang.Number => n.longValue <= GraftDb.IndexMetaV
+            case _ => false
+          })
+        }
         indexMetaCache(p) = (sig, rows)
         rows
     }
@@ -1241,6 +1262,28 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * persisted index — the serving dispatch bit. */
   private def indexMetaRow(libId: Long): Option[org.apache.spark.sql.Row] =
     readMetaCached(s"${indexRoot(libId)}/meta").headOption
+
+  /** The full prior-generation lineage a meta carries (`ancestors`,
+    * ascending gen ids — every build that ever stood, ARCHIVED OR NOT:
+    * each build appends its predecessor's index_seq read from the LIVE
+    * meta, which exists even when that predecessor's archive write
+    * crashed, so crashed-archive generations still appear in every
+    * successor's list). Empty for a first build or a meta predating the
+    * field (r16-era receipts — [[coveringArchivedGen]] then falls back
+    * to the single-link `prev_gen` rule). */
+  private def metaAncestors(metaPath: String): Seq[Long] =
+    readMetaCached(metaPath).headOption.toSeq.flatMap { m =>
+      if (m.schema.fieldNames.contains("ancestors"))
+        Option(m.getSeq[Long](m.fieldIndex("ancestors"))).getOrElse(Seq.empty)
+      else Seq.empty
+    }
+
+  /** The lineage the build NOW swapping in must record: its
+    * predecessor's lineage plus the predecessor itself (empty for a
+    * first build). Captured BEFORE the swap replaces the meta it
+    * reads — same discipline as the `prev_gen` capture. */
+  private def nextAncestors(metaPath: String, prevGen: Long): Seq[Long] =
+    if (prevGen < 0) Seq.empty else metaAncestors(metaPath) :+ prevGen
 
   /** The centroid matrix the standing index was BUILT with — stored
     * inside the index directory so the swap is atomic for everything
@@ -1365,9 +1408,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
         .count()
     val preDriftTrips = BigInt(preOff) * BigInt(driftDen) >= BigInt(total)
     // the standing build's gen id BEFORE this build — the archive
-    // chain's `prev_gen` link ([[coveringArchivedGen]]); captured here
-    // because the swap below replaces the meta this reads
+    // chain's `prev_gen` link ([[coveringArchivedGen]]) — plus the full
+    // lineage (`ancestors`, r17: the transitive chain that single link
+    // couldn't carry); captured here because the swap below replaces
+    // the meta this reads
     val prevGen = indexMetaRow(libId).map(_.getAs[Long]("index_seq")).getOrElse(-1L)
+    val lineage = nextAncestors(s"${indexRoot(libId)}/meta", prevGen)
 
     val (retrain, winner, offDiag, assigned) =
       if (!(occTrips || seedChanged || preDriftTrips)) {
@@ -1436,9 +1482,9 @@ final class GraftDb(spark: SparkSession, val root: String) {
     winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids")
     Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total,
-      GraftDb.IndexMetaV))
+      GraftDb.IndexMetaV, lineage))
       .toDF("index_seq", "decision", "off_diag", "max_list", "n_total",
-        "format_version")
+        "format_version", "ancestors")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
     // swap: aside → in → drop (repairable at every intermediate state)
@@ -1485,6 +1531,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private def ivfArchiveRoot(libId: Long) = s"$ivfArchiveArea/lib=$libId"
   private def lshArchiveArea = s"$root/lsh_index_archive"
   private def lshArchiveRoot(libId: Long) = s"$lshArchiveArea/lib=$libId"
+  private def flatArchiveArea = s"$root/flat_index_archive"
+  private def flatArchiveRoot(libId: Long) = s"$flatArchiveArea/lib=$libId"
 
   /** Stage-then-rename write of one archived model generation — the
     * index swap's `*_building`/`_complete` discipline applied to the
@@ -1541,22 +1589,37 @@ final class GraftDb(spark: SparkSession, val root: String) {
     *     than the pin with no archived gen after the pin means the
     *     covering build's archive is missing — conservative exact).
     * Receipts predating `prev_gen` (r15-era archives) validate
-    * vacuously — they carry no chain to check. The chain records ONE
-    * predecessor per gen: with a single missing build the rule is
-    * exact; multiple consecutive crashed-archive builds can shadow an
-    * older gap (documented limit — each crash is already a repaired
-    * anomaly). */
+    * vacuously — they carry no chain to check.
+    *
+    * r17 (the r16 advisory): validation is TRANSITIVE. Each receipt now
+    * carries its FULL lineage (`ancestors` — every generation that ever
+    * stood, archived or not: the list is appended from the LIVE meta at
+    * build time, so a build whose archive write crashed still appears
+    * in every successor's list). `g` covers the pin iff the next
+    * receipt's lineage names NO generation in `(g, s]` — with the full
+    * list, two CONSECUTIVE crashed-archive builds can no longer shadow
+    * an older gap (the single `prev_gen` link's documented limit: its
+    * `p > s` acceptance presumed the missing build's own predecessor
+    * was `g`, which a second crash silently falsified). r16-era
+    * receipts without `ancestors` keep the single-link rule — exact
+    * for one missing build; the stronger guarantee applies from the
+    * first post-upgrade build. */
   private def coveringArchivedGen(rootDir: String, s: Long,
                                   liveGen: Option[Long]): Option[Long] = {
     val gens = archivedGens(rootDir)
     gens.filter(_ <= s).maxOption.filter { g =>
       gens.filter(_ > s).minOption match {
         case Some(next) =>
-          readMetaCached(s"$rootDir/gen=$next/meta").headOption.exists(m =>
-            !m.schema.fieldNames.contains("prev_gen") || {
+          readMetaCached(s"$rootDir/gen=$next/meta").headOption.exists { m =>
+            val fields = m.schema.fieldNames
+            if (fields.contains("ancestors"))
+              !Option(m.getSeq[Long](m.fieldIndex("ancestors")))
+                .getOrElse(Seq.empty).exists(a => a > g && a <= s)
+            else if (fields.contains("prev_gen")) {
               val p = m.getAs[Long]("prev_gen")
               p == g || p > s
-            })
+            } else true
+          }
         case None => liveGen.contains(g)
       }
     }
@@ -1624,13 +1687,15 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .groupBy(col("mkey"), col("mval"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
-    Seq((seq - 1, nTables, nBits, seed, snap.count(), GraftDb.IndexMetaV))
+    // chain link + lineage captured BEFORE the swap replaces the meta
+    // they read
+    val prevGen = lshIndexMeta(libId).map(_._1).getOrElse(-1L)
+    val lineage = nextAncestors(s"${lshIndexRoot(libId)}/meta", prevGen)
+    Seq((seq - 1, nTables, nBits, seed, snap.count(), GraftDb.IndexMetaV, lineage))
       .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
-        "format_version")
+        "format_version", "ancestors")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
-    // chain link captured BEFORE the swap replaces the meta it reads
-    val prevGen = lshIndexMeta(libId).map(_._1).getOrElse(-1L)
     val live = new Path(lshIndexRoot(libId))
     val aside = new Path(s"${lshIndexRoot(libId)}_old")
     if (fs.exists(live)) fs.rename(live, aside)
@@ -1699,8 +1764,12 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .groupBy(col("mkey"), col("mval"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
-    Seq((seq - 1, snap.count(), GraftDb.IndexMetaV))
-      .toDF("index_seq", "n_total", "format_version")
+    // chain link + lineage captured BEFORE the swap replaces the meta
+    // they read
+    val prevGen = flatStatsMeta(libId).map(_._1).getOrElse(-1L)
+    val lineage = nextAncestors(s"${flatStatsRoot(libId)}/meta", prevGen)
+    Seq((seq - 1, snap.count(), GraftDb.IndexMetaV, lineage))
+      .toDF("index_seq", "n_total", "format_version", "ancestors")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
     val live = new Path(flatStatsRoot(libId))
@@ -1708,12 +1777,33 @@ final class GraftDb(spark: SparkSession, val root: String) {
     if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new Path(bld), live)
     if (fs.exists(aside)) fs.delete(aside, true)
+    // archive this generation's DECISION INPUTS (filterstats + receipt)
+    // for the pinned route-decision replay — same staged-write +
+    // `prev_gen`/`ancestors` chain as the ivf/lsh archives. r16 covered
+    // ivf+lsh only: a FLAT library's pinned filter receipt re-derived
+    // its counts from the LIVE artifact, so a post-pin rebuild silently
+    // changed the historical receipt ([[pinnedFilterDecision]] now
+    // reads this archive; flat SERVING is exact either way — the
+    // archive makes the receipt honest, not the ranking). Nothing
+    // corpus-sized rides along: filterstats are metadata-DOMAIN-sized.
+    writeArchivedGen(s"${flatArchiveRoot(libId)}/gen=${seq - 1}") { b =>
+      spark.read.parquet(s"${flatStatsRoot(libId)}/filterstats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
+      spark.read.parquet(s"${flatStatsRoot(libId)}/meta")
+        .withColumn("prev_gen", lit(prevGen))
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
+    }
     invalidateIndexMeta()
   }
 
-  /** Once-per-session lib ids whose flat filterstats build was already
-    * attempted lazily — bounds the empty-library case (whose build is a
-    * no-op that would otherwise re-probe the corpus on every call). */
+  /** Once-per-session lib ids whose flat filterstats build LANDED an
+    * artifact — amortizes the lazy-ensure to a set probe on the hot
+    * path. An EMPTY library's build is deliberately NOT recorded (r16
+    * advisory): its build is a no-op, and marking it would pin the
+    * non-artifact receipt for the life of the instance even after
+    * chunks arrive without a compact — the retry costs one log-fold
+    * `limit(1)` probe per filtered call only until the library gains
+    * content, then lands the artifact and joins the set. */
   private val flatStatsEnsured = scala.collection.mutable.HashSet.empty[Long]
 
   /** LAZY flat-stats materialization (r15 verdict item 7): a flat
@@ -1726,7 +1816,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
         libRecord(libId).getAs[String]("index_type") == "flat" &&
         flatStatsMeta(libId).isEmpty) {
       buildFlatStats(libId)
-      flatStatsEnsured += libId
+      if (flatStatsMeta(libId).nonEmpty) flatStatsEnsured += libId
     }
 
   /** Serve an lsh workload off the standing key table, BASE+DELTA: the
@@ -1807,6 +1897,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .foreach(id => fs.delete(new Path(ivfArchiveRoot(id)), true))
     (existingIndexLibs(lshArchiveArea) -- liveLsh)
       .foreach(id => fs.delete(new Path(lshArchiveRoot(id)), true))
+    (existingIndexLibs(flatArchiveArea) -- liveFlat)
+      .foreach(id => fs.delete(new Path(flatArchiveRoot(id)), true))
     liveIvfTrained.foreach(buildIndex(_))
     liveLsh.foreach { id =>
       lshIndexMeta(id) match {
@@ -1856,7 +1948,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // archive areas: a `gen=N_building` stage left by a crash either
     // finishes its rename (complete, no live twin) or is discarded —
     // readers ([[archivedGens]]) never see `_building` entries either way
-    Seq(ivfArchiveArea, lshArchiveArea).foreach { a =>
+    Seq(ivfArchiveArea, lshArchiveArea, flatArchiveArea).foreach { a =>
       val area = new Path(a)
       if (fs.exists(area)) fs.listStatus(area).foreach { lib =>
         if (lib.isDirectory)
@@ -2129,11 +2221,21 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * it lazily right here ([[ensureFlatStats]]), so the receipt is
     * artifact-sourced from the first call even on a store that never
     * compacts. One cached read at most ([[cachedFilterCounts]]);
-    * repeat receipts are pure driver state. */
+    * repeat receipts are pure driver state.
+    *
+    * `asOfSeq` (r17) replays the HISTORICAL receipt instead: the route
+    * a `searchAll(asOfSeq = s, pinIndexed = true)` call with these
+    * pairs takes, decided from the ARCHIVED covering generation's
+    * filterstats — see [[pinnedFilterDecision]]. */
   def filterDecision(libId: Long, metadataEq: Seq[(String, String)],
                      nTables: Int = 4, nBits: Int = 10, seed: Long = 1000L,
-                     thrDen: Long = 50L): DataFrame = {
+                     thrDen: Long = 50L,
+                     asOfSeq: Option[Long] = None): DataFrame = {
     require(metadataEq.nonEmpty, "filterDecision needs at least one key=value pair")
+    asOfSeq match {
+      case Some(s) => return pinnedFilterDecision(libId, metadataEq, s, thrDen)
+      case None =>
+    }
     val indexType = libRecord(libId).getAs[String]("index_type")
     if (indexType == "flat") ensureFlatStats(libId)
     val cc = cachedFilterCounts(libId, metadataEq)
@@ -2150,6 +2252,64 @@ final class GraftDb(spark: SparkSession, val root: String) {
     metadataEq.zip(cc.map(_._1).getOrElse(metadataEq.map(_ => -1L)))
       .map { case ((kk, vv), c) => (kk, vv, c, n, route) }
       .toDF("mkey", "mval", "cnt", "n_total", "route")
+  }
+
+  /** The PINNED-replay twin of [[filterDecision]] — the receipt for the
+    * route [[pinnedSearchAll]] with `pinIndexed = true` takes at seq
+    * `s`, decided from the ARCHIVED covering generation's filterstats.
+    * All THREE families archive their decision inputs now (ivf/lsh
+    * beside their model since r16; flat alone since r17 —
+    * [[buildFlatStats]]): before the flat archive, a flat pin's receipt
+    * read the LIVE artifact, so a post-pin rebuild silently changed the
+    * historical counts. Dispatch mirrors the pinned serve exactly:
+    *   - validated covering generation, readable receipt → counts from
+    *     its filterstats; route by [[selectiveByCounts]] on those
+    *     counts (flat: always `prefilter_exact` — flat serving IS the
+    *     exact pre-filtered scan);
+    *   - covering receipt read as ABSENT (future format_version), no
+    *     validated covering generation (chain gap, pre-index pin,
+    *     retention-trimmed archive), or a live-deleted/re-typed library
+    *     → the exact contract: route `prefilter_exact` with cnt −1 and
+    *     n_total 0 — NEVER a live count smuggled into a historical
+    *     receipt (exact serving filters then scans, so the label is
+    *     the truthful plan shape);
+    *   - legacy covering gen without filterstats (r15-era archive) →
+    *     `postfilter_probe` with cnt −1, matching the serve's
+    *     keep-the-probe-route behavior. */
+  private def pinnedFilterDecision(libId: Long, eq: Seq[(String, String)],
+                                   s: Long, thrDen: Long): DataFrame = {
+    def receipt(counts: Option[(Seq[Long], Long)], route: String): DataFrame =
+      eq.zip(counts.map(_._1).getOrElse(eq.map(_ => -1L)))
+        .map { case ((kk, vv), c) => (kk, vv, c, counts.map(_._2).getOrElse(0L), route) }
+        .toDF("mkey", "mval", "cnt", "n_total", "route")
+    def archived(arcRoot: String, liveGen: Option[Long],
+                 routeOf: Option[(Seq[Long], Long)] => String): DataFrame =
+      coveringArchivedGen(arcRoot, s, liveGen) match {
+        case Some(g) =>
+          val genDir = s"$arcRoot/gen=$g"
+          if (readMetaCached(s"$genDir/meta").isEmpty)
+            receipt(None, "prefilter_exact") // unreadable receipt: serve is exact
+          else {
+            val cc = archivedFilterCounts(genDir, eq)
+            receipt(cc, routeOf(cc))
+          }
+        case None => receipt(None, "prefilter_exact")
+      }
+    def adaptive(cc: Option[(Seq[Long], Long)]): String =
+      if (cc.exists { case (cs, n) => selectiveByCounts(cs, n, eq.size, thrDen) })
+        "prefilter_exact"
+      else "postfilter_probe"
+    libRecordOpt(libId).map(_.getAs[String]("index_type")) match {
+      case Some("flat") =>
+        archived(flatArchiveRoot(libId), flatStatsMeta(libId).map(_._1),
+          _ => "prefilter_exact")
+      case Some("ivf") =>
+        archived(ivfArchiveRoot(libId),
+          indexMetaRow(libId).map(_.getAs[Long]("index_seq")), adaptive)
+      case Some("lsh") =>
+        archived(lshArchiveRoot(libId), lshIndexMeta(libId).map(_._1), adaptive)
+      case _ => receipt(None, "prefilter_exact") // deleted live: pin serves exact
+    }
   }
 
   /** Serve an ivf workload off the STANDING persisted index, BASE+DELTA
@@ -2266,21 +2426,34 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * reproducibility contract can't tolerate). False for a legacy gen
     * without filterstats/n_total (r15-era archive: decision not
     * reconstructable — keep the probe route, the r15 behavior). */
-  private def archivedSelectiveEq(genDir: String, eq: Seq[(String, String)],
-                                  thrDen: Long): Boolean = {
+  /** The requested pairs' counts + build population from an ARCHIVED
+    * generation's filterstats, through the immutable-gen cache — None
+    * for a legacy gen without filterstats/n_total (r15-era archive).
+    * Shared by the pinned route decision ([[archivedSelectiveEq]]) and
+    * its receipt ([[pinnedFilterDecision]]) so they can never disagree
+    * on the inputs. */
+  private def archivedFilterCounts(genDir: String,
+                                   eq: Seq[(String, String)]): Option[(Seq[Long], Long)] = {
     val p = s"$genDir/filterstats"
     val nt = readMetaCached(s"$genDir/meta").headOption
       .filter(_.schema.fieldNames.contains("n_total"))
       .map(_.getAs[Long]("n_total"))
-    eq.nonEmpty && nt.nonEmpty && fs.exists(new Path(p)) && {
+    if (nt.isEmpty || !fs.exists(new Path(p))) None
+    else {
       val counts = archivedStatsCache.getOrElseUpdate(genDir,
         scala.collection.mutable.HashMap.empty[(String, String), Long])
       val missing = eq.distinct.filterNot(counts.contains)
       if (missing.nonEmpty)
         readFilterPairs(p, missing).foreach { case (pair, c) => counts(pair) = c }
-      selectiveByCounts(eq.map(counts), nt.get, eq.size, thrDen)
+      Some((eq.map(counts), nt.get))
     }
   }
+
+  private def archivedSelectiveEq(genDir: String, eq: Seq[(String, String)],
+                                  thrDen: Long): Boolean =
+    eq.nonEmpty && archivedFilterCounts(genDir, eq).exists { case (cs, n) =>
+      selectiveByCounts(cs, n, eq.size, thrDen)
+    }
 
   private def pinnedSearchAll(libId: Long, queries: DataFrame, k: Int,
                               includeChunk: Boolean,

@@ -1632,4 +1632,159 @@ class GraftDbSpec extends GraftSuite {
     assert(db.listChunks(1L).collect().map(_.getAs[Long]("chunk_id")).sorted
       === Array(101L, 103L))
   }
+
+  test("transitive archive chain: two consecutive crashed archive writes cannot shadow an older gap (ancestors lineage)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(23L, "chain2", dims, "ivf")
+    db.upsertChunks((0 until 24).map(i =>
+      (23L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3))) // seq 1..24
+    db.trainIndex(23L, kCentroids = 4, iters = 2)
+    db.buildIndex(23L) // gen 24
+    db.upsertChunks((0 until 6).map(i =>
+      (23L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 25..30
+    db.buildIndex(23L) // gen 30
+    db.upsertChunks((6 until 12).map(i =>
+      (23L, 2L, 50L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 31..36
+    db.buildIndex(23L) // gen 36
+    db.upsertChunks((12 until 18).map(i =>
+      (23L, 3L, 70L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 37..42
+    db.buildIndex(23L) // gen 42
+    val archRoot = s"${db.root}/ivf_index_archive/lib=23"
+    // every receipt carries its FULL lineage — built from the LIVE meta,
+    // so it names crashed-archive generations too
+    val g42 = spark.read.parquet(s"$archRoot/gen=42/meta").collect().head
+    assert(g42.getSeq[Long](g42.fieldIndex("ancestors")) === Seq(24L, 30L, 36L))
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // pre-damage control: a pin during gen 24's reign
+    val pinAt26 = 26L
+    val approx26 = res(db.searchAll(23L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinAt26), pinIndexed = true))
+    // TWO CONSECUTIVE builds crash between swap and archive write: gens
+    // 30 AND 36 both vanish — gen 42's single `prev_gen` link (36 > s)
+    // would have ACCEPTED gen 24 for a pin during gen 30's reign, the
+    // exact shadow the r16 advisory named; the lineage names 30
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$archRoot/gen=30"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$archRoot/gen=36"))
+    val db2 = new GraftDb(spark, db.root)
+    val pinShadow = 32L
+    assert(res(db2.searchAll(23L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinShadow), pinIndexed = true)) ===
+      res(db2.searchAll(23L, workload, k = 5, asOfSeq = Some(pinShadow))),
+      "double-crash shadow replayed the wrong (older) generation's model")
+    // a pin the missing builds never covered still replays: no ancestor
+    // in (24, 26] — the gap-after-pin acceptance survives the upgrade
+    assert(res(db2.searchAll(23L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(pinAt26), pinIndexed = true)) === approx26,
+      "a post-pin double gap changed a pre-gap pin's replay")
+  }
+
+  test("flat filterstats archive: a pinned filter receipt survives a post-pin rebuild; a chain gap degrades to no-artifact exact") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(24L, "flatpin", dims, "flat")
+    db.upsertChunksMeta((0 until 24).map(i =>
+      (24L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3,
+        Map("lang" -> (if (i == 10) "rare" else "en"))))) // seq 1..24
+    // lazy ensure lands the artifact AND its archived generation (gen 24)
+    val live0 = db.filterDecision(24L, Seq("lang" -> "rare")).collect().head
+    assert(live0.getLong(2) === 1L && live0.getLong(3) === 24L)
+    val pin = 24L
+    // history moves on: "rare" becomes common, stats rebuilt (gen 34)
+    db.upsertChunksMeta((0 until 10).map(i =>
+      (24L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3,
+        Map("lang" -> "rare")))) // 25..34
+    db.buildFlatStats(24L)
+    val live1 = db.filterDecision(24L, Seq("lang" -> "rare")).collect().head
+    assert(live1.getLong(2) === 11L && live1.getLong(3) === 34L,
+      s"live receipt not refreshed: $live1")
+    // the pinned receipt replays the ARCHIVED generation's counts — not
+    // the live artifact the rebuild just replaced (before the flat
+    // archive, this receipt silently changed under the pin)
+    val pinned = db.filterDecision(24L, Seq("lang" -> "rare"), asOfSeq = Some(pin))
+      .collect().head
+    assert(pinned.getLong(2) === 1L && pinned.getLong(3) === 24L,
+      s"pinned receipt read post-pin counts: $pinned")
+    assert(pinned.getString(4) === "prefilter_exact")
+    // third generation, then gen 34's archive vanishes (crash between
+    // swap and archive): a pin during 34's reign must degrade to the
+    // no-artifact exact receipt, never count-smuggle — while the
+    // gen-24 pin (which the missing build never covered) still replays
+    db.upsertChunksMeta((0 until 10).map(i =>
+      (24L, 2L, 200L + i, corpus(40 + i)._2, corpus(40 + i)._3,
+        Map("lang" -> "en")))) // 35..44
+    db.buildFlatStats(24L) // gen 44, ancestors [24, 34]
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${db.root}/flat_index_archive/lib=24/gen=34"))
+    val db2 = new GraftDb(spark, db.root)
+    val gap = db2.filterDecision(24L, Seq("lang" -> "rare"), asOfSeq = Some(40L))
+      .collect().head
+    assert(gap.getLong(2) === -1L && gap.getLong(3) === 0L,
+      s"chain-gap pin smuggled a count into a historical receipt: $gap")
+    assert(gap.getString(4) === "prefilter_exact")
+    val pinned2 = db2.filterDecision(24L, Seq("lang" -> "rare"), asOfSeq = Some(pin))
+      .collect().head
+    assert(pinned2.getLong(2) === 1L && pinned2.getLong(3) === 24L,
+      s"post-pin gap poisoned an earlier pin's receipt: $pinned2")
+  }
+
+  test("lazy flat filterstats RETRY: an empty library's no-op build does not pin the non-artifact receipt for the session") {
+    val db = freshDb()
+    db.createLibrary(25L, "flatempty", corpus.head._3.length, "flat")
+    // first filtered receipt on the EMPTY library: nothing to build
+    val before = db.filterDecision(25L, Seq("lang" -> "en")).collect().head
+    assert(before.getLong(2) === -1L)
+    // chunks arrive WITHOUT a compact: the lazy build must retry on the
+    // next call (the r16 advisory: marking the no-op "ensured" served a
+    // non-artifact receipt for the life of the instance)
+    db.upsertChunksMeta((0 until 8).map(i =>
+      (25L, 1L, 100L + i, corpus(i)._2, corpus(i)._3, Map("lang" -> "en"))))
+    val after = db.filterDecision(25L, Seq("lang" -> "en")).collect().head
+    assert(after.getLong(2) === 8L && after.getLong(3) === 8L,
+      s"lazy flat-stats build never retried after content arrived: $after")
+  }
+
+  test("format_version widened to LONG reads numeric-agnostically: current value serves, future value degrades — never a cast crash") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(26L, "widefv", dims, "lsh")
+    db.upsertChunksMeta(corpus.take(20).map { case (id, t, e) =>
+      (26L, id / 10, id, t, e, Map("lang" -> "en")) })
+    db.buildLshIndex(26L, nTables = 4, nBits = 10, seed = 1000L)
+    val metaPath = s"${db.root}/lsh_index/lib=26/meta"
+    val m = spark.read.parquet(metaPath).collect().head
+    import spark.implicits._
+    def rewrite(fv: Long): Unit = { // a future writer widened the column
+      val tmp = s"${metaPath}_widetmp"
+      Seq((m.getAs[Long]("index_seq"), m.getAs[Int]("n_tables"),
+        m.getAs[Int]("n_bits"), m.getAs[Long]("seed"),
+        m.getAs[Long]("n_total"), fv))
+        .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+          "format_version")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(metaPath))
+    }
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    // widened column, CURRENT version value: the receipt must serve
+    // (the Int accessor threw ClassCastException here — defeating the
+    // very degradation contract the filter enforces)
+    rewrite(GraftDb.IndexMetaV.toLong)
+    val db2 = new GraftDb(spark, db.root)
+    val hits = db2.searchAll(26L, workload, k = 3)
+    assert(hits.queryExecution.executedPlan.toString.contains("lsh_index"),
+      "a current-version receipt with a widened column was not served")
+    assert(hits.collect().nonEmpty)
+    // widened AND future: treated as absent, the route degrades
+    rewrite(GraftDb.IndexMetaV.toLong + 1)
+    val db3 = new GraftDb(spark, db.root)
+    assert(db3.filterDecision(26L, Seq("lang" -> "en")).collect()
+      .forall(_.getString(4) == "inmemory_rekey"),
+      "a future long-typed receipt did not degrade the route")
+  }
 }
