@@ -86,6 +86,14 @@ object GraftDb {
     * future-version receipt never leaks into v2 column accessors. */
   val IndexMetaV = 2
 
+  /** Library-bundle format written by [[GraftDb#exportLibrary]] — same
+    * forward-compat contract as the index metas, but a bundle is a
+    * hand-off artifact between stores/clusters, so an import seeing a
+    * NEWER version REFUSES LOUDLY (a half-understood import would write
+    * wrong rows into the target's logs — unlike serving, there is no
+    * safe degraded route). */
+  val BundleV = 1
+
   /** One chunk-changelog record. `op` ∈ upsert | delete_chunk |
     * delete_doc (doc-level rows carry chunk_id = -1). Chunks carry an
     * arbitrary metadata dict (reference: app/core/models.py:16) — chunk
@@ -1871,6 +1879,145 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case n if n.startsWith("lib=") && !n.endsWith("_building") && !n.endsWith("_old") =>
         n.stripPrefix("lib=").toLong
     }.toSet
+  }
+
+  /** ARCHIVE RETENTION — the retention job the archive docs have always
+    * assumed ("a retention job may delete old `gen=` dirs"), as a
+    * governed facade method instead of an out-of-band `rm`: keep the
+    * newest `keepGens` archived model generations per library and
+    * family, delete older ones WHOLE (`gen=` directories — never a
+    * single file inside one; the damaged-generation contract fails
+    * loudly on partial deletes precisely so retention has one safe
+    * shape). Pruning removes a PREFIX of each chain, so chain
+    * validation composes exactly: between two KEPT generations no
+    * ancestor appears or disappears (real generations are never
+    * created by pruning), so pins covered by kept generations replay
+    * bit-identically — while pins older than the oldest kept
+    * generation lose their covering gen and serve the EXACT contract
+    * ([[pinnedSearchAll]]'s fallback; [[pinnedFilterDecision]] reports
+    * the no-artifact receipt). Reach narrows; correctness never
+    * changes. At 100 TB the archives are metadata-sized (K+1-row
+    * models, receipts, filterstats) — retention here is about bounding
+    * generation COUNT over years of maintenance, and the work is a
+    * directory listing + O(dropped) deletes, no corpus I/O. Returns
+    * the receipt: one row per dropped generation. */
+  def pruneArchives(keepGens: Int): DataFrame = {
+    require(keepGens >= 0, s"keepGens must be >= 0, got $keepGens")
+    val dropped: Seq[(Long, String, Long)] =
+      Seq(("ivf", ivfArchiveArea), ("lsh", lshArchiveArea),
+        ("flat", flatArchiveArea)).flatMap { case (fam, area) =>
+        existingIndexLibs(area).toSeq.sorted.flatMap { libId =>
+          val rootDir = s"$area/lib=$libId"
+          archivedGens(rootDir).sorted.dropRight(keepGens).map { g =>
+            fs.delete(new Path(s"$rootDir/gen=$g"), true)
+            (libId, fam, g)
+          }
+        }
+      }
+    // dropped gens' cached stats are stale by definition; cheap full clear
+    archivedStatsCache.clear()
+    invalidateIndexMeta()
+    dropped.toDF("library_id", "family", "gen")
+  }
+
+  // ---- library bundles (export / import across stores) --------------------
+
+  /** EXPORT a library's LIVE state as a self-contained parquet bundle —
+    * the cross-store/cross-cluster hand-off the reference has no analog
+    * for (its store is one process's memory): the folded chunk corpus
+    * (full payload, DISTRIBUTED write — at 100 TB this is a parallel
+    * parquet copy, no driver collect), the document entities, the
+    * library record, and a one-row manifest (counts + dims +
+    * `bundle_version`) the import validates against. Written under the
+    * `*_building` + `_complete` + rename staging every artifact here
+    * uses: a crashed export leaves an inert `_building` dir, never a
+    * half-bundle at the destination name; an EXISTING destination is
+    * refused (export copies, it never clobbers). Standing indexes are
+    * DERIVED artifacts and deliberately not bundled — the record
+    * carries `index_type`, and the importing store rebuilds via its own
+    * `trainIndex`/`buildIndex`/`compact` lifecycle (bundling sealed
+    * lists would pin the target to the source's generation layout).
+    * Returns the receipt: (library_id, n_docs, n_chunks). */
+  def exportLibrary(libId: Long, destDir: String): DataFrame = {
+    val lib = libRecord(libId)
+    require(!fs.exists(new Path(destDir)),
+      s"export destination $destDir already exists — export never overwrites")
+    val bld = s"${destDir}_building"
+    fs.delete(new Path(bld), true)
+    listChunks(libId)
+      .select(col("doc_id"), col("chunk_id"), col("text"), col("embedding"),
+        col("metadata"))
+      .write.mode("overwrite").parquet(s"$bld/chunks")
+    listDocuments(libId).select(col("doc_id"), col("title"), col("metadata"))
+      .write.mode("overwrite").parquet(s"$bld/docs")
+    Seq((libId, lib.getAs[String]("name"), lib.getAs[Int]("dims"),
+      lib.getAs[String]("index_type"),
+      Option(lib.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty[String, String])))
+      .toDF("library_id", "name", "dims", "index_type", "metadata")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/library")
+    // counts read back from the bundle's own files (not the source
+    // snapshot): the manifest certifies what the bundle HOLDS, so a
+    // write that lost rows is caught at export time, not import time
+    val nChunks = spark.read.parquet(s"$bld/chunks").count()
+    val nDocs = spark.read.parquet(s"$bld/docs").count()
+    Seq((GraftDb.BundleV, nChunks, nDocs, lib.getAs[Int]("dims")))
+      .toDF("bundle_version", "n_chunks", "n_docs", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bld/manifest")
+    fs.create(new Path(s"$bld/_complete"), true).close()
+    fs.rename(new Path(bld), new Path(destDir))
+    Seq((libId, nDocs, nChunks)).toDF("library_id", "n_docs", "n_chunks")
+  }
+
+  /** IMPORT a bundle as a NEW library in THIS store. Validation first,
+    * append after — a failed import writes NOTHING: the bundle must be
+    * `_complete`, its `bundle_version` known ([[GraftDb.BundleV]] —
+    * refuse-loudly, no degraded route for a hand-off artifact), the
+    * target id free, the chunk count ≡ the manifest's, every embedding
+    * exactly the declared dims (non-empty by implication — the
+    * derived-marker can't be forged through a bundle), and chunk ids
+    * DISTINCT — because the whole chunk batch lands under ONE sequence
+    * number: an import is one atomic operation (`asOf(s-1)` sees none
+    * of it, `asOf(s)` all of it), the chunk fold's max-seq rule only
+    * needs per-chunk uniqueness within a seq, and the append stays a
+    * DISTRIBUTED parquet write of the bundle (no driver-side
+    * per-row log materialization — the corpus never visits the
+    * driver). Document entities append as ordinary log rows
+    * (entity-sized, not corpus-sized). Standing indexes rebuild here
+    * ([[exportLibrary]]'s contract). Returns (library_id, n_docs,
+    * n_chunks, seq). */
+  def importLibrary(srcDir: String, newLibId: Long): DataFrame = {
+    require(fs.exists(new Path(s"$srcDir/_complete")),
+      s"$srcDir is not a complete bundle (missing _complete marker)")
+    val man = spark.read.parquet(s"$srcDir/manifest").collect().head
+    val bv = man.getAs[Int]("bundle_version")
+    require(bv <= GraftDb.BundleV,
+      s"bundle at $srcDir is format v$bv; this reader knows v${GraftDb.BundleV} — refusing")
+    require(libRecordOpt(newLibId).isEmpty, s"library $newLibId already exists")
+    val libRow = spark.read.parquet(s"$srcDir/library").collect().head
+    val dims = libRow.getAs[Int]("dims")
+    val chunks = spark.read.parquet(s"$srcDir/chunks")
+    val nChunks = chunks.count()
+    require(nChunks == man.getAs[Long]("n_chunks"),
+      s"bundle damaged: $nChunks chunk rows vs manifest ${man.getAs[Long]("n_chunks")}")
+    require(chunks.filter(size(col("embedding")) =!= dims).limit(1).isEmpty,
+      s"bundle chunk embedding dims differ from the declared $dims")
+    require(chunks.select(col("chunk_id")).distinct().count() == nChunks,
+      "bundle chunk ids are not distinct — refusing the atomic single-seq append")
+    createLibrary(newLibId, libRow.getAs[String]("name"), dims,
+      libRow.getAs[String]("index_type"), libRow.getAs[Map[String, String]]("metadata"))
+    val docs = spark.read.parquet(s"$srcDir/docs").collect()
+    if (docs.nonEmpty) appendDocs(docs.toSeq.map(r =>
+      DocOp(nextSeq(), "upsert", newLibId, r.getAs[Long]("doc_id"),
+        Option(r.getAs[String]("title")),
+        Some(Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty)))))
+    val s = nextSeq()
+    chunks.select(lit(s).as("seq"), lit("upsert").as("op"),
+      lit(newLibId).as("library_id"), col("doc_id"), col("chunk_id"),
+      col("text"), col("embedding"), col("metadata"))
+      .write.mode("append").parquet(chunkPath)
+    invalidateSnapshots()
+    Seq((newLibId, docs.length.toLong, nChunks, s))
+      .toDF("library_id", "n_docs", "n_chunks", "seq")
   }
 
   /** Maintain every persisted index at a maintenance boundary: stale

@@ -1747,6 +1747,100 @@ class GraftDbSpec extends GraftSuite {
       s"lazy flat-stats build never retried after content arrived: $after")
   }
 
+  test("archive retention: pruneArchives keeps the newest K generations — kept pins replay bit-identically, older pins fall to exact") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(29L, "retain", dims, "ivf")
+    db.upsertChunks((0 until 24).map(i =>
+      (29L, 100L + i / 8, 100L + i, corpus(i)._2, corpus(i)._3))) // seq 1..24
+    db.trainIndex(29L, kCentroids = 4, iters = 2)
+    db.buildIndex(29L) // gen 24
+    db.upsertChunks((0 until 6).map(i =>
+      (29L, 1L, 1L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 25..30
+    db.buildIndex(29L) // gen 30
+    db.upsertChunks((6 until 12).map(i =>
+      (29L, 2L, 50L + i, corpus(30 + i)._2, corpus(30 + i)._3))) // 31..36
+    db.buildIndex(29L) // gen 36
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val keptPinBefore = res(db.searchAll(29L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(32L), pinIndexed = true))
+    // the retention job: keep 2 of {24, 30, 36} → exactly gen 24 drops
+    val receipt = db.pruneArchives(keepGens = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(receipt === Seq((29L, "ivf", 24L)), s"unexpected retention receipt: $receipt")
+    assert(!new java.io.File(s"${db.root}/ivf_index_archive/lib=29/gen=24").exists())
+    // a pin covered by a KEPT generation replays bit-identically —
+    // pruning removes a chain PREFIX, so validation between kept gens
+    // is untouched
+    assert(res(db.searchAll(29L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(32L), pinIndexed = true)) === keptPinBefore,
+      "retention changed a kept generation's pinned replay")
+    // a pin OLDER than the oldest kept generation loses its covering
+    // gen: reach narrows to the exact contract, never a wrong replay
+    assert(res(db.searchAll(29L, workload, k = 5, nProbes = 1,
+      asOfSeq = Some(26L), pinIndexed = true)) ===
+      res(db.searchAll(29L, workload, k = 5, asOfSeq = Some(26L))),
+      "a pruned-away pin did not fall back to exact")
+  }
+
+  test("library bundle: export → import round-trips chunks/docs/record atomically; validation refuses bad bundles") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(27L, "exp", dims, "flat", Map("tier" -> "gold"))
+    db.createDocument(27L, 5L, "doc five", Map("k" -> "v"))
+    db.createDocument(27L, 6L, "doc six")
+    db.upsertChunksMeta((0 until 12).map(i =>
+      (27L, 5L + i % 2, 100L + i, corpus(i)._2, corpus(i)._3,
+        Map("lang" -> (if (i % 3 == 0) "de" else "en")))))
+    db.deleteChunksBatch(27L, Seq(100L)) // bundle = the FOLDED state, not the log
+    val bundle = s"${Files.createTempDirectory("bundle")}/lib27"
+    val rec = db.exportLibrary(27L, bundle).collect().head
+    assert((rec.getLong(1), rec.getLong(2)) === ((2L, 11L)))
+    assert(new java.io.File(s"$bundle/_complete").exists())
+    // import into the SAME store under a fresh id
+    val imp = db.importLibrary(bundle, 28L).collect().head
+    assert((imp.getLong(1), imp.getLong(2)) === ((2L, 11L)))
+    val impSeq = imp.getLong(3)
+    def slim(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Seq[Float], Map[String, String])] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("text"), r.getSeq[Float](r.fieldIndex("embedding")),
+        r.getAs[Map[String, String]]("metadata"))).toSet
+    assert(slim(db.listChunks(28L)) === slim(db.listChunks(27L)),
+      "imported corpus differs from the exported snapshot")
+    assert(db.listDocuments(28L).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("title"))).sorted.toSeq ===
+      Seq((5L, "doc five"), (6L, "doc six")))
+    val libs = db.listLibraries().collect()
+      .map(r => r.getAs[Long]("library_id") ->
+        ((r.getAs[String]("name"), r.getAs[Int]("dims"), r.getAs[String]("index_type"),
+          r.getAs[Map[String, String]]("metadata")))).toMap
+    assert(libs(28L) === libs(27L) , "imported library record differs")
+    // ATOMIC: the whole chunk batch lands under ONE seq — the pin just
+    // before holds none of it, the pin at it all of it
+    assert(db.asOf(impSeq - 1).filter(col("library_id") === 28L).count() === 0L)
+    assert(db.asOf(impSeq).filter(col("library_id") === 28L).count() === 11L)
+    import spark.implicits._
+    val workload = Seq(2).map(i => (i.toLong, corpus(i)._3)).toDF("qid", "qvec")
+    assert(db.searchAll(28L, workload, k = 3).collect().nonEmpty)
+    // cross-STORE import (the actual hand-off): a fresh root
+    val db2 = freshDb()
+    val imp2 = db2.importLibrary(bundle, 1L).collect().head
+    assert((imp2.getLong(1), imp2.getLong(2)) === ((2L, 11L)))
+    assert(slim(db2.listChunks(1L)) === slim(db.listChunks(27L)))
+    // refusals: occupied id; incomplete bundle; future format
+    intercept[IllegalArgumentException] { db.importLibrary(bundle, 27L) }
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    Seq((GraftDb.BundleV + 1, 11L, 2L, dims))
+      .toDF("bundle_version", "n_chunks", "n_docs", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$bundle/manifest")
+    intercept[IllegalArgumentException] { db2.importLibrary(bundle, 2L) }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bundle/_complete"), false)
+    intercept[IllegalArgumentException] { db2.importLibrary(bundle, 3L) }
+  }
+
   test("format_version widened to LONG reads numeric-agnostically: current value serves, future value degrades — never a cast crash") {
     val db = freshDb()
     val dims = corpus.head._3.length
