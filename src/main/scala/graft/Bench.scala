@@ -418,7 +418,7 @@ object Bench {
     // them as slow searches.
     val includesBuildAll = Seq("v17_sq8_search", "v28_ivf_sq8", "v14b_ivf_trained_persist",
       "v14c_sampled_ivf_persist", "f13_facade_serving", "f14_facade_lsh_serving",
-      "t33_jsonl_ingest",
+      "f15_bundle_roundtrip", "t33_jsonl_ingest",
       "v16b_filtered_ivf", "v16d_metadata_filter", "v16e_metadata_ivf",
       "v19c_ivfpq_persist",
       "d8_dedup_incremental", "f7_shard_manifest",

@@ -131,6 +131,53 @@ object FacadeServe {
     serveWorkload(db, spark, dir)
   }
 
+  /** f15: the library BUNDLE under the same gate — the facade's
+    * cross-store hand-off driven end to end: the identical fold, then
+    * `exportLibrary` writes the folded corpus as a self-contained
+    * bundle, `importLibrary` lands it in a SECOND store root (fresh
+    * `GraftDb`, one atomic single-seq batch append), and the WORKLOAD
+    * SERVES FROM THE IMPORTED STORE — flat-exact, so every hit score is
+    * a function of every imported vector: one flipped byte anywhere in
+    * the bundle round-trip moves a cosine and breaks the hash. The
+    * oracle replays the fold and scores `live0` directly (a correct
+    * export→import is corpus-identity; the reference has no bundle
+    * analog — its store is process memory — so the oracle IS the
+    * defining semantics). */
+  def bundleRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (db, _) = freshFoldedStore(spark, dir, "graft_f15_src", "flat")
+    val conf = spark.sessionState.newHadoopConf()
+    val bundle = Persist.tablePath(spark, "graft_f15_bundle").stripPrefix("file:")
+    val bp = new Path(bundle)
+    bp.getFileSystem(conf).delete(bp, true) // export refuses to overwrite
+    db.exportLibrary(1L, bundle)
+    val root2 = Persist.tablePath(spark, "graft_f15_dst").stripPrefix("file:")
+    val rp2 = new Path(root2)
+    rp2.getFileSystem(conf).delete(rp2, true)
+    val db2 = new GraftDb(spark, root2)
+    db2.importLibrary(bundle, 7L)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    db2.searchAll(7L, queries, k = TopK)
+      .select(col("qid"), col("rank"), col("chunk_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The f15 replay: exact cosine top-k over the folded pre-build
+    * corpus (`live0` — f15 runs no post-build delta; the imported store
+    * holds exactly the exported fold). */
+  def bundleRoundtripOracle(): String =
+    s"""WITH $foldSql,
+       |q AS (SELECT vec_id AS qid, v AS qvec FROM eall WHERE vec_id < $NQueries),
+       |scored AS (SELECT q.qid, l.vec_id, list_cosine_similarity(l.v, q.qvec) AS score
+       |           FROM live0 l CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, vec_id AS chunk_id, round(score, 4) AS score
+       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   /** The full SQL replay: fold → k-means over the folded corpus (the
     * registry's unrolled-iteration CTEs, [[Ivf.kmeansIterCtes]], fed a
     * DERIVED `e`/`en`) → probe → assign the post-delta live corpus with
