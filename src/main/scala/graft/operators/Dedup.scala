@@ -1098,7 +1098,10 @@ object Dedup {
                                  benchMod: Long = 37L, mBits: Int = 1 << 16,
                                  k: Int = 4): Array[Long] = {
     require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
-    val grams = Tables.documents(spark, dir)
+    // fanOut (r17, guide §2.5): shingling + k·md5 per gram otherwise run
+    // on one core (one-row-group corpus); the bitset is bit_or-merged —
+    // order-independent
+    val grams = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +
@@ -1119,7 +1122,9 @@ object Dedup {
                          benchMod: Long = 37L, mBits: Int = 1 << 16,
                          k: Int = 4): DataFrame = {
     require(mBits % 64 == 0, s"mBits must pack into longs, got $mBits")
-    def grams = Tables.documents(spark, dir)
+    // fanOut: same shingle+md5 shape as the bitset pass above; per-doc
+    // integer counts — order-independent
+    def grams = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once (HOF-inline trap)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"CASE WHEN size(w) < $n THEN array() ELSE transform(sequence(1, size(w) - ${n - 1}), " +

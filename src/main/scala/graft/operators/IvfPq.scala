@@ -241,13 +241,16 @@ object IvfPq {
 
       import spark.implicits._
       val centPath = Persist.tablePath(spark, "graft_idx_ivfpq_centroids")
+      // coalesce(1): K-row / M·K-row driver literals otherwise fan out to
+      // min(rows, cores) one-row files (r17; same rationale as GraftDb's
+      // changelog appends — fewer write tasks AND fewer footers to read back)
       mat.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
-        .write.mode("overwrite").parquet(centPath)
+        .coalesce(1).write.mode("overwrite").parquet(centPath)
       val cbPath = Persist.tablePath(spark, "graft_idx_ivfpq_codebooks")
       cb.toSeq.flatMap { case (m, cells) =>
         cells.zipWithIndex.map { case (cv, cell) => (m, cell, cv.toSeq) }
       }.toDF("m", "cell", "cv")
-        .write.mode("overwrite").parquet(cbPath)
+        .coalesce(1).write.mode("overwrite").parquet(cbPath)
 
       // ---- serve: reload every piece from storage ----
       val mat2: Array[(Long, Array[Double])] =

@@ -467,7 +467,11 @@ object Persist {
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val arms = cols.map(c => struct(lit(c).as("cname"),
       floor(col(c).cast("double") * 1e4 + 0.5).cast("long").as("vq4")))
-    li.select(explode(array(arms: _*)).as("u"))
+    // fanOut (r17, guide §2.5): the 5× unpivot of a one-row-group scan
+    // otherwise runs on one core; every downstream stat is exact-integer
+    // (count/min/max/distinct) — order-independent under any partitioning
+    graft.sources.Tables.fanOut(li, col("l_orderkey"))
+      .select(explode(array(arms: _*)).as("u"))
       .select(col("u.cname").as("cname"), col("u.vq4").as("vq4"))
   }
 

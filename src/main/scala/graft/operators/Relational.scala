@@ -372,7 +372,10 @@ object Relational {
   private def hllRegisters(rows: DataFrame, groupCols: Seq[String],
                            keyPrefix: String, keyCol: String, m: Int): DataFrame = {
     val gc = groupCols.map(col)
-    rows
+    // fanOut (r17, guide §2.5): the one-row-group corpus otherwise runs the
+    // per-row md5 on one core; registers are max-merged integers, so
+    // partitioning cannot move a single register value
+    Tables.fanOut(rows, col(keyCol))
       .select(gc :+ Dedup.h60(concat(lit(keyPrefix), col(keyCol).cast("string"))).as("h"): _*)
       .select(gc :+ expr(s"h % $m").as("bucket") :+ expr(s"h div $m").as("r"): _*)
       .withColumn("rho", when(col("r") === 0L, lit(53L))

@@ -114,8 +114,20 @@ object SearchText {
                 stride: Int = 48, k: Int = 5, nQueries: Int = 4): DataFrame = {
     graft.Graft.init(spark)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val chunks = Text.chunkFrame(docs, window, stride)
-      .select(col("doc_id"), stubEmbed(array_join(col("cw"), " ")).as("cvec"))
+    // r17 (guide §1.2 "per-task work" + §2.5): the corpus-side chunk hash
+    // is MATERIALIZED once per chunk before the 64-element LCG expansion —
+    // CollapseProject otherwise inlines the md5 subtree into the transform
+    // lambda and re-evaluates it PER ELEMENT (the stubEmbed CAUTION; f3's
+    // md5-once lesson applied here: 64 md5s of the full chunk text per
+    // chunk → 1). The chunker+hash pass runs fanned out (the one-row-group
+    // corpus otherwise serializes it on one core), and the checkpoint is
+    // chunk-count × 16 B — the embed vectors themselves are never stored.
+    // Same h per chunk → bit-identical cvec/scores; max/TopK are
+    // order-independent, so the fan-out cannot move a result.
+    val chunkH = Text.chunkFrame(Tables.fanOut(docs, col("doc_id")), window, stride)
+      .select(col("doc_id"), (Dedup.h60(array_join(col("cw"), " ")) % P).as("h"))
+      .localCheckpoint()
+    val chunks = chunkH.select(col("doc_id"), stubEmbedFromHash(col("h")).as("cvec"))
     val queries = Text.chunkFrame(docs.filter(col("doc_id") < nQueries), window, stride)
       .filter(col("chunk_idx") === 0L)
       .select(col("doc_id").as("qid"), stubEmbed(array_join(col("cw"), " ")).as("qvec"))

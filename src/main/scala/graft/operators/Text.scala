@@ -45,7 +45,10 @@ object Text {
     }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    // fanOut (r17, guide §2.5): the per-doc tokenize + stopword-intersect
+    // arms otherwise run on one core (one-row-group corpus); map-only —
+    // partitioning-independent by construction
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("best", sort_array(array(langArms: _*))(0))
       .select(col("doc_id"), col("best.lang").as("pred_lang"),
@@ -61,7 +64,8 @@ object Text {
     * one-scan map-only shape as t1 — the runner-up falls out of the
     * already-sorted arm array at index 1 for free. */
   def langIdMargin(spark: SparkSession, dir: String, minMargin: Long = 1L): DataFrame = {
-    Tables.documents(spark, dir)
+    // fanOut: same map-only shape as t1 — see [[langId]]
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("sorted", sort_array(array(langArms: _*)))
       .select(col("doc_id"),
@@ -123,7 +127,11 @@ object Text {
     * columns — the single source of the formula, shared by t2 and the f1
     * composite pipeline. Tokenizes ONCE and reuses the projected arrays. */
   private[graft] def qualityFrame(docs: DataFrame): DataFrame = {
-    docs
+    // fanOut (r17, guide §2.5): three array ops per doc otherwise run on
+    // one core (one-row-group corpus). Map-only per-doc math — every
+    // output value is a function of its own row, so partitioning cannot
+    // move a result (shared by t2, f1, d11, d15).
+    Tables.fanOut(docs, col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .withColumn("uw", array_distinct(col("w")))
       .withColumn("n_tok", size(col("w")).cast("long"))
@@ -193,8 +201,11 @@ object Text {
     val (a, b) = (1103515245L % P, 12345L)
     // explode + partial-agg sum instead of a HOF fold: the per-token md5
     // then runs codegen'd (HOF lambdas are interpreted), the modular sum is
-    // commutative-exact, and the shuffle carries one partial per doc
-    Tables.documents(spark, dir)
+    // commutative-exact, and the shuffle carries one partial per doc.
+    // fanOut (r17, guide §2.5): the one-row-group corpus otherwise runs
+    // the per-token md5 on a single core; int64 sums are order-independent,
+    // so partitioning cannot move the fingerprint.
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
       .select(col("doc_id"),
         ((Dedup.h60(col("t")) % P) * ((lit(a) * (col("i") + 1L) + b) % P) % P).as("term"))
@@ -1010,7 +1021,10 @@ object Text {
     val sorted = terms.sorted
     def idxCol(r: Column, t: Column): Column =
       Dedup.h60(concat(lit("cms"), r.cast("string"), lit(":"), t)) % width
-    val tok = Tables.documents(spark, dir)
+    // fanOut (r17, guide §2.5): depth× per-token md5 otherwise runs on one
+    // core (one-row-group corpus); CMS counters are integer sums — order-
+    // independent, so partitioning cannot move an estimate
+    val tok = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("t"))
     val arms = tok.select(explode(array((0 until depth).map(r =>
       struct(lit(r).as("r"), idxCol(lit(r), col("t")).as("idx"))): _*)).as("a"))
@@ -1116,7 +1130,9 @@ object Text {
     * boundary can flip it; the reported fractions divide the same
     * integers in IEEE double on both engines and round at 4 dp. */
   def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    // fanOut (r17, guide §2.5): tokenize + bigram-explode otherwise run on
+    // one core (one-row-group corpus); counts/max are order-independent
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize once
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
@@ -1396,7 +1412,10 @@ object Text {
       |FROM cq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def termDrift(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut (r17, guide §2.5): tokenization of the one-row-group corpus
+    // otherwise runs on one core; per-term counts are integer sums and the
+    // KL contribution is computed per-VALUE — partitioning-independent
+    val docs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
     val tok = docs.select((col("lang") === "en").as("in_a"),
       explode(split(col("text"), " ")).as("term"))
     val counts = tok.groupBy(col("term")).agg(

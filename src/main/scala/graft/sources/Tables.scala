@@ -108,6 +108,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Fan a poorly-parallelized frame out to the session's full parallelism
+    * before compute-heavy per-row work. The test corpora arrive as ONE
+    * parquet row group per table, so every scan is a single task and all
+    * per-row compute (per-token md5, 64-element embed expansion, stopword
+    * intersections) serializes on one core of 32 — the optimization
+    * guide's unsplittable-input case (§2.5: "repartition immediately
+    * after the read"). NO-OP whenever the frame already carries >=
+    * defaultParallelism partitions — any real multi-file corpus at scale —
+    * so the shuffle exists only where the input layout starves the CPUs,
+    * and its bytes are bounded by that small input. Hash-partitioning on
+    * the caller's key keeps row placement deterministic under task retry
+    * (§2.5 warns off rand-derived keys). Only sound where downstream
+    * results are partitioning-independent: per-row maps, exact integer
+    * arithmetic, order-independent aggregates (min/max/count/bit-ops) —
+    * callers whose result could depend on float accumulation ORDER must
+    * not route through this. */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores, key)
+  }
+
   /** Documents from JSON Lines — the reference's ingest wire format (its
     * REST body is a JSON document payload). Schema is EXPLICIT: schema
     * inference would buy a full extra pass over the input before the real
