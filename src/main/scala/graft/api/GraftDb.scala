@@ -217,7 +217,17 @@ final class GraftDb(spark: SparkSession, val root: String) {
     logSchemaCache.get(path) match {
       case Some((s, sch)) if s == sig => sch
       case _ =>
-        val sch = spark.read.option("mergeSchema", true).parquet(path).schema
+        // one data file ⇒ its footer IS the merged schema, readable
+        // driver-side without the distributed merge job (a fresh store's
+        // logs sit in this state until their second append)
+        val one = {
+          val s = Files.list(Paths.get(path))
+          try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) == 1
+          finally s.close()
+        }
+        val sch =
+          if (one) spark.read.parquet(path).schema
+          else spark.read.option("mergeSchema", true).parquet(path).schema
         logSchemaCache(path) = (sig, sch)
         sch
     }
@@ -2105,12 +2115,20 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val libRow = spark.read.parquet(s"$srcDir/library").collect().head
     val dims = libRow.getAs[Int]("dims")
     val chunks = spark.read.parquet(s"$srcDir/chunks")
-    val nChunks = chunks.count()
+    // the three admission checks (row count vs manifest, every embedding
+    // exactly `dims`, chunk ids distinct) fused into ONE aggregation pass
+    // (r17) — they scanned the bundle three times for one atomic decision;
+    // the checks and their failure order are unchanged
+    val v = chunks.agg(
+      count(lit(1)).as("n"),
+      count(when(size(col("embedding")) =!= dims, lit(1))).as("bad_dims"),
+      countDistinct(col("chunk_id")).as("n_ids")).head()
+    val nChunks = v.getAs[Long]("n")
     require(nChunks == man.getAs[Long]("n_chunks"),
       s"bundle damaged: $nChunks chunk rows vs manifest ${man.getAs[Long]("n_chunks")}")
-    require(chunks.filter(size(col("embedding")) =!= dims).limit(1).isEmpty,
+    require(v.getAs[Long]("bad_dims") == 0L,
       s"bundle chunk embedding dims differ from the declared $dims")
-    require(chunks.select(col("chunk_id")).distinct().count() == nChunks,
+    require(v.getAs[Long]("n_ids") == nChunks,
       "bundle chunk ids are not distinct — refusing the atomic single-seq append")
     createLibrary(newLibId, libRow.getAs[String]("name"), dims,
       libRow.getAs[String]("index_type"), libRow.getAs[Map[String, String]]("metadata"))
