@@ -357,9 +357,13 @@ object Relational {
     * distinct key; Spark's HLL sketch can't be oracle-replayed). */
   def q11HllDistinct(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p                 // registers per group
+    // fanOut at THIS call site (not inside hllRegisters): the 600k-row
+    // one-row-group lineitem md5 pass wins from 32-way compute
+    // (1.08→0.78 s measured); q22's two event-half register builds LOST
+    // from the same shuffle (0.71→1.32 s) and stay un-fanned
     hllEstimate(
-      hllRegisters(Tables.lineitem(spark, dir), Seq("l_returnflag"),
-        "hll:", "l_orderkey", m),
+      hllRegisters(Tables.fanOut(Tables.lineitem(spark, dir), col("l_orderkey")),
+        Seq("l_returnflag"), "hll:", "l_orderkey", m),
       Seq("l_returnflag"), m)
       .orderBy("l_returnflag")
   }
@@ -372,10 +376,11 @@ object Relational {
   private def hllRegisters(rows: DataFrame, groupCols: Seq[String],
                            keyPrefix: String, keyCol: String, m: Int): DataFrame = {
     val gc = groupCols.map(col)
-    // fanOut (r17, guide §2.5): the one-row-group corpus otherwise runs the
-    // per-row md5 on one core; registers are max-merged integers, so
-    // partitioning cannot move a single register value
-    Tables.fanOut(rows, col(keyCol))
+    // registers are max-merged integers — partitioning-independent; the
+    // per-call-site fanOut decision lives with the callers (q11/q21 fan
+    // the 600k-row lineitem scan, q22's event halves measured faster
+    // un-fanned)
+    rows
       .select(gc :+ Dedup.h60(concat(lit(keyPrefix), col(keyCol).cast("string"))).as("h"): _*)
       .select(gc :+ expr(s"h % $m").as("bucket") :+ expr(s"h div $m").as("r"): _*)
       .withColumn("rho", when(col("r") === 0L, lit(53L))
@@ -426,7 +431,8 @@ object Relational {
   def q21HllCube(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p
     // the ONLY corpus-sized aggregation: the finest-grain register build
-    val fine = hllRegisters(Tables.lineitem(spark, dir),
+    // (fanned out — the q11 call-site measurement, 1.40→1.04 s here)
+    val fine = hllRegisters(Tables.fanOut(Tables.lineitem(spark, dir), col("l_orderkey")),
       Seq("l_returnflag", "l_linestatus"), "hll:", "l_orderkey", m)
     val merged = fine
       .select(explode(expr(

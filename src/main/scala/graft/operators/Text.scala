@@ -45,10 +45,10 @@ object Text {
     }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut (r17, guide §2.5): the per-doc tokenize + stopword-intersect
-    // arms otherwise run on one core (one-row-group corpus); map-only —
-    // partitioning-independent by construction
-    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    // no fanOut (r17, measured): the stopword arms are array_intersect
+    // over short distinct-token lists — the shuffle cost exceeded the
+    // single-core compute at sf0.1 (0.40→0.43 fanned; reverted)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("best", sort_array(array(langArms: _*))(0))
       .select(col("doc_id"), col("best.lang").as("pred_lang"),
@@ -64,8 +64,8 @@ object Text {
     * one-scan map-only shape as t1 — the runner-up falls out of the
     * already-sorted arm array at index 1 for free. */
   def langIdMargin(spark: SparkSession, dir: String, minMargin: Long = 1L): DataFrame = {
-    // fanOut: same map-only shape as t1 — see [[langId]]
-    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    // no fanOut — same measured call as t1, see [[langId]]
+    Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("sorted", sort_array(array(langArms: _*)))
       .select(col("doc_id"),
@@ -127,11 +127,11 @@ object Text {
     * columns — the single source of the formula, shared by t2 and the f1
     * composite pipeline. Tokenizes ONCE and reuses the projected arrays. */
   private[graft] def qualityFrame(docs: DataFrame): DataFrame = {
-    // fanOut (r17, guide §2.5): three array ops per doc otherwise run on
-    // one core (one-row-group corpus). Map-only per-doc math — every
-    // output value is a function of its own row, so partitioning cannot
-    // move a result (shared by t2, f1, d11, d15).
-    Tables.fanOut(docs, col("doc_id"))
+    // NO fanOut here (r17, measured): the quality math is one split + two
+    // array ops per doc — too cheap to pay a shuffle for; fanning this
+    // out cost +2.1 s summed across its consumers (t2/f1/f10/f11) at
+    // sf0.1. The md5-per-token operators keep it (t4/t13/t15, d10).
+    docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("uw", array_distinct(col("w")))
       .withColumn("n_tok", size(col("w")).cast("long"))
@@ -1412,10 +1412,9 @@ object Text {
       |FROM cq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def termDrift(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    // fanOut (r17, guide §2.5): tokenization of the one-row-group corpus
-    // otherwise runs on one core; per-term counts are integer sums and the
-    // KL contribution is computed per-VALUE — partitioning-independent
-    val docs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    // no fanOut (r17, measured): plain tokenize + integer counts — the
+    // shuffle cost exceeded the single-core compute (0.37→0.52 fanned)
+    val docs = Tables.documents(spark, dir)
     val tok = docs.select((col("lang") === "en").as("in_a"),
       explode(split(col("text"), " ")).as("term"))
     val counts = tok.groupBy(col("term")).agg(
