@@ -318,7 +318,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
   private var snapSeq: Long = -1L
   private var snapCache: Map[String, DataFrame] = Map.empty
 
+  /** Monotone counter of store mutations in THIS JVM — bumped by every
+    * [[invalidateSnapshots]] (appends, compaction swaps, purges,
+    * imports): the freshness key for [[trainEpoch]]'s
+    * provably-unchanged-corpus shortcut. */
+  private var mutationEpoch: Long = 0L
+
   private def invalidateSnapshots(): Unit = {
+    mutationEpoch += 1
     // null check: recoverPendingCompact() runs from the constructor
     // BEFORE these field initializers (it must — `seq` reads the
     // recovered logs)
@@ -819,11 +826,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
     writeCentroidArtifact(libId, mat, iters)
   }
 
+  /** In-JVM freshness marker for the trained model (r17): training is
+    * deterministic, so while NOTHING has mutated the store since the
+    * artifact was written — no append, no compaction swap, no purge; all
+    * of them pass through [[invalidateSnapshots]], which bumps
+    * [[mutationEpoch]] — a candidate trained with the same recipe is
+    * bit-identical to the standing model, and [[buildIndex]]'s stage 2
+    * reuses the standing matrix instead of re-running k-means for an
+    * identical result (the f13 lifecycle's train→build ran the same
+    * training twice). Deliberately in-memory, not in the artifact: a
+    * reopened session can't prove corpus identity cheaply and simply
+    * trains — conservative. */
+  private val trainEpoch = scala.collection.mutable.Map[Long, Long]()
+
   private def writeCentroidArtifact(libId: Long, mat: Array[(Long, Array[Double])],
-                                    iters: Int): Unit =
+                                    iters: Int): Unit = {
     mat.toSeq.map { case (cid, v) => (cid, v, mat.length, iters) }
       .toDF("cid", "centroid", "k", "iters")
       .coalesce(1).write.mode("overwrite").parquet(centroidPath(libId))
+    trainEpoch(libId) = mutationEpoch
+  }
 
   /** Centroid-artifact memo (r17): one lifecycle reads the K-row model
     * file up to six times (train→build→serve: oldMat, two recipe reads,
@@ -868,6 +890,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
       if (!hasRecipe || rows.isEmpty) None
       else Some((rows.head.getInt(2), rows.head.getInt(3)))
     }
+
 
   /** Top-`nProbes` centroids per query under the facade's probe rule
     * (DOUBLE centroid frame — the registry's `Ivf.probesFor` precision
@@ -1556,11 +1579,23 @@ final class GraftDb(spark: SparkSession, val root: String) {
         // pass evaluates only the candidate side.
         val cand: Option[Array[(Long, Array[Double])]] = params.flatMap {
           case (kc, it) =>
-            val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
-              (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+            // corpus provably unchanged since the standing model trained
+            // (no mutation of ANY kind has bumped the in-JVM epoch) ⇒ the
+            // candidate is bit-identical to the standing model by training
+            // determinism — reuse it instead of re-running k-means for an
+            // identical matrix (the migration matrix and every decision
+            // below are unchanged by construction; the first build right
+            // after trainIndex lands here via the no-standing-lists
+            // full-drift trip). Any append/compact/purge bumps the epoch
+            // and restores the real candidate training.
+            if (trainEpoch.get(libId).contains(mutationEpoch)) Some(oldMat)
+            else {
+              val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
+                (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+              }
+              if (init.length < kc) None
+              else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
             }
-            if (init.length < kc) None
-            else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
         }
         val candMat = cand.getOrElse(oldMat)
         assignedOld
