@@ -136,6 +136,39 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   recoverPendingCompact()
 
+  /** Label every Spark job a facade entry point issues (guide §1.5) —
+    * the lifecycle queries run dozens of tiny driver jobs and the UI/
+    * JobProf view is unreadable without attribution. Descriptions are
+    * thread-local AND inherited by threads created in scope, so
+    * broadcast-subquery jobs and [[parallelWrites]] workers carry the
+    * label too. Restores the previous label (never clears another's). */
+  private def labeled[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graftdb:$desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Run independent artifact writes CONCURRENTLY (guide §2.6 —
+    * thread-pooled actions): a standing-index build issues 5-6 small
+    * write jobs whose inputs are all derived from the one cached
+    * snapshot; serially each pays full scheduling latency, overlapped
+    * they back-fill each other's tails. Bounded pool, failures rethrown
+    * as their original exception. */
+  private def parallelWrites(writes: Seq[() => Unit]): Unit = {
+    if (writes.length <= 1) { writes.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(3, writes.length))
+    try {
+      val futs = writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
+  }
+
   /** One-time flag for [[withMetaCompat]]'s legacy-patch audit probe. */
   private var warnedLegacyPatch = false
 
@@ -219,19 +252,46 @@ final class GraftDb(spark: SparkSession, val root: String) {
       case _ =>
         // one data file ⇒ its footer IS the merged schema, readable
         // driver-side without the distributed merge job (a fresh store's
-        // logs sit in this state until their second append)
-        val one = {
+        // logs sit in this state until their second append). r18: read it
+        // from the footer's OWN Spark-schema marker — the exact StructType
+        // the writer recorded — with no Spark job at all (spark.read's
+        // schema inference launched one); any miss (foreign writer, no
+        // marker) falls back to the ordinary inference read.
+        val one: Option[java.nio.file.Path] = {
           val s = Files.list(Paths.get(path))
-          try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) == 1
-          finally s.close()
+          try {
+            val pq = s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).take(2).toList
+            if (pq.length == 1) Some(pq.head) else None
+          } finally s.close()
         }
-        val sch =
-          if (one) spark.read.parquet(path).schema
-          else spark.read.option("mergeSchema", true).parquet(path).schema
+        val sch = one.flatMap(f => footerSparkSchema(f.toString))
+          .getOrElse {
+            if (one.isDefined) spark.read.parquet(path).schema
+            else spark.read.option("mergeSchema", true).parquet(path).schema
+          }
         logSchemaCache(path) = (sig, sch)
         sch
     }
   }
+
+  /** The Spark StructType recorded in one parquet file's footer metadata
+    * (`org.apache.spark.sql.parquet.row.metadata` — written by every
+    * Spark parquet write), read driver-side: no job, no type-mapping
+    * ambiguity (it IS the writer's schema, not a reconstruction from the
+    * parquet message type). None when the marker is absent or unreadable
+    * — callers fall back to the ordinary inference read. */
+  private def footerSparkSchema(file: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val json = try r.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata")
+      finally r.close()
+      Option(json).map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Union `extra`'s fields into `path`'s cached schema after an in-JVM
     * append (no-op when the cache is cold — the next read merges from
@@ -546,7 +606,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * vector_db.py:249). An upsert replaces the whole chunk record
     * including its dict — chunks have no patch op. */
   def upsertChunksMeta(
-      rows: Seq[(Long, Long, Long, String, Array[Float], Map[String, String])]): Unit = {
+      rows: Seq[(Long, Long, Long, String, Array[Float], Map[String, String])]): Unit = labeled("upsert-chunks") {
     // dim validation at the door (reference: vector_db.py:258 raises on a
     // mismatched vector) — one snapshot lookup per library in the batch
     rows.groupBy(_._1).foreach { case (libId, libRows) =>
@@ -628,7 +688,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * before the first delete, so one unknown id fails the whole request
     * and NOTHING is deleted). One snapshot read validates the batch;
     * one log append deletes it. */
-  def deleteChunksBatch(libId: Long, chunkIds: Seq[Long]): Unit = {
+  def deleteChunksBatch(libId: Long, chunkIds: Seq[Long]): Unit = labeled(s"delete-chunks-batch lib=$libId") {
     // collect only the BATCH's rows, not the library's whole live set —
     // the isin filter prunes before the driver sees anything, so driver
     // memory is bounded by the request size, not the corpus
@@ -815,7 +875,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * recipe on the refreshed corpus — on an unchanged corpus the
     * candidate is then bit-identical to the standing model (training is
     * deterministic) and the drift signal is exactly zero. */
-  def trainIndex(libId: Long, kCentroids: Int = 8, iters: Int = 3): Unit = {
+  def trainIndex(libId: Long, kCentroids: Int = 8, iters: Int = 3): Unit = labeled(s"train-index lib=$libId") {
     val emb = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("embedding"))
     val init = emb.orderBy("vec_id").limit(kCentroids).collect().map { r =>
@@ -937,7 +997,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * log bytes they always held; a retention job may delete the oldest
     * directories to bound history, which only narrows how far back
     * [[asOf]] reaches. */
-  def compact(): Unit = {
+  def compact(): Unit = labeled("compact") {
     writeCompactSnapshots()
     completeCompactSwap()
     // maintain the persisted serving indexes at the same boundary: every
@@ -1051,7 +1111,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * audit exposes them and RE-RUNNING the purge is idempotent and
     * completes the scrub. Every other document's state is bit-identical
     * before and after (compaction invariance, spec-proven). */
-  def purgeDocument(libId: Long, docId: Long): DataFrame = {
+  def purgeDocument(libId: Long, docId: Long): DataFrame = labeled(s"purge-document doc=$docId") {
     val target = col("library_id") === libId && col("doc_id") === docId
     writeCompactSnapshots(keep = !target)
     completeCompactSwap()
@@ -1434,10 +1494,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
   /** The centroid matrix the standing index was BUILT with — stored
     * inside the index directory so the swap is atomic for everything
     * serving needs (probing with one generation's centroids against
-    * another generation's list layout would route wrongly). */
-  private def indexCentroids(libId: Long): Array[(Long, Array[Double])] =
-    spark.read.parquet(s"${indexRoot(libId)}/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    * another generation's list layout would route wrongly). Cached per
+    * fileset signature (r18, the [[readMetaCached]]/[[centroidRows]]
+    * discipline): every persisted-route search re-read and re-collected
+    * the K-row matrix — 2 driver jobs per call for rows only a build
+    * swap can change, and a swap changes the signature. */
+  private val indexCentroidCache = scala.collection.mutable.Map[
+    Long, (Option[Long], Array[(Long, Array[Double])])]()
+
+  private def indexCentroids(libId: Long): Array[(Long, Array[Double])] = {
+    val p = s"${indexRoot(libId)}/centroids"
+    val sig = metaSignature(p)
+    indexCentroidCache.get(libId) match {
+      case Some((s, m)) if sig.isDefined && s == sig => m
+      case _ =>
+        val m = spark.read.parquet(p).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        indexCentroidCache(libId) = (sig, m)
+        m
+    }
+  }
 
   /** BUILD/REFRESH the library's persisted serving index — the standing
     * structure the reference queries repeatedly (ivf.py:91-123) instead
@@ -1492,7 +1568,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * index base+delta: post-build appends stay visible (scored through
     * the same assignment) without any rebuild. A library whose live set
     * shrank to empty drops its index instead (serving falls back). */
-  def buildIndex(libId: Long, driftDen: Long = 60L, occFactor: Long = 4L): Unit = {
+  def buildIndex(libId: Long, driftDen: Long = 60L, occFactor: Long = 4L): Unit = labeled(s"build-index lib=$libId") {
     val lib = libRecord(libId)
     require(lib.getAs[String]("index_type") == "ivf",
       s"library $libId is ${lib.getAs[String]("index_type")}, not ivf")
@@ -1503,36 +1579,42 @@ final class GraftDb(spark: SparkSession, val root: String) {
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
         col("text"), col("metadata"))
     val emb = snap.select(col("vec_id"), col("embedding"))
-    if (emb.limit(1).isEmpty) { // nothing live: drop the standing index
-      fs.delete(new Path(indexRoot(libId)), true)
-      invalidateIndexMeta()
-      return
-    }
-    val bld = s"${indexRoot(libId)}_building"
-    fs.delete(new Path(bld), true)
     def cvecs(m: Array[(Long, Array[Double])]): Column =
       typedLit(m.map(_._2.toSeq).toSeq)
     def cids(m: Array[(Long, Array[Double])]): Column = typedLit(m.map(_._1).toSeq)
     // STAGE 1: assignment under the STANDING model — the same map-only
     // frame the build itself writes (the keep path's monitoring costs
     // the K-bounded sizes collect plus one lists join beyond the build
-    // it was going to do anyway; no k-means).
+    // it was going to do anyway; no k-means). The emptiness probe rides
+    // this same collect (r18): zero size rows ⟺ nothing live — the
+    // separate limit(1) job bought no information this one lacks.
     val assignedOld = Ivf.assignToMat(snap, oldMat, keep = Seq("doc_id", "text", "metadata"))
       .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
         col("metadata"), col("cluster_id"))
     val sizeRows = assignedOld.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n")).collect() // K rows: bounded
+    if (sizeRows.isEmpty) { // nothing live: drop the standing index
+      fs.delete(new Path(indexRoot(libId)), true)
+      invalidateIndexMeta()
+      return
+    }
+    val bld = s"${indexRoot(libId)}_building"
+    fs.delete(new Path(bld), true)
     val total = sizeRows.map(_.getAs[Long]("n")).sum
     val maxList = sizeRows.map(_.getAs[Long]("n")).max
     val occTrips =
       BigInt(maxList) * BigInt(oldMat.length) >= BigInt(occFactor) * BigInt(total)
     // seed-population compare: k rows of driver state (trainedMat sorts
-    // by cid, and the matrix's cids are its init chunk ids)
+    // by cid, and the matrix's cids are its init chunk ids). The collect
+    // carries the VECTORS too (k rows — same driver bound): it doubles as
+    // stage 2's candidate init, which used to be a second identical job.
     val params = trainParams(libId)
-    val seedChanged = params.exists { case (kc, _) =>
-      emb.select(col("vec_id")).orderBy("vec_id").limit(kc)
-        .collect().map(_.getLong(0)).toSeq != oldMat.map(_._1).toSeq
+    val seedRows: Option[Array[(Long, Array[Double])]] = params.map { case (kc, _) =>
+      emb.orderBy("vec_id").limit(kc).collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
     }
+    val seedChanged = seedRows.exists(_.map(_._1).toSeq != oldMat.map(_._1).toSeq)
     // drift under the OLD matrix: how much of the corpus no longer sits
     // where the standing lists recorded it — one FULL OUTER join against
     // the lists, zero k-means. All three change kinds count: ADDED
@@ -1561,16 +1643,15 @@ final class GraftDb(spark: SparkSession, val root: String) {
     val prevGen = indexMetaRow(libId).map(_.getAs[Long]("index_seq")).getOrElse(-1L)
     val lineage = nextAncestors(s"${indexRoot(libId)}/meta", prevGen)
 
-    val (retrain, winner, offDiag, assigned) =
+    val diagReport: Seq[(Long, Long, Long)] =
+      sizeRows.toSeq.map(r => (r.getLong(0), r.getLong(0), r.getAs[Long]("n")))
+    val (retrain, winner, offDiag, assigned, reportRows) =
       if (!(occTrips || seedChanged || preDriftTrips)) {
         // KEEP, decided at stage 1: zero training iterations, one
         // assignment pass total. Diagonal retrain report from the
         // stage-1 sizes (candidate ≡ standing by the untripped signals);
         // off_diag records the measured under-threshold drift.
-        sizeRows.toSeq.map(r => (r.getLong(0), r.getLong(0), r.getAs[Long]("n")))
-          .toDF("from_cid", "to_cid", "n_vecs")
-          .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
-        (false, oldMat, preOff, assignedOld)
+        (false, oldMat, preOff, assignedOld, diagReport)
       } else {
         // STAGE 2: a signal tripped — train the candidate with the
         // recorded recipe (None → keep-only for legacy artifacts or a
@@ -1590,25 +1671,33 @@ final class GraftDb(spark: SparkSession, val root: String) {
             // and restores the real candidate training.
             if (trainEpoch.get(libId).contains(mutationEpoch)) Some(oldMat)
             else {
-              val init = emb.orderBy("vec_id").limit(kc).collect().map { r =>
-                (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
-              }
+              val init = seedRows.get // the stage-1 seed collect, reused
               if (init.length < kc) None
               else Some(Ivf.trainCentroids(spark, emb, it, Some(init)))
             }
         }
         val candMat = cand.getOrElse(oldMat)
-        assignedOld
-          .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(candMat)))
-          .select(col("cluster_id").as("from_cid"),
-            element_at(cids(candMat), col("ncn.idx") + 1).as("to_cid"))
-          .groupBy(col("from_cid"), col("to_cid"))
-          .agg(count(lit(1)).as("n_vecs"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report")
-        val off = spark.read.parquet(s"$bld/retrain_report")
-          .agg(coalesce(sum(when(col("from_cid") =!= col("to_cid"), col("n_vecs"))
-            .otherwise(0L)), lit(0L)).as("off_diag"))
-          .head().getAs[Long]("off_diag")
+        // old→candidate migration matrix, K²-bounded. When the candidate
+        // IS the standing matrix (the epoch skip, or the keep-only
+        // fallback's getOrElse), the matrix is diagonal BY CONSTRUCTION —
+        // both sides are the same deterministic nearest-centroid function
+        // of the same rows — so it comes from the stage-1 sizes with zero
+        // extra corpus passes (r18; the old shape re-assigned the corpus
+        // to compute a provably-zero off-diagonal). Otherwise one grouped
+        // pass, COLLECTED (≤K² rows): the report file writes from the
+        // collected rows and off_diag sums on the driver, dropping the
+        // read-back job the off_diag aggregate used to pay.
+        val report: Seq[(Long, Long, Long)] =
+          if (candMat eq oldMat) diagReport
+          else assignedOld
+            .withColumn("ncn", Graft.nearestCentroid(col("embedding"), cvecs(candMat)))
+            .select(col("cluster_id").as("from_cid"),
+              element_at(cids(candMat), col("ncn.idx") + 1).as("to_cid"))
+            .groupBy(col("from_cid"), col("to_cid"))
+            .agg(count(lit(1)).as("n_vecs"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_vecs")))
+        val off = report.collect { case (f, t, n) if f != t => n }.sum
         val re = cand.isDefined &&
           (BigInt(off) * BigInt(driftDen) >= BigInt(total) || occTrips)
         val w = if (re) candMat else oldMat
@@ -1617,37 +1706,41 @@ final class GraftDb(spark: SparkSession, val root: String) {
             .select(col("vec_id"), col("embedding"), col("doc_id"), col("text"),
               col("metadata"), col("cluster_id"))
           else assignedOld
-        (re, w, off, a)
+        (re, w, off, a, report)
       }
     // 3. BUILD: map-only assignment carrying the payload, partitioned by
     // the trained cluster ids; sizes from the same assigned frame (≡ the
-    // lists by construction); centroids + meta beside them
-    graft.sources.Sinks.writePartitioned(assigned, s"$bld/lists", "cluster_id")
-    // sizes aggregated from the SAME `assigned` frame the lists were just
-    // written from (≡ the lists by construction — the claim this block's
-    // comment has always made); r17 drops the lists read-back, which cost
-    // a directory listing + scan job per build for identical counts
-    assigned
-      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("csize"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/sizes")
-    // filter stats: the per-(key, value) frequency table over the indexed
-    // snapshot's metadata dict — v51's decision input maintained WITH the
-    // standing index (p15/p16's ANALYZE family at the facade), so the
-    // adaptive pre/post-filter route ([[filterDecision]]) reads K-ish rows
-    // at query time instead of rescanning the corpus. One unpivot of the
-    // same snapshot the lists were built from; swapped atomically with them.
-    snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
-      .groupBy(col("mkey"), col("mval"))
-      .agg(count(lit(1)).as("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
-    winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids")
-    Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total,
-      GraftDb.IndexMetaV, lineage))
-      .toDF("index_seq", "decision", "off_diag", "max_list", "n_total",
-        "format_version", "ancestors")
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
+    // lists by construction — the claim this block's comment has always
+    // made; r17 dropped the lists read-back); filter stats: the
+    // per-(key, value) frequency table over the indexed snapshot's
+    // metadata dict — v51's decision input maintained WITH the standing
+    // index (p15/p16's ANALYZE family at the facade), so the adaptive
+    // pre/post-filter route ([[filterDecision]]) reads K-ish rows at
+    // query time instead of rescanning the corpus; centroids + meta +
+    // migration report beside them. All six artifacts are independent
+    // derivations of the one cached snapshot / driver state, staged into
+    // the same `*_building` dir — written CONCURRENTLY (guide §2.6,
+    // r18): serially they paid six full job-scheduling latencies before
+    // the `_complete` marker could land.
+    parallelWrites(Seq(
+      () => graft.sources.Sinks.writePartitioned(assigned, s"$bld/lists", "cluster_id"),
+      () => assigned
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/sizes"),
+      () => snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
+        .groupBy(col("mkey"), col("mval"))
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats"),
+      () => reportRows.toDF("from_cid", "to_cid", "n_vecs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/retrain_report"),
+      () => winner.toSeq.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/centroids"),
+      () => Seq((seq - 1, if (retrain) "retrain" else "keep", offDiag, maxList, total,
+        GraftDb.IndexMetaV, lineage))
+        .toDF("index_seq", "decision", "off_diag", "max_list", "n_total",
+          "format_version", "ancestors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")))
     fs.create(new Path(s"$bld/_complete"), true).close()
     // swap: aside → in → drop (repairable at every intermediate state)
     val live = new Path(indexRoot(libId))
@@ -1673,15 +1766,13 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // job may delete old `gen=` dirs, which only narrows how far back
     // the approximate pin reaches.
     writeArchivedGen(s"${ivfArchiveRoot(libId)}/gen=${seq - 1}") { b =>
-      spark.read.parquet(s"${indexRoot(libId)}/centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$b/centroids")
+      archiveCopyDir(s"${indexRoot(libId)}/centroids", s"$b/centroids")
       // filterstats ride the archive (metadata-DOMAIN-sized, never the
       // corpus) so a pinned approximate search can replay the SAME
       // pre/post-filter route decision the live route took at the pin —
       // without them a historically-selective filter that served the
       // exact branch would be replayed through the probe route
-      spark.read.parquet(s"${indexRoot(libId)}/filterstats")
-        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
+      archiveCopyDir(s"${indexRoot(libId)}/filterstats", s"$b/filterstats")
       spark.read.parquet(s"${indexRoot(libId)}/meta")
         .withColumn("prev_gen", lit(prevGen))
         .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
@@ -1703,6 +1794,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * mid-write leaves an incomplete `_building` dir that readers never
     * see and [[repairIndexSwaps]] discards; rebuilding the same gen id
     * (an idempotent re-run) replaces the old dir atomically. */
+  /** Byte-level copy of one just-written artifact dir into the archive
+    * stage (r18) — the archive's provenance guarantee made literal:
+    * archived ≡ live BY THE COPY, not by a re-read re-encode. The r17
+    * shape ran `spark.read.parquet(live).write.parquet(archive)` per
+    * member — one distributed job each (2 per ivf build, measured
+    * ~200 ms/build) for content the filesystem can move without the
+    * cluster. Markers (`_SUCCESS`, checksums) are skipped — parquet
+    * readers ignore them and [[writeArchivedGen]] writes the stage's own
+    * `_complete`. */
+  private def archiveCopyDir(src: String, dst: String): Unit = {
+    fs.mkdirs(new Path(dst))
+    val conf = spark.sessionState.newHadoopConf()
+    fs.listStatus(new Path(src)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(dst, n),
+          false, conf)
+    }
+  }
+
   private def writeArchivedGen(genDir: String)(write: String => Unit): Unit = {
     val bld = new Path(s"${genDir}_building")
     fs.delete(bld, true)
@@ -1823,40 +1934,47 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * ([[persistedLshHits]]), so post-build upserts stay visible with no
     * rebuild. An empty library drops its index. */
   def buildLshIndex(libId: Long, nTables: Int = 4, nBits: Int = 10,
-                    seed: Long = 1000L): Unit = {
+                    seed: Long = 1000L): Unit = labeled(s"build-lsh-index lib=$libId") {
     val lib = libRecord(libId)
     require(lib.getAs[String]("index_type") == "lsh",
       s"library $libId is ${lib.getAs[String]("index_type")}, not lsh")
     val snap = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("embedding"), col("doc_id"),
         col("metadata"))
-    if (snap.limit(1).isEmpty) {
+    // the meta's n_total count doubles as the emptiness probe (r18): the
+    // separate limit(1) job told us nothing this count doesn't
+    val nTotal = snap.count()
+    if (nTotal == 0L) {
       fs.delete(new Path(lshIndexRoot(libId)), true)
       invalidateIndexMeta()
       return
     }
     val bld = s"${lshIndexRoot(libId)}_building"
     fs.delete(new Path(bld), true)
-    Lsh.keyRows(snap.select(col("vec_id"), col("embedding")), nTables, nBits, seed)
-      .join(snap.select(col("vec_id"), col("doc_id")), Seq("vec_id"))
-      .write.mode("overwrite").parquet(s"$bld/keys")
-    // filterstats + n_total: the same adaptive-filter decision inputs the
-    // ivf build writes ([[buildIndex]]) — for lsh the pre-filter branch is
-    // not just cheaper but better-recall: a survivor that shares no bucket
-    // with the query is invisible to the probe route, while the exact
-    // scan of a tiny survivor set can never miss it.
-    snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
-      .groupBy(col("mkey"), col("mval"))
-      .agg(count(lit(1)).as("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats")
     // chain link + lineage captured BEFORE the swap replaces the meta
     // they read
     val prevGen = lshIndexMeta(libId).map(_._1).getOrElse(-1L)
     val lineage = nextAncestors(s"${lshIndexRoot(libId)}/meta", prevGen)
-    Seq((seq - 1, nTables, nBits, seed, snap.count(), GraftDb.IndexMetaV, lineage))
-      .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
-        "format_version", "ancestors")
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
+    // keys (doc_id carried THROUGH the key explode — the r17 shape
+    // re-joined the snapshot on vec_id for it: one broadcast per build),
+    // filterstats + n_total (the same adaptive-filter decision inputs the
+    // ivf build writes — for lsh the pre-filter branch is not just
+    // cheaper but better-recall: a survivor that shares no bucket with
+    // the query is invisible to the probe route, while the exact scan of
+    // a tiny survivor set can never miss it) and the meta receipt are
+    // independent derivations → concurrent writes (§2.6, r18).
+    parallelWrites(Seq(
+      () => Lsh.keyRows(snap.select(col("vec_id"), col("embedding"), col("doc_id")),
+          nTables, nBits, seed, keep = Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$bld/keys"),
+      () => snap.select(explode(col("metadata")).as(Seq("mkey", "mval")))
+        .groupBy(col("mkey"), col("mval"))
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/filterstats"),
+      () => Seq((seq - 1, nTables, nBits, seed, nTotal, GraftDb.IndexMetaV, lineage))
+        .toDF("index_seq", "n_tables", "n_bits", "seed", "n_total",
+          "format_version", "ancestors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")))
     fs.create(new Path(s"$bld/_complete"), true).close()
     val live = new Path(lshIndexRoot(libId))
     val aside = new Path(s"${lshIndexRoot(libId)}_old")
@@ -1873,8 +1991,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     writeArchivedGen(s"${lshArchiveRoot(libId)}/gen=${seq - 1}") { b =>
       // filterstats ride the archive for the pinned route-decision
       // replay (see the ivf twin above)
-      spark.read.parquet(s"${lshIndexRoot(libId)}/filterstats")
-        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
+      archiveCopyDir(s"${lshIndexRoot(libId)}/filterstats", s"$b/filterstats")
       spark.read.parquet(s"${lshIndexRoot(libId)}/meta")
         .withColumn("prev_gen", lit(prevGen))
         .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
@@ -1909,13 +2026,15 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * metadata unpivot of the folded snapshot per [[compact]] — or
     * LAZILY on the first filtered call ([[ensureFlatStats]]): a store
     * that never compacts still earns the artifact. */
-  def buildFlatStats(libId: Long): Unit = {
+  def buildFlatStats(libId: Long): Unit = labeled(s"build-flat-stats lib=$libId") {
     val lib = libRecord(libId)
     require(lib.getAs[String]("index_type") == "flat",
       s"library $libId is ${lib.getAs[String]("index_type")}, not flat")
     val snap = listChunks(libId)
       .select(col("chunk_id").as("vec_id"), col("metadata"))
-    if (snap.limit(1).isEmpty) {
+    // n_total count doubles as the emptiness probe (r18, the lsh twin)
+    val nTotal = snap.count()
+    if (nTotal == 0L) {
       fs.delete(new Path(flatStatsRoot(libId)), true)
       invalidateIndexMeta()
       return
@@ -1930,7 +2049,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // they read
     val prevGen = flatStatsMeta(libId).map(_._1).getOrElse(-1L)
     val lineage = nextAncestors(s"${flatStatsRoot(libId)}/meta", prevGen)
-    Seq((seq - 1, snap.count(), GraftDb.IndexMetaV, lineage))
+    Seq((seq - 1, nTotal, GraftDb.IndexMetaV, lineage))
       .toDF("index_seq", "n_total", "format_version", "ancestors")
       .coalesce(1).write.mode("overwrite").parquet(s"$bld/meta")
     fs.create(new Path(s"$bld/_complete"), true).close()
@@ -1949,8 +2068,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     // archive makes the receipt honest, not the ranking). Nothing
     // corpus-sized rides along: filterstats are metadata-DOMAIN-sized.
     writeArchivedGen(s"${flatArchiveRoot(libId)}/gen=${seq - 1}") { b =>
-      spark.read.parquet(s"${flatStatsRoot(libId)}/filterstats")
-        .coalesce(1).write.mode("overwrite").parquet(s"$b/filterstats")
+      archiveCopyDir(s"${flatStatsRoot(libId)}/filterstats", s"$b/filterstats")
       spark.read.parquet(s"${flatStatsRoot(libId)}/meta")
         .withColumn("prev_gen", lit(prevGen))
         .coalesce(1).write.mode("overwrite").parquet(s"$b/meta")
@@ -2092,23 +2210,26 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * `trainIndex`/`buildIndex`/`compact` lifecycle (bundling sealed
     * lists would pin the target to the source's generation layout).
     * Returns the receipt: (library_id, n_docs, n_chunks). */
-  def exportLibrary(libId: Long, destDir: String): DataFrame = {
+  def exportLibrary(libId: Long, destDir: String): DataFrame = labeled(s"export-library lib=$libId") {
     val lib = libRecord(libId)
     require(!fs.exists(new Path(destDir)),
       s"export destination $destDir already exists — export never overwrites")
     val bld = s"${destDir}_building"
     fs.delete(new Path(bld), true)
-    listChunks(libId)
-      .select(col("doc_id"), col("chunk_id"), col("text"), col("embedding"),
-        col("metadata"))
-      .write.mode("overwrite").parquet(s"$bld/chunks")
-    listDocuments(libId).select(col("doc_id"), col("title"), col("metadata"))
-      .write.mode("overwrite").parquet(s"$bld/docs")
-    Seq((libId, lib.getAs[String]("name"), lib.getAs[Int]("dims"),
-      lib.getAs[String]("index_type"),
-      Option(lib.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty[String, String])))
-      .toDF("library_id", "name", "dims", "index_type", "metadata")
-      .coalesce(1).write.mode("overwrite").parquet(s"$bld/library")
+    // three independent bundle members from the cached snapshots /
+    // driver state → concurrent writes (§2.6, r18)
+    parallelWrites(Seq(
+      () => listChunks(libId)
+        .select(col("doc_id"), col("chunk_id"), col("text"), col("embedding"),
+          col("metadata"))
+        .write.mode("overwrite").parquet(s"$bld/chunks"),
+      () => listDocuments(libId).select(col("doc_id"), col("title"), col("metadata"))
+        .write.mode("overwrite").parquet(s"$bld/docs"),
+      () => Seq((libId, lib.getAs[String]("name"), lib.getAs[Int]("dims"),
+          lib.getAs[String]("index_type"),
+          Option(lib.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty[String, String])))
+        .toDF("library_id", "name", "dims", "index_type", "metadata")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bld/library")))
     // counts read back from the bundle's own files (not the source
     // snapshot): the manifest certifies what the bundle HOLDS, so a
     // write that lost rows is caught at export time, not import time
@@ -2139,7 +2260,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * (entity-sized, not corpus-sized). Standing indexes rebuild here
     * ([[exportLibrary]]'s contract). Returns (library_id, n_docs,
     * n_chunks, seq). */
-  def importLibrary(srcDir: String, newLibId: Long): DataFrame = {
+  def importLibrary(srcDir: String, newLibId: Long): DataFrame = labeled(s"import-library lib=$newLibId") {
     require(fs.exists(new Path(s"$srcDir/_complete")),
       s"$srcDir is not a complete bundle (missing _complete marker)")
     val man = spark.read.parquet(s"$srcDir/manifest").collect().head
@@ -2303,7 +2424,7 @@ final class GraftDb(spark: SparkSession, val root: String) {
                 metadataEq: Seq[(String, String)] = Seq.empty,
                 asOfSeq: Option[Long] = None,
                 thrDen: Long = 50L,
-                pinIndexed: Boolean = false): DataFrame = {
+                pinIndexed: Boolean = false): DataFrame = labeled(s"search-all lib=$libId") {
     // arbitrary-Column and key=value metadata filters, applied uniformly
     // to any candidate slice carrying the (vec_id, embedding, doc_id,
     // text, metadata) shape — snapshot, persisted lists, delta, or a

@@ -20,13 +20,19 @@ import graft.sources.Tables
   */
 object Lsh {
 
-  /** (vec_id, table_id, key) rows for every vector. */
+  /** (vec_id, table_id, key) rows for every vector. `keep` carries extra
+    * payload columns through the explode (map-only) — the facade's key
+    * table wants doc_id beside each key, and carrying it here beats a
+    * post-hoc self-join on vec_id (one broadcast materialization per
+    * standing-index build, r18). */
   def keyRows(emb: DataFrame, nTables: Int, nBits: Int, seed: Long,
-              idCol: String = "vec_id"): DataFrame = {
+              idCol: String = "vec_id", keep: Seq[String] = Nil): DataFrame = {
     val keyed = emb.withColumn("keys",
       Graft.simhashKeys(col("embedding"), nTables, nBits, seed))
-    keyed.select(col(idCol), posexplode(col("keys")).as(Seq("table_id", "key")))
-      .select(col(idCol), col("table_id").cast("long").as("table_id"), col("key"))
+    keyed.select(col(idCol) +: posexplode(col("keys")).as(Seq("table_id", "key")) +:
+        keep.map(col): _*)
+      .select(col(idCol) +: col("table_id").cast("long").as("table_id") +:
+        col("key") +: keep.map(col): _*)
   }
 
   /** v9: the index build — SimHash keys per (vector, table). */

@@ -26,10 +26,15 @@ object JobProf {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(j.stageInfos.lastOption.map(si =>
-            si.name.take(40) + " | " + si.details.linesIterator
+          .orElse {
+            // broadcast-exchange jobs run via withThreadLocalCaptured and
+            // carry no description — attribute them by the first graft
+            // frame found in ANY of the job's stages
+            val site = j.stageInfos.iterator.flatMap(_.details.linesIterator)
               .find(l => l.contains("graft") && !l.contains("tools.JobProf"))
-              .getOrElse("").trim.take(90)))
+            j.stageInfos.lastOption.map(si =>
+              si.name.take(40) + " | " + site.getOrElse("").trim.take(90))
+          }
           .getOrElse("?")
         starts.put(j.jobId, (j.time, desc))
       }
