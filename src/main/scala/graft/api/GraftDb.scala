@@ -225,11 +225,14 @@ final class GraftDb(spark: SparkSession, val root: String) {
   // schema is a function of the FILESET, so it is memoized per (path,
   // fileset signature): any out-of-band change — compaction swap, purge,
   // recovery, a second writer — changes the signature and forces a fresh
-  // merge; an in-JVM append refreshes the entry itself (the appended
-  // batch's columns are unioned in), so the steady-state mutation loop
-  // never pays the merge job again. Signature = sorted (name, len, mtime)
-  // of the dir's files — same local-path probe discipline as the rest of
-  // the facade's existence checks.
+  // merge, PROVIDED the writer creates new file names (Spark's UUID part
+  // names always do; a hypothetical writer replacing a file in place with
+  // identical name+size inside one mtime granule would be invisible —
+  // unreachable for Spark-written dirs, stated for honesty); an in-JVM
+  // append refreshes the entry itself (the appended batch's columns are
+  // unioned in), so the steady-state mutation loop never pays the merge
+  // job again. Signature = sorted (name, len, mtime) of the dir's files —
+  // same local-path probe discipline as the facade's existence checks.
   private val logSchemaCache =
     scala.collection.mutable.Map[String, (String, org.apache.spark.sql.types.StructType)]()
 
@@ -295,13 +298,21 @@ final class GraftDb(spark: SparkSession, val root: String) {
 
   /** Union `extra`'s fields into `path`'s cached schema after an in-JVM
     * append (no-op when the cache is cold — the next read merges from
-    * footers and caches the result). */
+    * footers and caches the result). A name collision with a DIFFERENT
+    * type drops the entry instead (r18, the r17 advisory): mergeSchema
+    * would fail loudly on the conflicting footers, and the pinned-schema
+    * read must never paper over what the real merge would reject. */
   private def noteAppendedSchema(path: String,
                                  extra: org.apache.spark.sql.types.StructType): Unit =
     logSchemaCache.get(path).foreach { case (_, sch) =>
-      val merged = org.apache.spark.sql.types.StructType(
-        sch.fields ++ extra.fields.filterNot(f => sch.fieldNames.contains(f.name)))
-      logSchemaCache(path) = (dirSig(path), merged)
+      val byName = sch.fields.map(f => f.name -> f.dataType).toMap
+      if (extra.fields.exists(f => byName.get(f.name).exists(_ != f.dataType)))
+        logSchemaCache.remove(path) // force a real footer merge next read
+      else {
+        val merged = org.apache.spark.sql.types.StructType(
+          sch.fields ++ extra.fields.filterNot(f => sch.fieldNames.contains(f.name)))
+        logSchemaCache(path) = (dirSig(path), merged)
+      }
     }
 
   private def logOrEmpty[T <: Product : org.apache.spark.sql.Encoder](

@@ -125,9 +125,33 @@ object Knn {
   def indexFrontier(spark: SparkSession, dir: String, k: Int = 10,
                     nQueries: Int = 8): DataFrame = {
     Graft.init(spark)
-    val flat = flatSearch(spark, dir, "cosine", k, nQueries)
-      .select(col("qid"), col("vec_id")).localCheckpoint()
     val denom = (k * nQueries).toDouble
+    // The six frame CONSTRUCTIONS (truth checkpoint + five family arms)
+    // are independent, and several run eager driver-blocking work while
+    // building — the flat truth's localCheckpoint, sq8's artifact write,
+    // ivf's centroid collect. Built serially, each pays its build jobs
+    // while 31 cores idle; a small pool overlaps them (guide §2.6
+    // thread-pooled actions — 3 in flight) with every per-arm PLAN
+    // unchanged: the same frames feed the same ≤Q·k overlap joins.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (flat, arms) =
+      try {
+        def submit(f: () => DataFrame) =
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = f()
+          })
+        val flatFut = submit(() => flatSearch(spark, dir, "cosine", k, nQueries)
+          .select(col("qid"), col("vec_id")).localCheckpoint())
+        val armFuts = Seq(
+          ("binary", 16L, submit(() => binaryHammingSearch(spark, dir, k, nQueries = nQueries))),
+          ("flat", 256L, submit(() => flatSearch(spark, dir, "cosine", k, nQueries))),
+          ("ivf", 256L, submit(() => Ivf.search(spark, dir, k, nQueries))),
+          ("lsh", 32L, submit(() => Lsh.search(spark, dir, k, nQueries))),
+          ("sq8", 72L, submit(() => sq8Search(spark, dir, k, nQueries))))
+        (flatFut.get(), armFuts.map { case (n, b, fut) => (n, b, fut.get()) })
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdownNow()
     def arm(name: String, bytes: Long, hits: DataFrame): DataFrame =
       hits.select(col("qid"), col("vec_id"))
         .join(broadcast(flat), Seq("qid", "vec_id"))
@@ -135,13 +159,7 @@ object Knn {
         .select(lit(name).as("family"), lit(bytes).as("bytes_per_vec"), col("n_hits"),
           floor(col("n_hits").cast("double") / denom * 10000d + 0.5d)
             .cast("long").as("recall_q4"))
-    Seq(
-      arm("binary", 16L, binaryHammingSearch(spark, dir, k, nQueries = nQueries)),
-      arm("flat", 256L, flatSearch(spark, dir, "cosine", k, nQueries)),
-      arm("ivf", 256L, Ivf.search(spark, dir, k, nQueries)),
-      arm("lsh", 32L, Lsh.search(spark, dir, k, nQueries)),
-      arm("sq8", 72L, sq8Search(spark, dir, k, nQueries))
-    ).reduce(_ unionAll _).orderBy("family")
+    arms.map { case (n, b, h) => arm(n, b, h) }.reduce(_ unionAll _).orderBy("family")
   }
 
   def indexFrontierOracle(k: Int = 10, nQueries: Int = 8): String = {

@@ -1302,13 +1302,22 @@ object Text {
     * Single-token docs have no bigrams and drop out (both engines). */
   def bigramLm(spark: SparkSession, dir: String, lambda: Double = 0.7): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val bg = Tables.documents(spark, dir)
+    // fan the doc scan out BEFORE both token explodes (r18): the test
+    // corpus is one row group, so the posexplode (and the unigram explode
+    // below) ran on one core of 32 — and the bigram window is partitioned
+    // by the same doc_id key at the same partition count, so the lead()
+    // reuses the fan-out exchange instead of adding one (guide §2.4).
+    // Sound here: every downstream aggregate is exact integer counts and
+    // the per-bigram ln() is per-VALUE — nothing depends on row order.
+    val docsF = Tables.fanOut(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+    val bg = docsF
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w1")))
       .withColumn("w2", lead(col("w1"), 1).over(byPos))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("w1"), col("w2"))
       .localCheckpoint() // two consumers: bigram counts, doc-bigram tf
-    val tok = Tables.documents(spark, dir)
+    val tok = docsF
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val c1 = tok.groupBy(col("term")).agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("t"))

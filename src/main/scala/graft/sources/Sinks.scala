@@ -22,13 +22,27 @@ object Sinks {
     * serially writing every directory — q30's measured 1.9 s write job)
     * fans out to all cores. The partition count is pinned (not
     * AQE-coalesced) so the write keeps its parallelism even when the
-    * shuffle is byte-small; rows land in the same directories with the
-    * same values, so every reader — all of them aggregate or re-sort —
-    * is unchanged. */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(partitionCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    * shuffle is byte-small.
+    *
+    * CONTRACT (r18, the r17 advisory): with `saltBuckets = 1` (default)
+    * each partition value lands as ONE file whose row order is
+    * shuffle-dependent — readers must aggregate or re-sort (every in-repo
+    * reader does), and a HOT value serializes its write on one core
+    * (guide §2.5's skew cliff). A caller whose profile shows a skewed
+    * value passes `saltBuckets > 1`: each value then spreads over up to
+    * that many tasks/files, salted by a DETERMINISTIC content hash (a
+    * rand() salt would duplicate/lose rows under task retry — §2.5), so
+    * the write parallelizes and the trade is file count, never rows.
+    * Directories, values and reader results are identical either way. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       saltBuckets: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val clustered =
+      if (saltBuckets <= 1) df.repartition(n, col(partitionCol))
+      else df.repartition(math.max(n, saltBuckets), col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets)))
+    clustered.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
   }
 
   /** Bucketed + sorted table write (requires a catalog table). */

@@ -123,7 +123,11 @@ object Tables {
     * results are partitioning-independent: per-row maps, exact integer
     * arithmetic, order-independent aggregates (min/max/count/bit-ops) —
     * callers whose result could depend on float accumulation ORDER must
-    * not route through this. */
+    * not route through this. SCAN INPUTS ONLY (r18, the r17 advisory):
+    * the partition-count guard materializes `df.rdd`, which is free for a
+    * raw scan but compiles (and under AQE can partially execute) the plan
+    * of an exchange-bearing frame — pass the table read, not a derived
+    * query. */
   def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores, key)

@@ -1881,4 +1881,31 @@ class GraftDbSpec extends GraftSuite {
       .forall(_.getString(4) == "inmemory_rekey"),
       "a future long-typed receipt did not degrade the route")
   }
+
+  test("bundle admission rejects a NULL chunk id (pinned: countDistinct ignores NULLs, so a null-id row reads as a duplicate — never silently admitted)") {
+    val db = freshDb()
+    val dims = corpus.head._3.length
+    db.createLibrary(31L, "nullid", dims, "flat")
+    db.upsertChunks(Seq(
+      (31L, 1L, 100L, corpus(0)._2, corpus(0)._3),
+      (31L, 1L, 101L, corpus(1)._2, corpus(1)._3)))
+    val bundle = s"${Files.createTempDirectory("bundle")}/libnull"
+    db.exportLibrary(31L, bundle)
+    // corrupt exactly one chunk_id to NULL, keeping the row count the
+    // manifest certifies (so the count check passes and the distinctness
+    // check is what must catch it)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$bundle/chunks")
+      .withColumn("chunk_id",
+        when(col("chunk_id") === 100L, lit(null).cast("long")).otherwise(col("chunk_id")))
+      .write.mode("overwrite").parquet(s"$bundle/chunks_nulled")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bundle/chunks"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$bundle/chunks_nulled"),
+      new org.apache.hadoop.fs.Path(s"$bundle/chunks"))
+    val e = intercept[IllegalArgumentException] { db.importLibrary(bundle, 32L) }
+    assert(e.getMessage.contains("not distinct"),
+      s"null chunk_id must fail the distinctness admission check, got: ${e.getMessage}")
+    // and the failed import wrote NOTHING
+    assert(db.listLibraries().filter(col("library_id") === 32L).count() === 0L)
+  }
 }

@@ -68,4 +68,24 @@ class SinksSpec extends GraftSuite {
     assert(Sinks.readJson(spark, "target/test-sinks/docs_json").count() === docs.count())
     assert(Sinks.readOrc(spark, "target/test-sinks/docs_orc").count() === docs.count())
   }
+
+  test("salted partitioned write splits a hot value across files; rows unchanged") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+    val salted = "target/test-sinks/docs_by_lang_salted"
+    val plain = "target/test-sinks/docs_by_lang_plain"
+    Sinks.writePartitioned(docs, salted, "lang", saltBuckets = 4)
+    Sinks.writePartitioned(docs, plain, "lang")
+    // the hottest value no longer serializes into a single task/file
+    val hot = docs.groupBy("lang").count().orderBy(col("count").desc, col("lang"))
+      .head().getString(0)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$plain/lang=$hot") === 1, "unsalted contract: one file per value")
+    assert(parquetFiles(s"$salted/lang=$hot") > 1,
+      "salted contract: a hot value spans multiple tasks/files")
+    // identical rows in identical directories — readers are unaffected
+    val a = spark.read.parquet(salted).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(plain).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
 }
