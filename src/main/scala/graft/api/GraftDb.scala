@@ -153,21 +153,8 @@ final class GraftDb(spark: SparkSession, val root: String) {
     * thread-pooled actions): a standing-index build issues 5-6 small
     * write jobs whose inputs are all derived from the one cached
     * snapshot; serially each pays full scheduling latency, overlapped
-    * they back-fill each other's tails. Bounded pool, failures rethrown
-    * as their original exception. */
-  private def parallelWrites(writes: Seq[() => Unit]): Unit = {
-    if (writes.length <= 1) { writes.foreach(_()); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(3, writes.length))
-    try {
-      val futs = writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = w()
-      }))
-      futs.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-    } finally pool.shutdownNow()
-  }
+    * they back-fill each other's tails. */
+  private def parallelWrites(writes: Seq[() => Unit]): Unit = graft.Par.run(writes)
 
   /** One-time flag for [[withMetaCompat]]'s legacy-patch audit probe. */
   private var warnedLegacyPatch = false

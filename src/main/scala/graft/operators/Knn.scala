@@ -133,25 +133,16 @@ object Knn {
     // while 31 cores idle; a small pool overlaps them (guide §2.6
     // thread-pooled actions — 3 in flight) with every per-arm PLAN
     // unchanged: the same frames feed the same ≤Q·k overlap joins.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    val (flat, arms) =
-      try {
-        def submit(f: () => DataFrame) =
-          pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = f()
-          })
-        val flatFut = submit(() => flatSearch(spark, dir, "cosine", k, nQueries)
-          .select(col("qid"), col("vec_id")).localCheckpoint())
-        val armFuts = Seq(
-          ("binary", 16L, submit(() => binaryHammingSearch(spark, dir, k, nQueries = nQueries))),
-          ("flat", 256L, submit(() => flatSearch(spark, dir, "cosine", k, nQueries))),
-          ("ivf", 256L, submit(() => Ivf.search(spark, dir, k, nQueries))),
-          ("lsh", 32L, submit(() => Lsh.search(spark, dir, k, nQueries))),
-          ("sq8", 72L, submit(() => sq8Search(spark, dir, k, nQueries))))
-        (flatFut.get(), armFuts.map { case (n, b, fut) => (n, b, fut.get()) })
-      } catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-      } finally pool.shutdownNow()
+    val Seq(flat, binaryH, flatH, ivfH, lshH, sq8H) = graft.Par.all(Seq(
+      () => flatSearch(spark, dir, "cosine", k, nQueries)
+        .select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => binaryHammingSearch(spark, dir, k, nQueries = nQueries),
+      () => flatSearch(spark, dir, "cosine", k, nQueries),
+      () => Ivf.search(spark, dir, k, nQueries),
+      () => Lsh.search(spark, dir, k, nQueries),
+      () => sq8Search(spark, dir, k, nQueries)))
+    val arms = Seq(("binary", 16L, binaryH), ("flat", 256L, flatH),
+      ("ivf", 256L, ivfH), ("lsh", 32L, lshH), ("sq8", 72L, sq8H))
     def arm(name: String, bytes: Long, hits: DataFrame): DataFrame =
       hits.select(col("qid"), col("vec_id"))
         .join(broadcast(flat), Seq("qid", "vec_id"))

@@ -557,17 +557,25 @@ object Persist {
     * reuse key is the artifact's own content. */
   private[graft] def writeGenProfileArtifacts(spark: SparkSession, dir: String,
                                               g: Int): Unit = {
+    // unpivot ONCE (r18): the scalar stats and the distinct domain both
+    // consume the same generation unpivot, and nothing dedups the shared
+    // subtree across two separate write actions — uncheckpointed, the
+    // corpus-half unpivot ran twice per generation. The two artifact
+    // writes are then independent reads of the checkpoint → concurrent
+    // (guide §2.6). Both aggregates are exact integers over q4 longs, so
+    // the materialization order can't move a value.
     val u = statsUnpivot(Tables.lineitem(spark, dir)
-      .filter(pmod(col("l_orderkey"), lit(2)) === g))
-    u.groupBy(col("cname"))
-      .agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
-        min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
-      .withColumn("src", lit(dir))
-      .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_scalar_g$g"))
-    u.select(col("cname"), col("vq4")).distinct()
-      .withColumn("src", lit(dir))
-      .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_domain_g$g"))
+      .filter(pmod(col("l_orderkey"), lit(2)) === g)).localCheckpoint()
+    graft.Par.run(Seq(
+      () => u.groupBy(col("cname"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("vq4"))).as("n_nulls"),
+          min(col("vq4")).as("min_q4"), max(col("vq4")).as("max_q4"))
+        .withColumn("src", lit(dir))
+        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_scalar_g$g")),
+      () => u.select(col("cname"), col("vq4")).distinct()
+        .withColumn("src", lit(dir))
+        .write.mode("overwrite").parquet(tablePath(spark, s"graft_stats_domain_g$g"))))
   }
 
   /** ARTIFACTS-ONLY p16 merge: scalar stats sum/min/max-merge, NDV from
@@ -2068,12 +2076,16 @@ object Persist {
     * zero. The oracle is the plain join — bucketing must be invisible. */
   def colocatedJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.Graft.init(spark)
-    val li = materializeBucketed(spark,
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
-      "graft_fact_lineitem", 8, Seq("l_orderkey"))
-    val o = materializeBucketed(spark,
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_fact_orders", 8, Seq("o_orderkey"))
+    // the two bucketed-table builds are independent scans of different
+    // tables into different catalog names → built concurrently (guide
+    // §2.6, r18); the join below reads the same reloaded tables either way
+    val Seq(li, o) = graft.Par.all(Seq(
+      () => materializeBucketed(spark,
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_fact_lineitem", 8, Seq("l_orderkey")),
+      () => materializeBucketed(spark,
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_fact_orders", 8, Seq("o_orderkey"))))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
